@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <dir>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_spark.session import get_spark  # noqa: E402
+from big_data_spark.queries import QUERIES  # noqa: E402
+
+# Representative of every operator family: scan-agg, multiway join,
+# window, sessionization, JSON, exact + LSH dedup, simhash, text
+# analysis, embedding similarity.
+HEADLINE = [
+    "pricing_summary",
+    "join_multiway",
+    "window_running_sum",
+    "window_latest_order",
+    "events_sessionize",
+    "events_json",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash",
+    "text_stats",
+    "lang_id",
+    "embedding_topk",
+    "embedding_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="big_data_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    # Warm the JVM + parquet footers once so timings measure the
+    # queries, not session startup.
+    QUERIES["pricing_summary"](spark, sf_dir).count()
+    for name in HEADLINE:
+        start = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,13 @@ def read_logs_json(
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata parquet table (TESTDATA.md)."""
+    """Read one driver testdata parquet table (TESTDATA.md).
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS), which Spark 4 only reads
+    via the nanosAsLong legacy conf (as raw nanosecond longs) — set it
+    unconditionally so this works under any caller-provided session.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,655 @@
+"""Training-data-pipeline operators over ``documents`` and
+``embeddings`` (BASELINE.json north star: dedup, similarity search,
+text analysis) — each with a DuckDB oracle where SQL-expressible.
+
+Cross-engine determinism strategy:
+- tokenization is a plain split on single spaces (the corpus is
+  space-joined words), lowercased — byte-identical in both engines;
+- every hash is md5 (identical everywhere), never engine-native
+  hash() / xxhash;
+- MinHash signatures are min(md5(seed || shingle)) — string mins are
+  deterministic, so even the LSH *candidate* set is reproducible in
+  SQL (unlike Spark ML's randomly-seeded MinHashLSH, which we also
+  ship in operators/ for the scale path);
+- similarity scores divide exact integer counts, or round(x, 6) when
+  float arithmetic is involved.
+
+Scale notes inline. The common pattern for pairwise similarity is the
+inverted-index join: explode features, join on feature, aggregate per
+pair — shuffle volume is sum of posting-list squares, kept bounded by
+LSH banding / label blocking rather than a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_spark.io.readers import read_table
+
+# Shared tokenizer fragment (Spark) — keep in lockstep with _SQL_TOKENS.
+def _tokens(col: str = "text"):
+    return F.filter(F.split(F.lower(F.col(col)), " "), lambda t: t != "")
+
+
+# DuckDB twin of _tokens.
+_SQL_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+STOPWORDS = (
+    "the a an and or of to in is are was for on with as at by it this that".split()
+)
+_SQL_STOP = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+# --------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one groupBy, map-side combinable.
+    At 100 TB this is the cheapest dedup pass — hash locally, shuffle
+    only (hash, id) pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keep_doc_id
+"""
+
+
+# --------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats from per-doc token counts — the
+    token-counting + quality-signal pass of a data pipeline. Integer
+    sums -> exact cross-engine."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).alias("n_stop"),
+        F.length("text").alias("n_chars_measured"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_distinct").alias("total_distinct"),
+            F.sum("n_stop").alias("total_stopwords"),
+            F.max("n_chars_measured").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       SUM(n_distinct) AS total_distinct,
+       SUM(n_stop) AS total_stopwords,
+       MAX(n_chars_measured) AS max_chars
+FROM (
+  SELECT lang,
+         len({_SQL_TOKENS}) AS n_tokens,
+         len(list_distinct({_SQL_TOKENS})) AS n_distinct,
+         len(list_filter({_SQL_TOKENS}, t -> t IN {_SQL_STOP})) AS n_stop,
+         length(text) AS n_chars_measured
+  FROM documents
+) GROUP BY lang ORDER BY lang
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality scoring: length / stopword-ratio / repetition
+    heuristics -> keep/flag buckets (the filter stage before training
+    ingestion). Ratios are double divisions of identical ints."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    rep_ratio = F.col("n_distinct") / F.col("n_tokens")
+    bucket = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(stop_ratio > 0.5, "too_stoppy")
+        .when(rep_ratio < 0.4, "too_repetitive")
+        .otherwise("keep")
+    )
+    return (
+        per_doc.withColumn("quality_bucket", bucket)
+        .select("doc_id", "n_tokens", "quality_bucket")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_QUALITY = f"""
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens < 20 THEN 'too_short'
+            WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.5 THEN 'too_stoppy'
+            WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.4 THEN 'too_repetitive'
+            ELSE 'keep' END AS quality_bucket
+FROM (
+  SELECT doc_id,
+         len({_SQL_TOKENS}) AS n_tokens,
+         len(list_distinct({_SQL_TOKENS})) AS n_distinct,
+         len(list_filter({_SQL_TOKENS}, t -> t IN {_SQL_STOP})) AS n_stop
+  FROM documents
+) ORDER BY doc_id
+"""
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "with"],
+    "es": ["el", "la", "de", "los", "que"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "des", "est", "dans"],
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (n-gram-heuristic family): count
+    marker hits per language, argmax with a fixed CASE tie-break.
+    Purely columnar — no UDF, pushdown-friendly at any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    # NB: the lambda must stay single-arg — PySpark treats a two-arg
+    # higher-order lambda as (element, index).
+    def _score(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_score(m).alias(f"score_{lang}") for lang, m in _LANG_MARKERS.items()],
+    )
+    en, es, de, fr = (F.col(f"score_{x}") for x in ("en", "es", "de", "fr"))
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return (
+        scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _sql_marker(lang: str) -> str:
+    members = ",".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter({_SQL_TOKENS}, t -> t IN ({members})))"
+
+
+ORACLE_LANG_ID = f"""
+SELECT lang, pred_lang, COUNT(*) AS n_docs FROM (
+  SELECT lang,
+         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+              WHEN s_de >= s_fr THEN 'de'
+              ELSE 'fr' END AS pred_lang
+  FROM (
+    SELECT lang,
+           {_sql_marker('en')} AS s_en,
+           {_sql_marker('es')} AS s_es,
+           {_sql_marker('de')} AS s_de,
+           {_sql_marker('fr')} AS s_fr
+    FROM documents
+  )
+) GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (document fingerprinting): md5
+    of the canonicalized token stream, prefix-truncated to 16 hex
+    chars. Groups normalization-equal docs."""
+    docs = read_table(spark, sf_dir, "documents")
+    fp = F.substring(F.md5(F.array_join(_tokens(), " ")), 1, 16)
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("keep_doc_id")
+    )
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT substr(md5(array_to_string({_SQL_TOKENS}, ' ')), 1, 16) AS fingerprint,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY keep_doc_id
+"""
+
+
+# --------------------------------------------------------------------
+# N-gram Jaccard near-dup (exact, inverted-index join)
+# --------------------------------------------------------------------
+
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.2
+
+
+def _shingles(col: str = "text"):
+    """Distinct word NGRAM_N-grams as strings (Spark side)."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - NGRAM_N, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, NGRAM_N), " "),
+    )
+    # For docs shorter than NGRAM_N tokens the single slice is the
+    # whole doc; that matches the SQL twin below.
+    return F.array_distinct(grams)
+
+
+_SQL_SHINGLES = f"""
+list_distinct(list_transform(
+  generate_series(1, greatest(len({_SQL_TOKENS}) - {NGRAM_N - 1}, 1)),
+  i -> array_to_string(({_SQL_TOKENS})[i:i+{NGRAM_N - 1}], ' ')
+))
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join:
+    explode shingles -> self-join on shingle -> count intersections ->
+    Jaccard from set sizes. No cross join anywhere; posting lists for
+    a 100 TB corpus get length-capped upstream (stopword-only grams
+    are the skew risk — AQE skew-join covers the rest)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------
+# Deterministic MinHash + LSH banding (reproducible in SQL)
+# --------------------------------------------------------------------
+
+MINHASH_SEEDS = tuple(range(6))  # 6 hashes = 3 bands x 2 rows
+LSH_BANDS = ((0, 1), (2, 3), (4, 5))
+MINHASH_THRESHOLD = 0.2
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup with *deterministic* hashes: signature_i =
+    min(md5(i|shingle)); band key = md5 of its signature pair;
+    candidates share >=1 band bucket, then exact-Jaccard verified.
+    This is the scale path for n-gram dedup — the inverted index runs
+    over O(bands x docs) band keys instead of every shingle, and the
+    exact verify touches only candidate pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+            for s in MINHASH_SEEDS
+        ]
+    )
+    bands = None
+    for bi, (r0, r1) in enumerate(LSH_BANDS):
+        band = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            F.md5(F.concat(F.col(f"h{r0}"), F.col(f"h{r1}"))).alias("bucket"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verify on candidates only.
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    common = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= MINHASH_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_sig() -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{s}|' || shingle)) AS h{s}" for s in MINHASH_SEEDS
+    )
+    return mins
+
+
+ORACLE_MINHASH = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id,
+         {_sql_sig()}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+), candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM candidates c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {MINHASH_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------
+# SimHash fingerprints (deterministic, md5-bit-derived)
+# --------------------------------------------------------------------
+
+SIMHASH_BITS = 16  # enough to bucket; md5 hex nibbles drive the bits
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint: per token, md5 supplies
+    SIMHASH_BITS bits; each bit votes +1/-1; sign of the vote sum is
+    the fingerprint bit. Grouped by fingerprint -> near-dup buckets.
+    Pure aggregate arithmetic, so identical in SQL."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    ).withColumn("h", F.md5("token"))
+    # Bit b of token hash = bit (b % 4) of hex nibble b//4.
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (
+                        F.conv(F.substring("h", b // 4 + 1, 1), 16, 10).cast("int")
+                        .bitwiseAND(F.lit(1 << (b % 4)))
+                    )
+                    > 0,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return (
+        votes.select("doc_id", fp.cast("long").alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("keep_doc_id")
+    )
+
+
+def _sql_simhash() -> str:
+    vote_cols = ",\n         ".join(
+        f"SUM(CASE WHEN (CAST(('0x' || substr(h, {b // 4 + 1}, 1)) AS INT) & {1 << (b % 4)}) > 0"
+        f" THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest({_SQL_TOKENS})) AS h FROM documents
+), votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM tok GROUP BY doc_id
+)
+SELECT CAST({fp_expr} AS BIGINT) AS simhash,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+FROM votes GROUP BY 1 ORDER BY keep_doc_id
+"""
+
+
+ORACLE_SIMHASH = _sql_simhash()
+
+
+# --------------------------------------------------------------------
+# Embedding similarity (ANN)
+# --------------------------------------------------------------------
+
+ANN_K = 5
+ANN_QUERY_IDS = (0, 1, 2, 3)
+NEARDUP_COSINE = 0.93
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a handful of query vectors: the
+    correctness baseline for ANN. The query side is tiny -> broadcast;
+    the corpus side streams, so this scales linearly and never
+    shuffles the corpus."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    pairs = emb.crossJoin(queries).filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_SQL_IDS = ",".join(str(i) for i in ANN_QUERY_IDS)
+
+# Explicit in-order double dot product: matches Spark's aggregate fold.
+_SQL_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+ORACLE_EMB_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN ({_SQL_IDS})
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_sql_cosine('q.q_emb', 'e.embedding')}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked
+WHERE rank <= {ANN_K} ORDER BY query_id, rank
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with label blocking (the
+    IVF-style scale path: compare only within a coarse partition;
+    here the generator's label is the coarse cell). Blocked pairwise
+    is O(sum cell^2), not O(n^2)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "label",
+            "id_a",
+            "id_b",
+            F.round(_cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_EMB_NEARDUP = f"""
+SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_COSINE}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_MINHASH,
+    "simhash": ORACLE_SIMHASH,
+    "embedding_topk": ORACLE_EMB_TOPK,
+    "embedding_neardup": ORACLE_EMB_NEARDUP,
+}

@@ -1,0 +1,748 @@
+"""Relational operator coverage (SURVEY.md §2.2-§2.8) over the driver
+testdata, each with a DuckDB oracle.
+
+Conventions for hash-stable cross-engine comparison:
+- every computed column is aliased identically in Spark and SQL;
+- money aggregates are summed as DECIMAL(18,2) (order-independent,
+  exact) then cast to DOUBLE so both engines hash identical float64;
+- ratios divide two already-identical doubles (IEEE-deterministic);
+- timestamps are returned as epoch seconds (BIGINT), never raw;
+- every LIMIT is preceded by a total ORDER BY (unique tie-break).
+
+Scale notes are inline per query; the common ones: filters sit
+directly on scan columns (parquet pushdown), small dims are broadcast,
+aggregations are partial-agg friendly (sum/count/min/max), and no
+query collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_spark.io.readers import read_table
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------
+# Aggregations over a single fact table (SURVEY §2.4 A1-A12, §2.6 O1)
+# --------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate, the partial-agg poster
+    child. Filter is on a scan column -> parquet predicate pushdown;
+    grouping keys are low-cardinality so map-side combine collapses
+    the shuffle to ~#groups rows per partition at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast(DEC)  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))).cast(
+                    "decimal(22,4)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (SURVEY §2.4 A6-A8): exact countDistinct
+    forces a two-phase agg; fine at scale because keyspace per group
+    is bounded by #parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS distinct_parts,
+       COUNT(DISTINCT l_suppkey) AS distinct_supps,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive collect (SURVEY §2.4 A1/A9): deterministic via
+    sort_array(collect_list) — the reference relied on orderBy
+    surviving groupBy (Src/processes.py:247-250), which is unspecified;
+    we sort inside the aggregate instead."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("o_orderkey").cast("string"))), ","
+            ).alias("order_keys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# NOTE: string sort of keys must match: DuckDB string_agg ORDER BY the
+# same stringified key keeps both engines lexicographic.
+ORACLE_COLLECT = """
+SELECT o_custkey,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys,
+       COUNT(*) AS n_orders
+FROM orders WHERE o_orderstatus = 'P'
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def q_first_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'first' (SURVEY §2.4 A3): min_by instead of
+    first-after-orderBy. Earliest ship per order+flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_returnflag")
+        .agg(
+            F.min_by("l_linenumber", F.struct("l_shipdate", "l_linenumber")).alias(
+                "first_line"
+            ),
+            F.unix_timestamp(F.min("l_shipdate")).alias("first_ship_epoch"),
+        )
+        .orderBy("l_orderkey", "l_returnflag")
+    )
+
+
+ORACLE_FIRST = """
+WITH ranked AS (
+  SELECT l_orderkey, l_returnflag, l_linenumber, l_shipdate,
+         row_number() OVER (PARTITION BY l_orderkey, l_returnflag
+                            ORDER BY l_shipdate, l_linenumber) AS rn
+  FROM lineitem
+), mins AS (
+  SELECT l_orderkey, l_returnflag,
+         CAST(floor(epoch(MIN(l_shipdate))) AS BIGINT) AS first_ship_epoch
+  FROM lineitem GROUP BY l_orderkey, l_returnflag
+)
+SELECT r.l_orderkey, r.l_returnflag, r.l_linenumber AS first_line, m.first_ship_epoch
+FROM ranked r JOIN mins m
+  ON r.l_orderkey = m.l_orderkey AND r.l_returnflag = m.l_returnflag
+WHERE r.rn = 1 ORDER BY r.l_orderkey, r.l_returnflag
+"""
+
+
+# --------------------------------------------------------------------
+# Joins (SURVEY §2.3 J1-J9)
+# --------------------------------------------------------------------
+
+
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. region/nation are tiny -> explicit
+    broadcast hints keep the big fact tables shuffle-free on the dim
+    side; supplier-nation-region collapses to one broadcast stage."""
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    dec = lambda c: F.col(c).cast(DEC)  # noqa: E731
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))).cast(
+                    "decimal(22,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_MULTIWAY = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (J2): every customer with order count, zeros
+    kept. Aggregate-then-join keeps the outer side slim."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_LEFT = """
+SELECT c_custkey, COALESCE(cnt, 0) AS n_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (J3) — the reference's 'alone servers' shape
+    (Src/servers.py:134-138): customers with no orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having at least one 'F' order."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+ORDER BY c_custkey
+"""
+
+
+def q_join_self_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aliased self-join with inequality predicate (J6 + P8):
+    same-nation supplier pairs, counted per nation. The equi-key
+    (nationkey) carries the join; the < predicate is a cheap
+    post-filter, so this stays a hash join, not a cartesian."""
+    s1 = _t(spark, sf_dir, "supplier").alias("s1")
+    s2 = _t(spark, sf_dir, "supplier").alias("s2")
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.s_nationkey") == F.col("s2.s_nationkey"))
+            & (F.col("s1.s_suppkey") < F.col("s2.s_suppkey")),
+        )
+        .groupBy(F.col("s1.s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("nationkey")
+    )
+
+
+ORACLE_SELF = """
+SELECT s1.s_nationkey AS nationkey, COUNT(*) AS n_pairs
+FROM supplier s1 JOIN supplier s2
+  ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey < s2.s_suppkey
+GROUP BY s1.s_nationkey ORDER BY nationkey
+"""
+
+
+def q_join_expr_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join on a computed key (J4 — the reference joins on
+    equal_processes[0], Src/processes.py:305-310): bucket orders by
+    price band, join band stats back on the computed band key."""
+    orders = _t(spark, sf_dir, "orders")
+    banded = orders.withColumn(
+        "price_band", F.floor(F.col("o_totalprice") / 50000).cast("int")
+    )
+    band_stats = banded.groupBy("price_band").agg(
+        F.count(F.lit(1)).alias("band_n")
+    )
+    return (
+        banded.join(band_stats, on="price_band")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("band_n").alias("max_band_n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_EXPR_KEY = """
+WITH banded AS (
+  SELECT o_orderstatus, CAST(floor(o_totalprice / 50000) AS INT) AS price_band FROM orders
+), band_stats AS (
+  SELECT price_band, COUNT(*) AS band_n FROM banded GROUP BY price_band
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders, MAX(band_n) AS max_band_n
+FROM banded JOIN band_stats USING (price_band)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# --------------------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except at DF level. Customers are tagged by
+    which order-status sets they appear in."""
+    orders = _t(spark, sf_dir, "orders")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    both = o_cust.intersect(f_cust).withColumn("tag", F.lit("both"))
+    only_o = o_cust.subtract(f_cust).withColumn("tag", F.lit("only_o"))
+    only_f = f_cust.subtract(o_cust).withColumn("tag", F.lit("only_f"))
+    return (
+        both.unionByName(only_o)
+        .unionByName(only_f)
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("tag")
+    )
+
+
+ORACLE_SET_OPS = """
+WITH o_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O'),
+     f_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='F'),
+     tagged AS (
+       SELECT o_custkey, 'both' AS tag FROM o_cust INTERSECT SELECT o_custkey, 'both' FROM f_cust
+       UNION ALL
+       SELECT o_custkey, 'only_o' FROM (SELECT * FROM o_cust EXCEPT SELECT * FROM f_cust)
+       UNION ALL
+       SELECT o_custkey, 'only_f' FROM (SELECT * FROM f_cust EXCEPT SELECT * FROM o_cust)
+     )
+SELECT tag, COUNT(*) AS n_customers FROM tagged GROUP BY tag ORDER BY tag
+"""
+
+
+# --------------------------------------------------------------------
+# Windows (SURVEY §2.5) + sorts/limits (§2.6)
+# --------------------------------------------------------------------
+
+
+def q_window_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number over (customer, date desc): latest order per
+    customer — the window idiom replacing the reference's
+    orderBy-then-first (Src/processes.py:247-250)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.unix_timestamp("o_orderdate").alias("latest_epoch"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_WINDOW_LATEST = """
+SELECT o_custkey, latest_orderkey, latest_epoch FROM (
+  SELECT o_custkey, o_orderkey AS latest_orderkey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS latest_epoch,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per partition — the depth-counter idiom (SURVEY
+    §2.5) on relational data: cumulative spend per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        orders.withColumn(
+            "cum_spend",
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"),
+        )
+        .select("o_custkey", "o_orderkey", "cum_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORACLE_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): inter-order gap in days per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return (
+        orders.withColumn(
+            "gap_days",
+            F.when(
+                prev.isNotNull(),
+                F.datediff(F.col("o_orderdate"), prev),
+            ),
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.max("gap_days").alias("max_gap_days"),
+            F.count(F.lit(1)).alias("n_gaps"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_LAG = """
+SELECT o_custkey, MAX(gap_days) AS max_gap_days, COUNT(*) AS n_gaps FROM (
+  SELECT o_custkey,
+         datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders
+) WHERE gap_days IS NOT NULL GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with unique tie-break (O-ops). Spark plans this as
+    TakeOrderedAndProject — no full sort, no single-node shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(25)
+    )
+
+
+ORACLE_TOPK = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------
+# Scalar functions: string/array/map/case (SURVEY §2.8), filters (§2.2)
+# --------------------------------------------------------------------
+
+
+def q_string_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode + lower (the generator/UDTF shape §2.8):
+    token frequencies of part names."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split(F.lower("p_name"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(50)
+    )
+
+
+ORACLE_TOKENS = """
+SELECT token, COUNT(*) AS freq FROM (
+  SELECT unnest(string_split(lower(p_name), ' ')) AS token FROM part
+) WHERE token <> '' GROUP BY token ORDER BY freq DESC, token LIMIT 50
+"""
+
+
+def q_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN + conjunctive filters (P7) + cast (P5)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderstatus") != "P") & (F.col("o_totalprice") > 1000)
+        )
+        .withColumn("bucket", bucket)
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority", "bucket")
+    )
+
+
+ORACLE_CASE = """
+SELECT o_orderpriority,
+       CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       COUNT(*) AS n
+FROM orders
+WHERE o_orderstatus <> 'P' AND o_totalprice > 1000
+GROUP BY o_orderpriority, bucket ORDER BY o_orderpriority, bucket
+"""
+
+
+def q_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + explosion (SURVEY §2.8 map_from_entries /
+    explode-map, Src/processes.py:112-123): per-nation map of
+    mktsegment -> customer count, exploded back to rows so the output
+    is oracle-comparable."""
+    customer = _t(spark, sf_dir, "customer")
+    per_seg = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    as_map = per_seg.groupBy("c_nationkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("c_mktsegment", "cnt")))
+        ).alias("seg_counts")
+    )
+    return (
+        as_map.select(
+            "c_nationkey", F.explode("seg_counts").alias("segment", "n_customers")
+        )
+        .orderBy("c_nationkey", "segment")
+    )
+
+
+ORACLE_MAP = """
+SELECT c_nationkey, c_mktsegment AS segment, COUNT(*) AS n_customers
+FROM customer GROUP BY c_nationkey, c_mktsegment ORDER BY c_nationkey, segment
+"""
+
+
+# --------------------------------------------------------------------
+# Events: time windows, JSON extraction, sessionization
+# --------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (batch form of the streaming op):
+    hourly counts + decimal-exact value sums per event type.
+
+    ``ts`` arrives as raw nanosecond longs (see read_table); hour
+    bucket = integer division. Epochs here are positive so div-based
+    truncation equals floor on both engines."""
+    events = _t(spark, sf_dir, "events")
+    hour_epoch = (F.expr("ts div 1000000000") - F.expr("ts div 1000000000") % 3600)
+    return (
+        events.groupBy(
+            hour_epoch.alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from a string column (§2.8 extension —
+    schema-on-read the reference never needed)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type,
+       SUM(k) AS sum_k, MAX(k) AS max_k, COUNT(*) AS n
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+WHERE k IS NOT NULL GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap = 30 min): lag + cumulative
+    new-session flags — the per-process sequence idiom (SURVEY §2.5)
+    applied to user activity; also the batch twin of the Structured
+    Streaming session window."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.expr("ts div 1000000000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts_sec") - F.lag("ts_sec").over(w)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_sec").alias("session_start_epoch"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch
+FROM sessions GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "distinct_counts": q_distinct_counts,
+    "agg_collect_sorted": q_agg_collect_sorted,
+    "first_min_by": q_first_min_by,
+    "join_multiway": q_join_multiway,
+    "join_left": q_join_left,
+    "join_anti": q_join_anti,
+    "join_semi": q_join_semi,
+    "join_self_theta": q_join_self_theta,
+    "join_expr_key": q_join_expr_key,
+    "set_ops": q_set_ops,
+    "window_latest_order": q_window_latest_order,
+    "window_running_sum": q_window_running_sum,
+    "window_lag_gap": q_window_lag_gap,
+    "topk": q_topk,
+    "string_tokens": q_string_tokens,
+    "case_buckets": q_case_buckets,
+    "map_roundtrip": q_map_roundtrip,
+    "events_hourly": q_events_hourly,
+    "events_json": q_events_json,
+    "events_sessionize": q_events_sessionize,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": ORACLE_PRICING,
+    "distinct_counts": ORACLE_DISTINCT,
+    "agg_collect_sorted": ORACLE_COLLECT,
+    "first_min_by": ORACLE_FIRST,
+    "join_multiway": ORACLE_MULTIWAY,
+    "join_left": ORACLE_LEFT,
+    "join_anti": ORACLE_ANTI,
+    "join_semi": ORACLE_SEMI,
+    "join_self_theta": ORACLE_SELF,
+    "join_expr_key": ORACLE_EXPR_KEY,
+    "set_ops": ORACLE_SET_OPS,
+    "window_latest_order": ORACLE_WINDOW_LATEST,
+    "window_running_sum": ORACLE_RUNNING,
+    "window_lag_gap": ORACLE_LAG,
+    "topk": ORACLE_TOPK,
+    "string_tokens": ORACLE_TOKENS,
+    "case_buckets": ORACLE_CASE,
+    "map_roundtrip": ORACLE_MAP,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_json": ORACLE_EVENTS_JSON,
+    "events_sessionize": ORACLE_SESSIONIZE,
+}
