@@ -1,0 +1,76 @@
+"""Connected components as pure DataFrame iteration (no GraphFrames).
+
+The reference depends on GraphFrames' connectedComponents
+(reference: Src/dbscan.py:115-117) — an external jar we don't ship.
+This is the standard alternating label-propagation algorithm: every
+vertex repeatedly adopts the minimum label in its closed neighborhood
+until fixpoint. Converges in O(diameter) joins; each iteration is
+localCheckpoint()ed so the plan doesn't grow unboundedly (same role
+as GraphFrames' mandatory checkpoint dir).
+
+Scale: each iteration is one shuffle join edges x labels plus a
+groupBy min — both AQE-managed. Label payload is one long per vertex.
+For the ε-graphs this engine builds (DBSCAN cores, near-dup buckets),
+components are small and diameters tiny, so iterations ~ a handful.
+A trillion-edge general graph would want large-star/small-star; the
+hook for that lives here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Components of an undirected graph.
+
+    edges: DataFrame with two id columns (longs or strings; any
+    orderable type). Isolated vertices should be passed as self-loops
+    (src == dst) if they must appear in the output.
+
+    Returns (id, component) where component = min vertex id reachable.
+    """
+    # Materialize the edge list once: every iteration joins against it,
+    # and without truncation each join would recompute the producer's
+    # full lineage (LSH joins, upstream shuffles) per iteration.
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_component", "component") < F.col("component")
+                ).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels

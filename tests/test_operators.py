@@ -1,0 +1,193 @@
+"""Unit tests: connections, connected components, DBSCAN, edit
+distance — against hand-computable fixtures (FIXTURES.md §3) and
+driver-side spec implementations."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from big_data_spark.functions.tree import logs_with_depth
+from big_data_spark.io.readers import read_logs_json
+from big_data_spark.operators.components import connected_components
+from big_data_spark.operators.connections import server_connections
+from big_data_spark.operators.dbscan import dbscan_from_edges
+from big_data_spark.operators.editdist import edit_distance, pair_edit_distances
+from tests.conftest import REFERENCE_DATA
+
+
+# ----------------------------------------------------------------- #
+# connections
+# ----------------------------------------------------------------- #
+
+
+def test_server_connections_match_spec(spark):
+    """One-pass connection sets equal the reference's per-server-loop
+    semantics (Src/servers.py:37-70), recomputed driver-side."""
+    path = os.path.join(REFERENCE_DATA, "test.json")
+    logs = read_logs_json(spark, path)
+    with_depth = logs_with_depth(logs)
+    got = {
+        r["server_name"]: set(r["connections"])
+        for r in server_connections(with_depth).collect()
+    }
+    rows = with_depth.collect()
+    servers = {r["state_from"] for r in rows} | {r["state_to"] for r in rows}
+    depth = {(r["process_id"], r["state_from"]): r["depth_from"] for r in rows}
+    want: dict[str, set] = {s: set() for s in servers}
+    for r in rows:
+        if r["action"] != "Request":
+            continue
+        d = depth[(r["process_id"], r["state_from"])]
+        want[r["state_to"]].add(f"{r['state_from']}_In_{d}")
+        want[r["state_from"]].add(f"{r['state_to']}_Out_{d}")
+    assert got == want
+
+
+# ----------------------------------------------------------------- #
+# connected components
+# ----------------------------------------------------------------- #
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], ["src", "dst"]
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_chain(spark):
+    """A long path graph exercises multi-iteration propagation."""
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["src", "dst"]
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+# ----------------------------------------------------------------- #
+# DBSCAN from edges
+# ----------------------------------------------------------------- #
+
+
+def _spec_dbscan(edges: list[tuple[int, int]], min_pts: int):
+    """Driver-side spec: cores by degree, components over core-core
+    edges, borders to min core neighbor's component, noise dropped."""
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    cores = {p for p, ns in nbrs.items() if len(ns) + 1 >= min_pts}
+    comp = {p: p for p in cores}
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    for a, b in edges:
+        if a in cores and b in cores:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                comp[max(ra, rb)] = min(ra, rb)
+    label = {}
+    for c in cores:
+        root = find(c)
+        label.setdefault(root, min(p for p in cores if find(p) == root))
+    out = {}
+    for c in cores:
+        out[c] = (label[find(c)], True)
+    for p, ns in nbrs.items():
+        if p in cores:
+            continue
+        core_ns = [n for n in ns if n in cores]
+        if core_ns:
+            out[p] = (min(label[find(n)] for n in core_ns), False)
+    return out
+
+
+DBSCAN_FIXTURE = [
+    # two clusters bridged only by a border point, plus noise
+    (1, 2), (2, 3), (1, 3),        # triangle: all cores at min_pts=3
+    (3, 4),                        # 4 is border (degree 1)
+    (10, 11), (11, 12), (10, 12),  # second triangle
+    (4, 10),                       # 4 also touches cluster 2 -> min rule
+    (20, 21),                      # degree-1 pair: noise at min_pts=3
+]
+
+
+@pytest.mark.parametrize("min_pts", [2, 3])
+def test_dbscan_matches_spec(spark, min_pts):
+    edges = spark.createDataFrame(DBSCAN_FIXTURE, ["id_a", "id_b"])
+    got = {
+        r["point"]: (r["component"], r["core_point"])
+        for r in dbscan_from_edges(edges, min_pts=min_pts).collect()
+    }
+    assert got == _spec_dbscan(DBSCAN_FIXTURE, min_pts)
+
+
+# ----------------------------------------------------------------- #
+# edit distance
+# ----------------------------------------------------------------- #
+
+
+def _spec_edit_distance(s: str, t: str, memo=None) -> int:
+    """The reference's recursive spec (Src/utils.py:32-71), memoized."""
+    if memo is None:
+        memo = {}
+    if (s, t) in memo:
+        return memo[(s, t)]
+    ss = s.split("-") if s else []
+    tt = t.split("-") if t else []
+    if not ss:
+        return len(tt)
+    if not tt:
+        return len(ss)
+    s_prime = "-".join(ss[:-1])
+    t_prime = "-".join(tt[:-1])
+    k_a = _spec_edit_distance(s_prime, t_prime, memo)
+    k_b = _spec_edit_distance(s_prime, t, memo) + 1
+    k_c = _spec_edit_distance(s, t_prime, memo) + 1
+    k_d = k_a if ss[-1] == tt[-1] else k_a + 1
+    memo[(s, t)] = min(k_d, k_b, k_c)
+    return memo[(s, t)]
+
+
+segments = st.lists(
+    st.sampled_from(["1S1", "0S1", "1S2", "0S2", "1S3", "0S3"]), max_size=8
+)
+
+
+@given(segments, segments)
+@settings(max_examples=200, deadline=None)
+def test_edit_distance_matches_recursive_spec(a, b):
+    s, t = "-".join(a), "-".join(b)
+    assert edit_distance(s, t) == _spec_edit_distance(s, t)
+
+
+def test_edit_distance_known_values():
+    assert edit_distance("", "") == 0
+    assert edit_distance("1S1", "") == 1
+    assert edit_distance("1S1-0S1", "1S1-0S1") == 0
+    assert edit_distance("1S1-0S1", "1S2-0S2") == 2
+    assert edit_distance("1S1-1S2-0S2-0S1", "1S1-0S1") == 2
+
+
+def test_pair_edit_distances_udf(spark):
+    pairs = spark.createDataFrame(
+        [("1S1-0S1", "1S2-0S2"), ("1S1", "1S1"), ("", "1S1-0S1")],
+        ["s", "t"],
+    )
+    got = [
+        r["edit_distance"]
+        for r in pair_edit_distances(pairs, "s", "t").orderBy("s").collect()
+    ]
+    assert got == [2, 0, 2]
