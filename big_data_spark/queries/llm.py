@@ -281,8 +281,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB corpus get length-capped upstream (stopword-only grams
     are the skew risk — AQE skew-join covers the rest)."""
     docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    docs_sh = docs.select("doc_id", _shingles().alias("shingles")).localCheckpoint(
+        eager=False
+    )
+    sh = docs_sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # Per-doc set size from the array — narrow op, no groupBy over the
+    # exploded posting table.
+    sizes = docs_sh.select("doc_id", F.size("shingles").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -344,23 +349,51 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates share >=1 band bucket, then exact-Jaccard verified.
     This is the scale path for n-gram dedup — the inverted index runs
     over O(bands x docs) band keys instead of every shingle, and the
-    exact verify touches only candidate pairs."""
+    exact verify touches only candidate pairs.
+
+    Shuffle budget: signatures are array_min over transform — a narrow
+    per-row op, NO explode/groupBy shuffle; the only wide ops are the
+    band-bucket self-join and the two candidate->shingle-array joins
+    (n_common via array_intersect, not a posting-list join)."""
     docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
-            for s in MINHASH_SEEDS
-        ]
+    # Shingle arrays + signatures are rebuilt by every consumer below
+    # (two join sides + verify) and higher-order funcs are codegen
+    # fallback, so materialize once: ~#docs rows of small arrays.
+    docs_sh = docs.select("doc_id", _shingles().alias("shingles")).localCheckpoint(
+        eager=False
     )
-    bands = None
-    for bi, (r0, r1) in enumerate(LSH_BANDS):
-        band = sig.select(
-            "doc_id",
-            F.lit(bi).alias("band"),
-            F.md5(F.concat(F.col(f"h{r0}"), F.col(f"h{r1}"))).alias("bucket"),
+
+    # NB: closure factory, not a default-arg lambda — PySpark counts a
+    # defaulted second parameter and would treat it as (element, index).
+    def _minhash(seed: int):
+        return F.array_min(
+            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
         )
-        bands = band if bands is None else bands.unionByName(band)
+
+    sig = docs_sh.select(
+        "doc_id",
+        *[_minhash(s_i).alias(f"h{s_i}") for s_i in MINHASH_SEEDS],
+    )
+    # One pass per row: all 6 mins once, exploded into 3 band rows —
+    # a unionByName of per-band selects would recompute the signature
+    # expressions in every branch.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(F.concat(F.col(f"h{r0}"), F.col(f"h{r1}"))).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi, (r0, r1) in enumerate(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = bands.localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -373,20 +406,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verify on candidates only.
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
-    common = (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Exact verify on candidates only: fetch both shingle arrays and
+    # intersect (shingles are already distinct per doc).
+    arr_a = docs_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    arr_b = docs_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        candidates.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= MINHASH_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
@@ -532,16 +566,24 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus side streams, so this scales linearly and never
     shuffles the corpus."""
     emb = read_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     queries = F.broadcast(
         emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            norm.alias("q_norm"),
         )
     )
-    pairs = emb.crossJoin(queries).filter(F.col("vec_id") != F.col("query_id"))
+    corpus = emb.select("vec_id", "embedding", norm.alias("c_norm"))
+    pairs = corpus.crossJoin(queries).filter(F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "vec_id",
-        F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -593,25 +635,36 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs with label blocking (the
     IVF-style scale path: compare only within a coarse partition;
     here the generator's label is the coarse cell). Blocked pairwise
-    is O(sum cell^2), not O(n^2)."""
+    is O(sum cell^2), not O(n^2).
+
+    Each vector's norm is computed ONCE before the join (same fold as
+    the oracle, so values are bit-identical); per pair only the dot
+    product remains — without this the plan re-folds both self-dot
+    norms inside the join condition for every candidate pair."""
     emb = read_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     a = emb.select(
         F.col("label"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
+        norm.alias("norm_a"),
     )
     b = emb.select(
         F.col("label"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
+        norm.alias("norm_b"),
     )
     pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
     return (
         pairs.select(
             "label",
             "id_a",
             "id_b",
-            F.round(_cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+            F.round(cosine, 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= NEARDUP_COSINE)
         .orderBy("id_a", "id_b")
