@@ -8,12 +8,12 @@ This is the driver-contract backing store for ``__spark_entry__.py``
 
 from __future__ import annotations
 
-from big_data_spark.queries import llm, relational
+from big_data_spark.queries import llm, multimodal, relational
 
 QUERIES = {}
 ORACLE_SQL = {}
 
-for module in (relational, llm):
+for module in (relational, llm, multimodal):
     QUERIES.update(module.QUERIES)
     ORACLE_SQL.update(module.ORACLE_SQL)
 

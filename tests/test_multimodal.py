@@ -1,0 +1,103 @@
+"""Multimodal plumbing: binary columns, Arrow batch kernels, stubs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_spark.io.readers import read_table
+from big_data_spark.multimodal import (
+    MEDIA_SCHEMA,
+    attach_media,
+    decode_audio,
+    decode_image,
+    fake_decode_image,
+    media_stats,
+    sample_frames,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return attach_media(read_table(spark, SF_SMOKE, "documents"))
+
+
+def test_media_schema(media):
+    # Names + types must match the declared layout (nullability differs
+    # where literals make fields non-nullable).
+    assert [(f.name, f.dataType.simpleString()) for f in media.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in MEDIA_SCHEMA.fields
+    ]
+    row = media.filter(F.col("doc_id") == 0).first()
+    assert isinstance(row.content, (bytes, bytearray))
+    assert row.media.n_bytes == len(row.content)
+
+
+def test_media_stats_checksum(media, spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    expected = {
+        r.doc_id: hashlib.md5(r.text.encode()).hexdigest()
+        for r in docs.limit(5).collect()
+    }
+    got = {
+        r.doc_id: r.checksum
+        for r in media_stats(media).filter(
+            F.col("doc_id").isin(*expected)
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_sample_frames_manual(media, spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    doc = docs.filter(F.length("text") >= 64 * 5).first()
+    b = doc.text.encode()
+    n_frames = len(b) // 64
+    expected = [
+        (i, hashlib.md5(b[i * 64 : (i + 1) * 64]).hexdigest())
+        for i in range(0, n_frames, 4)
+    ]
+    got = [
+        (r.frame_idx, r.frame_md5)
+        for r in sample_frames(media)
+        .filter(F.col("doc_id") == doc.doc_id)
+        .orderBy("frame_idx")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_sample_frames_short_payload_yields_none(spark):
+    tiny = spark.createDataFrame(
+        [(99, "s", b"short", ("t", 5))], schema=MEDIA_SCHEMA
+    )
+    assert sample_frames(tiny, frame_bytes=64).count() == 0
+
+
+def test_fake_decode_image_shape_and_determinism(media):
+    out = fake_decode_image(media.limit(10), width=4, height=3)
+    rows = out.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert (r.width, r.height) == (4, 3)
+        assert len(r.pixels) == 12
+        assert all(0 <= p <= 255 for p in r.pixels)
+    again = {r.doc_id: r.pixels for r in fake_decode_image(media.limit(10), 4, 3).collect()}
+    assert {r.doc_id: r.pixels for r in rows} == again
+
+
+def test_fake_decode_pixel_values(media):
+    item = media.filter(F.col("doc_id") == 0).first()
+    b = bytes(item.content)
+    row = fake_decode_image(media.filter(F.col("doc_id") == 0), 8, 8).first()
+    assert row.pixels == [b[i % len(b)] for i in range(64)]
+
+
+def test_real_decoders_fail_loudly(media):
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(media, 32, 32)
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio(media)
