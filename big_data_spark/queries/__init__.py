@@ -8,12 +8,12 @@ This is the driver-contract backing store for ``__spark_entry__.py``
 
 from __future__ import annotations
 
-from big_data_spark.queries import llm, multimodal, relational
+from big_data_spark.queries import llm, multimodal, relational, streaming_q
 
 QUERIES = {}
 ORACLE_SQL = {}
 
-for module in (relational, llm, multimodal):
+for module in (relational, llm, multimodal, streaming_q):
     QUERIES.update(module.QUERIES)
     ORACLE_SQL.update(module.ORACLE_SQL)
 

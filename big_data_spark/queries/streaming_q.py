@@ -1,0 +1,80 @@
+"""Streaming queries for the driver contract: each callable runs a
+Structured Streaming job to completion (availableNow trigger, memory
+sink) and returns the materialized result, so the same DuckDB oracle
+that checks the batch twin checks the stream.
+
+Complete output mode + event-time-only logic makes the final answer
+deterministic regardless of micro-batch slicing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_spark.streaming import (
+    hourly_counts_stream,
+    read_events_stream,
+    run_stream_to_table,
+    sessionize_stream,
+)
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = hourly_counts_stream(read_events_stream(spark, sf_dir))
+    out = run_stream_to_table(stream, "stream_hourly_result")
+    return out.orderBy("hour_epoch", "event_type")
+
+
+# Same aggregate as the batch events_hourly oracle.
+ORACLE_STREAM_HOURLY = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type
+"""
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = sessionize_stream(read_events_stream(spark, sf_dir))
+    out = run_stream_to_table(stream, "stream_sessionize_result")
+    return out.orderBy("user_id", "session_start_epoch")
+
+
+# Gap-based sessions in SQL: split where the gap EXCEEDS 30 min
+# (session_window keeps an event landing exactly at start+gap out of
+# the session, i.e. strict <; the lag-based split uses >= 1800 to
+# match that closed/open boundary).
+ORACLE_STREAM_SESSIONIZE = """
+WITH secs AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+  FROM events
+), flagged AS (
+  SELECT user_id, ts_sec,
+         CASE WHEN lag(ts_sec) OVER w IS NULL
+                   OR ts_sec - lag(ts_sec) OVER w >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM secs
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+), sessions AS (
+  SELECT user_id, ts_sec,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_sec) AS session_start_epoch,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_seq
+ORDER BY user_id, session_start_epoch
+"""
+
+
+QUERIES = {
+    "stream_hourly": q_stream_hourly,
+    "stream_sessionize": q_stream_sessionize,
+}
+
+ORACLE_SQL = {
+    "stream_hourly": ORACLE_STREAM_HOURLY,
+    "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
+}

@@ -1,0 +1,25 @@
+"""Structured Streaming surface (extension beyond the reference).
+
+The reference is batch-only (SURVEY.md §2.11: no readStream /
+writeStream / watermark anywhere); its data is nonetheless an event
+stream, so this package exposes the streaming twins of the event
+queries — tumbling-window aggregation with watermark, session
+windows, and a custom stateful operator via applyInPandasWithState —
+plus a run-to-completion helper for batch-parity testing.
+"""
+
+from big_data_spark.streaming.events import (
+    hourly_counts_stream,
+    read_events_stream,
+    run_stream_to_table,
+    sessionize_stream,
+    user_totals_stateful,
+)
+
+__all__ = [
+    "read_events_stream",
+    "hourly_counts_stream",
+    "sessionize_stream",
+    "user_totals_stateful",
+    "run_stream_to_table",
+]

@@ -1,0 +1,171 @@
+"""Streaming event pipeline: file source -> event-time windows ->
+sinks, with batch-identical semantics (tested in
+tests/test_streaming.py against the batch queries' DuckDB oracles).
+
+Scale notes: the file source at 100 TB is a partitioned directory
+with maxFilesPerTrigger bounding each micro-batch; watermarks bound
+the window state store; session windows and the stateful kernel keep
+state per key, so key-skew (a bot user) is the hazard — cap with an
+upstream per-key rate filter. Everything here is event-time, never
+processing-time, so replays are deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.ts is parquet TIMESTAMP(NANOS): Spark 4 reads it as a raw
+# nanosecond long under the nanosAsLong conf (see io.readers), so the
+# stream schema declares LongType and we derive a proper timestamp.
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+DEC = "decimal(18,2)"
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events table with an event_time
+    timestamp column. Explicit schema (file streams cannot infer)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # The testdata table is a single file; the file-stream source
+    # requires a directory basePath, so address it via a glob (the
+    # glob parent becomes the base). A production deployment points
+    # this at a partitioned directory instead.
+    stream = reader.parquet(f"{sf_dir}/events.parque*")
+    return stream.withColumn(
+        "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
+    )
+
+
+def hourly_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the batch events_hourly query: tumbling
+    1-hour event-time window, watermark bounds the state store."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-merged), the streaming twin of
+    the batch lag+cumsum sessionization."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy("user_id", F.session_window("event_time", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias(
+                "session_start_epoch"
+            ),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user totals carried across micro-batches in the state store
+    (the shape for any accumulate-per-key op Spark lacks natively).
+    Emits the updated total for each user seen in the batch."""
+
+    def kernel(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(total, 2)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        kernel,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_table(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into an
+    in-memory table and return the materialized result — the
+    batch-parity harness used by tests and the driver contract."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
