@@ -37,6 +37,10 @@ HEADLINE = [
     "lang_id",
     "embedding_topk",
     "embedding_neardup",
+    "ann_hyperplane_lsh",
+    "media_byte_stats",
+    "media_frame_sample",
+    "stream_hourly",
 ]
 
 

@@ -681,6 +681,109 @@ ORDER BY id_a, id_b
 """
 
 
+# --------------------------------------------------------------------
+# Hyperplane-LSH ANN (data-derived buckets — no ground-truth label)
+# --------------------------------------------------------------------
+
+EMB_DIM = 64
+HYPERPLANE_BITS = 8
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (b, j) is
+    md5-derived and mapped to [-1, 1]. Computed at plan-build time and
+    embedded as literals in BOTH engines, so the bucketing is exactly
+    reproducible with no engine-native RNG."""
+    import hashlib
+
+    planes = []
+    for b in range(HYPERPLANE_BITS):
+        row = []
+        for j in range(EMB_DIM):
+            h = int(hashlib.md5(f"{b}_{j}".encode()).hexdigest()[:8], 16)
+            row.append(round(h / float(1 << 31) - 1.0, 9))
+        planes.append(row)
+    return planes
+
+
+def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection (SimHash-for-vectors) ANN: bucket =
+    8-bit sign pattern of dot(v, hyperplane_b); exact cosine verify
+    within buckets only. This is the *data-derived* scale path —
+    unlike label blocking it needs no ground-truth cell id, and at
+    100 TB the bucket join shuffles O(n) rows with ~n/256 expected
+    bucket sizes (add bands/bits to tune recall vs cost)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+
+    def plane_dot(plane: list[float]):
+        return _dot(F.col("embedding"), F.array(*[F.lit(x) for x in plane]))
+
+    bucket = None
+    for b, plane in enumerate(planes):
+        bit = F.when(plane_dot(plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        bucket.alias("bucket"),
+        norm.alias("norm"),
+    ).localCheckpoint(eager=False)
+    a = bucketed.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b_side = bucketed.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = a.join(b_side, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    return (
+        pairs.select(
+            "bucket", "id_a", "id_b", F.round(cosine, 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _sql_ann_hyperplane() -> str:
+    planes = _hyperplanes()
+
+    def plane_list(plane: list[float]) -> str:
+        return "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane) + "]"
+
+    def plane_dot(plane: list[float]) -> str:
+        return _SQL_DOT.format(a="embedding", b=plane_list(plane))
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({plane_dot(p)}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings
+)
+SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_COSINE}
+ORDER BY id_a, id_b
+"""
+
+
+ORACLE_ANN_HYPERPLANE = _sql_ann_hyperplane()
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -692,6 +795,7 @@ QUERIES = {
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
+    "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
 }
 
 ORACLE_SQL = {
@@ -705,4 +809,5 @@ ORACLE_SQL = {
     "simhash": ORACLE_SIMHASH,
     "embedding_topk": ORACLE_EMB_TOPK,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
+    "ann_hyperplane_lsh": ORACLE_ANN_HYPERPLANE,
 }
