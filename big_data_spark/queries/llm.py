@@ -545,7 +545,11 @@ ORACLE_SIMHASH = _sql_simhash()
 
 ANN_K = 5
 ANN_QUERY_IDS = (0, 1, 2, 3)
-NEARDUP_COSINE = 0.93
+# The synthetic embeddings are isotropic (max pairwise cosine ~0.5 at
+# every sf), so a classic 0.9+ near-dup threshold selects nothing;
+# 0.4 sits in the top tail (~0.1% of pairs) and keeps the queries'
+# outputs non-trivial at every scale factor.
+NEARDUP_COSINE = 0.4
 
 
 def _dot(a, b):
@@ -687,6 +691,7 @@ ORDER BY id_a, id_b
 
 EMB_DIM = 64
 HYPERPLANE_BITS = 8
+HYPERPLANE_BANDS = ((0, 4), (4, 8))  # 2 bands x 4 bits: share either half
 
 
 def _hyperplanes() -> list[list[float]]:
@@ -707,49 +712,80 @@ def _hyperplanes() -> list[list[float]]:
 
 
 def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection (SimHash-for-vectors) ANN: bucket =
-    8-bit sign pattern of dot(v, hyperplane_b); exact cosine verify
-    within buckets only. This is the *data-derived* scale path —
-    unlike label blocking it needs no ground-truth cell id, and at
-    100 TB the bucket join shuffles O(n) rows with ~n/256 expected
-    bucket sizes (add bands/bits to tune recall vs cost)."""
+    """Sign-random-projection (SimHash-for-vectors) ANN, banded:
+    2 bands of 4 hyperplane sign bits; candidate pairs share at least
+    one band bucket; exact cosine verify on candidates only. This is
+    the *data-derived* scale path — unlike label blocking it needs no
+    ground-truth cell id; at 100 TB the band join shuffles
+    O(bands x n) rows and banding (not one monolithic bucket) sets
+    the recall/cost point."""
     emb = read_table(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
 
     def plane_dot(plane: list[float]):
         return _dot(F.col("embedding"), F.array(*[F.lit(x) for x in plane]))
 
-    bucket = None
-    for b, plane in enumerate(planes):
-        bit = F.when(plane_dot(plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+    def band_bucket(lo: int, hi: int):
+        bucket = None
+        for b in range(lo, hi):
+            bit = F.when(plane_dot(planes[b]) > 0, F.lit(1 << (b - lo))).otherwise(
+                F.lit(0)
+            )
+            bucket = bit if bucket is None else bucket + bit
+        return bucket
+
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    bucketed = emb.select(
+    vec = emb.select(
         "vec_id",
         "embedding",
-        bucket.alias("bucket"),
         norm.alias("norm"),
+        *[
+            band_bucket(lo, hi).alias(f"band{bi}")
+            for bi, (lo, hi) in enumerate(HYPERPLANE_BANDS)
+        ],
     ).localCheckpoint(eager=False)
-    a = bucketed.select(
-        F.col("bucket"),
+    bands = vec.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"), F.col(f"band{bi}").alias("bucket")
+                    )
+                    for bi in range(len(HYPERPLANE_BANDS))
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b_side = bands.alias("b")
+    candidates = (
+        a.join(
+            b_side,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = vec.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
         F.col("norm").alias("norm_a"),
     )
-    b_side = bucketed.select(
-        F.col("bucket"),
+    vb = vec.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
-    pairs = a.join(b_side, "bucket").filter(F.col("id_a") < F.col("id_b"))
     cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (
         F.col("norm_a") * F.col("norm_b")
     )
     return (
-        pairs.select(
-            "bucket", "id_a", "id_b", F.round(cosine, 6).alias("cosine")
-        )
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_COSINE)
         .orderBy("id_a", "id_b")
     )
@@ -764,19 +800,38 @@ def _sql_ann_hyperplane() -> str:
     def plane_dot(plane: list[float]) -> str:
         return _SQL_DOT.format(a="embedding", b=plane_list(plane))
 
-    bucket = " + ".join(
-        f"(CASE WHEN ({plane_dot(p)}) > 0 THEN {1 << b} ELSE 0 END)"
-        for b, p in enumerate(planes)
+    def band_bucket(lo: int, hi: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({plane_dot(planes[b])}) > 0 THEN {1 << (b - lo)} ELSE 0 END)"
+            for b in range(lo, hi)
+        )
+
+    band_cols = ",\n         ".join(
+        f"({band_bucket(lo, hi)}) AS band{bi}"
+        for bi, (lo, hi) in enumerate(HYPERPLANE_BANDS)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {bi} AS band, band{bi} AS bucket FROM vec"
+        for bi in range(len(HYPERPLANE_BANDS))
     )
     return f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings
+WITH vec AS (
+  SELECT vec_id, embedding,
+         {band_cols}
+  FROM embeddings
+), bands AS (
+  {band_rows}
+), candidates AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-       round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
-FROM bucketed a JOIN bucketed b
-  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_COSINE}
+SELECT c.id_a, c.id_b,
+       round({_sql_cosine('va.embedding', 'vb.embedding')}, 6) AS cosine
+FROM candidates c
+JOIN embeddings va ON va.vec_id = c.id_a
+JOIN embeddings vb ON vb.vec_id = c.id_b
+WHERE round({_sql_cosine('va.embedding', 'vb.embedding')}, 6) >= {NEARDUP_COSINE}
 ORDER BY id_a, id_b
 """
 

@@ -699,6 +699,155 @@ FROM sessions GROUP BY user_id, session_seq ORDER BY user_id, session_seq
 """
 
 
+# --------------------------------------------------------------------
+# Multi-dim aggregation (rollup/pivot/percentiles — SURVEY §2.4 noted
+# these as absent from the reference; exposed here as first-class)
+# --------------------------------------------------------------------
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total
+    rows in one pass — Catalyst expands to a single shuffle over the
+    grouping-set id, not one job per level."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY §2.4 'not present' list): order counts by
+    priority x status. Pivot values are pinned so the plan is a single
+    conditional aggregation — no distinct-values pre-pass job."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the approx_
+    percentile sketch is the 100 TB path; the exact form is the
+    correctness oracle both engines agree on)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias(
+                "p95_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (time-series point-in-time lookup, absent from both
+    the reference and vanilla Spark): for each click, the user's most
+    recent prior-or-equal purchase time. Implemented as the
+    union-marker + running last_value idiom — one shuffle on
+    (user_id), no per-key loop, no range cross-join; this is the shape
+    that survives 100 TB (the sort is within user partitions).
+    Oracle uses DuckDB's native ASOF JOIN."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_probe")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+    )
+    unioned = clicks.unionByName(purchases)
+    # Order purchases before clicks at equal ts so ts_a >= ts_b
+    # matches (ASOF semantics); (user_id, ts) is unique per type here
+    # but the tiebreak keeps the idiom correct in general.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_purchase = F.last(
+        F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        unioned.withColumn("purchase_ts", last_purchase)
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            # microseconds: DuckDB timestamps are micro-precision, so
+            # the nanos tail would never match cross-engine
+            F.expr("ts div 1000").alias("click_ts_us"),
+            F.expr("purchase_ts div 1000").alias("purchase_ts_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF = """
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) AS purchase_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "distinct_counts": q_distinct_counts,
@@ -721,6 +870,10 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_json": q_events_json,
     "events_sessionize": q_events_sessionize,
+    "rollup_revenue": q_rollup_revenue,
+    "pivot_status": q_pivot_status,
+    "percentiles": q_percentiles,
+    "asof_join": q_asof_join,
 }
 
 ORACLE_SQL = {
@@ -745,4 +898,8 @@ ORACLE_SQL = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_json": ORACLE_EVENTS_JSON,
     "events_sessionize": ORACLE_SESSIONIZE,
+    "rollup_revenue": ORACLE_ROLLUP,
+    "pivot_status": ORACLE_PIVOT,
+    "percentiles": ORACLE_PERCENTILES,
+    "asof_join": ORACLE_ASOF,
 }

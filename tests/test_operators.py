@@ -191,3 +191,23 @@ def test_pair_edit_distances_udf(spark):
         for r in pair_edit_distances(pairs, "s", "t").orderBy("s").collect()
     ]
     assert got == [2, 0, 2]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_spark.io.readers import read_table
+    from big_data_spark.operators.skew import salted_join
+    from tests.conftest import SF_SMOKE
+
+    orders = read_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderkey")
+    customer = read_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = sorted(
+        tuple(r) for r in orders.join(customer, "o_custkey").collect()
+    )
+    salted = sorted(
+        tuple(r) for r in salted_join(orders, customer, "o_custkey", 4).collect()
+    )
+    assert plain == salted
