@@ -38,6 +38,15 @@ def get_spark(
     - ``files.maxPartitionBytes`` left at 128m: scan parallelism
       follows data volume, which is exactly what we want at scale.
     """
+    # Python workers deserialize our kernels (applyInPandas /
+    # mapInPandas) by module reference, so the package root must be on
+    # every worker's sys.path regardless of the driver's cwd.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
