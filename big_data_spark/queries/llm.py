@@ -284,7 +284,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_sh = docs.select("doc_id", _shingles().alias("shingles")).localCheckpoint(
         eager=False
     )
-    sh = docs_sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # Join on the 8-byte xxhash64 of each shingle, not the string:
+    # same pairs and counts absent a 2^-64 collision, ~4x less shuffle
+    # payload on the posting-list self-join.
+    sh = docs_sh.select(
+        "doc_id", F.explode("shingles").alias("shingle_str")
+    ).select("doc_id", F.xxhash64("shingle_str").alias("shingle"))
     # Per-doc set size from the array — narrow op, no groupBy over the
     # exploded posting table.
     sizes = docs_sh.select("doc_id", F.size("shingles").alias("n_sh"))
