@@ -29,3 +29,25 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) parquet table.
+
+    The 100 TB co-location tool: two tables bucketed on the same join
+    key with the same bucket count join WITHOUT a shuffle on either
+    side (verified in tests/test_operators.py — the plan has no
+    Exchange under the join). Pre-bucket the big facts once, pay the
+    shuffle at write time, and every subsequent join/aggregation on
+    that key is exchange-free."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)

@@ -211,3 +211,46 @@ def test_salted_join_equals_plain_join(spark):
         tuple(r) for r in salted_join(orders, customer, "o_custkey", 4).collect()
     )
     assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_spark.io.readers import read_table
+    from big_data_spark.io.writers import write_bucketed_table
+    from tests.conftest import SF_SMOKE
+
+    orders = read_table(spark, SF_SMOKE, "orders")
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    write_bucketed_table(orders, "t_orders_b", 4, ["o_orderkey"])
+    write_bucketed_table(li, "t_lineitem_b", 4, ["l_orderkey"])
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force the shuffle-join path: at test scale Spark would just
+        # broadcast, which proves nothing about bucketing.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # Co-located bucketed join: a SortMergeJoin with NO exchange on
+        # either join key — the only allowed exchange is the final
+        # tiny groupBy on o_orderstatus.
+        assert "SortMergeJoin" in plan, plan[:3000]
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange hashpartitioning(o_orderkey" not in join_part, plan[:3000]
+        assert "Exchange hashpartitioning(l_orderkey" not in join_part, plan[:3000]
+        expected = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -1,0 +1,71 @@
+"""Physical-plan regression guards: the scale properties (pushdown,
+broadcast dims, JVM-only relational paths, top-k without global sort)
+must survive refactors, not just the result values."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from big_data_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("LessThanOrEqual(l_shipdate" in p for p in pushed), plan[:2000]
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    plan = _plan(spark, "join_multiway")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_relational_paths_stay_jvm_side(spark):
+    for name in (
+        "pricing_summary",
+        "join_multiway",
+        "window_running_sum",
+        "events_sessionize",
+        "dedup_exact",
+        "text_stats",
+        "lang_id",
+        "asof_join",
+        "rollup_revenue",
+        "pivot_status",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell back to Python"
+        assert "ArrowEvalPython" not in plan, f"{name} fell back to Python"
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "join_left")
+    # The customer scan must read only the join key (+1 col), never
+    # the full 8-column row.
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert len(cols) <= 3, cols
+
+
+@pytest.mark.parametrize("name", ["media_byte_stats", "media_frame_sample"])
+def test_media_kernels_are_arrow_batched(spark, name):
+    # mapInPandas shows up as MapInPandas (Arrow), never the
+    # row-pickling BatchEvalPython.
+    plan = _plan(spark, name)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
