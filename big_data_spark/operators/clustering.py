@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.ml.feature import HashingTF, MinHashLSH
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from big_data_spark.operators.ids import dense_ids
 
 DEFAULT_SEED = 20240807  # reference snapshot date; any fixed value works
 
@@ -102,8 +103,8 @@ def assign_cluster_ids(clustered: DataFrame, cluster_col: str = "cluster") -> Da
     """Base-26 cluster ids (A, B, ..., AA, ...) with the reference's
     width rule ceil(log26(n_clusters)) (Src/servers.py:151-157) and
     the 'user' passthrough (Src/servers.py:172-173) — but assigned by
-    deterministic dense_rank over the cluster key instead of driver
-    dict order.
+    a distributed dense id (operators.ids) instead of driver dict
+    order or a single-partition global window.
 
     The single count() here is a scalar the reference also needed
     (it collected all cluster keys); everything else stays distributed.
@@ -114,13 +115,13 @@ def assign_cluster_ids(clustered: DataFrame, cluster_col: str = "cluster") -> Da
     base = 26
     while base**width < n:
         width += 1
-    w = Window.orderBy(cluster_col)
-    rank = F.dense_rank().over(w) - 1
+    with_rank = dense_ids(distinct_clusters, cluster_col, out_col="_rank")
+    rank = F.col("_rank")
     digits = [
         F.char(F.lit(65) + ((rank / (base**i)).cast("long") % base))
         for i in range(width - 1, -1, -1)
     ]
-    ids = distinct_clusters.select(
+    ids = with_rank.select(
         cluster_col,
         F.when(F.col(cluster_col) == "user", F.lit("user"))
         .otherwise(F.concat(*digits))

@@ -9,8 +9,9 @@ pre-clustering over element sets, then edit-distance DBSCAN on Euler
 strings inside each LSH cluster.
 
 Determinism deltas from the reference (each documented inline):
-- group ids are dense_rank over the group key, not
-  monotonically_increasing_id (stable across runs/partitionings);
+- group ids are distributed dense ids over the group key
+  (operators.ids), not monotonically_increasing_id (stable across
+  runs/partitionings, no single-partition window);
 - 'first time per edge' is min(time) instead of first() after a
   global orderBy (the reference's order-survives-groupBy assumption
   is unspecified behavior);
@@ -30,7 +31,6 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
-from pyspark.sql.window import Window
 
 from big_data_spark.functions.tree import logs_with_depth, process_encodings
 from big_data_spark.operators.clustering import (
@@ -42,6 +42,7 @@ from big_data_spark.operators.clustering import (
 from big_data_spark.operators.connections import server_connections
 from big_data_spark.operators.dbscan import dbscan_from_edges
 from big_data_spark.operators.editdist import edit_distance
+from big_data_spark.operators.ids import dense_ids
 
 
 def cluster_process_encodings(cluster_logs_df: DataFrame) -> DataFrame:
@@ -98,15 +99,19 @@ def process_elements(cluster_logs_df: DataFrame) -> DataFrame:
 
 def equal_process_groups(processes_df: DataFrame) -> DataFrame:
     """Group identical processes by cluster_euler_string
-    (Src/processes.py:230-232). group_processes_id is a dense_rank —
-    deterministic, unlike monotonically_increasing_id."""
+    (Src/processes.py:230-232). group_processes_id is a distributed
+    dense id (operators.ids) — deterministic, unlike
+    monotonically_increasing_id, and without the single-partition
+    global window a plain dense_rank would need."""
     groups = processes_df.groupBy("cluster_euler_string").agg(
         F.sort_array(F.collect_list("process_id")).alias("equal_processes")
     )
-    w = Window.orderBy("cluster_euler_string")
-    return groups.withColumn(
-        "group_processes_id", (F.dense_rank().over(w) - 1).cast("long")
+    ids = dense_ids(
+        groups.select("cluster_euler_string"),
+        "cluster_euler_string",
+        out_col="group_processes_id",
     )
+    return groups.join(ids, on="cluster_euler_string")
 
 
 def grouped_logs(cluster_logs_df: DataFrame, groups_df: DataFrame) -> DataFrame:

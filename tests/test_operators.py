@@ -254,3 +254,19 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_dense_ids_are_dense_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.ids import dense_ids
+
+    keys = spark.range(500).select(
+        F.concat(F.lit("k"), (F.col("id") % 137).cast("string")).alias("k")
+    )
+    out = dense_ids(keys, "k", out_col="kid", n_buckets=16)
+    rows = {r.k: r.kid for r in out.collect()}
+    assert len(rows) == 137
+    assert sorted(rows.values()) == list(range(137))
+    again = {r.k: r.kid for r in dense_ids(keys, "k", "kid", 16).collect()}
+    assert rows == again
