@@ -52,25 +52,39 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
+        # 1-hop: adopt the minimum label among neighbors.
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
+        one_hop = labels.join(
+            neighbor_min, labels.id == neighbor_min.a, "left"
+        ).select(
+            "id",
+            F.col("component").alias("prev_component"),
+            F.least("component", F.coalesce("nbr_component", "component")).alias(
+                "comp1"
+            ),
+        )
+        # Pointer doubling: also adopt the label of one's current
+        # label — turns O(diameter) convergence into O(log diameter)
+        # (a 30-link chain: ~5 rounds instead of 30).
+        lab2 = one_hop.select(
+            F.col("id").alias("_lid"), F.col("comp1").alias("_lcomp")
+        )
         updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            one_hop.join(lab2, one_hop.comp1 == lab2._lid, "left")
             .select(
                 "id",
-                F.least(
-                    "component", F.coalesce("nbr_component", "component")
-                ).alias("component"),
-                (
-                    F.coalesce("nbr_component", "component") < F.col("component")
-                ).alias("changed"),
+                "prev_component",
+                F.least("comp1", F.coalesce("_lcomp", "comp1")).alias("component"),
             )
         ).localCheckpoint(eager=True)
-        n_changed = updated.filter("changed").count()
-        labels = updated.drop("changed")
+        n_changed = updated.filter(
+            F.col("component") < F.col("prev_component")
+        ).count()
+        labels = updated.drop("prev_component")
         if n_changed == 0:
             break
     return labels

@@ -848,6 +848,51 @@ ORDER BY c.event_id
 """
 
 
+# --------------------------------------------------------------------
+# Graph: connected components (SURVEY §2.10 M7) under the oracle gate
+# --------------------------------------------------------------------
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a chain graph: consecutive orders of
+    a customer are linked, so each component must be exactly that
+    customer's order set labeled by its minimum order key — which
+    gives the iterative min-label-propagation operator
+    (operators.components, the GraphFrames-free CC) a closed-form SQL
+    oracle. Chains also exercise multi-hop convergence, not just
+    star graphs."""
+    from pyspark.sql.window import Window as W
+
+    from big_data_spark.operators.components import connected_components
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    ranked = orders.withColumn("rn", F.row_number().over(w))
+    nxt = ranked.select(
+        F.col("o_custkey").alias("c2"),
+        F.col("o_orderkey").alias("next_key"),
+        (F.col("rn") - 1).alias("prev_rn"),
+    )
+    chain = ranked.join(
+        nxt, (ranked.o_custkey == nxt.c2) & (ranked.rn == nxt.prev_rn)
+    ).select(F.col("o_orderkey").alias("src"), F.col("next_key").alias("dst"))
+    loops = orders.select(
+        F.col("o_orderkey").alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    cc = connected_components(chain.unionByName(loops))
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("component")
+    )
+
+
+ORACLE_GRAPH_CC = """
+SELECT MIN(o_orderkey) AS component, COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey ORDER BY component
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "distinct_counts": q_distinct_counts,
@@ -874,6 +919,7 @@ QUERIES = {
     "pivot_status": q_pivot_status,
     "percentiles": q_percentiles,
     "asof_join": q_asof_join,
+    "graph_components": q_graph_components,
 }
 
 ORACLE_SQL = {
@@ -902,4 +948,5 @@ ORACLE_SQL = {
     "pivot_status": ORACLE_PIVOT,
     "percentiles": ORACLE_PERCENTILES,
     "asof_join": ORACLE_ASOF,
+    "graph_components": ORACLE_GRAPH_CC,
 }
