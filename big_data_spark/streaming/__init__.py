@@ -9,17 +9,21 @@ plus a run-to-completion helper for batch-parity testing.
 """
 
 from big_data_spark.streaming.events import (
+    dedup_stream,
     hourly_counts_stream,
     read_events_stream,
     run_stream_to_table,
     sessionize_stream,
     user_totals_stateful,
+    write_stream_partitioned_parquet,
 )
 
 __all__ = [
     "read_events_stream",
     "hourly_counts_stream",
     "sessionize_stream",
+    "dedup_stream",
     "user_totals_stateful",
     "run_stream_to_table",
+    "write_stream_partitioned_parquet",
 ]

@@ -152,6 +152,42 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once-per-key dedup: dropDuplicates on the
+    event id with a watermark bounding the dedup state store — the
+    ingest-dedup stage of a streaming pipeline (without the watermark
+    the state grows forever)."""
+    return events.withWatermark("event_time", watermark).dropDuplicates(
+        ["event_id"]
+    )
+
+
+def write_stream_partitioned_parquet(
+    df: DataFrame, path: str, checkpoint: str, partition_cols: list[str]
+) -> None:
+    """Idempotent partitioned parquet sink via foreachBatch: each
+    micro-batch is written with dynamic partition overwrite, so a
+    replayed batch (failure/restart) overwrites its own output instead
+    of duplicating it — the exactly-once file-sink pattern when the
+    built-in file sink's append-only contract doesn't fit."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+
+    query = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_stream_to_table(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
