@@ -15,7 +15,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+# Python workers resolve our mapInPandas/applyInPandas kernels by
+# module reference; make the package importable on executors even when
+# the harness builds its own SparkSession from another cwd.
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        f"{_REPO_ROOT}{os.pathsep}{os.environ['PYTHONPATH']}"
+        if os.environ.get("PYTHONPATH")
+        else _REPO_ROOT
+    )
 
 from big_data_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 
