@@ -15,17 +15,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
-sys.path.insert(0, _REPO_ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 # Python workers resolve our mapInPandas/applyInPandas kernels by
-# module reference; make the package importable on executors even when
-# the harness builds its own SparkSession from another cwd.
-if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
-    os.environ["PYTHONPATH"] = (
-        f"{_REPO_ROOT}{os.pathsep}{os.environ['PYTHONPATH']}"
-        if os.environ.get("PYTHONPATH")
-        else _REPO_ROOT
-    )
+# module reference; export the package path for sessions created after
+# this import (kernel-using queries additionally addPyFile the package
+# into already-running sessions via ensure_executor_package).
+from big_data_spark.session import export_package_pythonpath  # noqa: E402
+
+export_package_pythonpath()
 
 from big_data_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 

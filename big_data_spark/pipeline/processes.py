@@ -312,6 +312,9 @@ def run_pipeline(
     spark: SparkSession, logs_df: DataFrame, seed: int = DEFAULT_SEED
 ) -> dict[str, DataFrame]:
     """Full reference pipeline, start to finish (Src/main.py:13-51)."""
+    from big_data_spark.session import ensure_executor_package
+
+    ensure_executor_package(spark)
     with_depth = logs_with_depth(logs_df)
     servers = server_connections(with_depth).localCheckpoint(eager=True)
     servers_clustered, cluster_distances = cluster_servers(servers, seed=seed)
@@ -329,7 +332,12 @@ def run_pipeline(
         groups.equal_processes[0] == processes.process_id,
         "left",
     ).select("group_processes_id", "cluster_euler_string", "cluster_elements")
-    part2 = similar_process_groups(groups_with_elements, seed=seed)
+    # Lazy checkpoint: the LSH + components + edit-distance chain is
+    # the most expensive stage; consumers probing then writing it
+    # (e.g. the CLI) would otherwise run it twice.
+    part2 = similar_process_groups(groups_with_elements, seed=seed).localCheckpoint(
+        eager=False
+    )
     return {
         "servers": servers_clustered,
         "cluster_distances": cluster_distances,

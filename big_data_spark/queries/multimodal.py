@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from big_data_spark.io.readers import read_table
 from big_data_spark.multimodal import attach_media, media_stats, sample_frames
+from big_data_spark.session import ensure_executor_package
 
 FRAME_BYTES = 64
 FRAME_STRIDE = 4
@@ -24,6 +25,7 @@ def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source rollup of binary payload stats: the mapInPandas
     checksum/length kernel feeding a plain columnar aggregate (the
     ingest-audit pass of a media lake)."""
+    ensure_executor_package(spark)
     media = attach_media(read_table(spark, sf_dir, "documents"))
     stats = media_stats(media)
     return (
@@ -49,6 +51,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strided frame sampling over binary payloads (video-style):
     64-byte frames, every 4th kept, md5 fingerprint each. The kernel
     explodes one item into many frames inside mapInPandas."""
+    ensure_executor_package(spark)
     media = attach_media(read_table(spark, sf_dir, "documents"))
     return sample_frames(
         media, frame_bytes=FRAME_BYTES, stride=FRAME_STRIDE

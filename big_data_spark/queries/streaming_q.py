@@ -49,7 +49,7 @@ WITH secs AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
   FROM events
 ), flagged AS (
-  SELECT user_id, ts_sec,
+  SELECT user_id, ts_sec, event_id,
          CASE WHEN lag(ts_sec) OVER w IS NULL
                    OR ts_sec - lag(ts_sec) OVER w >= 1800
               THEN 1 ELSE 0 END AS new_session
@@ -57,7 +57,7 @@ WITH secs AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
 ), sessions AS (
   SELECT user_id, ts_sec,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )

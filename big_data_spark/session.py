@@ -19,6 +19,38 @@ from pyspark.sql import SparkSession
 # is safe — small local values would under-parallelize a big cluster.
 _DEFAULT_SHUFFLE_PARTITIONS = max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 8)
 
+PACKAGE_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def export_package_pythonpath() -> None:
+    """Prepend the repo root to PYTHONPATH so Python workers (which
+    deserialize our mapInPandas/applyInPandas kernels by module
+    reference) can import big_data_spark regardless of driver cwd.
+    Must run BEFORE the JVM launches — workers inherit the JVM's env."""
+    existing = os.environ.get("PYTHONPATH", "")
+    if PACKAGE_ROOT not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{PACKAGE_ROOT}{os.pathsep}{existing}" if existing else PACKAGE_ROOT
+        )
+
+
+def ensure_executor_package(spark: SparkSession) -> None:
+    """Make big_data_spark importable on executors of an ALREADY
+    RUNNING session (env exports are too late once the JVM is up):
+    ship the package as a zip via addPyFile, once per session."""
+    sc = spark.sparkContext
+    if getattr(sc, "_big_data_spark_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    zip_base = os.path.join(tempfile.gettempdir(), "big_data_spark_pkg")
+    archive = shutil.make_archive(
+        zip_base, "zip", root_dir=PACKAGE_ROOT, base_dir="big_data_spark"
+    )
+    sc.addPyFile(archive)
+    sc._big_data_spark_shipped = True
+
 
 def get_spark(
     app_name: str = "big_data_spark",
@@ -38,15 +70,7 @@ def get_spark(
     - ``files.maxPartitionBytes`` left at 128m: scan parallelism
       follows data volume, which is exactly what we want at scale.
     """
-    # Python workers deserialize our kernels (applyInPandas /
-    # mapInPandas) by module reference, so the package root must be on
-    # every worker's sys.path regardless of the driver's cwd.
-    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    existing = os.environ.get("PYTHONPATH", "")
-    if pkg_root not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
-        )
+    export_package_pythonpath()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

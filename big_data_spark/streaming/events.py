@@ -153,29 +153,36 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
 
 
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Streaming exactly-once-per-key dedup: dropDuplicates on the
-    event id with a watermark bounding the dedup state store — the
-    ingest-dedup stage of a streaming pipeline (without the watermark
-    the state grows forever)."""
-    return events.withWatermark("event_time", watermark).dropDuplicates(
-        ["event_id"]
-    )
+    """Streaming dedup on the event id with bounded state: plain
+    dropDuplicates(['event_id']) would key state by id alone and keep
+    it FOREVER even under a watermark (eviction needs the event-time
+    column in the subset); dropDuplicatesWithinWatermark expires each
+    key once the watermark passes its event time, so the state store
+    holds only the watermark window."""
+    return events.withWatermark(
+        "event_time", watermark
+    ).dropDuplicatesWithinWatermark(["event_id"])
 
 
 def write_stream_partitioned_parquet(
     df: DataFrame, path: str, checkpoint: str, partition_cols: list[str]
 ) -> None:
-    """Idempotent partitioned parquet sink via foreachBatch: each
-    micro-batch is written with dynamic partition overwrite, so a
-    replayed batch (failure/restart) overwrites its own output instead
-    of duplicating it — the exactly-once file-sink pattern when the
-    built-in file sink's append-only contract doesn't fit."""
+    """Idempotent partitioned parquet sink via foreachBatch.
+
+    ``_batch_id`` is a leading partition column: a replayed batch
+    (failure/restart) dynamically overwrites exactly its own
+    partitions, while distinct batches land in disjoint partitions —
+    without the batch id in the partitioning, batch N's overwrite
+    would silently delete batch N-1's rows for every shared partition
+    value. Readers see the union (spark.read.parquet(path)); drop or
+    prune ``_batch_id`` downstream."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.write.mode("overwrite")
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_cols)
+            .partitionBy("_batch_id", *partition_cols)
             .parquet(path)
         )
 
