@@ -479,6 +479,107 @@ SELECT o_custkey, MAX(gap_days) AS max_gap_days, COUNT(*) AS n_gaps FROM (
 """
 
 
+def q_window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): trailing
+    30-day spend per customer — frames follow the time axis, so ties
+    and gaps are handled by value, which rowsBetween can't express."""
+    orders = _t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("order_day"))
+        .rangeBetween(-29, 0)
+    )
+    return (
+        orders.withColumn("order_day", day)
+        .withColumn(
+            "trailing_30d_spend",
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"),
+        )
+        .select("o_custkey", "o_orderkey", "order_day", "trailing_30d_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORACLE_WINDOW_RANGE = """
+SELECT o_custkey, o_orderkey, order_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY order_day
+                  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_30d_spend
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS order_day
+  FROM orders
+)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows: ntile quartiles + percent_rank + cume_dist
+    over per-customer spend (unique tiebreak -> deterministic)."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        spend.select(
+            "o_custkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_WINDOW_RANKS = """
+SELECT o_custkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+WINDOW w AS (ORDER BY spend DESC, o_custkey)
+ORDER BY o_custkey
+"""
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction (§2.8 gap — the reference never needed regex):
+    pull the numeric k out of the props JSON-ish string by pattern,
+    not by JSON parsing, and aggregate."""
+    events = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    return (
+        events.withColumn("k", F.when(k != "", k.cast("int")))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_REGEX = """
+SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k
+FROM (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k
+  FROM events
+  WHERE regexp_extract(props, '"k":\\s*(\\d+)', 1) <> ''
+)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k with unique tie-break (O-ops). Spark plans this as
     TakeOrderedAndProject — no full sort, no single-node shuffle."""
@@ -920,6 +1021,9 @@ QUERIES = {
     "percentiles": q_percentiles,
     "asof_join": q_asof_join,
     "graph_components": q_graph_components,
+    "window_range_trailing": q_window_range_trailing,
+    "window_ranks": q_window_ranks,
+    "regex_extract": q_regex_extract,
 }
 
 ORACLE_SQL = {
@@ -949,4 +1053,7 @@ ORACLE_SQL = {
     "percentiles": ORACLE_PERCENTILES,
     "asof_join": ORACLE_ASOF,
     "graph_components": ORACLE_GRAPH_CC,
+    "window_range_trailing": ORACLE_WINDOW_RANGE,
+    "window_ranks": ORACLE_WINDOW_RANKS,
+    "regex_extract": ORACLE_REGEX,
 }
