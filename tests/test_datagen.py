@@ -65,3 +65,46 @@ def test_scale_group_one_million_rows(spark):
     )
     n = groups.agg(F.sum(F.size("equal_processes"))).collect()[0][0]
     assert n == 120_000
+
+
+@pytest.mark.parametrize(
+    "n_trees,n_processes,branch,depth",
+    [(3, 12, 2, 3), (7, 21, 3, 2)],
+)
+def test_generated_workload_pipeline_invariants(
+    spark, n_trees, n_processes, branch, depth
+):
+    """The full pipeline on generated workloads: every process lands
+    in exactly one group, and same-tree processes (identical Euler
+    strings by construction) always share a group."""
+    from big_data_spark.pipeline.processes import run_pipeline
+
+    logs = generate_logs(
+        spark, n_trees, n_processes, max_branch=branch, max_depth=depth, seed=5
+    )
+    out = run_pipeline(spark, logs)
+    group_of = {}
+    for row in out["groups"].collect():
+        for pid in row["equal_processes"]:
+            assert pid not in group_of, f"{pid} in two groups"
+            group_of[pid] = row["group_processes_id"]
+    assert len(group_of) == n_processes
+    for i in range(n_processes):
+        same_tree = f"process{(i + n_trees) % n_processes}"
+        if (i % n_trees) == ((i + n_trees) % n_processes) % n_trees and i + n_trees < n_processes:
+            assert group_of[f"process{i}"] == group_of[same_tree]
+
+
+def test_read_logs_json_quarantines_malformed(spark, tmp_path):
+    from big_data_spark.io.readers import read_logs_json
+
+    p = tmp_path / "bad.json"
+    p.write_text(
+        '{"state_from": "user", "state_to": "S1", "action": "Request",'
+        ' "time": 1, "process_id": "p1"},\n'
+        "this is not json at all\n"
+    )
+    with pytest.raises(ValueError, match="malformed"):
+        read_logs_json(spark, str(p))
+    ok = read_logs_json(spark, str(p), fail_on_corrupt=False)
+    assert ok.count() == 1

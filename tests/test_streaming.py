@@ -91,3 +91,38 @@ def test_foreachbatch_partitioned_sink_idempotent(spark, tmp_path):
     source = read_table(spark, SF_SMOKE, "events")
     assert written.count() == source.count()
     assert written.select("event_id").distinct().count() == source.count()
+
+
+def test_multi_batch_stream_and_sink(spark, tmp_path):
+    """Multiple micro-batches: aggregation parity and the foreachBatch
+    sink keeping every batch's rows (regression: without _batch_id in
+    the partitioning, batch N's dynamic overwrite deleted batch N-1's
+    rows for shared partition values)."""
+    from big_data_spark.streaming import write_stream_partitioned_parquet
+    from big_data_spark.streaming.events import EVENTS_STREAM_SCHEMA
+
+    src = str(tmp_path / "events_src")
+    events = read_table(spark, SF_SMOKE, "events")
+    # Three files -> three micro-batches at maxFilesPerTrigger=1.
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("event_time", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    )
+    out = str(tmp_path / "sink")
+    write_stream_partitioned_parquet(
+        stream.select("event_id", "event_type"),
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        partition_cols=["event_type"],
+    )
+    written = spark.read.parquet(out)
+    assert written.count() == events.count()
+    assert written.select("event_id").distinct().count() == events.count()
+    # event_type partitions certainly overlap across batches; prove
+    # more than one batch actually ran.
+    assert written.select("_batch_id").distinct().count() >= 2
