@@ -748,6 +748,41 @@ WHERE k IS NOT NULL GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT column (Spark 4): parse the JSON string
+    once into a typed variant, extract by path, aggregate. Unlike
+    get_json_object (string re-parse per extraction), a variant column
+    parses once and serves any number of typed path reads — the
+    shape for heterogeneous event payloads at scale."""
+    events = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "int").alias("k"),
+    )
+    return (
+        parsed.filter(F.col("k").isNotNull())
+        .withColumn("k_decile", (F.col("k") / 10).cast("int"))
+        .groupBy("event_type", "k_decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "k_decile")
+    )
+
+
+ORACLE_VARIANT = """
+-- floor, not CAST(k/10 AS INT): DuckDB's double->INT cast rounds
+-- while Spark's truncates; k is non-negative so floor == truncate
+SELECT event_type, CAST(floor(k / 10.0) AS INT) AS k_decile, COUNT(*) AS n
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+WHERE k IS NOT NULL
+GROUP BY event_type, k_decile ORDER BY event_type, k_decile
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gap = 30 min): lag + cumulative
     new-session flags — the per-process sequence idiom (SURVEY §2.5)
@@ -1024,6 +1059,7 @@ QUERIES = {
     "window_range_trailing": q_window_range_trailing,
     "window_ranks": q_window_ranks,
     "regex_extract": q_regex_extract,
+    "variant_extract": q_variant_extract,
 }
 
 ORACLE_SQL = {
@@ -1056,4 +1092,5 @@ ORACLE_SQL = {
     "window_range_trailing": ORACLE_WINDOW_RANGE,
     "window_ranks": ORACLE_WINDOW_RANKS,
     "regex_extract": ORACLE_REGEX,
+    "variant_extract": ORACLE_VARIANT,
 }
