@@ -844,6 +844,107 @@ ORDER BY id_a, id_b
 ORACLE_ANN_HYPERPLANE = _sql_ann_hyperplane()
 
 
+# --------------------------------------------------------------------
+# Corpus-cleaning composition (the end-to-end training-data shape)
+# --------------------------------------------------------------------
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training data pipeline over ``documents``:
+
+    1. quality filter (keep bucket only — length/stopword/repetition)
+    2. exact dedup on content hash (keep min doc_id)
+    3. normalization dedup on the token fingerprint (keep min doc_id)
+    4. per-language survivor stats
+
+    Each stage is a narrow projection or one map-side-combinable
+    aggregation; the whole pipeline is three shuffles at any scale.
+    Stage order matters: quality first shrinks the dedup keyspace."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).alias("n_stop"),
+    )
+    keep = per_doc.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_stop") / F.col("n_tokens") <= 0.5)
+        & (F.col("n_distinct") / F.col("n_tokens") >= 0.4)
+    )
+    hashed = keep.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.md5("text").alias("text_hash"),
+        F.substring(F.md5(F.array_join(_tokens(), " ")), 1, 16).alias("fp"),
+    )
+    exact_kept = (
+        hashed.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("text_hash").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    fp_kept = (
+        exact_kept.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        fp_kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_CORPUS_CLEAN = f"""
+WITH per_doc AS (
+  SELECT doc_id, lang, text,
+         len({_SQL_TOKENS}) AS n_tokens,
+         len(list_distinct({_SQL_TOKENS})) AS n_distinct,
+         len(list_filter({_SQL_TOKENS}, t -> t IN {_SQL_STOP})) AS n_stop
+  FROM documents
+), keep AS (
+  SELECT * FROM per_doc
+  WHERE n_tokens >= 20
+    AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.5
+    AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.4
+), hashed AS (
+  SELECT doc_id, lang, n_tokens, md5(text) AS text_hash,
+         substr(md5(array_to_string({_SQL_TOKENS}, ' ')), 1, 16) AS fp
+  FROM keep
+), exact_kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rk
+    FROM hashed
+  ) WHERE rk = 1
+), fp_kept AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, n_tokens, fp,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+    FROM exact_kept
+  ) WHERE rk = 1
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       MIN(doc_id) AS first_doc
+FROM fp_kept GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -856,6 +957,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
     "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
+    "corpus_clean": q_corpus_clean,
 }
 
 ORACLE_SQL = {
@@ -870,4 +972,5 @@ ORACLE_SQL = {
     "embedding_topk": ORACLE_EMB_TOPK,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     "ann_hyperplane_lsh": ORACLE_ANN_HYPERPLANE,
+    "corpus_clean": ORACLE_CORPUS_CLEAN,
 }
