@@ -38,6 +38,8 @@ HEADLINE = [
     "embedding_topk",
     "embedding_neardup",
     "ann_hyperplane_lsh",
+    "corpus_clean",
+    "asof_join",
     "media_byte_stats",
     "media_frame_sample",
     "stream_hourly",

@@ -126,3 +126,25 @@ def test_multi_batch_stream_and_sink(spark, tmp_path):
     # event_type partitions certainly overlap across batches; prove
     # more than one batch actually ran.
     assert written.select("_batch_id").distinct().count() >= 2
+
+
+def test_stream_static_enrichment_join(spark):
+    """Stream-static join: each micro-batch joins against a static
+    dim (re-read per batch, broadcastable) — the enrichment shape for
+    a streaming pipeline."""
+    static_dim = (
+        read_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("user_bucket", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = read_events_stream(spark, SF_SMOKE)
+    enriched = stream.join(static_dim, on="user_id").groupBy("user_bucket").count()
+    got = run_stream_to_table(enriched, "enriched_counts", output_mode="complete")
+    batch = (
+        read_table(spark, SF_SMOKE, "events")
+        .withColumn("user_bucket", (F.col("user_id") % 3).cast("int"))
+        .groupBy("user_bucket")
+        .count()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
