@@ -22,7 +22,6 @@ Determinism deltas from the reference (each documented inline):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.ml.feature import HashingTF, MinHashLSH
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
