@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["process_encodings", "logs_with_depth", "server_first_depths"]
+__all__ = [
+    "process_encodings",
+    "logs_with_depth",
+    "server_first_depths",
+    "request_path_expr",
+    "euler_string_expr",
+]
 
 
 def _sorted_events(logs_df: DataFrame):
@@ -43,6 +49,32 @@ def _sorted_events(logs_df: DataFrame):
     )
 
 
+def request_path_expr(events_col) -> F.Column:
+    """request_path from a time-sorted event-struct array column —
+    shared by the batch encoder and the streaming session-window
+    encoder (the post-aggregation expression is identical)."""
+    return F.array_join(
+        F.transform(
+            F.filter(events_col, lambda e: e["action"] == F.lit("Request")),
+            lambda e: F.concat_ws(":", e["state_from"], e["state_to"]),
+        ),
+        "-",
+    )
+
+
+def euler_string_expr(events_col) -> F.Column:
+    """euler_string from a time-sorted event-struct array column."""
+    return F.array_join(
+        F.transform(
+            events_col,
+            lambda e: F.when(
+                e["action"] == "Request", F.concat(F.lit("1"), e["state_to"])
+            ).otherwise(F.concat(F.lit("0"), e["state_from"])),
+        ),
+        "-",
+    )
+
+
 def process_encodings(logs_df: DataFrame) -> DataFrame:
     """One row per process with ``request_path`` and ``euler_string``.
 
@@ -54,20 +86,10 @@ def process_encodings(logs_df: DataFrame) -> DataFrame:
     """
     events = _sorted_events(logs_df).alias("events")
     grouped = logs_df.groupBy("process_id").agg(events)
-    request_edges = F.transform(
-        F.filter("events", lambda e: e["action"] == F.lit("Request")),
-        lambda e: F.concat_ws(":", e["state_from"], e["state_to"]),
-    )
-    euler_steps = F.transform(
-        "events",
-        lambda e: F.when(
-            e["action"] == "Request", F.concat(F.lit("1"), e["state_to"])
-        ).otherwise(F.concat(F.lit("0"), e["state_from"])),
-    )
     return grouped.select(
         "process_id",
-        F.array_join(request_edges, "-").alias("request_path"),
-        F.array_join(euler_steps, "-").alias("euler_string"),
+        request_path_expr(F.col("events")).alias("request_path"),
+        euler_string_expr(F.col("events")).alias("euler_string"),
     )
 
 

@@ -148,3 +148,56 @@ def test_stream_static_enrichment_join(spark):
         .count()
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_process_encodings_match_batch(spark, tmp_path):
+    """SURVEY §7.2.9 stretch: part-1 encodings over a live stream ==
+    batch encoder, via shared post-aggregation expressions. Session
+    windows only emit in append mode once the watermark passes, so a
+    far-future heartbeat event flushes the tail sessions — the
+    production pattern for finite replays."""
+    import os
+    import time as _time
+
+    from big_data_spark.datagen import generate_logs
+    from big_data_spark.functions.tree import process_encodings
+    from big_data_spark.streaming.processes_stream import (
+        process_encodings_stream,
+        read_logs_stream,
+    )
+
+    logs = generate_logs(spark, n_trees=4, n_processes=30, seed=3)
+    src = str(tmp_path / "logs_src")
+    logs.repartition(2).write.mode("overwrite").parquet(src)
+    # Heartbeat: one event far past every session + watermark delay,
+    # written later so the file source processes it in a later batch.
+    _time.sleep(0.05)
+    hb = spark.createDataFrame(
+        [("user", "S0", "Request", 10_000_000, "_heartbeat_")],
+        schema=logs.schema,
+    )
+    hb.coalesce(1).write.mode("append").parquet(src)
+    newest = max(
+        (os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    future = _time.time() + 60
+    os.utime(newest, (future, future))
+
+    stream = read_logs_stream(spark, src, max_files_per_trigger=1)
+    out = run_stream_to_table(
+        process_encodings_stream(stream, gap="1 minute", watermark="1 second"),
+        "stream_encodings",
+        output_mode="append",
+    )
+    got = {
+        r.process_id: (r.request_path, r.euler_string)
+        for r in out.filter(F.col("process_id") != "_heartbeat_").collect()
+    }
+    want = {
+        r.process_id: (r.request_path, r.euler_string)
+        for r in process_encodings(
+            spark.read.parquet(src).filter(F.col("process_id") != "_heartbeat_")
+        ).collect()
+    }
+    assert got == want
