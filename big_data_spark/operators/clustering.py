@@ -203,7 +203,16 @@ def cluster_servers(
             ),
         )
     )
-    servers_full = servers_clustered.join(relabeled, on="server_name")
+    # Left join + empty-array default: a server with an empty
+    # connections set yields no posexplode rows, and an inner join
+    # would silently drop it from the output (and from the relabel
+    # dim) — the reference keeps such servers clustered alone.
+    servers_full = servers_clustered.join(
+        relabeled, on="server_name", how="left"
+    ).withColumn(
+        "cluster_connections",
+        F.coalesce("cluster_connections", F.array().cast("array<string>")),
+    )
 
     merged = servers_full.groupBy("cluster_id").agg(
         F.array_distinct(F.flatten(F.collect_list("cluster_connections"))).alias(

@@ -86,5 +86,11 @@ def connected_components(
         ).count()
         labels = updated.drop("prev_component")
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    # Exhausting the loop would mean silently-wrong (split) components;
+    # with pointer doubling 50 rounds covers diameters up to ~2^50, so
+    # reaching here indicates a bug or a pathological input worth a
+    # loud failure, never a partial answer.
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )

@@ -115,16 +115,23 @@ def _spec_dbscan(edges: list[tuple[int, int]], min_pts: int):
 
 
 DBSCAN_FIXTURE = [
-    # two clusters bridged only by a border point, plus noise
-    (1, 2), (2, 3), (1, 3),        # triangle: all cores at min_pts=3
-    (3, 4),                        # 4 is border (degree 1)
-    (10, 11), (11, 12), (10, 12),  # second triangle
-    (4, 10),                       # 4 also touches cluster 2 -> min rule
-    (20, 21),                      # degree-1 pair: noise at min_pts=3
+    # K4 cluster A: every vertex degree 3 -> core up to min_pts=4
+    (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+    # K4 cluster B
+    (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+    # 20 touches BOTH clusters with degree 2: core at min_pts<=3
+    # (merging A and B), but a true BORDER at min_pts=4 — exercising
+    # the border-takes-min-core-component rule
+    (1, 20), (10, 20),
+    # 5 hangs off cluster A with degree 1: border at min_pts=3,
+    # core at min_pts=2
+    (1, 5),
+    # isolated pair: noise at min_pts>=3
+    (30, 31),
 ]
 
 
-@pytest.mark.parametrize("min_pts", [2, 3])
+@pytest.mark.parametrize("min_pts", [2, 3, 4])
 def test_dbscan_matches_spec(spark, min_pts):
     edges = spark.createDataFrame(DBSCAN_FIXTURE, ["id_a", "id_b"])
     got = {
@@ -270,3 +277,22 @@ def test_dense_ids_are_dense_and_deterministic(spark):
     assert sorted(rows.values()) == list(range(137))
     again = {r.k: r.kid for r in dense_ids(keys, "k", "kid", 16).collect()}
     assert rows == again
+
+
+def test_cluster_servers_keeps_empty_connection_sets(spark):
+    from big_data_spark.operators.clustering import cluster_servers
+    from big_data_spark.schemas import SERVERS_SCHEMA
+
+    servers = spark.createDataFrame(
+        [
+            ("A", ["S1_In_1", "S2_Out_1"]),
+            ("B", ["S1_In_1", "S2_Out_1"]),
+            ("LONER", []),
+        ],
+        schema=SERVERS_SCHEMA,
+    )
+    out, _ = cluster_servers(servers)
+    rows = {r.server_name: r for r in out.collect()}
+    assert set(rows) == {"A", "B", "LONER"}
+    assert rows["LONER"].cluster_connections == []
+    assert rows["A"].cluster_id == rows["B"].cluster_id
