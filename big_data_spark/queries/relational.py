@@ -984,6 +984,100 @@ ORDER BY c.event_id
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both join sides pushed to
+    the scans, join, aggregate, top-k by revenue — the classic
+    'find the hottest keys' report."""
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    dec = lambda c: F.col(c).cast(DEC)  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))).cast(
+                    "decimal(22,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,
+       o_orderpriority,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregation as a semi-join
+    gate — orders whose total quantity clears a threshold, joined
+    back for reporting. The HAVING aggregate runs ONCE and gates via
+    join (no correlated subquery re-evaluation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_LARGE_VOLUME = """
+SELECT o_orderkey, o_custkey, o_totalprice AS totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300
+) ON o_orderkey = l_orderkey
+ORDER BY o_orderkey
+"""
+
+
 # --------------------------------------------------------------------
 # Graph: connected components (SURVEY §2.10 M7) under the oracle gate
 # --------------------------------------------------------------------
@@ -1060,6 +1154,8 @@ QUERIES = {
     "window_ranks": q_window_ranks,
     "regex_extract": q_regex_extract,
     "variant_extract": q_variant_extract,
+    "shipping_priority": q_shipping_priority,
+    "large_volume_customers": q_large_volume_customers,
 }
 
 ORACLE_SQL = {
@@ -1093,4 +1189,6 @@ ORACLE_SQL = {
     "window_ranks": ORACLE_WINDOW_RANKS,
     "regex_extract": ORACLE_REGEX,
     "variant_extract": ORACLE_VARIANT,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "large_volume_customers": ORACLE_LARGE_VOLUME,
 }
