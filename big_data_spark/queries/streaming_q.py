@@ -40,10 +40,11 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "session_start_epoch")
 
 
-# Gap-based sessions in SQL: split where the gap EXCEEDS 30 min
-# (session_window keeps an event landing exactly at start+gap out of
-# the session, i.e. strict <; the lag-based split uses >= 1800 to
-# match that closed/open boundary).
+# Gap-based sessions in SQL: split only where the gap EXCEEDS 30 min.
+# Spark's session_window is boundary-INCLUSIVE — an event arriving at
+# exactly last_event + gap extends the session (verified empirically:
+# sf0.1 has exactly one 1800 s gap and session_window merges it), so
+# the lag-based split is strict >.
 ORACLE_STREAM_SESSIONIZE = """
 WITH secs AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
@@ -51,7 +52,7 @@ WITH secs AS (
 ), flagged AS (
   SELECT user_id, ts_sec, event_id,
          CASE WHEN lag(ts_sec) OVER w IS NULL
-                   OR ts_sec - lag(ts_sec) OVER w >= 1800
+                   OR ts_sec - lag(ts_sec) OVER w > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM secs
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
