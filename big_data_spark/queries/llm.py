@@ -945,6 +945,103 @@ FROM fp_kept GROUP BY lang ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------
+# Decontamination + vocabulary coverage
+# --------------------------------------------------------------------
+
+DECON_MIN_SHARED = 5
+VOCAB_K = 100
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark contamination check: a training doc is flagged
+    when it shares >= DECON_MIN_SHARED distinct shingles with a
+    benchmark doc (here: source 'src0' is the held-out benchmark).
+    Inverted-index join on hashed shingles — same shuffle shape as
+    ngram dedup, but the join is benchmark x train (one small side),
+    so at 100 TB the benchmark postings broadcast."""
+    docs = read_table(spark, sf_dir, "documents")
+    docs_sh = docs.select(
+        "doc_id", "source", _shingles().alias("shingles")
+    ).localCheckpoint(eager=False)
+    sh = docs_sh.select(
+        "doc_id", "source", F.explode("shingles").alias("shingle_str")
+    ).select("doc_id", "source", F.xxhash64("shingle_str").alias("shingle"))
+    bench = sh.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    train = sh.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    return (
+        train.join(bench, "shingle")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+        .orderBy("train_doc", "bench_doc")
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH sh AS (
+  SELECT doc_id, source, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+)
+SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc, COUNT(*) AS n_shared
+FROM (SELECT * FROM sh WHERE source <> 'src0') t
+JOIN (SELECT * FROM sh WHERE source = 'src0') b ON t.shingle = b.shingle
+GROUP BY t.doc_id, b.doc_id
+HAVING COUNT(*) >= {DECON_MIN_SHARED}
+ORDER BY train_doc, bench_doc
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the global top-VOCAB_K token vocab
+    (deterministic tie-break), then per language the fraction of token
+    occurrences it covers — the token-budget/OOV analysis of a
+    tokenizer pipeline. The vocab is tiny -> broadcast join."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(_tokens()).alias("token"))
+    vocab = F.broadcast(
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(VOCAB_K)
+        .select("token")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    return (
+        tok.join(vocab, on="token", how="left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).alias("covered_tokens"),
+        )
+        .withColumn(
+            "coverage",
+            F.round(F.col("covered_tokens") / F.col("total_tokens"), 6),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH tok AS (
+  SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+    ORDER BY freq DESC, token LIMIT {VOCAB_K}
+  )
+)
+SELECT lang, COUNT(*) AS total_tokens,
+       SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END) AS covered_tokens,
+       round(CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS coverage
+FROM tok GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -958,6 +1055,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
     "corpus_clean": q_corpus_clean,
+    "decontaminate": q_decontaminate,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 ORACLE_SQL = {
@@ -973,4 +1072,6 @@ ORACLE_SQL = {
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     "ann_hyperplane_lsh": ORACLE_ANN_HYPERPLANE,
     "corpus_clean": ORACLE_CORPUS_CLEAN,
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "vocab_coverage": ORACLE_VOCAB_COVERAGE,
 }
