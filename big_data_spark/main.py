@@ -53,15 +53,19 @@ def _part2_observations(out: dict):
     )
 
 
-def main(argv: list[str] | None = None) -> None:
+def main(argv: list[str] | None = None, spark=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("logs_json", help="event-log JSON path")
     parser.add_argument("--out-dir", default=".", help="output directory")
     parser.add_argument("--seed", type=int, default=DEFAULT_SEED, help="LSH seed")
     args = parser.parse_args(argv)
 
-    spark = get_spark(app_name="big_data_spark-main")
-    spark.sparkContext.setLogLevel("WARN")
+    # Only stop a session this invocation created — a caller-provided
+    # session (tests, notebooks) outlives the call.
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app_name="big_data_spark-main")
+        spark.sparkContext.setLogLevel("WARN")
     logs = read_logs_json(spark, args.logs_json)
     out = run_pipeline(spark, logs, seed=args.seed)
 
@@ -76,7 +80,8 @@ def main(argv: list[str] | None = None) -> None:
             ["text"],
         )
     write_text(part2, "text", f"{prefix}_part2Observations.txt")
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":
