@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship multiway-join query at sf0.001;
-``queries()``/``oracle_sql()`` expose 40 oracle-checked queries: every
+``queries()``/``oracle_sql()`` expose 51 oracle-checked queries: every
 implemented operator from SURVEY.md §2 (see COVERAGE.md for the
 line-by-line map) plus the training-data-pipeline extensions (dedup,
-ANN, multimodal, text analysis, streaming) with DuckDB oracles.
+ANN, multimodal, text analysis, decontamination, streaming) with
+DuckDB oracles.
 """
 
 from __future__ import annotations

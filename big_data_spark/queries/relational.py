@@ -748,6 +748,51 @@ WHERE k IS NOT NULL GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type — the metrics-anomaly
+    pass. Moments are accumulated as DECIMAL (order-independent exact
+    sums; a float stddev would differ across engines by fold order),
+    then one broadcast join tags events >3 sigma."""
+    events = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("sum_v"),
+        F.sum((v * v).cast("decimal(28,12)")).cast("double").alias("sum_v2"),
+    )
+    mean = F.col("sum_v") / F.col("n")
+    var = F.col("sum_v2") / F.col("n") - mean * mean
+    stats = stats.select(
+        "event_type", mean.alias("mean_v"), F.sqrt(var).alias("std_v")
+    )
+    return (
+        events.join(F.broadcast(stats), on="event_type")
+        .withColumn(
+            "z", (F.col("value").cast("decimal(18,6)").cast("double") - F.col("mean_v")) / F.col("std_v")
+        )
+        .filter(F.abs("z") > 3)
+        .select("event_id", "event_type", F.round("z", 6).alias("z"))
+        .orderBy("event_id")
+    )
+
+
+ORACLE_EVENTS_OUTLIERS = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_v,
+         sqrt(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+                * (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))) AS std_v
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       round((CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) - mean_v) / std_v, 6) AS z
+FROM events e JOIN stats USING (event_type)
+WHERE abs((CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) - mean_v) / std_v) > 3
+ORDER BY event_id
+"""
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured VARIANT column (Spark 4): parse the JSON string
     once into a typed variant, extract by path, aggregate. Unlike
@@ -1154,6 +1199,7 @@ QUERIES = {
     "window_ranks": q_window_ranks,
     "regex_extract": q_regex_extract,
     "variant_extract": q_variant_extract,
+    "events_outliers": q_events_outliers,
     "shipping_priority": q_shipping_priority,
     "large_volume_customers": q_large_volume_customers,
 }
@@ -1189,6 +1235,7 @@ ORACLE_SQL = {
     "window_ranks": ORACLE_WINDOW_RANKS,
     "regex_extract": ORACLE_REGEX,
     "variant_extract": ORACLE_VARIANT,
+    "events_outliers": ORACLE_EVENTS_OUTLIERS,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "large_volume_customers": ORACLE_LARGE_VOLUME,
 }
