@@ -108,3 +108,34 @@ def test_read_logs_json_quarantines_malformed(spark, tmp_path):
         read_logs_json(spark, str(p))
     ok = read_logs_json(spark, str(p), fail_on_corrupt=False)
     assert ok.count() == 1
+
+
+def test_depth_window_matches_driver_spec(spark):
+    """logs_with_depth's running-stack window vs a driver-side replay
+    of the reference's first-request-wins dict walk — on generated
+    trees where servers repeat at different depths."""
+    from big_data_spark.functions.tree import logs_with_depth
+
+    logs = generate_logs(
+        spark, n_trees=6, n_processes=18, max_branch=3, max_depth=4,
+        n_servers=4, seed=23,  # few servers => repeats within a tree
+    )
+    rows = sorted(logs.collect(), key=lambda r: (r.process_id, r.time))
+    want = {}
+    for pid in {r.process_id for r in rows}:
+        events = [r for r in rows if r.process_id == pid]
+        depth = {"user": 0}
+        stack = 0
+        for r in events:
+            if r.action == "Request":
+                depth.setdefault(r.state_to, stack + 1)
+                stack += 1
+            else:
+                stack -= 1
+        for r in events:
+            want[(pid, r.time)] = depth.get(r.state_from, -1)
+    got = {
+        (r.process_id, r.time): r.depth_from
+        for r in logs_with_depth(logs).collect()
+    }
+    assert got == want
