@@ -102,10 +102,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_STATS = f"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       SUM(n_distinct) AS total_distinct,
-       SUM(n_stop) AS total_stopwords,
-       MAX(n_chars_measured) AS max_chars
+       -- CASTs: DuckDB SUM(BIGINT) yields HUGEINT (Spark: BIGINT) and
+       -- len()/length() yield BIGINT (Spark size()/length(): INT)
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_distinct) AS BIGINT) AS total_distinct,
+       CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
+       CAST(MAX(n_chars_measured) AS INTEGER) AS max_chars
 FROM (
   SELECT lang,
          len({_SQL_TOKENS}) AS n_tokens,
@@ -145,7 +147,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TEXT_QUALITY = f"""
-SELECT doc_id, n_tokens,
+-- CAST: DuckDB len() yields BIGINT; Spark size() yields INT
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
        CASE WHEN n_tokens < 20 THEN 'too_short'
             WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.5 THEN 'too_stoppy'
             WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.4 THEN 'too_repetitive'
@@ -632,7 +635,8 @@ WITH q AS (
   WHERE e.vec_id <> q.query_id
 ), ranked AS (
   SELECT query_id, vec_id, cosine,
-         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         -- CAST: DuckDB row_number yields BIGINT; Spark row_number yields INT
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
   FROM scored
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked
@@ -939,7 +943,9 @@ WITH per_doc AS (
     FROM exact_kept
   ) WHERE rk = 1
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs,
+       -- CAST: DuckDB SUM(BIGINT) yields HUGEINT; Spark yields BIGINT
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc
 FROM fp_kept GROUP BY lang ORDER BY lang
 """
@@ -1035,7 +1041,8 @@ WITH tok AS (
   )
 )
 SELECT lang, COUNT(*) AS total_tokens,
-       SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END) AS covered_tokens,
+       -- CAST: DuckDB SUM(INTEGER) yields HUGEINT; Spark yields BIGINT
+       CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS covered_tokens,
        round(CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS coverage
 FROM tok GROUP BY lang ORDER BY lang

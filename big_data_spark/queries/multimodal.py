@@ -41,7 +41,8 @@ def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MEDIA_BYTE_STATS = """
 SELECT source, COUNT(*) AS n_items,
-       SUM(length(text)) AS total_bytes,
+       -- CAST: DuckDB SUM(BIGINT) yields HUGEINT; Spark yields BIGINT
+       CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT md5(text)) AS n_distinct_payloads
 FROM documents GROUP BY source ORDER BY source
 """

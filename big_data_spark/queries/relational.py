@@ -469,7 +469,8 @@ def q_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LAG = """
-SELECT o_custkey, MAX(gap_days) AS max_gap_days, COUNT(*) AS n_gaps FROM (
+-- CAST: DuckDB datediff yields BIGINT; Spark datediff yields INT
+SELECT o_custkey, CAST(MAX(gap_days) AS INTEGER) AS max_gap_days, COUNT(*) AS n_gaps FROM (
   SELECT o_custkey,
          datediff('day',
                   lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
@@ -537,7 +538,8 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WINDOW_RANKS = """
 SELECT o_custkey,
-       ntile(4) OVER w AS quartile,
+       -- CAST: DuckDB ntile yields BIGINT; Spark ntile yields INT
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist() OVER w, 6) AS cume
 FROM (
@@ -569,7 +571,9 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_REGEX = """
-SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k
+SELECT event_type, COUNT(*) AS n,
+       -- CAST: DuckDB SUM(INTEGER) yields HUGEINT; Spark yields BIGINT
+       CAST(SUM(k) AS BIGINT) AS sum_k
 FROM (
   SELECT event_type,
          CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k
@@ -742,7 +746,8 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EVENTS_JSON = """
 SELECT event_type,
-       SUM(k) AS sum_k, MAX(k) AS max_k, COUNT(*) AS n
+       -- CAST: DuckDB SUM(INTEGER) yields HUGEINT; Spark yields BIGINT
+       CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k, COUNT(*) AS n
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
 WHERE k IS NOT NULL GROUP BY event_type ORDER BY event_type
 """
@@ -870,8 +875,10 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         -- CAST: DuckDB windowed SUM(INTEGER) yields HUGEINT; Spark yields BIGINT
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
