@@ -8,13 +8,15 @@ the implementation is pure DataFrame:
   one pickled-row round trip per event. We use
   ``sort_array(collect_list(struct(...)))`` + higher-order array
   functions: one shuffle, whole-stage codegen, no Python workers.
-- The reference computes server depth by re-parsing the request-path
-  string in a row UDF (reference: Src/processes.py:66-99). We compute
-  the running stack depth with a window over the raw events: when a
-  Request X->Y fires, the events-so-far stack depth equals depth(X)
-  and depth(Y) = depth(X)+1. First occurrence wins (the reference's
-  dict only inserts unseen servers), which ``min_by(depth, time)``
-  reproduces.
+- The reference computes server depth by walking the request path in
+  a row UDF with an insert-if-absent dict (reference:
+  Src/processes.py:66-99): depth(user)=0 and the FIRST Request X->Y
+  assigns depth(Y) = first_seen_depth(X) + 1 — NOT the running stack
+  depth (the two diverge when a server reappears deeper and then
+  requests an unseen server). We reproduce the walk exactly as a
+  JVM-side ``aggregate`` fold over the time-sorted request array:
+  still one shuffle, whole-stage codegen, no Python workers, and
+  embarrassingly parallel across processes.
 
 Scale: everything partitions by ``process_id`` — analysis is
 embarrassingly parallel across processes; no driver materialization,
@@ -24,7 +26,7 @@ no per-key jobs. A 100 TB log corpus shuffles once per stage on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -93,46 +95,67 @@ def process_encodings(logs_df: DataFrame) -> DataFrame:
     )
 
 
-def server_first_depths(logs_df: DataFrame) -> DataFrame:
-    """Per (process_id, server) first-request depth.
+_BAD = "__walk_violation__"
 
-    depth(user)=0; a Request X->Y assigns depth(Y)=stack_depth+1 where
-    stack_depth = #Requests - #Responses strictly before the row. The
-    first assignment in time order wins, matching the reference's
-    insert-if-absent dict walk over the request path (reference:
-    Src/processes.py:86-94).
-    """
-    w = (
-        Window.partitionBy("process_id")
-        .orderBy("time")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    stack_depth = F.coalesce(
-        F.sum(
-            F.when(F.col("action") == "Request", F.lit(1)).otherwise(F.lit(-1))
-        ).over(w),
-        F.lit(0),
-    )
-    # Materialize the window column BEFORE filtering to Requests —
-    # the running sum must see Response rows too.
-    requested = (
-        logs_df.withColumn("_stack_depth", stack_depth)
-        .filter(F.col("action") == "Request")
-        .select(
-            "process_id",
-            F.col("state_to").alias("server"),
-            (F.col("_stack_depth") + 1).alias("depth"),
-            "time",
+
+def server_first_depths(logs_df: DataFrame) -> DataFrame:
+    """Per (process_id, server) first-request depth, by the
+    reference's insert-if-absent dict walk (Src/processes.py:86-94):
+    depth(user)=0; the FIRST Request X->Y (time order) assigns
+    depth(Y) = first_seen_depth(X) + 1. A walk violation — any
+    Request whose X is not yet in the dict, which subsumes the
+    reference's path-starts-at-user assert, or a process with no
+    Requests at all — yields NO rows for that process (the reference
+    UDF returns ``{}``; downstream the -1 sentinel appears instead).
+
+    The walk is inherently sequential per process, so it is expressed
+    as a JVM-side ``aggregate`` fold over the time-sorted Request
+    structs: one shuffle on process_id, codegen end-to-end, no Python
+    workers, parallel across processes (the per-process request list
+    is session-sized — the same boundedness the reference's row UDF
+    assumes)."""
+    reqs = F.sort_array(
+        F.collect_list(
+            F.when(
+                F.col("action") == "Request",
+                F.struct("time", "state_from", "state_to"),
+            )
         )
-        .groupBy("process_id", "server")
-        .agg(F.min_by("depth", "time").alias("depth"))
     )
-    user_rows = logs_df.select("process_id").distinct().select(
-        "process_id",
-        F.lit("user").alias("server"),
-        F.lit(0).cast("long").alias("depth"),
+    grouped = logs_df.groupBy("process_id").agg(reqs.alias("reqs"))
+
+    def step(acc: F.Column, r: F.Column) -> F.Column:
+        return (
+            F.when(F.map_contains_key(acc, F.lit(_BAD)), acc)
+            .when(
+                ~F.map_contains_key(acc, r["state_from"]),
+                F.create_map(F.lit(_BAD), F.lit(-1)),
+            )
+            .when(F.map_contains_key(acc, r["state_to"]), acc)
+            .otherwise(
+                F.map_concat(
+                    acc,
+                    F.create_map(
+                        r["state_to"],
+                        F.element_at(acc, r["state_from"]) + F.lit(1),
+                    ),
+                )
+            )
+        )
+
+    fold = F.aggregate(
+        F.col("reqs"),
+        F.create_map(F.lit("user"), F.lit(0)),
+        step,
+        # finish: poison -> NULL map, so explode() emits zero rows
+        lambda acc: F.when(
+            F.map_contains_key(acc, F.lit(_BAD)), F.lit(None)
+        ).otherwise(acc),
     )
-    return requested.unionByName(user_rows)
+    depth_map = F.when(F.size("reqs") > 0, fold)
+    return grouped.select(
+        "process_id", F.explode(depth_map).alias("server", "depth")
+    ).select("process_id", "server", F.col("depth").cast("long").alias("depth"))
 
 
 def logs_with_depth(logs_df: DataFrame) -> DataFrame:

@@ -110,10 +110,12 @@ def test_read_logs_json_quarantines_malformed(spark, tmp_path):
     assert ok.count() == 1
 
 
-def test_depth_window_matches_driver_spec(spark):
-    """logs_with_depth's running-stack window vs a driver-side replay
-    of the reference's first-request-wins dict walk — on generated
-    trees where servers repeat at different depths."""
+def test_depth_walk_matches_reference_spec(spark):
+    """logs_with_depth vs a driver-side replay of the REFERENCE's
+    insert-if-absent dict walk (Src/processes.py:86-94: d[state_to] =
+    d[state_from] + 1 on first request) — on generated trees where
+    servers repeat at different depths, which is exactly where the
+    dict walk diverges from a running-stack-depth rule."""
     from big_data_spark.functions.tree import logs_with_depth
 
     logs = generate_logs(
@@ -122,18 +124,25 @@ def test_depth_window_matches_driver_spec(spark):
     )
     rows = sorted(logs.collect(), key=lambda r: (r.process_id, r.time))
     want = {}
+    saw_divergence = False
     for pid in {r.process_id for r in rows}:
         events = [r for r in rows if r.process_id == pid]
         depth = {"user": 0}
         stack = 0
         for r in events:
             if r.action == "Request":
-                depth.setdefault(r.state_to, stack + 1)
+                if r.state_to not in depth:
+                    depth[r.state_to] = depth[r.state_from] + 1
+                    if depth[r.state_to] != stack + 1:
+                        saw_divergence = True
                 stack += 1
             else:
                 stack -= 1
         for r in events:
             want[(pid, r.time)] = depth.get(r.state_from, -1)
+    # These params MUST produce at least one tree where the dict walk
+    # and the stack rule disagree, or the test proves nothing.
+    assert saw_divergence
     got = {
         (r.process_id, r.time): r.depth_from
         for r in logs_with_depth(logs).collect()

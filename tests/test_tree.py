@@ -51,16 +51,27 @@ def _spec_encodings(rows: list[dict]) -> dict[str, tuple[str, str]]:
 
 
 def _spec_depths(rows: list[dict]) -> dict[tuple[str, str], int]:
-    """Spec: depth(user)=0; first Request into Y sets depth(Y)=depth(X)+1."""
+    """Spec: depth(user)=0; first Request into Y sets depth(Y)=depth(X)+1;
+    a Request from an unseen server, or a process with no Requests,
+    voids the whole process (reference UDF returns {})."""
     depths: dict[tuple[str, str], int] = {}
     by_pid: dict[str, list[dict]] = {}
     for row in sorted(rows, key=lambda r: r["time"]):
         by_pid.setdefault(row["process_id"], []).append(row)
     for pid, events in by_pid.items():
-        d = {"user": 0}
+        d: dict[str, int] = {"user": 0}
+        any_request = False
         for e in events:
-            if e["action"] == "Request" and e["state_to"] not in d:
+            if e["action"] != "Request":
+                continue
+            any_request = True
+            if e["state_from"] not in d:
+                d = {}
+                break
+            if e["state_to"] not in d:
                 d[e["state_to"]] = d[e["state_from"]] + 1
+        if not any_request:
+            d = {}
         for server, depth in d.items():
             depths[(pid, server)] = depth
     return depths
