@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from big_data_spark.io.readers import read_table
+from big_data_spark.session import ensure_executor_package
 
 # Shared tokenizer fragment (Spark) — keep in lockstep with _SQL_TOKENS.
 def _tokens(col: str = "text"):
@@ -644,41 +645,75 @@ WHERE rank <= {ANN_K} ORDER BY query_id, rank
 """
 
 
+# Candidate margin below the cosine threshold: the numpy block kernel
+# only has to decide MEMBERSHIP to within float64 matmul error
+# (~1e-12 here); 1e-4 is orders of magnitude of slack. The exact fold
+# re-scores every candidate, so emitted values and the final
+# threshold decision are bit-identical to the oracle's.
+NEARDUP_MARGIN = 1e-4
+
+
+def _neardup_block_kernel(pdf):
+    """All-pairs cosine inside one label block via one BLAS matmul;
+    emits only pairs with cosine >= threshold - margin. Runs on
+    executors under applyInPandas (Arrow-batched)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    norms = np.sqrt((m * m).sum(axis=1))
+    cos = (m @ m.T) / np.outer(norms, norms)
+    ia, ib = np.triu_indices(len(pdf), k=1)
+    keep = cos[ia, ib] >= NEARDUP_COSINE - NEARDUP_MARGIN
+    ids = pdf["vec_id"].to_numpy()
+    return pd.DataFrame(
+        {
+            "label": pdf["label"].iloc[0],
+            "id_a": ids[ia[keep]],
+            "id_b": ids[ib[keep]],
+        }
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs with label blocking (the
     IVF-style scale path: compare only within a coarse partition;
     here the generator's label is the coarse cell). Blocked pairwise
     is O(sum cell^2), not O(n^2).
 
-    Each vector's norm is computed ONCE before the join (same fold as
-    the oracle, so values are bit-identical); per pair only the dot
-    product remains — without this the plan re-folds both self-dot
-    norms inside the join condition for every candidate pair."""
+    Two-phase plan: (1) a numpy applyInPandas kernel scores each
+    block with one BLAS matmul and emits only candidate pairs above
+    threshold - margin — the O(sum cell^2) work runs vectorized, not
+    as an interpreted per-pair fold; (2) the surviving pairs (tiny:
+    the near-dup set plus a hairline margin band) are re-scored with
+    the exact aggregate fold, so output values and the >= threshold
+    cut match the SQL oracle bit-for-bit. At 100 TB the block kernel
+    requires a cell to fit executor memory — the same contract as any
+    IVF cell — and skewed cells split via AQE before the pair join."""
+    ensure_executor_package(spark)
     emb = read_table(spark, sf_dir, "embeddings")
+    candidates = emb.groupBy("label").applyInPandas(
+        _neardup_block_kernel, "label int, id_a bigint, id_b bigint"
+    )
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    a = emb.select(
-        F.col("label"),
+    va = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
         norm.alias("norm_a"),
     )
-    b = emb.select(
-        F.col("label"),
+    vb = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
         norm.alias("norm_b"),
     )
-    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
     cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (
         F.col("norm_a") * F.col("norm_b")
     )
     return (
-        pairs.select(
-            "label",
-            "id_a",
-            "id_b",
-            F.round(cosine, 6).alias("cosine"),
-        )
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("label", "id_a", "id_b", F.round(cosine, 6).alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_COSINE)
         .orderBy("id_a", "id_b")
     )
