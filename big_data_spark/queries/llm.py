@@ -653,27 +653,25 @@ WHERE rank <= {ANN_K} ORDER BY query_id, rank
 NEARDUP_MARGIN = 1e-4
 
 
-def _neardup_block_kernel(pdf):
-    """All-pairs cosine inside one label block via one BLAS matmul;
-    emits only pairs with cosine >= threshold - margin. Runs on
-    executors under applyInPandas (Arrow-batched)."""
+def _pair_block_kernel(pdf):
+    """All-pairs cosine inside one block (a label cell or an LSH
+    bucket) via one BLAS matmul; emits only (id_a < id_b) pairs with
+    cosine >= threshold - margin. Runs on executors under
+    applyInPandas (Arrow-batched); only needs vec_id + embedding
+    columns, so any blocking key works."""
     import numpy as np
     import pandas as pd
 
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    if len(pdf) < 2:
+        return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
     m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
     norms = np.sqrt((m * m).sum(axis=1))
     cos = (m @ m.T) / np.outer(norms, norms)
     ia, ib = np.triu_indices(len(pdf), k=1)
     keep = cos[ia, ib] >= NEARDUP_COSINE - NEARDUP_MARGIN
     ids = pdf["vec_id"].to_numpy()
-    return pd.DataFrame(
-        {
-            "label": pdf["label"].iloc[0],
-            "id_a": ids[ia[keep]],
-            "id_b": ids[ib[keep]],
-        }
-    )
+    return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,11 +692,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_executor_package(spark)
     emb = read_table(spark, sf_dir, "embeddings")
     candidates = emb.groupBy("label").applyInPandas(
-        _neardup_block_kernel, "label int, id_a bigint, id_b bigint"
+        _pair_block_kernel, "id_a bigint, id_b bigint"
     )
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     va = emb.select(
         F.col("vec_id").alias("id_a"),
+        F.col("label"),
         F.col("embedding").alias("emb_a"),
         norm.alias("norm_a"),
     )
@@ -778,6 +777,7 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket = bit if bucket is None else bucket + bit
         return bucket
 
+    ensure_executor_package(spark)
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     vec = emb.select(
         "vec_id",
@@ -790,6 +790,7 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     bands = vec.select(
         "vec_id",
+        "embedding",
         F.explode(
             F.array(
                 *[
@@ -800,17 +801,21 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = bands.alias("a")
-    b_side = bands.alias("b")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    # Score each (band, bucket) block with one BLAS matmul and emit
+    # only pairs above threshold - margin: each vector crosses the
+    # Arrow boundary once per band instead of once per candidate pair,
+    # and the bucket self-join + DISTINCT over the full candidate set
+    # disappear — distinct() runs on the tiny near-threshold survivor
+    # set (pairs sharing both bands would otherwise double-emit).
     candidates = (
-        a.join(
-            b_side,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        bands.groupBy("band", "bucket")
+        .applyInPandas(_pair_block_kernel, "id_a bigint, id_b bigint")
         .distinct()
     )
     va = vec.select(
