@@ -278,13 +278,24 @@ list_distinct(list_transform(
 """
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Posting lists longer than this are dropped from the exact join: a
+# shingle shared by k docs contributes k^2/2 pairs, so one
+# stopword-heavy gram in a 100 TB corpus would otherwise dominate the
+# whole shuffle. Far above anything at test scale (max posting is 25
+# at sf0.1), so test-SF output is unchanged; at scale the recall
+# effect is that pairs sharing ONLY ubiquitous grams score lower —
+# those are exactly the pairs the MinHash+LSH path handles.
+NGRAM_POSTING_CAP = 500
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, posting_cap: int = NGRAM_POSTING_CAP
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join:
-    explode shingles -> self-join on shingle -> count intersections ->
-    Jaccard from set sizes. No cross join anywhere; posting lists for
-    a 100 TB corpus get length-capped upstream (stopword-only grams
-    are the skew risk — AQE skew-join covers the rest)."""
-    docs = read_table(spark, sf_dir, "documents")
+    explode shingles -> cap hot posting lists -> self-join on shingle
+    -> count intersections -> Jaccard from set sizes. No cross join
+    anywhere; the posting cap bounds the quadratic blowup of a skewed
+    shingle and AQE skew-join covers the remaining imbalance."""
     docs_sh = docs.select("doc_id", _shingles().alias("shingles")).localCheckpoint(
         eager=False
     )
@@ -294,6 +305,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs_sh.select(
         "doc_id", F.explode("shingles").alias("shingle_str")
     ).select("doc_id", F.xxhash64("shingle_str").alias("shingle"))
+    # Hot-shingle cap: the over-cap set is tiny (it's the stopword
+    # grams), so it aggregates map-side and broadcasts into an
+    # anti-join — no extra wide shuffle on the posting table.
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("posting_len"))
+        .filter(F.col("posting_len") > posting_cap)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # Per-doc set size from the array — narrow op, no groupBy over the
     # exploded posting table.
     sizes = docs_sh.select("doc_id", F.size("shingles").alias("n_sh"))
@@ -323,14 +344,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
+
+
 ORACLE_NGRAM_JACCARD = f"""
 WITH sh AS (
   SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+), capped AS (
+  -- mirror of the Spark-side hot-posting cap (NGRAM_POSTING_CAP)
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {NGRAM_POSTING_CAP}
+  )
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
 ), common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,

@@ -296,3 +296,25 @@ def test_cluster_servers_keeps_empty_connection_sets(spark):
     assert set(rows) == {"A", "B", "LONER"}
     assert rows["LONER"].cluster_connections == []
     assert rows["A"].cluster_id == rows["B"].cluster_id
+
+
+def test_ngram_posting_cap_bounds_hot_shingle_pairs(spark):
+    """One shingle shared by every doc would contribute O(n^2) join
+    pairs; the posting cap drops it from the inverted index so the
+    pair count stays bounded (and zero here, since nothing else is
+    shared). With the cap above the posting length, all pairs appear."""
+    from big_data_spark.queries.llm import ngram_jaccard_pairs
+
+    n = 30
+    docs = spark.createDataFrame(
+        [
+            # 6 shared tokens (4 shared trigrams) + 2 unique tokens
+            (i, f"alpha beta gamma delta epsilon zeta u{i}x u{i}y")
+            for i in range(n)
+        ],
+        "doc_id long, text string",
+    )
+    capped = ngram_jaccard_pairs(docs, posting_cap=10)
+    assert capped.count() == 0
+    uncapped = ngram_jaccard_pairs(docs, posting_cap=10**6)
+    assert uncapped.count() == n * (n - 1) // 2
