@@ -48,12 +48,25 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="big_data_spark-bench")
+    # One shuffle partition per core (the session default): fewer
+    # helps latency-bound tiny queries by shrinking AQE's coalesce
+    # loop, but starves the CPU-bound stages (posting-list join,
+    # per-token aggs) of parallelism — measured 117s at 8 partitions
+    # vs 31s at 32 on this suite. SPARK_GRAFT_BENCH_SHUFFLE overrides.
+    override = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE")
+    spark = get_spark(
+        app_name="big_data_spark-bench",
+        shuffle_partitions=int(override) if override else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     # Warm the JVM + parquet footers once so timings measure the
     # queries, not session startup.
     QUERIES["pricing_summary"](spark, sf_dir).count()
+    # Pre-fork the Python worker pool (reused daemons): the first
+    # pandas-UDF query otherwise pays worker startup for the whole
+    # executor, which is session overhead, not query cost.
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
     for name in HEADLINE:
         start = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)

@@ -38,8 +38,13 @@ def read_logs_json(
         .json(path)
     )
     # Trailing-comma rows parse fine for all declared fields but are
-    # flagged corrupt; treat "all fields present" as clean.
-    clean = F.col(_CORRUPT).isNull() | F.col("process_id").isNotNull()
+    # flagged corrupt; treat "ALL declared fields present" as clean —
+    # requiring just one field would let a row with a corrupt
+    # time/action/state but valid process_id slip through as nulls.
+    all_fields_present = F.lit(True)
+    for field in LOGS_SCHEMA.fields:
+        all_fields_present = all_fields_present & F.col(field.name).isNotNull()
+    clean = F.col(_CORRUPT).isNull() | all_fields_present
     if fail_on_corrupt:
         bad = df.filter(~clean)
         if not bad.isEmpty():

@@ -46,8 +46,12 @@ def similarity_edges(
     idiomatic Spark form of the reference's three similarity joins
     (Src/servers.py:109-116, 207-214; Src/processes.py:321-331).
 
-    ``num_features`` defaults to the distinct token count, keeping
-    HashingTF collision-free like the reference (Src/servers.py:99).
+    ``num_features`` defaults to the distinct token count — the same
+    construction as the reference (Src/servers.py:99). NOTE: hashing n
+    tokens into n buckets still collides at birthday rates, so ε-edges
+    can contain rare false merges; the guarantee is parity with the
+    reference, NOT collision-freedom. Use CountVectorizer-style exact
+    indexing where exactness matters more than parity.
     Returns each unordered pair once (id_a < id_b), self-pairs dropped.
     """
     if num_features is None:

@@ -22,11 +22,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def graphframes_available() -> bool:
+    """True when the GraphFrames Python package is importable (the
+    jar must also be on the session classpath to actually run)."""
+    try:
+        import graphframes  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _graphframes_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """GraphFrames-backed variant (the reference's own engine,
+    Src/dbscan.py:115-117). Output is normalized to the native
+    contract — component = min reachable vertex id — since
+    GraphFrames emits opaque component numbers."""
+    import tempfile
+
+    from graphframes import GraphFrame
+
+    spark = edges.sparkSession
+    if spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="graphframes_cc_")
+        )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    raw = GraphFrame(v, e).connectedComponents()
+    norm = raw.groupBy("component").agg(F.min("id").alias("min_id"))
+    return raw.join(norm, "component").select(
+        "id", F.col("min_id").alias("component")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    impl: str = "native",
 ) -> DataFrame:
     """Components of an undirected graph.
 
@@ -34,8 +72,19 @@ def connected_components(
     orderable type). Isolated vertices should be passed as self-loops
     (src == dst) if they must appear in the output.
 
+    impl: 'native' (default — the DataFrame loop below, no external
+    deps), 'graphframes' (requires the GraphFrames package + jar, the
+    reference's engine), or 'auto' (graphframes when importable, else
+    native). All three return the same contract.
+
     Returns (id, component) where component = min vertex id reachable.
     """
+    if impl == "auto":
+        impl = "graphframes" if graphframes_available() else "native"
+    if impl == "graphframes":
+        return _graphframes_components(edges, src, dst)
+    if impl != "native":
+        raise ValueError(f"unknown connected_components impl: {impl!r}")
     # Materialize the edge list once: every iteration joins against it,
     # and without truncation each join would recompute the producer's
     # full lineage (LSH joins, upstream shuffles) per iteration.

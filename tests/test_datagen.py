@@ -110,6 +110,21 @@ def test_read_logs_json_quarantines_malformed(spark, tmp_path):
     assert ok.count() == 1
 
 
+def test_read_logs_json_rejects_partial_rows(spark, tmp_path):
+    """A row whose process_id parses but whose time is corrupt must
+    not slip through the fail_on_corrupt gate as silent nulls."""
+    from big_data_spark.io.readers import read_logs_json
+
+    p = tmp_path / "partial.json"
+    p.write_text(
+        '{"state_from": "user", "state_to": "S1", "action": "Request",'
+        ' "time": "not-a-number", "process_id": "p1"}\n'
+    )
+    with pytest.raises(ValueError, match="malformed"):
+        read_logs_json(spark, str(p))
+    assert read_logs_json(spark, str(p), fail_on_corrupt=False).count() == 0
+
+
 def test_depth_walk_matches_reference_spec(spark):
     """logs_with_depth vs a driver-side replay of the REFERENCE's
     insert-if-absent dict walk (Src/processes.py:86-94: d[state_to] =

@@ -72,6 +72,42 @@ def test_connected_components_chain(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_connected_components_auto_falls_back_to_native(spark):
+    from big_data_spark.operators.components import graphframes_available
+
+    edges = spark.createDataFrame([(1, 2), (3, 3)], ["src", "dst"])
+    if graphframes_available():
+        pytest.skip("graphframes present: auto resolves to graphframes")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, impl="auto").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3}
+    with pytest.raises(ValueError, match="unknown"):
+        connected_components(edges, impl="bogus")
+
+
+@pytest.mark.skipif(
+    "not __import__('big_data_spark.operators.components', fromlist=['x'])"
+    ".graphframes_available()",
+    reason="graphframes package + jar not installed in this container",
+)
+def test_connected_components_graphframes_parity(spark):
+    """When the jar is present, the GraphFrames variant must match the
+    native contract bit-for-bit (component = min reachable id)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], ["src", "dst"]
+    )
+    native = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    gf = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, impl="graphframes").collect()
+    }
+    assert native == gf
+
+
 # ----------------------------------------------------------------- #
 # DBSCAN from edges
 # ----------------------------------------------------------------- #
