@@ -1,11 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship multiway-join query at sf0.001;
-``queries()``/``oracle_sql()`` expose 51 oracle-checked queries: every
+``queries()``/``oracle_sql()`` expose 50 oracle-checked queries: every
 implemented operator from SURVEY.md §2 (see COVERAGE.md for the
 line-by-line map) plus the training-data-pipeline extensions (dedup,
-ANN, multimodal, text analysis, decontamination, streaming) with
-DuckDB oracles.
+ANN, multimodal, text analysis, decontamination, streaming incl. a
+watermarked stream-stream interval join, range join) with DuckDB
+oracles. Three further window-idiom variants are oracle-checked in
+pytest only (the correctness gate records at most 50 entries —
+COVERAGE.md "Round-1 note").
 """
 
 from __future__ import annotations

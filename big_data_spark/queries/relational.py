@@ -1175,6 +1175,60 @@ FROM orders GROUP BY o_custkey ORDER BY component
 """
 
 
+# --------------------------------------------------------------------
+# Range (interval) join — non-equi point-in-band join
+# --------------------------------------------------------------------
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: each event against every OTHER event type's
+    interquartile value band (lo <= value <= hi) — the point-in-
+    interval join Spark has no native operator for. The interval
+    table is an aggregate of the fact table itself (one row per event
+    type), so the scale plan is a broadcast nested-loop join with the
+    band predicates evaluated stream-side: the fact table never
+    shuffles. For interval tables too big to broadcast, the 100 TB
+    fallback is bucketizing both sides on a coarsened range key and
+    equi-joining the bucket before the band filter.
+
+    Bounds are round(4)ed on BOTH engines before the comparison so
+    the boundary decisions are taken on identical doubles (same
+    contract as the percentiles query)."""
+    events = _t(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("lo"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("hi"),
+    )
+    bands = F.broadcast(
+        bounds.select(F.col("event_type").alias("band_type"), "lo", "hi")
+    )
+    return (
+        events.join(
+            bands,
+            (F.col("value") >= F.col("lo"))
+            & (F.col("value") <= F.col("hi"))
+            & (F.col("event_type") != F.col("band_type")),
+        )
+        .groupBy("event_type", "band_type")
+        .agg(F.count(F.lit(1)).alias("n_in_band"))
+        .orderBy("event_type", "band_type")
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH bounds AS (
+  SELECT event_type AS band_type,
+         round(quantile_cont(value, 0.25), 4) AS lo,
+         round(quantile_cont(value, 0.75), 4) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, b.band_type, COUNT(*) AS n_in_band
+FROM events e JOIN bounds b
+  ON e.value >= b.lo AND e.value <= b.hi AND e.event_type <> b.band_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "distinct_counts": q_distinct_counts,
@@ -1209,6 +1263,7 @@ QUERIES = {
     "events_outliers": q_events_outliers,
     "shipping_priority": q_shipping_priority,
     "large_volume_customers": q_large_volume_customers,
+    "range_join_bands": q_range_join_bands,
 }
 
 ORACLE_SQL = {
@@ -1245,4 +1300,5 @@ ORACLE_SQL = {
     "events_outliers": ORACLE_EVENTS_OUTLIERS,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "large_volume_customers": ORACLE_LARGE_VOLUME,
+    "range_join_bands": ORACLE_RANGE_JOIN,
 }

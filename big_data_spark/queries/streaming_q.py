@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from big_data_spark.streaming import (
     hourly_counts_stream,
+    purchase_click_join_stream,
     read_events_stream,
     run_stream_to_table,
     sessionize_stream,
@@ -70,12 +71,40 @@ ORDER BY user_id, session_start_epoch
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = purchase_click_join_stream(read_events_stream(spark, sf_dir))
+    out = run_stream_to_table(
+        stream, "stream_stream_join_result", output_mode="append"
+    )
+    return out.orderBy("purchase_id", "click_id")
+
+
+# Batch twin of the watermarked purchase-click interval join; second
+# resolution matches the streaming side's timestamp_seconds(ts div 1e9).
+ORACLE_STREAM_STREAM_JOIN = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+)
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       p.s - c.s AS gap_sec
+FROM e p JOIN e c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.s BETWEEN p.s - 600 AND p.s
+ORDER BY purchase_id, click_id
+"""
+
+
 QUERIES = {
     "stream_hourly": q_stream_hourly,
     "stream_sessionize": q_stream_sessionize,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 ORACLE_SQL = {
     "stream_hourly": ORACLE_STREAM_HOURLY,
     "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
+    "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
 }

@@ -11,6 +11,7 @@ plus a run-to-completion helper for batch-parity testing.
 from big_data_spark.streaming.events import (
     dedup_stream,
     hourly_counts_stream,
+    purchase_click_join_stream,
     read_events_stream,
     run_stream_to_table,
     sessionize_stream,
@@ -22,6 +23,7 @@ __all__ = [
     "read_events_stream",
     "hourly_counts_stream",
     "sessionize_stream",
+    "purchase_click_join_stream",
     "dedup_stream",
     "user_totals_stateful",
     "run_stream_to_table",

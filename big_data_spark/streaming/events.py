@@ -102,6 +102,53 @@ def sessionize_stream(
     )
 
 
+def purchase_click_join_stream(
+    events: DataFrame, gap_seconds: int = 600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase paired
+    with the same user's clicks in the preceding ``gap_seconds``.
+    Both sides carry watermarks so the join state store is bounded —
+    the click side keeps only rows newer than
+    watermark + gap_seconds; without the time bound the state would
+    grow forever. Inner join + event-time-only predicates => the
+    final availableNow result equals the batch twin regardless of
+    micro-batch slicing."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (
+            F.col("click_time")
+            >= F.col("purchase_time") - F.expr(f"INTERVAL {gap_seconds} SECONDS")
+        )
+        & (F.col("click_time") <= F.col("purchase_time")),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (
+            F.unix_timestamp("purchase_time") - F.unix_timestamp("click_time")
+        ).alias("gap_sec"),
+    )
+
+
 _STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),

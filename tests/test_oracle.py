@@ -39,13 +39,15 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
-QUERY_NAMES = sorted(entry_mod.queries())
+from big_data_spark.queries import ORACLE_SQL_ALL, QUERIES_ALL  # noqa: E402
+
+QUERY_NAMES = sorted(QUERIES_ALL)
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name):
-    q = entry_mod.queries()[name]
-    sql = entry_mod.oracle_sql().get(name)
+    q = QUERIES_ALL[name]
+    sql = ORACLE_SQL_ALL.get(name)
     df = q(spark, SF_SMOKE)
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]

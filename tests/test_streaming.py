@@ -128,6 +128,63 @@ def test_multi_batch_stream_and_sink(spark, tmp_path):
     assert written.select("_batch_id").distinct().count() >= 2
 
 
+def test_stream_stream_join_multi_batch_matches_single(spark, tmp_path):
+    """The watermarked purchase-click interval join must produce the
+    same pairs whether the source arrives as one batch or as three
+    micro-batches (matches split across batch boundaries exercise the
+    join state store)."""
+    from big_data_spark.streaming import (
+        purchase_click_join_stream,
+        read_events_stream,
+        run_stream_to_table,
+    )
+    from big_data_spark.streaming.events import EVENTS_STREAM_SCHEMA
+
+    single = run_stream_to_table(
+        purchase_click_join_stream(read_events_stream(spark, SF_SMOKE)),
+        "ssj_single",
+        output_mode="append",
+    )
+    want = sorted(tuple(r) for r in single.collect())
+    assert want, "expected at least one purchase-click pair at smoke sf"
+
+    # Ordered arrival: three time-ranged files with increasing mtimes
+    # (the file source triggers oldest-first). Random row-to-file
+    # assignment would be WRONG here — batch 1 would advance the
+    # watermark to near max(ts) and every later batch would be
+    # dropped as late; a watermark stream assumes roughly time-ordered
+    # arrival, which is what a production file drop looks like.
+    import time as _time
+
+    src = str(tmp_path / "events_src")
+    events = read_table(spark, SF_SMOKE, "events")
+    t1, t2 = (
+        events.selectExpr(
+            "percentile(ts, 0.33) AS t1", "percentile(ts, 0.66) AS t2"
+        )
+        .first()
+    )
+    chunks = [
+        events.filter(F.col("ts") <= t1),
+        events.filter((F.col("ts") > t1) & (F.col("ts") <= t2)),
+        events.filter(F.col("ts") > t2),
+    ]
+    for chunk in chunks:
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("event_time", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    )
+    multi = run_stream_to_table(
+        purchase_click_join_stream(stream), "ssj_multi", output_mode="append"
+    )
+    assert sorted(tuple(r) for r in multi.collect()) == want
+
+
 def test_stream_static_enrichment_join(spark):
     """Stream-static join: each micro-batch joins against a static
     dim (re-read per batch, broadcastable) — the enrichment shape for
