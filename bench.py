@@ -40,6 +40,7 @@ HEADLINE = [
     "ann_hyperplane_lsh",
     "corpus_clean",
     "asof_join",
+    "range_join_bands",
     "media_byte_stats",
     "media_frame_sample",
     "stream_hourly",

@@ -243,19 +243,37 @@ def write_stream_partitioned_parquet(
 
 
 def run_stream_to_table(
-    df: DataFrame, name: str, output_mode: str = "complete"
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into an
     in-memory table and return the materialized result — the
-    batch-parity harness used by tests and the driver contract."""
+    batch-parity harness used by tests and the driver contract.
+
+    ``state_partitions`` bounds stateful-shuffle parallelism for THIS
+    query (state partition count is a per-checkpoint property, fixed
+    at first start): every state partition pays a per-batch commit
+    fsync for each of the operator's state stores — a stream-stream
+    join carries four — so 32 partitions of near-empty state cost
+    more in commits than the batch itself. Results are partition-
+    count-independent; a long-lived production query sizes this to
+    its state volume instead."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     return spark.table(name)
