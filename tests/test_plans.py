@@ -69,3 +69,24 @@ def test_media_kernels_are_arrow_batched(spark, name):
     plan = _plan(spark, name)
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_range_join_broadcasts_interval_table(spark):
+    # Point-in-interval join: the band table must broadcast (nested
+    # loop on the broadcast side), never a cartesian/sort-merge over
+    # the fact table.
+    plan = _plan(spark, "range_join_bands")
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["embedding_neardup", "ann_hyperplane_lsh"])
+def test_similarity_kernels_are_arrow_batched(spark, name):
+    # The block-matmul candidate kernels run as FlatMapGroupsInPandas
+    # (Arrow applyInPandas), never row-pickling BatchEvalPython; the
+    # exact re-score stays JVM-side (no other Python nodes).
+    plan = _plan(spark, name)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
