@@ -28,7 +28,12 @@ for module in (relational, streaming_q, llm, multimodal):
 # in pytest, their §2.5 family keeps two driver rows
 # (window_running_sum, window_latest_order), and the freed slots
 # carry the stream-stream interval join and the range join.
-_PYTEST_ONLY = ("window_range_trailing", "window_ranks", "window_lag_gap")
+_PYTEST_ONLY = (
+    "window_range_trailing",
+    "window_ranks",
+    "window_lag_gap",
+    "corpus_sample_mix",
+)
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}
 ORACLE_SQL = {k: v for k, v in ORACLE_SQL_ALL.items() if k not in _PYTEST_ONLY}

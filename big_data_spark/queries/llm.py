@@ -1027,6 +1027,76 @@ FROM fp_kept GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------
+# Deterministic corpus sampling / data mixing
+# --------------------------------------------------------------------
+
+# Per-source mixing rates (a training-data recipe): benchmark-adjacent
+# src0 kept whole, a mid tier at 50%, everything else at 10%.
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.5}
+MIX_DEFAULT_RATE = 0.1
+_HASH_SPACE = float(1 << 32)
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = MIX_DEFAULT_RATE,
+) -> DataFrame:
+    """Hash-gated downsampling for corpus mixing: keep a doc iff the
+    first 8 md5 hex chars of its doc_id, read as a uint32 fraction,
+    fall below its source's rate. No RNG — membership is a pure
+    function of doc_id, so reruns, retries, and BOTH engines agree
+    row-for-row (engine-native sample()/TABLESAMPLE are seed- and
+    partitioning-dependent and can never be oracle-checked). At
+    100 TB this is a narrow map-side filter: no shuffle, no state,
+    and upstream column pruning still reaches the scan."""
+    rates = MIX_RATES if rates is None else rates
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") / F.lit(_HASH_SPACE)
+    rate = F.lit(default_rate)
+    for src, r in rates.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    return docs.filter(u < rate)
+
+
+def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of the deterministic mixer: kept counts +
+    token mass + id checksum (proves exact membership, not just
+    counts)."""
+    docs = read_table(spark, sf_dir, "documents")
+    kept = deterministic_sample(docs)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.size(_tokens())).alias("kept_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_mix_rate() -> str:
+    branches = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in MIX_RATES.items()
+    )
+    return f"(CASE {branches} ELSE {MIX_DEFAULT_RATE} END)"
+
+
+ORACLE_CORPUS_SAMPLE_MIX = f"""
+SELECT source, COUNT(*) AS n_kept,
+       -- CASTs: DuckDB SUM(BIGINT) yields HUGEINT; Spark yields BIGINT
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS kept_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / {_HASH_SPACE} < {_sql_mix_rate()}
+GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------
 # Decontamination + vocabulary coverage
 # --------------------------------------------------------------------
 
@@ -1139,6 +1209,7 @@ QUERIES = {
     "corpus_clean": q_corpus_clean,
     "decontaminate": q_decontaminate,
     "vocab_coverage": q_vocab_coverage,
+    "corpus_sample_mix": q_corpus_sample_mix,
 }
 
 ORACLE_SQL = {
@@ -1156,4 +1227,5 @@ ORACLE_SQL = {
     "corpus_clean": ORACLE_CORPUS_CLEAN,
     "decontaminate": ORACLE_DECONTAMINATE,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
+    "corpus_sample_mix": ORACLE_CORPUS_SAMPLE_MIX,
 }
