@@ -150,15 +150,18 @@ def observations_text(cluster_logs_df: DataFrame, groups_df: DataFrame) -> DataF
     three string UDFs at Src/processes.py:262-303 with format_string/
     concat aggregation). Rows within a process are time-ordered via
     sort_array, not a pre-groupBy orderBy."""
+    # Only the (group id, process id) pair rides the wide join/groupBy;
+    # the equal_processes ARRAY (every member name) joins back at group
+    # grain at the end — carrying it per log row would replicate a
+    # ~group-size array onto every event in the shuffle payload.
     exploded = groups_df.select(
-        "group_processes_id", "equal_processes", F.explode("equal_processes").alias("process_id")
+        "group_processes_id", F.explode("equal_processes").alias("process_id")
     )
     joined = cluster_logs_df.join(exploded, on="process_id")
     per_process = (
         joined.groupBy("process_id")
         .agg(
             F.any_value("group_processes_id").alias("group_processes_id"),
-            F.any_value("equal_processes").alias("equal_processes"),
             F.concat(
                 F.format_string("%s: \n", F.col("process_id")),
                 F.array_join(
@@ -185,17 +188,25 @@ def observations_text(cluster_logs_df: DataFrame, groups_df: DataFrame) -> DataF
             ).alias("process_text"),
         )
     )
+    bodies = per_process.groupBy("group_processes_id").agg(
+        F.array_join(F.sort_array(F.collect_list("process_text")), "").alias(
+            "body"
+        )
+    )
     return (
-        per_process.groupBy("group_processes_id", "equal_processes")
-        .agg(
+        bodies.join(
+            groups_df.select("group_processes_id", "equal_processes"),
+            on="group_processes_id",
+        )
+        .select(
+            "group_processes_id",
             F.format_string(
                 "Group %s: %s \n %s",
                 F.col("group_processes_id").cast("string"),
                 _members_repr("equal_processes"),
-                F.array_join(F.sort_array(F.collect_list("process_text")), ""),
-            ).alias("text")
+                F.col("body"),
+            ).alias("text"),
         )
-        .select("group_processes_id", "text")
     )
 
 
