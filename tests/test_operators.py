@@ -334,6 +334,36 @@ def test_cluster_servers_keeps_empty_connection_sets(spark):
     assert rows["A"].cluster_id == rows["B"].cluster_id
 
 
+def test_deterministic_sample_matches_hash_replay(spark):
+    """Sampler membership must equal a driver-side md5 replay — the
+    point of hash gating is that membership is a pure function of
+    doc_id, independent of partitioning, retries, or engine."""
+    import hashlib
+
+    from big_data_spark.io.readers import read_table
+    from big_data_spark.queries.llm import (
+        MIX_DEFAULT_RATE,
+        MIX_RATES,
+        deterministic_sample,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    got = {r.doc_id for r in deterministic_sample(docs).collect()}
+    want = set()
+    for r in docs.collect():
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) / float(
+            1 << 32
+        )
+        if u < MIX_RATES.get(r.source, MIX_DEFAULT_RATE):
+            want.add(r.doc_id)
+    assert got == want
+    assert 0 < len(got) < docs.count()
+    # Partitioning independence: same membership at a different layout.
+    again = {r.doc_id for r in deterministic_sample(docs.repartition(7)).collect()}
+    assert again == got
+
+
 def test_ngram_posting_cap_bounds_hot_shingle_pairs(spark):
     """One shingle shared by every doc would contribute O(n^2) join
     pairs; the posting cap drops it from the inverted index so the

@@ -107,8 +107,12 @@ def main() -> int:
         "/root/testdata/sf0.01",
     ]
     import __spark_entry__ as e
+    from big_data_spark.queries import ORACLE_SQL_ALL, QUERIES_ALL
 
-    qs, oracles = e.queries(), e.oracle_sql()
+    assert len(e.queries()) == 50, "driver registry must stay at the 50-row cap"
+    # Sweep EVERYTHING, including pytest-only entries (the pytest gate
+    # only covers them at sf0.001).
+    qs, oracles = QUERIES_ALL, ORACLE_SQL_ALL
     spark = build_spark()
     failures = 0
     for sf_dir in sf_dirs:
