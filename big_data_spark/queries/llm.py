@@ -301,10 +301,16 @@ def ngram_jaccard_pairs(
     )
     # Join on the 8-byte xxhash64 of each shingle, not the string:
     # same pairs and counts absent a 2^-64 collision, ~4x less shuffle
-    # payload on the posting-list self-join.
+    # payload on the posting-list self-join. The per-doc set size (an
+    # int) rides along on every posting row — +4 bytes/row buys the
+    # Jaccard denominator via any_value in the SAME aggregate that
+    # counts intersections, eliminating both doc-size joins after the
+    # pair groupBy.
     sh = docs_sh.select(
-        "doc_id", F.explode("shingles").alias("shingle_str")
-    ).select("doc_id", F.xxhash64("shingle_str").alias("shingle"))
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle_str"),
+    ).select("doc_id", "n_sh", F.xxhash64("shingle_str").alias("shingle"))
     # Hot-shingle cap: the over-cap set is tiny (it's the stopword
     # grams), so it aggregates map-side and broadcasts into an
     # anti-join — no extra wide shuffle on the posting table.
@@ -315,9 +321,6 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    # Per-doc set size from the array — narrow op, no groupBy over the
-    # exploded posting table.
-    sizes = docs_sh.select("doc_id", F.size("shingles").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -329,15 +332,15 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.any_value(F.col("a.n_sh")).alias("n_a"),
+            F.any_value(F.col("b.n_sh")).alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        common.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
