@@ -125,6 +125,39 @@ def test_read_logs_json_rejects_partial_rows(spark, tmp_path):
     assert read_logs_json(spark, str(p), fail_on_corrupt=False).count() == 0
 
 
+@pytest.mark.parametrize("seed", [1, 7, 23, 99])
+def test_depth_walk_fuzz_many_shapes(spark, seed):
+    """Depth fold vs the reference dict-walk replay across varied
+    tree shapes/seeds in ONE Spark job per seed (deep narrow trees,
+    wide shallow trees, heavy server reuse)."""
+    from big_data_spark.functions.tree import server_first_depths
+
+    logs = generate_logs(
+        spark, n_trees=8, n_processes=24, max_branch=4, max_depth=5,
+        n_servers=3 + seed % 4, seed=seed,
+    )
+    rows = sorted(logs.collect(), key=lambda r: (r.process_id, r.time))
+    want = {}
+    for r in rows:
+        if r.action != "Request":
+            continue
+        want.setdefault(r.process_id, []).append(r)
+    expected = {}
+    for pid, reqs in want.items():
+        d = {"user": 0}
+        for r in reqs:
+            assert r.state_from in d, "generator produced an invalid walk"
+            if r.state_to not in d:
+                d[r.state_to] = d[r.state_from] + 1
+        for server, depth in d.items():
+            expected[(pid, server)] = depth
+    got = {
+        (r.process_id, r.server): r.depth
+        for r in server_first_depths(logs).collect()
+    }
+    assert got == expected
+
+
 def test_depth_walk_matches_reference_spec(spark):
     """logs_with_depth vs a driver-side replay of the REFERENCE's
     insert-if-absent dict walk (Src/processes.py:86-94: d[state_to] =
