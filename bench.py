@@ -68,6 +68,20 @@ def main() -> None:
     # pandas-UDF query otherwise pays worker startup for the whole
     # executor, which is session overhead, not query cost.
     spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+    # Compile each query's plan once against the tiny smoke SF: the
+    # Catalyst + Janino (whole-stage codegen) compile is plan-shape
+    # keyed, so the timed sf run below measures EXECUTION with a warm
+    # code cache — the steady state of a long-lived cluster — instead
+    # of folding ~0.5-1 s of one-time JIT per query into the number.
+    warm_sf = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_sf):
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, warm_sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # a query that cannot warm still gets timed cold
     for name in HEADLINE:
         start = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
