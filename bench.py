@@ -62,8 +62,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     # Warm the JVM + parquet footers once so timings measure the
-    # queries, not session startup.
-    QUERIES["pricing_summary"](spark, sf_dir).count()
+    # queries, not session startup. Warm-up failures are per-query
+    # problems the timed loop will record — never fatal here.
+    try:
+        QUERIES["pricing_summary"](spark, sf_dir).count()
+    except Exception:
+        pass
     # Pre-fork the Python worker pool (reused daemons): the first
     # pandas-UDF query otherwise pays worker startup for the whole
     # executor, which is session overhead, not query cost.
@@ -82,23 +86,37 @@ def main() -> None:
                 ).save()
             except Exception:
                 pass  # a query that cannot warm still gets timed cold
-    for name in HEADLINE:
-        start = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
+    # Fault isolation: one broken query records an error entry instead
+    # of killing the run (round-3 lesson: a single AnalysisException
+    # left the whole round with no benchmark). Median-of-3 per query
+    # so a stray GC pause or compilation hiccup can't masquerade as a
+    # per-query regression.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    errors: dict[str, str] = {}
+    try:
+        for name in HEADLINE:
+            runs: list[float] = []
+            try:
+                for _ in range(repeats):
+                    start = time.perf_counter()
+                    df = QUERIES[name](spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - start)
+                timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+            except Exception as exc:  # noqa: BLE001 — record, keep going
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        total = round(sum(timings.values()), 3)
+        record: dict = {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+        }
+        if errors:
+            record["errors"] = errors
+        print(json.dumps(record))
     spark.stop()
 
 

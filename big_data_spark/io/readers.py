@@ -13,11 +13,76 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from big_data_spark.schemas import LOGS_SCHEMA, TESTDATA_SCHEMAS
 
 _CORRUPT = "_corrupt_record"
+
+# Timestamp columns may arrive as TIMESTAMP (isAdjustedToUTC) or
+# TIMESTAMP_NTZ (pandas/arrow writers) depending on the generator;
+# the engine treats the wall clock as UTC either way.  ``events.ts``
+# additionally tolerates the legacy INT64 TIMESTAMP(NANOS) layout,
+# which Spark 4 can only surface as raw nanosecond longs.
+_TS_TYPES = (TimestampType, TimestampNTZType)
+
+
+def assert_testdata_schema(name: str, actual: StructType) -> None:
+    """Fail LOUDLY if a testdata parquet's schema drifts from
+    TESTDATA_SCHEMAS.
+
+    A physical-type drift that merely *coerces* (e.g. a long schema
+    applied to microsecond timestamps) produces silently wrong answers
+    a thousand rows deep — this check makes that mode structurally
+    impossible by rejecting anything but the two known ts encodings.
+    """
+    expected = TESTDATA_SCHEMAS.get(name)
+    if expected is None:
+        return
+    if [f.name for f in actual.fields] != [f.name for f in expected.fields]:
+        raise ValueError(
+            f"testdata table {name!r}: column drift — expected "
+            f"{[f.name for f in expected.fields]}, got "
+            f"{[f.name for f in actual.fields]}"
+        )
+    for exp, act in zip(expected.fields, actual.fields):
+        if exp.dataType == act.dataType:
+            continue
+        if isinstance(exp.dataType, _TS_TYPES):
+            if isinstance(act.dataType, _TS_TYPES):
+                continue  # NTZ vs LTZ: both read as UTC wall clock
+            if exp.name == "ts" and isinstance(act.dataType, LongType):
+                continue  # legacy INT64 TIMESTAMP(NANOS) via nanosAsLong
+        raise ValueError(
+            f"testdata table {name!r}: column {exp.name!r} has physical "
+            f"type {act.dataType.simpleString()}, expected "
+            f"{exp.dataType.simpleString()} — refusing to misparse"
+        )
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Return events with ``ts`` as epoch-NANOSECOND longs regardless
+    of the on-disk encoding (timestamp[us|ns] or raw nanos longs).
+
+    The whole engine (and its DuckDB oracles, which see timestamps)
+    speaks nanosecond longs for ``ts``; sub-second precision matters
+    (the as-of join works in microseconds), so this multiplies micros
+    up rather than truncating to seconds.  Requires a UTC session —
+    read_table pins it — so NTZ wall clock == DuckDB's epoch().
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, _TS_TYPES):
+        return df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
 
 
 def read_logs_json(
@@ -56,12 +121,21 @@ def read_logs_json(
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata parquet table (TESTDATA.md).
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS), which Spark 4 only reads
-    via the nanosAsLong legacy conf (as raw nanosecond longs) — set it
-    unconditionally so this works under any caller-provided session.
+    The generator has shipped ``events.ts`` as both INT64
+    TIMESTAMP(NANOS) (readable in Spark 4 only via the nanosAsLong
+    legacy conf, as raw nanosecond longs) and plain ``timestamp[us]``;
+    accept both, assert everything else, and hand callers a single
+    canonical shape (``ts`` = epoch-nanosecond long, UTC).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The engine's timestamp arithmetic (and its DuckDB oracle parity)
+    # assumes UTC wall clocks; pin it for caller-provided sessions too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    assert_testdata_schema(name, df.schema)
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1229,8 +1229,90 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_pipeline_part1_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity driver row for the part-1 pipeline grouping
+    (reference: Src/main.py:13-45 + Src/processes.py:228-232): Euler
+    strings over time-ordered process logs, identical processes
+    grouped with sorted member lists.
+
+    Runs the REAL pipeline functions (functions.tree.process_encodings
+    + pipeline.processes.equal_process_groups) over a deterministic
+    log stream derived from the events table: each user is a process,
+    its first four events (by ts, event_id) are the log rows, odd rows
+    are Requests and even rows Responses, and the event_type is the
+    server endpoint. Low sequence entropy (5^4 shapes across thousands
+    of users) guarantees real multi-member groups, so the groupBy is
+    exercised, not just a distinct.
+
+    The dense group id is partition-parallel by design (operators.ids:
+    ordered by (xxhash64 bucket, key)), which no ANSI oracle can
+    replay, so the driver row exposes the grouping itself — key,
+    sorted members, size; id density/uniqueness is pytest-asserted
+    (tests/test_operators.py).
+
+    Scale: one window per user (bounded by rows-per-user), one shuffle
+    on process_id for the encoder, one on euler_string for the
+    grouping — the same shape the full pipeline runs at 100 TB.
+    """
+    from big_data_spark.functions.tree import process_encodings
+    from big_data_spark.pipeline.processes import equal_process_groups
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    logs = (
+        events.withColumn("time", F.row_number().over(w))
+        .filter(F.col("time") <= 4)
+        .select(
+            F.concat(F.lit("p"), F.col("user_id").cast("string")).alias(
+                "process_id"
+            ),
+            "time",
+            F.when(F.col("time") % 2 == 1, F.lit("Request"))
+            .otherwise(F.lit("Response"))
+            .alias("action"),
+            F.col("event_type").alias("state_from"),
+            F.col("event_type").alias("state_to"),
+        )
+    )
+    groups = equal_process_groups(
+        process_encodings(logs).withColumnRenamed(
+            "euler_string", "cluster_euler_string"
+        )
+    )
+    return groups.select(
+        F.col("cluster_euler_string").alias("euler_string"),
+        F.array_join("equal_processes", ",").alias("members"),
+        F.size("equal_processes").cast("long").alias("n_members"),
+    ).orderBy("euler_string")
+
+
+ORACLE_PIPELINE_PART1 = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), logs AS (
+  SELECT 'p' || CAST(user_id AS VARCHAR) AS process_id, rn,
+         CASE WHEN rn % 2 = 1 THEN 'Request' ELSE 'Response' END AS action,
+         event_type AS state
+  FROM ordered WHERE rn <= 4
+), enc AS (
+  SELECT process_id,
+         string_agg(CASE WHEN action = 'Request' THEN '1' || state
+                         ELSE '0' || state END, '-' ORDER BY rn) AS euler_string
+  FROM logs GROUP BY process_id
+)
+SELECT euler_string,
+       string_agg(process_id, ',' ORDER BY process_id) AS members,
+       COUNT(*) AS n_members
+FROM enc GROUP BY euler_string
+ORDER BY euler_string
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "pipeline_part1_groups": q_pipeline_part1_groups,
     "distinct_counts": q_distinct_counts,
     "agg_collect_sorted": q_agg_collect_sorted,
     "first_min_by": q_first_min_by,
@@ -1268,6 +1350,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "pricing_summary": ORACLE_PRICING,
+    "pipeline_part1_groups": ORACLE_PIPELINE_PART1,
     "distinct_counts": ORACLE_DISTINCT,
     "agg_collect_sorted": ORACLE_COLLECT,
     "first_min_by": ORACLE_FIRST,

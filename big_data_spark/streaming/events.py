@@ -21,24 +21,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
 
-# events.ts is parquet TIMESTAMP(NANOS): Spark 4 reads it as a raw
-# nanosecond long under the nanosAsLong conf (see io.readers), so the
-# stream schema declares LongType and we derive a proper timestamp.
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from big_data_spark.io.readers import assert_testdata_schema, normalize_event_ts
 
 DEC = "decimal(18,2)"
 
@@ -47,16 +34,30 @@ def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream over the events table with an event_time
-    timestamp column. Explicit schema (file streams cannot infer)."""
+    timestamp column (whole-second resolution, matching the batch
+    queries' ``ts div 1e9`` convention and their DuckDB oracles).
+
+    File streams cannot infer a schema, and DECLARING one is how the
+    worst streaming failure mode happens: a LongType declaration
+    against microsecond timestamps coerces raw micros into the long —
+    event time compresses 1000x and every window silently merges, no
+    exception anywhere.  So the stream schema is taken from the actual
+    parquet footer (a metadata-only batch read), asserted against
+    TESTDATA_SCHEMAS, and ``ts`` is then normalized to the engine's
+    canonical epoch-nanosecond longs exactly like the batch path.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    footer_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    assert_testdata_schema("events", footer_schema)
+    reader = spark.readStream.schema(footer_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # The testdata table is a single file; the file-stream source
     # requires a directory basePath, so address it via a glob (the
     # glob parent becomes the base). A production deployment points
     # this at a partitioned directory instead.
-    stream = reader.parquet(f"{sf_dir}/events.parque*")
+    stream = normalize_event_ts(reader.parquet(f"{sf_dir}/events.parque*"))
     return stream.withColumn(
         "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
     )

@@ -1,0 +1,99 @@
+"""Read-time schema assertions: a physical-type drift in the driver
+testdata must fail LOUDLY at read time, never coerce into silently
+wrong rows (the round-3 failure mode: a LongType stream schema
+swallowed microsecond timestamps and compressed event time 1000x
+without a single exception)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from big_data_spark.io.readers import read_table
+from tests.conftest import SF_SMOKE
+
+
+def _write_events_variant(spark, tmp_path, ts_expr: str) -> str:
+    src = read_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_dir")
+    src.withColumn("ts", F.expr(ts_expr)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out)
+    # read_table addresses {dir}/events.parquet; the sink wrote
+    # part files, so point a sf_dir-shaped layout at them.
+    import glob
+    import os
+    import shutil
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    part = glob.glob(f"{out}/part-*.parquet")[0]
+    shutil.copy(part, f"{sf_dir}/events.parquet")
+    return sf_dir
+
+
+def test_read_table_normalizes_ts_to_nanos(spark):
+    """Whatever the on-disk encoding, callers see epoch-nano longs."""
+    events = read_table(spark, SF_SMOKE, "events")
+    assert isinstance(events.schema["ts"].dataType, LongType)
+    low, high = events.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    # Epoch nanos for any modern date are ~1.5e18; epoch micros would
+    # be ~1.5e15 — three orders of magnitude apart, so this bound
+    # catches a unit mistake regardless of the generator's date range.
+    assert low > 10**17, f"ts={low} is not nanoseconds"
+    assert high < 10**19
+
+
+def test_read_table_accepts_micros_timestamp(spark, tmp_path):
+    """timestamp[us] on disk (the current generator) normalizes to the
+    same nanos the original table carries, sub-second precision kept."""
+    sf_dir = _write_events_variant(
+        spark, tmp_path, "timestamp_micros(ts div 1000)"
+    )
+    reread = read_table(spark, sf_dir, "events")
+    orig = read_table(spark, SF_SMOKE, "events")
+    want = {r.event_id: r.ts for r in orig.select("event_id", "ts").collect()}
+    got = {r.event_id: r.ts for r in reread.select("event_id", "ts").collect()}
+    # Micros on disk -> nanos floor to the micro; original nanos are
+    # micro-aligned or not, so compare at micro resolution.
+    assert got == {k: (v // 1000) * 1000 for k, v in want.items()}
+
+
+def test_read_table_rejects_mistyped_column(spark, tmp_path):
+    """A drifted physical type (ts as string) raises, never misparses."""
+    sf_dir = _write_events_variant(spark, tmp_path, "cast(ts as string)")
+    with pytest.raises(ValueError, match="refusing to misparse"):
+        read_table(spark, sf_dir, "events")
+
+
+def test_read_table_rejects_column_drift(spark, tmp_path):
+    """A renamed/missing column raises with both shapes in the message."""
+    import glob
+    import os
+    import shutil
+
+    src = read_table(spark, SF_SMOKE, "events").withColumnRenamed(
+        "ts", "event_ts"
+    )
+    out = str(tmp_path / "events_renamed")
+    src.coalesce(1).write.mode("overwrite").parquet(out)
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    part = glob.glob(f"{out}/part-*.parquet")[0]
+    shutil.copy(part, f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError, match="column drift"):
+        read_table(spark, sf_dir, "events")
+
+
+def test_events_stream_rejects_mistyped_column(spark, tmp_path):
+    """The stream reader shares the assertion: the silent-wrong-answer
+    mode (declared schema coercing a drifted type) is structurally
+    impossible."""
+    from big_data_spark.streaming import read_events_stream
+
+    sf_dir = _write_events_variant(spark, tmp_path, "cast(ts as string)")
+    with pytest.raises(ValueError, match="refusing to misparse"):
+        read_events_stream(spark, sf_dir)

@@ -99,16 +99,17 @@ def test_multi_batch_stream_and_sink(spark, tmp_path):
     the partitioning, batch N's dynamic overwrite deleted batch N-1's
     rows for shared partition values)."""
     from big_data_spark.streaming import write_stream_partitioned_parquet
-    from big_data_spark.streaming.events import EVENTS_STREAM_SCHEMA
 
     src = str(tmp_path / "events_src")
     events = read_table(spark, SF_SMOKE, "events")
     # Three files -> three micro-batches at maxFilesPerTrigger=1.
+    # read_table already normalized ts to nanosecond longs, so the
+    # re-written source is int64 and the footer schema is the stream
+    # schema (file streams cannot infer).
     events.repartition(3).write.mode("overwrite").parquet(src)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
         .withColumn("event_time", F.timestamp_seconds(F.expr("ts div 1000000000")))
@@ -138,7 +139,6 @@ def test_stream_stream_join_multi_batch_matches_single(spark, tmp_path):
         read_events_stream,
         run_stream_to_table,
     )
-    from big_data_spark.streaming.events import EVENTS_STREAM_SCHEMA
 
     single = run_stream_to_table(
         purchase_click_join_stream(read_events_stream(spark, SF_SMOKE)),
@@ -172,9 +172,8 @@ def test_stream_stream_join_multi_batch_matches_single(spark, tmp_path):
     for chunk in chunks:
         chunk.coalesce(1).write.mode("append").parquet(src)
         _time.sleep(1.1)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
         .withColumn("event_time", F.timestamp_seconds(F.expr("ts div 1000000000")))
