@@ -56,6 +56,50 @@ def _dot_expr(a, b):
     )
 
 
+def ivf_cell_expr(
+    centroids: list[list[float]], vec_col: str = "embedding"
+) -> F.Column:
+    """Cell assignment against FROZEN centroid literals: index of the
+    first-minimum squared-L2 distance.
+
+    Pure double arithmetic in index order (zip_with fold per centroid,
+    array_position of array_min), so an ANSI oracle evaluating the
+    same fold gets the identical cell — this is what makes a trained
+    IVF index oracle-checkable.  At scale this is a narrow projection
+    over the corpus; the centroid literals are plan constants (the
+    moral equivalent of a broadcast).
+    """
+
+    def sq_dist(c: list[float]) -> F.Column:
+        c_lit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c_lit,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(*[sq_dist(c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_probe_cells(
+    centroids: list[list[float]], query: list[float], n_probe: int
+) -> list[int]:
+    """The n_probe cells whose centroids are L2-closest to the query —
+    driver-side arithmetic over the tiny frozen centroid set."""
+
+    def sq_dist(c: list[float]) -> float:
+        return sum((float(ci) - float(qi)) ** 2 for ci, qi in zip(c, query))
+
+    return sorted(range(len(centroids)), key=lambda i: (sq_dist(centroids[i]), i))[
+        : max(1, n_probe)
+    ]
+
+
 def ivf_search(
     assigned: DataFrame,
     model: KMeansModel,

@@ -38,6 +38,10 @@ _PYTEST_ONLY = (
     # regex_extract / map_roundtrip; the reference-parity pipeline
     # grouping had no driver row at all (judge's top coverage gap).
     "string_tokens",
+    # IVF ANN search with frozen centroids: oracle-checked in pytest
+    # (the driver registry is at its 50-row cap; the ANN family keeps
+    # two driver rows via embedding_topk / ann_hyperplane_lsh).
+    "ann_ivf",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -927,6 +927,112 @@ ORACLE_ANN_HYPERPLANE = _sql_ann_hyperplane()
 
 
 # --------------------------------------------------------------------
+# IVF ANN (trained coarse quantizer, frozen for oracle parity)
+# --------------------------------------------------------------------
+
+IVF_N_PROBE = 4
+IVF_K = 10
+
+
+def _ivf_query_vector() -> list[float]:
+    """Deterministic md5-derived query vector in [-1, 1]^EMB_DIM —
+    same derivation style as _hyperplanes(), embedded as literals in
+    both engines."""
+    import hashlib
+
+    return [
+        round(
+            int(hashlib.md5(f"ivfq_{j}".encode()).hexdigest()[:8], 16)
+            / float(1 << 31)
+            - 1.0,
+            9,
+        )
+        for j in range(EMB_DIM)
+    ]
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN search with the frozen coarse
+    quantizer: assign every vector to its nearest frozen centroid
+    (operators.ann.ivf_cell_expr — first-min squared-L2 over the 16
+    literal centroids), probe only the IVF_N_PROBE cells closest to
+    the query vector, score candidates exactly, top-k by cosine.
+
+    The trained-index path of the ANN trio (brute force = exact
+    baseline, hyperplane LSH = no-training path).  Training itself is
+    seeded KMeans (operators.ann.ivf_build, pytest-verified, incl.
+    full-probe == exact); the centroids are frozen literals
+    (operators/ivf_centroids.py) precisely so this search is
+    oracle-checkable — engine-native KMeans RNG can never be replayed
+    by an ANSI oracle.  Scale: assignment is one narrow pass, the
+    probe filter prunes 12/16 of the corpus before any scoring, and
+    nothing shuffles — filter + project + top-k."""
+    from big_data_spark.operators.ann import ivf_cell_expr, ivf_probe_cells
+    from big_data_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    query = _ivf_query_vector()
+    probe = ivf_probe_cells(IVF_CENTROIDS, query, IVF_N_PROBE)
+    q_lit = F.array(*[F.lit(float(x)) for x in query])
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        ivf_cell_expr(IVF_CENTROIDS).alias("cell"),
+    )
+    return (
+        assigned.filter(F.col("cell").isin(*[int(p) for p in probe]))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(_cosine(F.col("embedding"), q_lit), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(IVF_K)
+    )
+
+
+def _sql_ann_ivf() -> str:
+    from big_data_spark.operators.ann import ivf_probe_cells
+    from big_data_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    query = _ivf_query_vector()
+    probe = ivf_probe_cells(IVF_CENTROIDS, query, IVF_N_PROBE)
+
+    def lit_list(xs: list[float]) -> str:
+        return "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in xs) + "]"
+
+    def sq_dist(c: list[float]) -> str:
+        cl = lit_list(c)
+        return (
+            "list_sum(list_transform(generate_series(1, len(embedding)), "
+            f"i -> (CAST(embedding[i] AS DOUBLE) - ({cl})[i]) * "
+            f"(CAST(embedding[i] AS DOUBLE) - ({cl})[i])))"
+        )
+
+    dists = ",\n           ".join(f"({sq_dist(c)})" for c in IVF_CENTROIDS)
+    probe_list = ", ".join(str(int(p)) for p in probe)
+    q = lit_list(query)
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding,
+         [{dists}] AS dists
+  FROM embeddings
+), cells AS (
+  SELECT vec_id, embedding,
+         CAST(list_indexof(dists, list_min(dists)) - 1 AS INTEGER) AS cell
+  FROM assigned
+)
+SELECT vec_id, cell,
+       round({_sql_cosine('embedding', q)}, 6) AS cosine
+FROM cells WHERE cell IN ({probe_list})
+ORDER BY cosine DESC, vec_id LIMIT {IVF_K}
+"""
+
+
+ORACLE_ANN_IVF = _sql_ann_ivf()
+
+
+# --------------------------------------------------------------------
 # Corpus-cleaning composition (the end-to-end training-data shape)
 # --------------------------------------------------------------------
 
@@ -1209,6 +1315,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
     "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
+    "ann_ivf": q_ann_ivf,
     "corpus_clean": q_corpus_clean,
     "decontaminate": q_decontaminate,
     "vocab_coverage": q_vocab_coverage,
@@ -1227,6 +1334,7 @@ ORACLE_SQL = {
     "embedding_topk": ORACLE_EMB_TOPK,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     "ann_hyperplane_lsh": ORACLE_ANN_HYPERPLANE,
+    "ann_ivf": ORACLE_ANN_IVF,
     "corpus_clean": ORACLE_CORPUS_CLEAN,
     "decontaminate": ORACLE_DECONTAMINATE,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
