@@ -138,6 +138,46 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_small_scan(
+    df: DataFrame, max_bytes: int = 256 << 20
+) -> DataFrame:
+    """Spread a SMALL, unsplittable scan across the cluster before
+    compute-heavy narrow work (per-token md5, shingling).
+
+    A single-row-group parquet file yields exactly one scan partition,
+    so everything narrow downstream runs on one core while 31 idle.
+    Repartitioning fixes that — but a blind repartition would be a
+    full-corpus shuffle at 100 TB, so this is size-gated: it only
+    fires when the ENTIRE input is under ``max_bytes`` (cheap to
+    shuffle by construction). At scale the gate never passes — a real
+    corpus has thousands of files/row groups and the scan itself
+    provides the parallelism — and unknown/remote sizes are treated
+    as big, so the helper degrades to a no-op exactly when a shuffle
+    could hurt.
+    """
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        total = 0
+        files = df.inputFiles()
+        if not files:
+            return df
+        for uri in files:
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("", "file"):
+                return df  # remote store: scan splits are its job
+            total += os.path.getsize(parsed.path or uri)
+            if total >= max_bytes:
+                return df
+    except Exception:
+        return df
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if len(files) >= want:
+        return df
+    return df.repartition(want)
+
+
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or tuple(TESTDATA_SCHEMAS)
     return {n: read_table(spark, sf_dir, n) for n in use}

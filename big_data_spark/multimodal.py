@@ -166,17 +166,93 @@ def decode_image(media_df: DataFrame, width: int, height: int) -> DataFrame:
     )  # pragma: no cover
 
 
-def decode_audio(media_df: DataFrame, sample_rate: int = 16_000) -> DataFrame:
-    """Real audio decode — requires soundfile/librosa (absent)."""
-    try:
-        import soundfile  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - no soundfile here
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", LongType()),
+    ]
+)
+
+
+def decode_audio(media_df: DataFrame, fmt: str = "wav") -> DataFrame:
+    """REAL audio decode for WAV payloads via the stdlib ``wave``
+    module (no external codec needed): parses the RIFF container,
+    reads the PCM frames, and emits per-item sample rate, channel
+    count, sample count, duration and integer RMS amplitude — the
+    metadata+feature pass an audio training pipeline runs first.
+
+    Only 16-bit PCM WAV is supported natively; any other format
+    raises NotImplementedError naming the codec dependency
+    (soundfile), never silently. A malformed payload raises
+    ValueError with the failing doc_id — decode errors at 100 TB
+    must be routed to quarantine explicitly, not dropped.
+
+    Same execution shape as every media kernel here: Arrow-batched
+    mapInPandas, binary crosses the boundary once per batch.
+    """
+    if fmt != "wav":
+        try:
+            import soundfile  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - no soundfile here
+            raise NotImplementedError(
+                f"decode_audio({fmt!r}) needs soundfile which is not "
+                "installed; 16-bit PCM WAV decodes natively"
+            ) from exc
         raise NotImplementedError(
-            "decode_audio needs soundfile which is not installed"
-        ) from exc
-    raise NotImplementedError(
-        "real decode path not implemented in this environment"
-    )  # pragma: no cover
+            "non-WAV decode path not implemented in this environment"
+        )  # pragma: no cover
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import wave
+        from array import array
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in _AUDIO_SCHEMA.names}
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(content))) as w:
+                        if w.getsampwidth() != 2:
+                            raise ValueError(
+                                f"only 16-bit PCM supported, got "
+                                f"{8 * w.getsampwidth()}-bit"
+                            )
+                        rate = w.getframerate()
+                        channels = w.getnchannels()
+                        frames = w.getnframes()
+                        samples = array("h")
+                        samples.frombytes(w.readframes(frames))
+                except Exception as exc:
+                    raise ValueError(
+                        f"doc_id={did}: undecodable WAV payload: {exc}"
+                    ) from exc
+                n = len(samples)
+                rms = (
+                    int(math.sqrt(sum(s * s for s in samples) / n)) if n else 0
+                )
+                out["doc_id"].append(did)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(channels)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(frames * 1000 // rate if rate else 0)
+                out["rms"].append(rms)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "n_channels": pd.Series(out["n_channels"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "duration_ms": pd.Series(out["duration_ms"], dtype="int64"),
+                    "rms": pd.Series(out["rms"], dtype="int64"),
+                }
+            )
+
+    return media_df.mapInPandas(kernel, _AUDIO_SCHEMA)
 
 
 _FAKE_IMAGE_SCHEMA = StructType(

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from big_data_spark.io.readers import read_table
+from big_data_spark.io.readers import parallelize_small_scan, read_table
 from big_data_spark.session import ensure_executor_package
 
 # Shared tokenizer fragment (Spark) — keep in lockstep with _SQL_TOKENS.
@@ -48,11 +48,26 @@ _SQL_STOP = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
 # --------------------------------------------------------------------
 
 
+
+def _docs(spark: SparkSession, sf_dir: str):
+    """documents, spread across cores when the scan is a single tiny
+    split (see parallelize_small_scan) — every query here does
+    compute-heavy narrow work (md5 per token, shingling) right after
+    the scan, which otherwise runs on one core against a
+    one-row-group testdata file."""
+    return parallelize_small_scan(read_table(spark, sf_dir, "documents"))
+
+
+def _emb(spark: SparkSession, sf_dir: str):
+    """embeddings, with the same small-scan parallelization (the dot
+    product / band-bit folds are narrow and CPU-heavy)."""
+    return parallelize_small_scan(read_table(spark, sf_dir, "embeddings"))
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: one groupBy, map-side combinable.
     At 100 TB this is the cheapest dedup pass — hash locally, shuffle
     only (hash, id) pairs."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
         .groupBy("text_hash")
@@ -79,7 +94,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus stats from per-doc token counts — the
     token-counting + quality-signal pass of a data pipeline. Integer
     sums -> exact cross-engine."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = _tokens()
     per_doc = docs.select(
         "lang",
@@ -124,7 +139,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality scoring: length / stopword-ratio / repetition
     heuristics -> keep/flag buckets (the filter stage before training
     ingestion). Ratios are double divisions of identical ints."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = _tokens()
     per_doc = docs.select(
         "doc_id",
@@ -176,7 +191,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID (n-gram-heuristic family): count
     marker hits per language, argmax with a fixed CASE tie-break.
     Purely columnar — no UDF, pushdown-friendly at any scale."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = _tokens()
 
     # NB: the lambda must stay single-arg — PySpark treats a two-arg
@@ -232,7 +247,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content fingerprint (document fingerprinting): md5
     of the canonicalized token stream, prefix-truncated to 16 hex
     chars. Groups normalization-equal docs."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     fp = F.substring(F.md5(F.array_join(_tokens(), " ")), 1, 16)
     return (
         docs.select("doc_id", fp.alias("fingerprint"))
@@ -296,9 +311,7 @@ def ngram_jaccard_pairs(
     -> count intersections -> Jaccard from set sizes. No cross join
     anywhere; the posting cap bounds the quadratic blowup of a skewed
     shingle and AQE skew-join covers the remaining imbalance."""
-    docs_sh = docs.select("doc_id", _shingles().alias("shingles")).localCheckpoint(
-        eager=False
-    )
+    docs_sh = docs.select("doc_id", _shingles().alias("shingles"))
     # Join on the 8-byte xxhash64 of each shingle, not the string:
     # same pairs and counts absent a 2^-64 collision, ~4x less shuffle
     # payload on the posting-list self-join. The per-doc set size (an
@@ -306,11 +319,21 @@ def ngram_jaccard_pairs(
     # Jaccard denominator via any_value in the SAME aggregate that
     # counts intersections, eliminating both doc-size joins after the
     # pair groupBy.
-    sh = docs_sh.select(
-        "doc_id",
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle_str"),
-    ).select("doc_id", "n_sh", F.xxhash64("shingle_str").alias("shingle"))
+    #
+    # Checkpoint the EXPLODED+HASHED posting table, not the shingle
+    # arrays: three consumers read it (hot-shingle count, both join
+    # sides), and checkpointing upstream of the explode made each of
+    # them redo the tokenize+shingle+md5 pass — the single most
+    # expensive narrow stage in the query.
+    sh = (
+        docs_sh.select(
+            "doc_id",
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("shingle_str"),
+        )
+        .select("doc_id", "n_sh", F.xxhash64("shingle_str").alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
     # Hot-shingle cap: the over-cap set is tiny (it's the stopword
     # grams), so it aggregates map-side and broadcasts into an
     # anti-join — no extra wide shuffle on the posting table.
@@ -348,7 +371,7 @@ def ngram_jaccard_pairs(
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
 ORACLE_NGRAM_JACCARD = f"""
@@ -397,7 +420,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row op, NO explode/groupBy shuffle; the only wide ops are the
     band-bucket self-join and the two candidate->shingle-array joins
     (n_common via array_intersect, not a posting-list join)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     # Shingle arrays + signatures are rebuilt by every consumer below
     # (two join sides + verify) and higher-order funcs are codegen
     # fallback, so materialize once: ~#docs rows of small arrays.
@@ -523,7 +546,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIMHASH_BITS bits; each bit votes +1/-1; sign of the vote sum is
     the fingerprint bit. Grouped by fingerprint -> near-dup buckets.
     Pure aggregate arithmetic, so identical in SQL."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     # Parse the first 4 md5 hex chars ONCE into a 16-bit int; each
     # vote is then a shift+mask on that int instead of its own
     # conv(substring(...)) string parse — same bits (hex nibble b//4's
@@ -616,7 +639,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness baseline for ANN. The query side is tiny -> broadcast;
     the corpus side streams, so this scales linearly and never
     shuffles the corpus."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     queries = F.broadcast(
         emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)).select(
@@ -728,7 +751,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires a cell to fit executor memory — the same contract as any
     IVF cell — and skewed cells split via AQE before the pair join."""
     ensure_executor_package(spark)
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     candidates = emb.groupBy("label").applyInPandas(
         _pair_block_kernel, "id_a bigint, id_b bigint"
     )
@@ -800,7 +823,7 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground-truth cell id; at 100 TB the band join shuffles
     O(bands x n) rows and banding (not one monolithic bucket) sets
     the recall/cost point."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     planes = _hyperplanes()
 
     def plane_dot(plane: list[float]):
@@ -973,7 +996,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = _ivf_query_vector()
     probe = ivf_probe_cells(IVF_CENTROIDS, query, IVF_N_PROBE)
     q_lit = F.array(*[F.lit(float(x)) for x in query])
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     assigned = emb.select(
         "vec_id",
         "embedding",
@@ -1048,7 +1071,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each stage is a narrow projection or one map-side-combinable
     aggregation; the whole pipeline is three shuffles at any scale.
     Stage order matters: quality first shrinks the dedup keyspace."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = _tokens()
     per_doc = docs.select(
         "doc_id",
@@ -1173,7 +1196,7 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source audit of the deterministic mixer: kept counts +
     token mass + id checksum (proves exact membership, not just
     counts)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     kept = deterministic_sample(docs)
     return (
         kept.groupBy("source")
@@ -1220,7 +1243,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Inverted-index join on hashed shingles — same shuffle shape as
     ngram dedup, but the join is benchmark x train (one small side),
     so at 100 TB the benchmark postings broadcast."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     docs_sh = docs.select(
         "doc_id", "source", _shingles().alias("shingles")
     ).localCheckpoint(eager=False)
@@ -1260,7 +1283,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic tie-break), then per language the fraction of token
     occurrences it covers — the token-budget/OOV analysis of a
     tokenizer pipeline. The vocab is tiny -> broadcast join."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tok = docs.select("lang", F.explode(_tokens()).alias("token"))
     vocab = F.broadcast(
         tok.groupBy("token")

@@ -100,4 +100,62 @@ def test_real_decoders_fail_loudly(media):
     with pytest.raises(NotImplementedError, match="pillow"):
         decode_image(media, 32, 32)
     with pytest.raises(NotImplementedError, match="soundfile"):
-        decode_audio(media)
+        decode_audio(media, fmt="flac")
+
+
+def _wav_bytes(rate: int, channels: int, samples: list[int]) -> bytes:
+    import io
+    import wave
+    from array import array
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(array("h", samples).tobytes())
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav(spark):
+    """The REAL decoder path: stdlib-wave PCM16 payloads round-trip
+    through the Spark kernel with exact container metadata and RMS."""
+    import math
+
+    fixtures = {
+        # doc_id: (rate, channels, samples)
+        1: (16_000, 1, [0, 1000, -1000, 2000] * 100),
+        2: (8_000, 2, [300, -300] * 50),  # stereo: 50 frames
+        3: (44_100, 1, []),  # empty payload: zero samples, rms 0
+    }
+    rows = [
+        (did, "wav", _wav_bytes(*spec), {"media_type": "audio/wav"})
+        for did, spec in fixtures.items()
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, source string, content binary, media map<string,string>"
+    )
+    got = {r.doc_id: r for r in decode_audio(media).collect()}
+    assert set(got) == set(fixtures)
+    for did, (rate, channels, samples) in fixtures.items():
+        r = got[did]
+        assert r.sample_rate == rate
+        assert r.n_channels == channels
+        assert r.n_samples == len(samples)
+        n_frames = len(samples) // channels
+        assert r.duration_ms == (n_frames * 1000 // rate)
+        want_rms = (
+            int(math.sqrt(sum(s * s for s in samples) / len(samples)))
+            if samples
+            else 0
+        )
+        assert r.rms == want_rms
+
+
+def test_decode_audio_rejects_garbage(spark):
+    media = spark.createDataFrame(
+        [(9, "junk", b"not a wav at all", {"media_type": "audio/wav"})],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    with pytest.raises(Exception, match="undecodable WAV|PySparkRuntimeError|Python worker"):
+        decode_audio(media).collect()

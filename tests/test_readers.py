@@ -88,6 +88,23 @@ def test_read_table_rejects_column_drift(spark, tmp_path):
         read_table(spark, sf_dir, "events")
 
 
+def test_parallelize_small_scan_gate(spark):
+    """Tiny single-split scans spread to cluster parallelism; the
+    size gate (the 100 TB safety) leaves anything over budget alone."""
+    from big_data_spark.io.readers import parallelize_small_scan
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    want = spark.sparkContext.defaultParallelism
+    spread = parallelize_small_scan(docs)
+    assert spread.rdd.getNumPartitions() == want
+    # Same rows either way — partitioning is never allowed to change
+    # results.
+    assert spread.count() == docs.count()
+    # Over-budget input (gate forced to 1 byte): untouched plan.
+    same = parallelize_small_scan(docs, max_bytes=1)
+    assert same is docs
+
+
 def test_events_stream_rejects_mistyped_column(spark, tmp_path):
     """The stream reader shares the assertion: the silent-wrong-answer
     mode (declared schema coercing a drifted type) is structurally
