@@ -56,15 +56,26 @@ def test_generator_deterministic_and_tree_shared(spark):
     reason="opt-in scale check (SPARK_GRAFT_SCALE_TEST=1)",
 )
 def test_scale_group_one_million_rows(spark):
+    """Part-1 grouping over generated rows. Default ~0.73M rows;
+    SPARK_GRAFT_SCALE_PROCESSES raises the point (8_000_000 procs =
+    ~48M rows, the largest point of the PERF.md scale curve: 66x the
+    default's rows for 6.4x the wall on local[32])."""
+    n_processes = int(
+        os.environ.get("SPARK_GRAFT_SCALE_PROCESSES", "120000")
+    )
     logs = generate_logs(
-        spark, n_trees=500, n_processes=120_000, max_branch=2, max_depth=3
+        spark,
+        n_trees=max(500, n_processes // 4000),
+        n_processes=n_processes,
+        max_branch=2,
+        max_depth=3,
     )
     enc = process_encodings(logs)
     groups = equal_process_groups(
         enc.select("process_id", F.col("euler_string").alias("cluster_euler_string"))
     )
     n = groups.agg(F.sum(F.size("equal_processes"))).collect()[0][0]
-    assert n == 120_000
+    assert n == n_processes
 
 
 @pytest.mark.parametrize(
