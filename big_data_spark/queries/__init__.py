@@ -42,6 +42,9 @@ _PYTEST_ONLY = (
     # (the driver registry is at its 50-row cap; the ANN family keeps
     # two driver rows via embedding_topk / ann_hyperplane_lsh).
     "ann_ivf",
+    # Whitespace + BPE-ish subword token counting (round 4): pytest
+    # oracle row; text_stats carries the family's driver slot.
+    "token_counts",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

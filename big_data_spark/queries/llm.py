@@ -135,6 +135,40 @@ FROM (
 """
 
 
+# BPE-ish subword segmentation: vowel runs / consonant runs. A real
+# byte-pair vocabulary is corpus-trained state; what a pipeline needs
+# first is a deterministic subword COUNT (context-length budgeting,
+# tokens-per-byte quality signals), and a run-based split has the same
+# shape — multiple pieces per word, identical in Java regex and RE2.
+_BPE_RE = "[aeiou]+|[^aeiou ]+"
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (whitespace words + BPE-ish subword
+    regex) with the bytes-per-subword ratio used for context budgeting
+    and quality cuts. Narrow per-row arithmetic — one pass, no
+    shuffle, pushdown-safe at any scale."""
+    docs = _docs(spark, sf_dir)
+    n_ws = F.size(_tokens())
+    n_bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.length("text") / n_bpe, 6).alias("bytes_per_bpe"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS INTEGER) AS n_bpe_tokens,
+       round(CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(lower(text), '{_BPE_RE}')), 6) AS bytes_per_bpe
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality scoring: length / stopword-ratio / repetition
     heuristics -> keep/flag buckets (the filter stage before training
@@ -1329,6 +1363,7 @@ FROM tok GROUP BY lang ORDER BY lang
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
+    "token_counts": q_token_counts,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1348,6 +1383,7 @@ QUERIES = {
 ORACLE_SQL = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "text_stats": ORACLE_TEXT_STATS,
+    "token_counts": ORACLE_TOKEN_COUNTS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,

@@ -90,3 +90,29 @@ def test_similarity_kernels_are_arrow_batched(spark, name):
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_ann_ivf_stays_jvm_and_prunes(spark):
+    # Frozen-centroid IVF: pure expression arithmetic (no Python
+    # anywhere), scan reads only (vec_id, embedding), top-k is
+    # TakeOrderedAndProject — no global sort, no shuffle beyond it.
+    from big_data_spark.queries import QUERIES_ALL
+
+    df = QUERIES_ALL["ann_ivf"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",") if c) == {
+        "vec_id",
+        "embedding",
+    }, m and m.group(1)
+
+
+def test_pipeline_part1_groups_single_window_per_user(spark):
+    # The derived log stream must not collapse to one partition: the
+    # row_number window partitions by user_id, and the grouping runs
+    # as hash aggregates, never a global (unpartitioned) window.
+    plan = _plan(spark, "pipeline_part1_groups")
+    assert "BatchEvalPython" not in plan
+    assert re.search(r"Window.*user_id", plan), plan[:2000]
