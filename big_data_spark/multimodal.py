@@ -150,6 +150,41 @@ def sample_frames(
     return media_df.mapInPandas(kernel, _FRAME_SCHEMA)
 
 
+def resize_pixels(
+    decoded_df: DataFrame,
+    src_w: int,
+    src_h: int,
+    dst_w: int,
+    dst_h: int,
+) -> DataFrame:
+    """Nearest-neighbor resize over a row-major ``pixels`` array —
+    REAL resize arithmetic (the same math a codec-backed pipeline
+    runs), independent of whether the pixels came from a real or fake
+    decoder.
+
+    Deliberately JVM-side (one higher-order ``transform`` over an
+    index sequence, no Python): per-pixel index math is exactly the
+    kind of work that must not pay an Arrow round trip per row at
+    100 TB. Output replaces ``pixels``/``width``/``height``.
+    """
+    idx = F.sequence(F.lit(0), F.lit(dst_w * dst_h - 1))
+    mapped = F.transform(
+        idx,
+        lambda i: F.element_at(
+            F.col("pixels"),
+            (
+                ((i / dst_w).cast("int") * src_h / dst_h).cast("int")
+                * F.lit(src_w)
+                + ((i % dst_w) * src_w / dst_w).cast("int")
+                + F.lit(1)  # element_at is 1-based
+            ).cast("int"),
+        ),
+    )
+    return decoded_df.withColumn("pixels", mapped).withColumn(
+        "width", F.lit(dst_w)
+    ).withColumn("height", F.lit(dst_h))
+
+
 def decode_image(media_df: DataFrame, width: int, height: int) -> DataFrame:
     """Real image decode/resize — requires pillow, which this
     container does not ship. Import-gated so the API surface exists

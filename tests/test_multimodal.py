@@ -103,6 +103,32 @@ def test_real_decoders_fail_loudly(media):
         decode_audio(media, fmt="flac")
 
 
+def test_resize_pixels_nearest_neighbor(media, spark):
+    """JVM-side resize matches the reference nearest-neighbor math,
+    and the plan contains no Python eval node."""
+    from big_data_spark.multimodal import fake_decode_image, resize_pixels
+
+    decoded = fake_decode_image(media.filter(F.col("doc_id") < 3), 8, 8)
+    resized = resize_pixels(decoded, 8, 8, 4, 4)
+    plan = resized._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    src = {r.doc_id: r.pixels for r in decoded.collect()}
+    got = {r.doc_id: r for r in resized.collect()}
+    for did, px in src.items():
+        want = [
+            px[(r * 8 // 4) * 8 + (c * 8 // 4)]
+            for r in range(4)
+            for c in range(4)
+        ]
+        assert got[did].pixels == want
+        assert (got[did].width, got[did].height) == (4, 4)
+    # Upscale round-trips every source pixel into a 2x2 block.
+    up = {r.doc_id: r.pixels for r in resize_pixels(decoded, 8, 8, 16, 16).collect()}
+    for did, px in src.items():
+        assert up[did][:4] == [px[0], px[0], px[1], px[1]]
+
+
 def _wav_bytes(rate: int, channels: int, samples: list[int]) -> bytes:
     import io
     import wave
