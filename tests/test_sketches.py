@@ -19,6 +19,61 @@ def test_approx_count_distinct_within_5pct(spark):
     assert abs(row.approx - row.exact) / row.exact < 0.05
 
 
+def test_hll_estimate_within_error_bound(spark):
+    """Custom mergeable HLL: per-source distinct-token estimates land
+    within 4 standard errors of exact (sigma = 1.04/sqrt(m))."""
+    from big_data_spark.operators.hll import (
+        hll_error_bound,
+        hll_estimate,
+        hll_registers,
+    )
+
+    p = 12
+    tokens = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    exact = {
+        r.source: r.n
+        for r in tokens.groupBy("source")
+        .agg(F.countDistinct("tok").alias("n"))
+        .collect()
+    }
+    est = {
+        r.source: r.approx_distinct
+        for r in hll_estimate(
+            hll_registers(tokens, ["source"], "tok", p=p), ["source"], p=p
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    tol = 4 * hll_error_bound(p)
+    for src, n in exact.items():
+        assert abs(est[src] - n) <= max(tol * n, 3), (src, n, est[src])
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Register-merge is EXACT: sketching a union equals max-merging
+    the parts' sketches, row for row — the property that lets daily
+    sketches roll up without raw data."""
+    from big_data_spark.operators.hll import hll_merge, hll_registers
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    tokens = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    part1 = tokens.filter(F.col("tok") < "m")
+    part2 = tokens.filter(F.col("tok") >= "m")
+    direct = hll_registers(tokens, ["source"], "tok")
+    merged = hll_merge(
+        hll_registers(part1, ["source"], "tok"),
+        hll_registers(part2, ["source"], "tok"),
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
 def test_approx_percentile_brackets_exact(spark):
     li = read_table(spark, SF_SMOKE, "lineitem")
     row = li.agg(
