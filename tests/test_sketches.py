@@ -74,6 +74,27 @@ def test_hll_merge_equals_direct_sketch(spark):
     )
 
 
+def test_hll_registers_over_a_stream(spark):
+    """The register build is a plain max-aggregation, so it runs
+    unchanged as a streaming stateful aggregate — the sketch of a
+    fully-drained stream equals the batch sketch exactly."""
+    from big_data_spark.operators.hll import hll_registers
+    from big_data_spark.streaming import read_events_stream, run_stream_to_table
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    streamed = run_stream_to_table(
+        hll_registers(stream, ["event_type"], "user_id"),
+        "hll_stream_regs",
+        output_mode="complete",
+    )
+    batch = hll_registers(
+        read_table(spark, SF_SMOKE, "events"), ["event_type"], "user_id"
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
 def test_approx_percentile_brackets_exact(spark):
     li = read_table(spark, SF_SMOKE, "lineitem")
     row = li.agg(
