@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -91,7 +92,7 @@ def main() -> None:
     # left the whole round with no benchmark). Median-of-3 per query
     # so a stray GC pause or compilation hiccup can't masquerade as a
     # per-query regression.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     errors: dict[str, str] = {}
     try:
         for name in HEADLINE:
@@ -102,7 +103,7 @@ def main() -> None:
                     df = QUERIES[name](spark, sf_dir)
                     df.write.format("noop").mode("overwrite").save()
                     runs.append(time.perf_counter() - start)
-                timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+                timings[name] = round(statistics.median(runs), 3)
             except Exception as exc:  # noqa: BLE001 — record, keep going
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     finally:

@@ -58,8 +58,16 @@ def assert_testdata_schema(name: str, actual: StructType) -> None:
         if isinstance(exp.dataType, _TS_TYPES):
             if isinstance(act.dataType, _TS_TYPES):
                 continue  # NTZ vs LTZ: both read as UTC wall clock
-            if exp.name == "ts" and isinstance(act.dataType, LongType):
-                continue  # legacy INT64 TIMESTAMP(NANOS) via nanosAsLong
+            if (
+                name == "events"
+                and exp.name == "ts"
+                and isinstance(act.dataType, LongType)
+            ):
+                # Legacy INT64 TIMESTAMP(NANOS) via nanosAsLong — ONLY
+                # for events.ts, the one column normalize_event_ts
+                # canonicalizes; a long-encoded timestamp anywhere
+                # else has no normalizer and must fail loudly.
+                continue
         raise ValueError(
             f"testdata table {name!r}: column {exp.name!r} has physical "
             f"type {act.dataType.simpleString()}, expected "

@@ -245,7 +245,8 @@ def decode_audio(media_df: DataFrame, fmt: str = "wav") -> DataFrame:
         import io
         import math
         import wave
-        from array import array
+
+        import numpy as np
 
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in _AUDIO_SCHEMA.names}
@@ -260,16 +261,27 @@ def decode_audio(media_df: DataFrame, fmt: str = "wav") -> DataFrame:
                         rate = w.getframerate()
                         channels = w.getnchannels()
                         frames = w.getnframes()
-                        samples = array("h")
-                        samples.frombytes(w.readframes(frames))
+                        raw = w.readframes(frames)
+                        # WAV PCM is little-endian by spec; pin it
+                        # (array('h') would assume native order).
+                        samples = np.frombuffer(raw, dtype="<i2")
+                        if len(samples) != frames * channels:
+                            raise ValueError(
+                                f"truncated data chunk: header declares "
+                                f"{frames * channels} samples, got "
+                                f"{len(samples)}"
+                            )
                 except Exception as exc:
                     raise ValueError(
                         f"doc_id={did}: undecodable WAV payload: {exc}"
                     ) from exc
                 n = len(samples)
-                rms = (
-                    int(math.sqrt(sum(s * s for s in samples) / n)) if n else 0
-                )
+                # Vectorized sum of squares with exact int64
+                # accumulation — a per-sample Python loop here would
+                # be the row-at-a-time cost this kernel exists to
+                # avoid (10 s of 44.1 kHz stereo is ~880k samples).
+                sq = samples.astype(np.int64)
+                rms = int(math.sqrt(int((sq * sq).sum()) / n)) if n else 0
                 out["doc_id"].append(did)
                 out["sample_rate"].append(rate)
                 out["n_channels"].append(channels)

@@ -49,6 +49,10 @@ def hll_registers(
     if not 4 <= p <= 18:
         raise ValueError(f"p={p} out of the sane HLL range [4, 18]")
     m = 1 << p
+    # NULL items must not count: xxhash64(NULL) returns the seed
+    # constant, which would register one phantom distinct value per
+    # key — countDistinct/approx_count_distinct both ignore NULLs.
+    df = df.where(F.col(item_col).isNotNull())
     h = F.xxhash64(F.col(item_col))
     # Bucket = low p bits (non-negative by construction); the rank
     # field uses the remaining 64-p bits as an unsigned value.

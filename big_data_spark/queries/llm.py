@@ -1059,11 +1059,16 @@ def _sql_ann_ivf() -> str:
         return "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in xs) + "]"
 
     def sq_dist(c: list[float]) -> str:
+        # Bind the per-element difference once (inner transform), then
+        # square in a second transform — one centroid-literal
+        # occurrence and one subtraction per element, and d * d stays
+        # an IEEE multiply exactly like Spark's (x-y)*(x-y) fold.
         cl = lit_list(c)
         return (
-            "list_sum(list_transform(generate_series(1, len(embedding)), "
-            f"i -> (CAST(embedding[i] AS DOUBLE) - ({cl})[i]) * "
-            f"(CAST(embedding[i] AS DOUBLE) - ({cl})[i])))"
+            "list_sum(list_transform("
+            "list_transform(generate_series(1, len(embedding)), "
+            f"i -> CAST(embedding[i] AS DOUBLE) - ({cl})[i]), "
+            "d -> d * d))"
         )
 
     dists = ",\n           ".join(f"({sq_dist(c)})" for c in IVF_CENTROIDS)

@@ -1248,7 +1248,11 @@ def q_pipeline_part1_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered by (xxhash64 bucket, key)), which no ANSI oracle can
     replay, so the driver row exposes the grouping itself — key,
     sorted members, size; id density/uniqueness is pytest-asserted
-    (tests/test_operators.py).
+    (tests/test_operators.py). The id machinery still RUNS here even
+    though the output drops it — deliberate: the row certifies the
+    actual pipeline function end-to-end, and this query sits in the
+    correctness gate, not the bench headline, so the extra
+    distinct+window+join is parity cost, not a hot-path cost.
 
     Scale: one window per user (bounded by rows-per-user), one shuffle
     on process_id for the encoder, one on euler_string for the

@@ -48,7 +48,10 @@ def read_events_stream(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    footer_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # Probe the footer through the SAME glob the stream source uses,
+    # so any layout the stream can read (single file, directory of
+    # part files) the probe can too.
+    footer_schema = spark.read.parquet(f"{sf_dir}/events.parque*").schema
     assert_testdata_schema("events", footer_schema)
     reader = spark.readStream.schema(footer_schema)
     if max_files_per_trigger is not None:

@@ -178,6 +178,33 @@ def test_decode_audio_real_wav(spark):
         assert r.rms == want_rms
 
 
+def test_decode_audio_rejects_truncated_payload(spark):
+    """A header/data mismatch (declared frames > decoded) raises
+    rather than emitting inconsistent metadata."""
+    whole = _wav_bytes(16_000, 1, [100, -100] * 50)
+    truncated = whole[:-40]  # chop 20 samples off the data chunk
+    media = spark.createDataFrame(
+        [(7, "trunc", truncated, {"media_type": "audio/wav"})],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    with pytest.raises(Exception, match="truncated|undecodable"):
+        decode_audio(media).collect()
+
+
+def test_hll_ignores_null_items(spark):
+    """NULL items must not register as a phantom distinct value."""
+    from big_data_spark.operators.hll import hll_estimate, hll_registers
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", None), ("b", None)],
+        "k string, item string",
+    )
+    regs = hll_registers(df, ["k"], "item")
+    est = {r.k: r.approx_distinct for r in hll_estimate(regs, ["k"]).collect()}
+    assert est.get("a") == 2
+    assert "b" not in est  # all-NULL key: no registers at all
+
+
 def test_decode_audio_rejects_garbage(spark):
     media = spark.createDataFrame(
         [(9, "junk", b"not a wav at all", {"media_type": "audio/wav"})],
