@@ -209,11 +209,14 @@ _AUDIO_SCHEMA = StructType(
         StructField("n_samples", LongType()),
         StructField("duration_ms", LongType()),
         StructField("rms", LongType()),
+        StructField("decode_error", StringType()),
     ]
 )
 
 
-def decode_audio(media_df: DataFrame, fmt: str = "wav") -> DataFrame:
+def decode_audio(
+    media_df: DataFrame, fmt: str = "wav", on_error: str = "raise"
+) -> DataFrame:
     """REAL audio decode for WAV payloads via the stdlib ``wave``
     module (no external codec needed): parses the RIFF container,
     reads the PCM frames, and emits per-item sample rate, channel
@@ -222,13 +225,24 @@ def decode_audio(media_df: DataFrame, fmt: str = "wav") -> DataFrame:
 
     Only 16-bit PCM WAV is supported natively; any other format
     raises NotImplementedError naming the codec dependency
-    (soundfile), never silently. A malformed payload raises
-    ValueError with the failing doc_id — decode errors at 100 TB
-    must be routed to quarantine explicitly, not dropped.
+    (soundfile), never silently.
+
+    ``on_error`` decides what a malformed payload does:
+
+    - ``"raise"`` (default): ValueError naming the failing doc_id —
+      right for curated inputs where corruption means a pipeline bug.
+    - ``"quarantine"``: the row is emitted with NULL metadata and the
+      error message in ``decode_error``; clean rows carry NULL there.
+      This is the 100 TB mode — one rotten file in a trillion must
+      not kill the job, and ``filter(decode_error IS NOT NULL)`` is
+      the explicit quarantine stream (the same contract as
+      read_logs_json's corrupt-record column).
 
     Same execution shape as every media kernel here: Arrow-batched
     mapInPandas, binary crosses the boundary once per batch.
     """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error={on_error!r}: use 'raise' or 'quarantine'")
     if fmt != "wav":
         try:
             import soundfile  # noqa: F401
@@ -272,9 +286,18 @@ def decode_audio(media_df: DataFrame, fmt: str = "wav") -> DataFrame:
                                 f"{len(samples)}"
                             )
                 except Exception as exc:
-                    raise ValueError(
-                        f"doc_id={did}: undecodable WAV payload: {exc}"
-                    ) from exc
+                    if on_error == "raise":
+                        raise ValueError(
+                            f"doc_id={did}: undecodable WAV payload: {exc}"
+                        ) from exc
+                    out["doc_id"].append(did)
+                    out["sample_rate"].append(None)
+                    out["n_channels"].append(None)
+                    out["n_samples"].append(None)
+                    out["duration_ms"].append(None)
+                    out["rms"].append(None)
+                    out["decode_error"].append(str(exc)[:500])
+                    continue
                 n = len(samples)
                 # Vectorized sum of squares with exact int64
                 # accumulation — a per-sample Python loop here would
@@ -288,14 +311,16 @@ def decode_audio(media_df: DataFrame, fmt: str = "wav") -> DataFrame:
                 out["n_samples"].append(n)
                 out["duration_ms"].append(frames * 1000 // rate if rate else 0)
                 out["rms"].append(rms)
+                out["decode_error"].append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
-                    "n_channels": pd.Series(out["n_channels"], dtype="int32"),
-                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
-                    "duration_ms": pd.Series(out["duration_ms"], dtype="int64"),
-                    "rms": pd.Series(out["rms"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="Int32"),
+                    "n_channels": pd.Series(out["n_channels"], dtype="Int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="Int64"),
+                    "duration_ms": pd.Series(out["duration_ms"], dtype="Int64"),
+                    "rms": pd.Series(out["rms"], dtype="Int64"),
+                    "decode_error": pd.Series(out["decode_error"], dtype="object"),
                 }
             )
 

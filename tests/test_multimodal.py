@@ -205,6 +205,29 @@ def test_hll_ignores_null_items(spark):
     assert "b" not in est  # all-NULL key: no registers at all
 
 
+def test_decode_audio_quarantine_mode(spark):
+    """on_error='quarantine': bad payloads become NULL-metadata rows
+    with the error message; clean rows decode normally — no exception,
+    no dropped rows (the 100 TB contract)."""
+    good = _wav_bytes(16_000, 1, [100, -100] * 10)
+    media = spark.createDataFrame(
+        [
+            (1, "ok", good, {"media_type": "audio/wav"}),
+            (2, "bad", b"garbage bytes", {"media_type": "audio/wav"}),
+        ],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    rows = {r.doc_id: r for r in decode_audio(media, on_error="quarantine").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].decode_error is None and rows[1].sample_rate == 16_000
+    assert rows[2].sample_rate is None and rows[2].decode_error
+    # The quarantine stream is an explicit filter.
+    bad = decode_audio(media, on_error="quarantine").filter(
+        F.col("decode_error").isNotNull()
+    )
+    assert [r.doc_id for r in bad.collect()] == [2]
+
+
 def test_decode_audio_rejects_garbage(spark):
     media = spark.createDataFrame(
         [(9, "junk", b"not a wav at all", {"media_type": "audio/wav"})],
