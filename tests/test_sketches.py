@@ -95,6 +95,53 @@ def test_hll_registers_over_a_stream(spark):
     )
 
 
+def test_cms_never_undercounts_and_is_tight_here(spark):
+    """Count-Min: estimate >= exact always (one-sided error), and
+    with w far above the distinct-item count the estimates are exact."""
+    from big_data_spark.operators.cms import cms_lookup, cms_sketch
+
+    tokens = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    exact = {
+        (r.source, r.tok): r.n
+        for r in tokens.groupBy("source", "tok").count().withColumnRenamed("count", "n").collect()
+    }
+    sketch = cms_sketch(tokens, ["source"], "tok", d=4, w=2048)
+    distinct_items = tokens.distinct()
+    est = {
+        (r.source, r.tok): r.approx_count
+        for r in cms_lookup(
+            sketch, distinct_items, ["source"], "tok", d=4, w=2048
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, (k, n, est[k])
+    # ~650 distinct (source, tok) pairs into 4x2048 buckets: exact.
+    assert est == exact
+
+
+def test_cms_merge_equals_direct_sketch(spark):
+    from big_data_spark.operators.cms import cms_merge, cms_sketch
+
+    tokens = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    direct = cms_sketch(tokens, ["source"], "tok")
+    merged = cms_merge(
+        cms_sketch(tokens.filter(F.col("tok") < "m"), ["source"], "tok"),
+        cms_sketch(tokens.filter(F.col("tok") >= "m"), ["source"], "tok"),
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
 def test_approx_percentile_brackets_exact(spark):
     li = read_table(spark, SF_SMOKE, "lineitem")
     row = li.agg(
