@@ -1,5 +1,37 @@
+from big_data_spark.operators.ann import (
+    ivf_build,
+    ivf_cell_expr,
+    ivf_probe_cells,
+    ivf_search,
+)
+from big_data_spark.operators.cms import cms_lookup, cms_merge, cms_sketch
 from big_data_spark.operators.components import connected_components
 from big_data_spark.operators.connections import server_connections
 from big_data_spark.operators.dbscan import dbscan_from_edges
+from big_data_spark.operators.hll import (
+    hll_error_bound,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+from big_data_spark.operators.ids import dense_ids
+from big_data_spark.operators.skew import salted_join
 
-__all__ = ["server_connections", "connected_components", "dbscan_from_edges"]
+__all__ = [
+    "server_connections",
+    "connected_components",
+    "dbscan_from_edges",
+    "dense_ids",
+    "salted_join",
+    "ivf_build",
+    "ivf_search",
+    "ivf_cell_expr",
+    "ivf_probe_cells",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
+    "hll_error_bound",
+    "cms_sketch",
+    "cms_merge",
+    "cms_lookup",
+]
