@@ -256,6 +256,36 @@ def test_salted_join_equals_plain_join(spark):
     assert plain == salted
 
 
+def test_partition_pruning_reaches_the_scan(spark, tmp_path):
+    """Hive-partitioned layout: a filter on the partition column must
+    prune at planning time — the scan's PartitionFilters carry the
+    predicate and only the matching directory is read. At 100 TB,
+    partition-by-date/type is what turns a full-corpus scan into a
+    one-directory read."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.io.readers import read_table
+    from big_data_spark.io.writers import write_parquet
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "events_by_type")
+    events = read_table(spark, SF_SMOKE, "events")
+    write_parquet(events, out, partition_by=["event_type"])
+
+    pruned = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan[:2000]
+    want = events.filter(F.col("event_type") == "click").count()
+    assert pruned.count() == want
+    # The filter must NOT appear as a post-scan data filter: pruning
+    # happened at the partition level, so there is nothing left to
+    # filter row-by-row (inputFiles() can't show this — it reflects
+    # the unpruned relation).
+    assert "PushedFilters: [IsNotNull(event_type)" not in plan
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     from pyspark.sql import functions as F
 
