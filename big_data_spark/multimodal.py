@@ -185,20 +185,131 @@ def resize_pixels(
     ).withColumn("height", F.lit(dst_h))
 
 
-def decode_image(media_df: DataFrame, width: int, height: int) -> DataFrame:
-    """Real image decode/resize — requires pillow, which this
-    container does not ship. Import-gated so the API surface exists
-    and fails loudly, not silently."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - no pillow here
+_IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("maxval", IntegerType()),
+        StructField("pixels", ArrayType(IntegerType())),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def _parse_ppm_p6(b: bytes) -> tuple[int, int, int, bytes]:
+    """Header + raw RGB bytes of a binary PPM (P6). Raises ValueError
+    on anything malformed. Comments (#...) and arbitrary whitespace
+    between header tokens are part of the netpbm spec."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM (bad magic)")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated header")
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError(f"only 8-bit maxval supported, got {maxval}")
+    raster = b[pos : pos + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        raise ValueError(
+            f"truncated raster: need {3 * w * h} bytes, got {len(raster)}"
+        )
+    return w, h, maxval, raster
+
+
+def decode_image(
+    media_df: DataFrame,
+    fmt: str = "ppm",
+    on_error: str = "raise",
+    to_gray: bool = True,
+) -> DataFrame:
+    """REAL image decode for binary PPM (netpbm P6) payloads — pure
+    header+raster parsing, no codec library needed. Emits width,
+    height, maxval and the pixel array: grayscale ``(r+g+b)//3`` ints
+    by default (row-major, directly consumable by ``resize_pixels``),
+    or interleaved RGB with ``to_gray=False``.
+
+    Any other format needs pillow, which this container does not ship
+    — import-gated so the API fails loudly naming the dependency.
+    ``on_error`` follows decode_audio's contract: ``"raise"`` for
+    curated inputs, ``"quarantine"`` to emit NULL metadata plus the
+    error message instead (one rotten file must not kill a corpus
+    job). Arrow-batched mapInPandas like every media kernel here.
+    """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error={on_error!r}: use 'raise' or 'quarantine'")
+    if fmt != "ppm":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - no pillow here
+            raise NotImplementedError(
+                f"decode_image({fmt!r}) needs pillow (PIL) which is not "
+                "installed; binary PPM (P6) decodes natively and "
+                "fake_decode_image exercises the plumbing"
+            ) from exc
         raise NotImplementedError(
-            "decode_image needs pillow (PIL) which is not installed; "
-            "use fake_decode_image for plumbing tests"
-        ) from exc
-    raise NotImplementedError(
-        "real decode path not implemented in this environment"
-    )  # pragma: no cover
+            "non-PPM decode path not implemented in this environment"
+        )  # pragma: no cover
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in _IMAGE_SCHEMA.names}
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    w, h, maxval, raster = _parse_ppm_p6(bytes(content))
+                except Exception as exc:
+                    if on_error == "raise":
+                        raise ValueError(
+                            f"doc_id={did}: undecodable PPM payload: {exc}"
+                        ) from exc
+                    out["doc_id"].append(did)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["maxval"].append(None)
+                    out["pixels"].append(None)
+                    out["decode_error"].append(str(exc)[:500])
+                    continue
+                # Vectorized raster math (a 4k frame is ~25M bytes).
+                rgb = np.frombuffer(raster, dtype=np.uint8)
+                if to_gray:
+                    px = (
+                        rgb.reshape(-1, 3).astype(np.int32).sum(axis=1) // 3
+                    ).tolist()
+                else:
+                    px = rgb.astype(np.int32).tolist()
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["maxval"].append(maxval)
+                out["pixels"].append(px)
+                out["decode_error"].append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "maxval": pd.Series(out["maxval"], dtype="Int32"),
+                    "pixels": pd.Series(out["pixels"], dtype="object"),
+                    "decode_error": pd.Series(out["decode_error"], dtype="object"),
+                }
+            )
+
+    return media_df.mapInPandas(kernel, _IMAGE_SCHEMA)
 
 
 _AUDIO_SCHEMA = StructType(

@@ -98,9 +98,52 @@ def test_fake_decode_pixel_values(media):
 
 def test_real_decoders_fail_loudly(media):
     with pytest.raises(NotImplementedError, match="pillow"):
-        decode_image(media, 32, 32)
+        decode_image(media, fmt="png")
     with pytest.raises(NotImplementedError, match="soundfile"):
         decode_audio(media, fmt="flac")
+
+
+def _ppm_bytes(w: int, h: int, rgb: list[tuple[int, int, int]]) -> bytes:
+    header = f"P6\n# test fixture\n{w} {h}\n255\n".encode()
+    return header + b"".join(bytes(t) for t in rgb)
+
+
+def test_decode_image_real_ppm(spark):
+    """The REAL image path: binary PPM parses exactly — header,
+    comments, grayscale math — and composes with resize_pixels."""
+    from big_data_spark.multimodal import resize_pixels
+
+    rgb = [(r * 10, r * 10 + 1, r * 10 + 2) for r in range(16)]  # 4x4
+    media = spark.createDataFrame(
+        [(1, "ppm", _ppm_bytes(4, 4, rgb), {"media_type": "image/x-portable-pixmap"})],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    row = decode_image(media).first()
+    assert (row.width, row.height, row.maxval) == (4, 4, 255)
+    assert row.pixels == [sum(t) // 3 for t in rgb]
+    assert row.decode_error is None
+    # RGB mode keeps the interleaved raster.
+    raw = decode_image(media, to_gray=False).first()
+    assert raw.pixels == [c for t in rgb for c in t]
+    # Compose with the JVM resize: 4x4 -> 2x2 nearest-neighbor.
+    small = resize_pixels(decode_image(media), 4, 4, 2, 2).first()
+    gray = [sum(t) // 3 for t in rgb]
+    assert small.pixels == [gray[0], gray[2], gray[8], gray[10]]
+
+
+def test_decode_image_quarantine_and_raise(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "ok", _ppm_bytes(2, 1, [(10, 20, 30), (40, 50, 60)]), None),
+            (2, "bad", b"P6 not really", None),
+        ],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    rows = {r.doc_id: r for r in decode_image(media, on_error="quarantine").collect()}
+    assert rows[1].decode_error is None and rows[1].pixels == [20, 50]
+    assert rows[2].pixels is None and rows[2].decode_error
+    with pytest.raises(Exception, match="undecodable PPM|Python worker"):
+        decode_image(media).collect()
 
 
 def test_resize_pixels_nearest_neighbor(media, spark):
