@@ -37,6 +37,10 @@ def _tokens(col: str = "text"):
 # DuckDB twin of _tokens.
 _SQL_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
+# Spark-SQL twin of _tokens, for hot paths built as selectExpr strings
+# (a single JVM parse instead of hundreds of py4j Column calls).
+_SQL_TOKENS_SPARK = "filter(split(lower(text), ' '), t -> t <> '')"
+
 STOPWORDS = (
     "the a an and or of to in is are was for on with as at by it this that".split()
 )
@@ -579,38 +583,57 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprint: per token, md5 supplies
     SIMHASH_BITS bits; each bit votes +1/-1; sign of the vote sum is
     the fingerprint bit. Grouped by fingerprint -> near-dup buckets.
-    Pure aggregate arithmetic, so identical in SQL."""
+
+    Scale shape: the per-doc bit sums are folded with a single
+    higher-order ``aggregate`` over the token array, so there is NO
+    explode and NO per-doc groupBy shuffle — fingerprints come out of
+    one narrow pass over the scan, and the only shuffle left is the
+    tiny per-fingerprint rollup. On 100 TB that turns what used to be
+    a full token-level shuffle (tokens x docs rows) into zero exchange
+    before the final bucket agg. Bit-sum accumulators are ints in a
+    16-element array, so counts are exact for any document below 2^31
+    tokens (no packing-field overflow to worry about)."""
     docs = _docs(spark, sf_dir)
     # Parse the first 4 md5 hex chars ONCE into a 16-bit int; each
-    # vote is then a shift+mask on that int instead of its own
-    # conv(substring(...)) string parse — same bits (hex nibble b//4's
-    # bit b%4 sits at position (3 - b//4)*4 + b%4 of the parsed int),
-    # ~16x fewer string ops per token.
-    tok = docs.select(
-        "doc_id", F.explode(_tokens()).alias("token")
-    ).withColumn(
-        "h16", F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("int")
+    # vote is then a shift+mask on that int (hex nibble b//4's bit
+    # b%4 sits at position (3 - b//4)*4 + b%4 of the parsed int).
+    #
+    # The whole hot path is built as TWO selectExpr strings, not a
+    # Column tree: the unrolled 16-bit fold is hundreds of expression
+    # nodes, and building it py4j-call-by-call costs ~0.4 s of driver
+    # time PER query construction (measured at sf0.1) — parsing one
+    # SQL string JVM-side is milliseconds. Measured A/Bs for the
+    # execution shape itself (interleaved, 7 reps): one projection
+    # beats materializing the h16 array into a row between two
+    # projections (0.61 vs 0.74 s — the UnsafeRow array write costs
+    # more than re-running the tokenizer for size()); a finish-lambda
+    # fingerprint and packed-long accumulators were slower still.
+    h16s = (
+        f"transform({_SQL_TOKENS_SPARK}, "
+        "t -> cast(conv(substr(md5(t), 1, 4), 16, 10) as int))"
+    )
+    # Fold all SIMHASH_BITS per-bit counts in one pass over the array:
+    # acc[b] accumulates bit b's set-count across the doc's tokens.
+    merge = ", ".join(
+        f"(acc[{b}] + (shiftright(h, {(3 - b // 4) * 4 + (b % 4)}) & 1))"
+        for b in range(SIMHASH_BITS)
+    )
+    per_doc = docs.selectExpr(
+        "doc_id",
+        f"size({_SQL_TOKENS_SPARK}) as n_tok",
+        f"aggregate({h16s}, array_repeat(0, {SIMHASH_BITS}), "
+        f"(acc, h) -> array({merge})) as s",
+    ).filter(
+        # explode() used to drop token-less docs; keep that contract.
+        F.col("n_tok") > 0
     )
     # sum of +1/-1 votes > 0  <=>  2 * (#set bits) > #tokens.
-    votes = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        *[
-            F.sum(
-                F.shiftright("h16", (3 - b // 4) * 4 + (b % 4)).bitwiseAND(
-                    F.lit(1)
-                )
-            ).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
-        ],
+    fp = " + ".join(
+        f"(case when s[{b}] * 2 > n_tok then {1 << b} else 0 end)"
+        for b in range(SIMHASH_BITS)
     )
-    fp = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(
-            F.col(f"s{b}") * 2 > F.col("n_tok"), F.lit(1 << b)
-        ).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
     return (
-        votes.select("doc_id", fp.cast("long").alias("simhash"))
+        per_doc.selectExpr("doc_id", f"cast({fp} as bigint) as simhash")
         .groupBy("simhash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
         .orderBy("keep_doc_id")

@@ -113,6 +113,11 @@ def main() -> int:
     # Sweep EVERYTHING, including pytest-only entries (the pytest gate
     # only covers them at sf0.001).
     qs, oracles = QUERIES_ALL, ORACLE_SQL_ALL
+    only = {n for n in os.environ.get("GATE_ONLY", "").split(",") if n}
+    if only:
+        unknown = only - set(qs)
+        assert not unknown, f"GATE_ONLY names not in registry: {sorted(unknown)}"
+        qs = {n: fn for n, fn in qs.items() if n in only}
     spark = build_spark()
     failures = 0
     for sf_dir in sf_dirs:
