@@ -82,11 +82,19 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     The whole engine (and its DuckDB oracles, which see timestamps)
     speaks nanosecond longs for ``ts``; sub-second precision matters
     (the as-of join works in microseconds), so this multiplies micros
-    up rather than truncating to seconds.  Requires a UTC session —
-    read_table pins it — so NTZ wall clock == DuckDB's epoch().
+    up rather than truncating to seconds.
+
+    SIDE EFFECT: pins ``spark.sql.session.timeZone`` to UTC on the
+    DataFrame's session (read_table does the same — see its
+    docstring). The NTZ->epoch cast below reads the wall clock in the
+    session zone, so a non-UTC session would silently shift every
+    timestamp; since this helper is exported for standalone use, it
+    pins the zone itself rather than trusting the caller went through
+    read_table.
     """
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, _TS_TYPES):
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         return df.withColumn(
             "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
         )
@@ -134,6 +142,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     legacy conf, as raw nanosecond longs) and plain ``timestamp[us]``;
     accept both, assert everything else, and hand callers a single
     canonical shape (``ts`` = epoch-nanosecond long, UTC).
+
+    SIDE EFFECT (session-global, by design): pins
+    ``spark.sql.session.timeZone`` to UTC and enables the parquet
+    nanosAsLong legacy conf on the caller's session. The engine's
+    timestamp arithmetic and its DuckDB oracle parity are defined in
+    UTC wall clock; any caller rendering timestamps in a local zone
+    on the same session will see that change. Use a dedicated session
+    if you need a non-UTC display zone alongside these readers.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The engine's timestamp arithmetic (and its DuckDB oracle parity)

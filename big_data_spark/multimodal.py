@@ -197,12 +197,23 @@ _IMAGE_SCHEMA = StructType(
 )
 
 
-def _parse_ppm_p6(b: bytes) -> tuple[int, int, int, bytes]:
-    """Header + raw RGB bytes of a binary PPM (P6). Raises ValueError
-    on anything malformed. Comments (#...) and arbitrary whitespace
-    between header tokens are part of the netpbm spec."""
-    if b[:2] != b"P6":
-        raise ValueError("not a P6 PPM (bad magic)")
+def _parse_pnm(b: bytes) -> tuple[int, int, int, int, bytes]:
+    """Header + raster of a binary netpbm image — P6 (RGB) or P5
+    (grayscale). Returns (channels, width, height, maxval, raster).
+    Raises ValueError on anything malformed. Comments (#...) and
+    arbitrary whitespace between header tokens are part of the
+    netpbm spec.
+
+    Header ints are validated as pure ASCII digits BEFORE int(): the
+    Python parser would happily accept '-2' or '1_0', and a '-2 -2
+    255' header yields a positive 3*w*h raster size — a bogus payload
+    would "decode" with negative dimensions instead of erroring."""
+    if b[:2] == b"P6":
+        channels = 3
+    elif b[:2] == b"P5":
+        channels = 1
+    else:
+        raise ValueError("not a binary netpbm image (P5/P6 magic expected)")
     pos = 2
     fields: list[int] = []
     while len(fields) < 3:
@@ -217,17 +228,23 @@ def _parse_ppm_p6(b: bytes) -> tuple[int, int, int, bytes]:
             pos += 1
         if start == pos:
             raise ValueError("truncated header")
-        fields.append(int(b[start:pos]))
+        tok = b[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"non-numeric header token {tok[:20]!r}")
+        fields.append(int(tok))
     pos += 1  # single whitespace byte after maxval, then raster
     w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        raise ValueError(f"non-positive dimensions {w}x{h}")
     if not (0 < maxval < 256):
         raise ValueError(f"only 8-bit maxval supported, got {maxval}")
-    raster = b[pos : pos + 3 * w * h]
-    if len(raster) != 3 * w * h:
+    need = channels * w * h
+    raster = b[pos : pos + need]
+    if len(raster) != need:
         raise ValueError(
-            f"truncated raster: need {3 * w * h} bytes, got {len(raster)}"
+            f"truncated raster: need {need} bytes, got {len(raster)}"
         )
-    return w, h, maxval, raster
+    return channels, w, h, maxval, raster
 
 
 def decode_image(
@@ -236,11 +253,13 @@ def decode_image(
     on_error: str = "raise",
     to_gray: bool = True,
 ) -> DataFrame:
-    """REAL image decode for binary PPM (netpbm P6) payloads — pure
-    header+raster parsing, no codec library needed. Emits width,
-    height, maxval and the pixel array: grayscale ``(r+g+b)//3`` ints
-    by default (row-major, directly consumable by ``resize_pixels``),
-    or interleaved RGB with ``to_gray=False``.
+    """REAL image decode for binary netpbm payloads — P6 (RGB) and P5
+    (grayscale) — pure header+raster parsing, no codec library
+    needed. Emits width, height, maxval and the pixel array:
+    grayscale ints by default (``(r+g+b)//3`` for P6; P5 rasters are
+    already single-channel), row-major and directly consumable by
+    ``resize_pixels``; ``to_gray=False`` keeps P6 interleaved RGB
+    (P5 payloads are single-channel either way).
 
     Any other format needs pillow, which this container does not ship
     — import-gated so the API fails loudly naming the dependency.
@@ -271,7 +290,7 @@ def decode_image(
             out: dict[str, list] = {k: [] for k in _IMAGE_SCHEMA.names}
             for did, content in zip(pdf["doc_id"], pdf["content"]):
                 try:
-                    w, h, maxval, raster = _parse_ppm_p6(bytes(content))
+                    channels, w, h, maxval, raster = _parse_pnm(bytes(content))
                 except Exception as exc:
                     if on_error == "raise":
                         raise ValueError(
@@ -286,11 +305,12 @@ def decode_image(
                     continue
                 # Vectorized raster math (a 4k frame is ~25M bytes).
                 rgb = np.frombuffer(raster, dtype=np.uint8)
-                if to_gray:
+                if channels == 3 and to_gray:
                     px = (
                         rgb.reshape(-1, 3).astype(np.int32).sum(axis=1) // 3
                     ).tolist()
                 else:
+                    # P6 interleaved RGB, or P5 already-gray raster.
                     px = rgb.astype(np.int32).tolist()
                 out["doc_id"].append(did)
                 out["width"].append(w)

@@ -27,6 +27,7 @@ from pyspark.ml.feature import HashingTF, MinHashLSH
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from big_data_spark.lineage import truncate_lineage
 from big_data_spark.operators.ids import dense_ids
 
 DEFAULT_SEED = 20240807  # reference snapshot date; any fixed value works
@@ -167,9 +168,10 @@ def cluster_servers(
     # Truncate after id assignment: the LSH join chain above feeds the
     # relabeling joins, the merged-cluster second LSH pass, and every
     # downstream consumer — materialize it once.
-    servers_clustered = assign_cluster_ids(
-        servers_df.join(keys, on="server_name", how="left")
-    ).localCheckpoint(eager=True)
+    servers_clustered = truncate_lineage(
+        assign_cluster_ids(servers_df.join(keys, on="server_name", how="left")),
+        eager=True,
+    )
 
     # Relabel connection tokens "<server>_<In|Out>_<depth>" with the
     # server's cluster_id via explode -> broadcast join -> re-agg

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from big_data_spark.lineage import truncate_lineage
 
 
 def graphframes_available() -> bool:
@@ -88,17 +89,17 @@ def connected_components(
     # Materialize the edge list once: every iteration joins against it,
     # and without truncation each join would recompute the producer's
     # full lineage (LSH joins, upstream shuffles) per iteration.
-    sym = (
+    sym = truncate_lineage(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        eager=True,
     )
-    labels = (
+    labels = truncate_lineage(
         sym.select(F.col("a").alias("id"))
         .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("id")),
+        eager=True,
     )
     for _ in range(max_iterations):
         # 1-hop: adopt the minimum label among neighbors.
@@ -122,14 +123,15 @@ def connected_components(
         lab2 = one_hop.select(
             F.col("id").alias("_lid"), F.col("comp1").alias("_lcomp")
         )
-        updated = (
+        updated = truncate_lineage(
             one_hop.join(lab2, one_hop.comp1 == lab2._lid, "left")
             .select(
                 "id",
                 "prev_component",
                 F.least("comp1", F.coalesce("_lcomp", "comp1")).alias("component"),
-            )
-        ).localCheckpoint(eager=True)
+            ),
+            eager=True,
+        )
         n_changed = updated.filter(
             F.col("component") < F.col("prev_component")
         ).count()

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from big_data_spark.operators.components import connected_components
+from big_data_spark.lineage import truncate_lineage
 
 
 def dbscan_from_edges(
@@ -47,11 +48,11 @@ def dbscan_from_edges(
     # join chain, and sym feeds degree counting, core-core edges, AND
     # the iterative components loop — recomputing it per use would
     # multiply the whole upstream pipeline.
-    sym = (
+    sym = truncate_lineage(
         edges.select(F.col(id_a).alias("p"), F.col(id_b).alias("q"))
         .unionByName(edges.select(F.col(id_b).alias("p"), F.col(id_a).alias("q")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        eager=True,
     )
     degree = sym.groupBy("p").agg(F.count(F.lit(1)).alias("n_neighbors"))
     cores = degree.filter(F.col("n_neighbors") + 1 >= min_pts).select("p")

@@ -69,20 +69,43 @@ def hll_registers(
         df.select(*key_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*key_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
+        # Parameter provenance (post-agg literal): a register table
+        # read back with the wrong p silently mis-estimates; carrying
+        # p lets hll_estimate assert it.
+        .withColumn("p", F.lit(p))
     )
 
 
-def hll_merge(*register_tables: DataFrame) -> DataFrame:
+_RESERVED = ("bucket", "rho", "p")
+
+
+def hll_merge(
+    *register_tables: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
     """Exact merge of register tables (same key schema, same p):
     union + per-bucket max. Sketch(merge) == merge(sketches), so
-    partial sketches compose associatively across batches/streams."""
+    partial sketches compose associatively across batches/streams.
+
+    ``key_cols`` names the key columns explicitly; when omitted they
+    are inferred as every column outside the reserved sketch set
+    (fine unless a key legitimately uses a reserved name — pass
+    key_cols in that case). The p column stays in the grouping, so
+    tables built with different precisions never max-merge together —
+    they surface as separate p rows for hll_estimate's assertion."""
     if not register_tables:
         raise ValueError("nothing to merge")
     out = register_tables[0]
     for other in register_tables[1:]:
         out = out.unionByName(other)
-    keys = [c for c in out.columns if c not in ("bucket", "rho")]
-    return out.groupBy(*keys, "bucket").agg(F.max("rho").alias("rho"))
+    if key_cols is None:
+        key_cols = [c for c in out.columns if c not in _RESERVED]
+    params = ["p"] if "p" in out.columns else []
+    merged = out.groupBy(*key_cols, *params, "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    # Same column layout as hll_registers, so merge(sketches) is row-
+    # for-row comparable with sketch(union).
+    return merged.select(*key_cols, "bucket", "rho", *params)
 
 
 def hll_estimate(registers: DataFrame, key_cols: list[str], p: int = 12) -> DataFrame:
@@ -90,10 +113,26 @@ def hll_estimate(registers: DataFrame, key_cols: list[str], p: int = 12) -> Data
 
     Standard HLL estimator with the linear-counting small-range
     correction (E <= 2.5m and empty registers present). One tiny
-    aggregation — the raw data is long gone by this point.
+    aggregation — the raw data is long gone by this point. When the
+    register table carries its p column (hll_registers always emits
+    it), the caller's p is ASSERTED against it JVM-side — the query
+    fails loudly instead of silently mis-correcting.
     """
     m = 1 << p
     alpha = _alpha(m)
+    if "p" in registers.columns:
+        check = F.assert_true(
+            F.col("p") == F.lit(p),
+            F.format_string(
+                "hll_estimate(p=%s) over registers built with p=%s",
+                F.lit(str(p)),
+                F.col("p").cast("string"),
+            ),
+        )
+        # Folded into rho so column pruning cannot drop the assert.
+        registers = registers.select(
+            *key_cols, "bucket", F.when(check.isNull(), F.col("rho")).alias("rho")
+        )
     agg = registers.groupBy(*key_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_sum_pow"),
         F.count(F.lit(1)).alias("_nonzero"),

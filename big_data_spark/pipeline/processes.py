@@ -32,6 +32,7 @@ from pyspark.sql.types import (
 )
 
 from big_data_spark.functions.tree import logs_with_depth, process_encodings
+from big_data_spark.lineage import truncate_lineage
 from big_data_spark.operators.clustering import (
     DEFAULT_SEED,
     cluster_logs,
@@ -286,6 +287,7 @@ def similar_process_groups(
     edit_min_pts: int = 2,
     num_features: int = 512,
     seed: int = DEFAULT_SEED,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Part 2 (Src/processes.py:305-399): MinHash-LSH DBSCAN over
     element sets, then per-LSH-cluster edit-distance DBSCAN.
@@ -293,15 +295,25 @@ def similar_process_groups(
     Input: one row per equal-process group with group_processes_id,
     cluster_euler_string, cluster_elements.
     Returns (group_processes_id, minhash_cluster, ped_cluster, is_core).
+
+    ``edges`` overrides the ε-neighborhood graph: pass a precomputed
+    (id_a, id_b) pair DataFrame — e.g. an exact-Jaccard inverted-index
+    join — and the seeded MinHashLSH stage is skipped while everything
+    downstream (graph DBSCAN, per-cluster edit-distance DBSCAN) runs
+    unchanged. This is how the cross-engine driver row
+    (queries.relational.q_pipeline_part2_groups) makes the stage
+    oracle-checkable: ML MinHash signatures are not replayable in
+    ANSI SQL, but the exact neighborhood they approximate is.
     """
-    edges = similarity_edges(
-        groups_with_elements,
-        id_col="group_processes_id",
-        features_col="cluster_elements",
-        threshold=lsh_threshold,
-        num_features=num_features,
-        seed=seed,
-    )
+    if edges is None:
+        edges = similarity_edges(
+            groups_with_elements,
+            id_col="group_processes_id",
+            features_col="cluster_elements",
+            threshold=lsh_threshold,
+            num_features=num_features,
+            seed=seed,
+        )
     mh_labels = dbscan_from_edges(edges, min_pts=lsh_min_pts).select(
         F.col("point").alias("group_processes_id"),
         F.col("component").alias("minhash_cluster"),
@@ -326,15 +338,15 @@ def run_pipeline(
 
     ensure_executor_package(spark)
     with_depth = logs_with_depth(logs_df)
-    servers = server_connections(with_depth).localCheckpoint(eager=True)
+    servers = truncate_lineage(server_connections(with_depth), eager=True)
     servers_clustered, cluster_distances = cluster_servers(servers, seed=seed)
     # Cluster logs are reused by every downstream stage; truncate so
     # the relabel joins and depth windows run once.
-    clogs = cluster_logs(logs_df, servers_clustered).localCheckpoint(eager=True)
+    clogs = truncate_lineage(cluster_logs(logs_df, servers_clustered), eager=True)
     encodings = cluster_process_encodings(clogs)
     elements = process_elements(clogs)
-    processes = encodings.join(elements, on="process_id").localCheckpoint(eager=True)
-    groups = equal_process_groups(processes).localCheckpoint(eager=True)
+    processes = truncate_lineage(encodings.join(elements, on="process_id"), eager=True)
+    groups = truncate_lineage(equal_process_groups(processes), eager=True)
     part1_logs = grouped_logs(clogs, groups)
     part1_obs = observations_text(clogs, groups)
     groups_with_elements = groups.join(
@@ -345,9 +357,7 @@ def run_pipeline(
     # Lazy checkpoint: the LSH + components + edit-distance chain is
     # the most expensive stage; consumers probing then writing it
     # (e.g. the CLI) would otherwise run it twice.
-    part2 = similar_process_groups(groups_with_elements, seed=seed).localCheckpoint(
-        eager=False
-    )
+    part2 = truncate_lineage(similar_process_groups(groups_with_elements, seed=seed))
     return {
         "servers": servers_clustered,
         "cluster_distances": cluster_distances,

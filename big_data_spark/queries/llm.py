@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from big_data_spark.io.readers import parallelize_small_scan, read_table
+from big_data_spark.lineage import truncate_lineage
 from big_data_spark.session import ensure_executor_package
 
 # Shared tokenizer fragment (Spark) — keep in lockstep with _SQL_TOKENS.
@@ -370,8 +371,8 @@ def ngram_jaccard_pairs(
             F.explode("shingles").alias("shingle_str"),
         )
         .select("doc_id", "n_sh", F.xxhash64("shingle_str").alias("shingle"))
-        .localCheckpoint(eager=False)
     )
+    sh = truncate_lineage(sh)
     # Hot-shingle cap: the over-cap set is tiny (it's the stopword
     # grams), so it aggregates map-side and broadcasts into an
     # anti-join — no extra wide shuffle on the posting table.
@@ -462,8 +463,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shingle arrays + signatures are rebuilt by every consumer below
     # (two join sides + verify) and higher-order funcs are codegen
     # fallback, so materialize once: ~#docs rows of small arrays.
-    docs_sh = docs.select("doc_id", _shingles().alias("shingles")).localCheckpoint(
-        eager=False
+    docs_sh = truncate_lineage(
+        docs.select("doc_id", _shingles().alias("shingles"))
     )
 
     # NB: closure factory, not a default-arg lambda — PySpark counts a
@@ -496,7 +497,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    bands = bands.localCheckpoint(eager=False)
+    bands = truncate_lineage(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -905,7 +906,8 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             band_bucket(lo, hi).alias(f"band{bi}")
             for bi, (lo, hi) in enumerate(HYPERPLANE_BANDS)
         ],
-    ).localCheckpoint(eager=False)
+    )
+    vec = truncate_lineage(vec)
     bands = vec.select(
         "vec_id",
         "embedding",
@@ -1306,9 +1308,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram dedup, but the join is benchmark x train (one small side),
     so at 100 TB the benchmark postings broadcast."""
     docs = _docs(spark, sf_dir)
-    docs_sh = docs.select(
-        "doc_id", "source", _shingles().alias("shingles")
-    ).localCheckpoint(eager=False)
+    docs_sh = truncate_lineage(
+        docs.select("doc_id", "source", _shingles().alias("shingles"))
+    )
     sh = docs_sh.select(
         "doc_id", "source", F.explode("shingles").alias("shingle_str")
     ).select("doc_id", "source", F.xxhash64("shingle_str").alias("shingle"))

@@ -1314,9 +1314,217 @@ ORDER BY euler_string
 """
 
 
+def q_pipeline_part2_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity driver row for the part-2 SIMILAR-process
+    grouping (reference: Src/processes.py:305-399) — the last pipeline
+    lifecycle stage without an independent-engine check until now.
+
+    Runs the REAL pipeline functions end-to-end: process_elements +
+    equal_process_groups (pipeline.processes) feed the REAL
+    similar_process_groups — graph DBSCAN over a similarity ε-graph
+    (operators.dbscan over operators.components), then the REAL
+    applyInPandas edit-distance DBSCAN kernel per cluster. Only the
+    ε-graph construction is swapped (the ``edges`` override): seeded
+    ML MinHash signatures cannot be replayed in ANSI SQL, so the row
+    uses the exact Jaccard neighborhood that MinHashLSH approximates,
+    built as an inverted-index join (explode elements, join on
+    element, count — never all-pairs). Thresholds are integer
+    arithmetic in both engines (5*common > 2*union, i.e. sim > 0.4;
+    levenshtein < 2) so no float boundary can disagree.
+
+    Cross-engine determinism tricks:
+    - states are the event_type's first letter, so euler tokens are
+      '1c'/'0v'-style pairs; the oracle compresses each token to ONE
+      char (Request -> upper, Response -> lower — injective since the
+      event types start with distinct lowercase letters), making
+      DuckDB's char-level levenshtein equal the kernel's token-level
+      edit distance;
+    - group ids are min(member user_id) — replayable, unlike the
+      pipeline's partition-parallel dense ids (certified in pytest);
+    - edit_min_pts=3 so the core/border/noise branches of the DBSCAN
+      kernel are all exercised, not just component labeling.
+
+    Scale: the element inverted index is the dedup_ngram posting
+    pattern (shuffle ~ posting-list squares, bounded by element
+    cardinality); everything after runs on group-grain rows (orders
+    of magnitude fewer than logs).
+    """
+    from big_data_spark.pipeline.processes import (
+        equal_process_groups,
+        process_elements,
+        similar_process_groups,
+    )
+    from big_data_spark.functions.tree import process_encodings
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    clogs = (
+        events.withColumn("time", F.row_number().over(w))
+        .filter(F.col("time") <= 4)
+        .select(
+            F.concat(F.lit("p"), F.col("user_id").cast("string")).alias(
+                "process_id"
+            ),
+            "time",
+            F.when(F.col("time") % 2 == 1, F.lit("Request"))
+            .otherwise(F.lit("Response"))
+            .alias("action"),
+            F.lower(F.substring("event_type", 1, 1)).alias("cluster_from"),
+            F.lower(F.substring("event_type", 1, 1)).alias("cluster_to"),
+        )
+    )
+    encodings = process_encodings(
+        clogs.select(
+            "process_id",
+            "time",
+            "action",
+            F.col("cluster_from").alias("state_from"),
+            F.col("cluster_to").alias("state_to"),
+        )
+    ).withColumnRenamed("euler_string", "cluster_euler_string")
+    elements = process_elements(clogs)
+    groups = equal_process_groups(encodings)
+    # Replayable group id: min numeric member id; the representative
+    # member (same id) carries the group's element set — any member
+    # would do, identical euler string implies identical elements.
+    with_gid = groups.select(
+        "cluster_euler_string",
+        F.array_min(
+            F.transform(
+                "equal_processes",
+                lambda m: F.substring(m, 2, 18).cast("long"),
+            )
+        ).alias("group_processes_id"),
+    ).withColumn(
+        "rep_pid",
+        F.concat(F.lit("p"), F.col("group_processes_id").cast("string")),
+    )
+    gwe = (
+        with_gid.join(
+            elements.withColumnRenamed("process_id", "rep_pid"), on="rep_pid"
+        )
+        .select("group_processes_id", "cluster_euler_string", "cluster_elements")
+    )
+    # Exact Jaccard ε-graph via inverted index (id_a < id_b once).
+    ex = gwe.select(
+        "group_processes_id", F.explode("cluster_elements").alias("element")
+    )
+    sizes = gwe.select(
+        F.col("group_processes_id").alias("gid"),
+        F.size("cluster_elements").alias("n_el"),
+    )
+    common = (
+        ex.select(F.col("group_processes_id").alias("id_a"), "element")
+        .join(
+            ex.select(F.col("group_processes_id").alias("id_b"), "element"),
+            on="element",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    edges = (
+        common.join(sizes.withColumnRenamed("gid", "id_a"), on="id_a")
+        .withColumnRenamed("n_el", "n_a")
+        .join(sizes.withColumnRenamed("gid", "id_b"), on="id_b")
+        .withColumnRenamed("n_el", "n_b")
+        .filter(
+            F.lit(5) * F.col("n_common")
+            > F.lit(2) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select("id_a", "id_b")
+    )
+    part2 = similar_process_groups(
+        gwe, lsh_min_pts=2, edit_epsilon=2, edit_min_pts=3, edges=edges
+    )
+    return part2.select(
+        "group_processes_id", "minhash_cluster", "ped_cluster", "is_core"
+    ).orderBy("group_processes_id")
+
+
+ORACLE_PIPELINE_PART2 = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, lower(substr(event_type, 1, 1)) AS st,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), logs AS (
+  SELECT user_id, rn, st,
+         CASE WHEN rn % 2 = 1 THEN 'Request' ELSE 'Response' END AS action
+  FROM ordered WHERE rn <= 4
+), enc AS (
+  -- euler string with each '1'||st / '0'||st token compressed to one
+  -- char (Request -> upper, Response -> lower): char-level levenshtein
+  -- on this equals the kernel's token-level edit distance.
+  SELECT user_id,
+         string_agg(CASE WHEN action = 'Request' THEN upper(st) ELSE st END,
+                    '' ORDER BY rn) AS ce
+  FROM logs GROUP BY user_id
+), elems AS (
+  SELECT user_id, st, st || ':' || string_agg(st, ',' ORDER BY rn) AS element
+  FROM logs WHERE action = 'Request' GROUP BY user_id, st
+), pelems AS (
+  SELECT user_id, list_sort(list(element)) AS elements FROM elems GROUP BY user_id
+), grp AS (
+  SELECT ce, CAST(MIN(user_id) AS BIGINT) AS gid FROM enc GROUP BY ce
+), gwe AS (
+  SELECT g.gid, g.ce, p.elements FROM grp g JOIN pelems p ON p.user_id = g.gid
+), pairs AS (
+  SELECT a.gid AS ga, b.gid AS gb
+  FROM gwe a JOIN gwe b ON a.gid < b.gid
+  WHERE 5 * len(list_intersect(a.elements, b.elements))
+        > 2 * len(list_distinct(a.elements || b.elements))
+), sym AS (
+  SELECT ga AS p, gb AS q FROM pairs UNION ALL SELECT gb, ga FROM pairs
+), cc AS (
+  SELECT p AS node, p AS lbl FROM (SELECT DISTINCT p FROM sym)
+  UNION
+  SELECT s.q, c.lbl FROM cc c JOIN sym s ON s.p = c.node
+), mh AS (
+  SELECT node AS gid, MIN(lbl) AS mc FROM cc GROUP BY node
+), epairs AS (
+  SELECT m1.mc, m1.gid AS ga, m2.gid AS gb
+  FROM mh m1 JOIN mh m2 ON m1.mc = m2.mc AND m1.gid < m2.gid
+  JOIN gwe a ON a.gid = m1.gid JOIN gwe b ON b.gid = m2.gid
+  WHERE levenshtein(a.ce, b.ce) < 2
+), esym AS (
+  SELECT mc, ga AS p, gb AS q FROM epairs
+  UNION ALL SELECT mc, gb, ga FROM epairs
+), cores AS (
+  SELECT mc, p FROM (SELECT mc, p, COUNT(*) AS nn FROM esym GROUP BY mc, p)
+  WHERE nn + 1 >= 3
+), coreedges AS (
+  SELECT e.mc, e.p, e.q FROM esym e
+  JOIN cores c1 ON c1.mc = e.mc AND c1.p = e.p
+  JOIN cores c2 ON c2.mc = e.mc AND c2.p = e.q
+), ecc AS (
+  SELECT mc, p AS node, p AS lbl FROM cores
+  UNION
+  SELECT ce.mc, ce.q, c.lbl FROM ecc c
+  JOIN coreedges ce ON ce.mc = c.mc AND ce.p = c.node
+), elab AS (
+  SELECT mc, node, MIN(lbl) AS comp FROM ecc GROUP BY mc, node
+), corerows AS (
+  SELECT c.mc, c.p AS gid, l.comp AS ped, 'core' AS is_core
+  FROM cores c JOIN elab l ON l.mc = c.mc AND l.node = c.p
+), borderrows AS (
+  SELECT e.mc, e.p AS gid, MIN(l.comp) AS ped, 'border' AS is_core
+  FROM esym e
+  JOIN cores cq ON cq.mc = e.mc AND cq.p = e.q
+  JOIN elab l ON l.mc = e.mc AND l.node = e.q
+  WHERE NOT EXISTS (SELECT 1 FROM cores cp WHERE cp.mc = e.mc AND cp.p = e.p)
+  GROUP BY e.mc, e.p
+)
+SELECT gid AS group_processes_id, mc AS minhash_cluster,
+       ped AS ped_cluster, is_core
+FROM (SELECT * FROM corerows UNION ALL SELECT * FROM borderrows)
+ORDER BY group_processes_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "pipeline_part1_groups": q_pipeline_part1_groups,
+    "pipeline_part2_groups": q_pipeline_part2_groups,
     "distinct_counts": q_distinct_counts,
     "agg_collect_sorted": q_agg_collect_sorted,
     "first_min_by": q_first_min_by,
@@ -1355,6 +1563,7 @@ QUERIES = {
 ORACLE_SQL = {
     "pricing_summary": ORACLE_PRICING,
     "pipeline_part1_groups": ORACLE_PIPELINE_PART1,
+    "pipeline_part2_groups": ORACLE_PIPELINE_PART2,
     "distinct_counts": ORACLE_DISTINCT,
     "agg_collect_sorted": ORACLE_COLLECT,
     "first_min_by": ORACLE_FIRST,

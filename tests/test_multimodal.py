@@ -131,6 +131,47 @@ def test_decode_image_real_ppm(spark):
     assert small.pixels == [gray[0], gray[2], gray[8], gray[10]]
 
 
+def _pgm_bytes(w: int, h: int, gray: list[int]) -> bytes:
+    header = f"P5\n# gray fixture\n{w} {h}\n255\n".encode()
+    return header + bytes(gray)
+
+
+def test_decode_image_p5_grayscale(spark):
+    """P5 (grayscale netpbm): the raster is already single-channel —
+    decode passes it through in both gray and raw modes, and the
+    result composes with the JVM resize exactly like P6."""
+    from big_data_spark.multimodal import resize_pixels
+
+    gray = list(range(0, 160, 10))  # 4x4
+    media = spark.createDataFrame(
+        [(7, "pgm", _pgm_bytes(4, 4, gray), {"media_type": "image/x-portable-graymap"})],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    row = decode_image(media).first()
+    assert (row.width, row.height, row.maxval) == (4, 4, 255)
+    assert row.pixels == gray
+    assert row.decode_error is None
+    assert decode_image(media, to_gray=False).first().pixels == gray
+    small = resize_pixels(decode_image(media), 4, 4, 2, 2).first()
+    assert small.pixels == [gray[0], gray[2], gray[8], gray[10]]
+
+
+def test_decode_image_rejects_bogus_headers(spark):
+    """Signed/underscored header ints are NOT tolerated: '-2 -2 255'
+    yields a positive 3*w*h raster size, so without validation a bogus
+    payload would 'decode' with negative dimensions and quarantine
+    mode would mark it clean."""
+    evil = b"P6\n-2 -2\n255\n" + bytes(12)
+    sneaky = b"P6\n1_0 1\n255\n" + bytes(30)
+    media = spark.createDataFrame(
+        [(1, "evil", evil, None), (2, "sneaky", sneaky, None)],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    rows = {r.doc_id: r for r in decode_image(media, on_error="quarantine").collect()}
+    assert rows[1].pixels is None and "non-numeric" in rows[1].decode_error
+    assert rows[2].pixels is None and "non-numeric" in rows[2].decode_error
+
+
 def test_decode_image_quarantine_and_raise(spark):
     media = spark.createDataFrame(
         [

@@ -142,6 +142,133 @@ def test_cms_merge_equals_direct_sketch(spark):
     )
 
 
+def test_cms_lookup_ignores_null_items(spark):
+    """A NULL probe item must not return a spurious positive count:
+    cms_sketch never counted NULLs, so cms_lookup drops them too
+    (they would otherwise hash to seed-derived buckets)."""
+    from big_data_spark.operators.cms import cms_lookup, cms_sketch
+
+    rows = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", None)], "k string, item string"
+    )
+    sketch = cms_sketch(rows, ["k"], "item", d=2, w=64)
+    got = cms_lookup(sketch, rows, ["k"], "item", d=2, w=64).collect()
+    assert {(r.k, r.item, r.approx_count) for r in got} == {("a", "x", 2)}
+
+
+def test_sketch_merge_explicit_key_cols(spark):
+    """A key column named like a reserved sketch column would poison
+    name-based inference; the explicit key_cols parameter bypasses it."""
+    from big_data_spark.operators.cms import cms_merge, cms_sketch
+    from big_data_spark.operators.hll import hll_merge, hll_registers
+
+    rows = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x")], "k string, item string"
+    )
+    direct_cms = cms_sketch(rows, ["k"], "item", d=2, w=64)
+    merged_cms = cms_merge(
+        cms_sketch(rows.filter("item = 'x'"), ["k"], "item", d=2, w=64),
+        cms_sketch(rows.filter("item <> 'x'"), ["k"], "item", d=2, w=64),
+        key_cols=["k"],
+    )
+    assert sorted(map(tuple, direct_cms.collect())) == sorted(
+        map(tuple, merged_cms.collect())
+    )
+    direct_hll = hll_registers(rows, ["k"], "item")
+    merged_hll = hll_merge(
+        hll_registers(rows.filter("item = 'x'"), ["k"], "item"),
+        hll_registers(rows.filter("item <> 'x'"), ["k"], "item"),
+        key_cols=["k"],
+    )
+    assert sorted(map(tuple, direct_hll.collect())) == sorted(
+        map(tuple, merged_hll.collect())
+    )
+
+
+def test_sketch_param_mismatch_fails_loudly(spark):
+    """Probing/estimating with (d, w)/p different from the sketch's
+    silently inverts the error guarantees — the embedded parameter
+    columns make it an assertion failure instead."""
+    import pytest
+
+    from big_data_spark.operators.cms import cms_lookup, cms_sketch
+    from big_data_spark.operators.hll import hll_estimate, hll_registers
+
+    rows = spark.createDataFrame([("a", "x")], "k string, item string")
+    sketch = cms_sketch(rows, ["k"], "item", d=4, w=1024)
+    with pytest.raises(Exception, match="undercount|ASSERT"):
+        cms_lookup(sketch, rows, ["k"], "item", d=4, w=512).collect()
+    regs = hll_registers(rows, ["k"], "item", p=12)
+    with pytest.raises(Exception, match="registers built with|ASSERT"):
+        hll_estimate(regs, ["k"], p=10).collect()
+
+
+def test_cms_sketch_over_a_stream(spark):
+    """CMS twin of the HLL streaming test: the sketch build is a plain
+    count-aggregation, so it runs unchanged as a streaming stateful
+    aggregate — the sketch of a fully-drained stream equals the batch
+    sketch exactly."""
+    from big_data_spark.operators.cms import cms_sketch
+    from big_data_spark.streaming import read_events_stream, run_stream_to_table
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    streamed = run_stream_to_table(
+        cms_sketch(stream, ["event_type"], "user_id", d=2, w=256),
+        "cms_stream_sketch",
+        output_mode="complete",
+    )
+    batch = cms_sketch(
+        read_table(spark, SF_SMOKE, "events"), ["event_type"], "user_id", d=2, w=256
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_sketch_parquet_roundtrip_rollup(spark, tmp_path):
+    """The 'daily sketches roll up to monthly without raw data' claim,
+    end to end: persist per-part sketches to parquet, read them back,
+    merge, and check the merged estimates against sketching the whole
+    corpus directly — byte-identical registers/counters both ways."""
+    from big_data_spark.operators.cms import cms_merge, cms_sketch
+    from big_data_spark.operators.hll import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    tokens = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    parts = [tokens.filter(F.col("tok") < "m"), tokens.filter(F.col("tok") >= "m")]
+    for i, part in enumerate(parts):
+        hll_registers(part, ["source"], "tok").write.mode("overwrite").parquet(
+            str(tmp_path / f"hll_{i}")
+        )
+        cms_sketch(part, ["source"], "tok").write.mode("overwrite").parquet(
+            str(tmp_path / f"cms_{i}")
+        )
+    hll_back = hll_merge(
+        *[spark.read.parquet(str(tmp_path / f"hll_{i}")) for i in range(2)]
+    )
+    cms_back = cms_merge(
+        *[spark.read.parquet(str(tmp_path / f"cms_{i}")) for i in range(2)]
+    )
+    assert sorted(map(tuple, hll_back.collect())) == sorted(
+        map(tuple, hll_registers(tokens, ["source"], "tok").collect())
+    )
+    assert sorted(map(tuple, cms_back.collect())) == sorted(
+        map(tuple, cms_sketch(tokens, ["source"], "tok").collect())
+    )
+    est = hll_estimate(hll_back, ["source"])
+    direct_est = hll_estimate(hll_registers(tokens, ["source"], "tok"), ["source"])
+    assert sorted(map(tuple, est.collect())) == sorted(
+        map(tuple, direct_est.collect())
+    )
+
+
 def test_approx_percentile_brackets_exact(spark):
     li = read_table(spark, SF_SMOKE, "lineitem")
     row = li.agg(
