@@ -111,6 +111,12 @@ def main() -> None:
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
+                # GC settle (untimed): the previous query's garbage
+                # otherwise bills THIS query's median — measured +0.3 s
+                # on media_frame_sample right after a heavy shuffle
+                # query (PERF.md round-5 noise study).
+                spark._jvm.System.gc()
+                time.sleep(0.2)
                 for _ in range(repeats):
                     start = time.perf_counter()
                     df = QUERIES[name](spark, sf_dir)
