@@ -17,11 +17,13 @@ hyperplane LSH (no training step).
 from __future__ import annotations
 
 import math
+from typing import TYPE_CHECKING
 
-from pyspark.ml.clustering import KMeans, KMeansModel
-from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pyspark.ml is import-heavy (~seconds); only the
+    from pyspark.ml.clustering import KMeansModel  # trainer needs it.
 
 
 def ivf_build(
@@ -30,12 +32,15 @@ def ivf_build(
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 7,
-) -> tuple[DataFrame, KMeansModel]:
+) -> "tuple[DataFrame, KMeansModel]":
     """Assign every vector to its nearest KMeans cell.
 
     Returns (assigned, model): assigned has (id, vector, cell);
     persist/write it partitioned by cell for repeated searches.
     """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     feat = emb_df.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
     )
@@ -56,33 +61,58 @@ def _dot_expr(a, b):
     )
 
 
+def _dlit(x: float) -> str:
+    # CAST('<repr>' AS DOUBLE): repr round-trips the exact double and
+    # the cast constant-folds; a bare SQL decimal literal would parse
+    # as DECIMAL and change the arithmetic type.
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def ivf_dists_expr(
+    centroids: list[list[float]], vec_col: str = "embedding"
+) -> F.Column:
+    """Array of squared-L2 distances to each FROZEN centroid literal.
+
+    Pure double arithmetic in index order (zip_with fold per
+    centroid), so an ANSI oracle evaluating the same fold gets
+    identical distances — this is what makes a trained IVF index
+    oracle-checkable. Built as ONE SQL string: the unrolled
+    n_cells x dim literal tree is ~1000 expression nodes, and
+    constructing it Column-by-Column costs seconds of py4j per query
+    build (measured: ~6 s for 16x64 at construction time) versus one
+    JVM-side parse. At scale this is a narrow projection over the
+    corpus; the centroid literals are plan constants (the moral
+    equivalent of a broadcast)."""
+
+    def sq_dist(c: list[float]) -> str:
+        cl = "array(" + ", ".join(_dlit(x) for x in c) + ")"
+        return (
+            f"aggregate(zip_with({vec_col}, {cl}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    return F.expr("array(" + ",\n".join(sq_dist(c) for c in centroids) + ")")
+
+
+def ivf_cell_from_dists(dists_col: str = "dists") -> F.Column:
+    """First-minimum cell index from a materialized distance array —
+    use with ivf_dists_expr in a PRIOR projection so the big centroid
+    tree is evaluated once (array_position + array_min reference the
+    distances twice; inlining would duplicate the whole fold)."""
+    d = F.col(dists_col)
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
 def ivf_cell_expr(
     centroids: list[list[float]], vec_col: str = "embedding"
 ) -> F.Column:
-    """Cell assignment against FROZEN centroid literals: index of the
-    first-minimum squared-L2 distance.
-
-    Pure double arithmetic in index order (zip_with fold per centroid,
-    array_position of array_min), so an ANSI oracle evaluating the
-    same fold gets the identical cell — this is what makes a trained
-    IVF index oracle-checkable.  At scale this is a narrow projection
-    over the corpus; the centroid literals are plan constants (the
-    moral equivalent of a broadcast).
-    """
-
-    def sq_dist(c: list[float]) -> F.Column:
-        c_lit = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                c_lit,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    dists = F.array(*[sq_dist(c) for c in centroids])
+    """Single-expression cell assignment (index of the first-minimum
+    squared-L2 distance). Convenient where one Column is needed;
+    prefer ivf_dists_expr + ivf_cell_from_dists across two
+    projections in hot paths — this form references the distance
+    array twice, duplicating the centroid fold in codegen."""
+    dists = ivf_dists_expr(centroids, vec_col)
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 

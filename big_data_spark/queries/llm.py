@@ -1049,25 +1049,43 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     by an ANSI oracle.  Scale: assignment is one narrow pass, the
     probe filter prunes 12/16 of the corpus before any scoring, and
     nothing shuffles — filter + project + top-k."""
-    from big_data_spark.operators.ann import ivf_cell_expr, ivf_probe_cells
+    from big_data_spark.operators.ann import (
+        _dlit,
+        ivf_cell_from_dists,
+        ivf_dists_expr,
+        ivf_probe_cells,
+    )
     from big_data_spark.operators.ivf_centroids import IVF_CENTROIDS
 
     query = _ivf_query_vector()
     probe = ivf_probe_cells(IVF_CENTROIDS, query, IVF_N_PROBE)
-    q_lit = F.array(*[F.lit(float(x)) for x in query])
     emb = _emb(spark, sf_dir)
+    # Two projections: the 16x64-literal distance fold materializes
+    # ONCE as a 16-double array; the argmin then reads the array
+    # instead of inlining (and codegen-duplicating) the whole fold.
     assigned = emb.select(
-        "vec_id",
-        "embedding",
-        ivf_cell_expr(IVF_CENTROIDS).alias("cell"),
+        "vec_id", "embedding", ivf_dists_expr(IVF_CENTROIDS).alias("dists")
+    ).select(
+        "vec_id", "embedding", ivf_cell_from_dists("dists").alias("cell")
+    )
+    # Cosine against the query literal, built as one SQL string (the
+    # Column-by-Column form costs ~1 s of py4j per construction).
+    q_sql = "array(" + ", ".join(_dlit(x) for x in query) + ")"
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    cos = (
+        f"round(({dot('embedding', q_sql)}) / "
+        f"(sqrt({dot('embedding', 'embedding')}) * sqrt({dot(q_sql, q_sql)})), 6)"
     )
     return (
         assigned.filter(F.col("cell").isin(*[int(p) for p in probe]))
-        .select(
-            "vec_id",
-            "cell",
-            F.round(_cosine(F.col("embedding"), q_lit), 6).alias("cosine"),
-        )
+        .selectExpr("vec_id", "cell", f"{cos} AS cosine")
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(IVF_K)
     )
@@ -1084,26 +1102,30 @@ def _sql_ann_ivf() -> str:
         return "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in xs) + "]"
 
     def sq_dist(c: list[float]) -> str:
-        # Bind the per-element difference once (inner transform), then
-        # square in a second transform — one centroid-literal
-        # occurrence and one subtraction per element, and d * d stays
-        # an IEEE multiply exactly like Spark's (x-y)*(x-y) fold.
+        # list_zip pairs the (pre-cast) embedding with the centroid
+        # literal positionally, so the summation path is the same
+        # index-order double fold as Spark's zip_with aggregate —
+        # verified bit-identical to the older generate_series-indexed
+        # form, which was ~50x slower in DuckDB (per-centroid
+        # generate_series materialization per row made the sf0.01
+        # driver-gate row take 31 s).
         cl = lit_list(c)
         return (
-            "list_sum(list_transform("
-            "list_transform(generate_series(1, len(embedding)), "
-            f"i -> CAST(embedding[i] AS DOUBLE) - ({cl})[i]), "
-            "d -> d * d))"
+            f"list_sum(list_transform(list_zip(ed, {cl}), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2])))"
         )
 
     dists = ",\n           ".join(f"({sq_dist(c)})" for c in IVF_CENTROIDS)
     probe_list = ", ".join(str(int(p)) for p in probe)
     q = lit_list(query)
     return f"""
-WITH assigned AS (
+WITH e2 AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS ed
+  FROM embeddings
+), assigned AS MATERIALIZED (
   SELECT vec_id, embedding,
          [{dists}] AS dists
-  FROM embeddings
+  FROM e2
 ), cells AS (
   SELECT vec_id, embedding,
          CAST(list_indexof(dists, list_min(dists)) - 1 AS INTEGER) AS cell
