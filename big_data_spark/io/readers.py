@@ -134,6 +134,10 @@ def read_logs_json(
     return df.filter(clean).drop(_CORRUPT)
 
 
+# (session id, sf_dir, table) -> analyzed DataFrame; see read_table.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata parquet table (TESTDATA.md).
 
@@ -150,15 +154,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     UTC wall clock; any caller rendering timestamps in a local zone
     on the same session will see that change. Use a dedicated session
     if you need a non-UTC display zone alongside these readers.
+
+    The analyzed DataFrame is memoized per (session, sf_dir, name):
+    ``spark.read.parquet`` costs ~75 ms of file listing + footer
+    schema read EVERY call, and a multi-table query re-pays it per
+    table per construction. DataFrames are immutable so reuse is
+    safe; the cached entry holds its session ref, so a session's
+    id() cannot be recycled while its entries live. (The conf pins
+    above still run on every call — they are the documented side
+    effect, and a caller may have changed them in between.)
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The engine's timestamp arithmetic (and its DuckDB oracle parity)
     # assumes UTC wall clocks; pin it for caller-provided sessions too.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     assert_testdata_schema(name, df.schema)
     if name == "events":
         df = normalize_event_ts(df)
+    _TABLE_CACHE[key] = df
     return df
 
 
