@@ -48,6 +48,12 @@ _PYTEST_ONLY = (
     # no independent-engine check), ann_ivf (frozen-centroid IVF),
     # token_counts (BPE-ish token counting) — all formerly pytest-only
     # or row-less.
+    # Round-5 additions rotation: quality_gopher (repetition filter)
+    # and dedup_semantic (SemDeDup) take driver slots — they are new
+    # first-class LLM-pipeline operators; swapped OUT two rows whose
+    # §2 lines keep other driver coverage:
+    "pivot_status",  # rollup/pivot/percentiles family keeps rollup_revenue + percentiles
+    "shipping_priority",  # J1 keeps join_multiway; A-family keeps pricing_summary etc.
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

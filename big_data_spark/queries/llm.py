@@ -1412,6 +1412,245 @@ FROM tok GROUP BY lang ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------
+# Gopher-style repetition quality filter (bigram repetition metrics)
+# --------------------------------------------------------------------
+
+# Calibrated on the corpus: ~7% of docs exceed the top-bigram cut,
+# ~6% the duplicate-bigram cut — a realistic filter mix, same spirit
+# as the published Gopher repetition rules (top n-gram fraction /
+# duplicate n-gram fraction over n-gram INSTANCES).
+GOPHER_TOP_BIGRAM_MAX = 0.08
+GOPHER_DUP_BIGRAM_MAX = 0.15
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per doc, the fraction of
+    bigram instances taken by the single most frequent bigram
+    (top_bigram_frac) and by all bigrams occurring more than once
+    (dup_bigram_frac), bucketed against fixed cuts.
+
+    ZERO-shuffle plan: bigrams are built with zip_with over two
+    slices of the token array, then counted by a sorted-run fold
+    (array_sort + aggregate with a (prev, run, top, dup) struct
+    accumulator) — max run length in the sorted array IS the top
+    bigram count, and runs longer than 1 sum to the duplicate
+    instance count. One narrow projection per doc; at 100 TB this is
+    a pure map pass over the scan with nothing exchanged (vs the
+    explode + two-shuffle groupBy shape, which pays sum(doc_len)
+    shuffle rows for the same integers). Complements text_quality
+    (type-token / stopword cuts) with the repetition dimension."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", _tokens().alias("t")).where(F.size("t") >= 2)
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("top"),
+        F.lit(0).alias("dup"),
+    )
+
+    def _step(acc, x):
+        same = acc["prev"] == x
+        run2 = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        # Closing a run (bigram changed): runs of length > 1 are all
+        # duplicate instances.
+        dup2 = F.when(same, acc["dup"]).otherwise(
+            acc["dup"] + F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["top"], run2).alias("top"),
+            dup2.alias("dup"),
+        )
+
+    def _finish(acc):
+        # Flush the final run.
+        return F.struct(
+            acc["top"].alias("top"),
+            (
+                acc["dup"]
+                + F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0))
+            ).alias("dup"),
+        )
+
+    per = base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (n - 1).alias("total"),
+        F.aggregate(F.array_sort(bigrams), acc0, _step, _finish).alias("s"),
+    )
+    topf = F.round(F.col("s.top") / F.col("total"), 6)
+    dupf = F.round(F.col("s.dup") / F.col("total"), 6)
+    bucket = (
+        F.when(topf > GOPHER_TOP_BIGRAM_MAX, "rep_top_bigram")
+        .when(dupf > GOPHER_DUP_BIGRAM_MAX, "rep_dup_bigram")
+        .otherwise("keep")
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        topf.alias("top_bigram_frac"),
+        dupf.alias("dup_bigram_frac"),
+        bucket.alias("gopher_bucket"),
+    ).orderBy("doc_id")
+
+
+# The oracle counts the same integers the long way (unnest + GROUP
+# BY): max per-bigram count == max sorted-run length, sum of counts
+# > 1 == sum of runs > 1. Different algorithm, same exact integers —
+# which is the point of the cross-engine check.
+ORACLE_QUALITY_GOPHER = f"""
+WITH base AS (
+  SELECT doc_id, t, len(t) AS n_tokens FROM (
+    SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+  ) WHERE len(t) >= 2
+), big AS (
+  SELECT doc_id, n_tokens,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM base
+), cnts AS (
+  SELECT doc_id, n_tokens, bg, COUNT(*) AS c FROM big GROUP BY doc_id, n_tokens, bg
+), per AS (
+  SELECT doc_id, n_tokens, SUM(c) AS total, MAX(c) AS top,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM cnts GROUP BY doc_id, n_tokens
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       round(CAST(top AS DOUBLE) / total, 6) AS top_bigram_frac,
+       round(CAST(dup AS DOUBLE) / total, 6) AS dup_bigram_frac,
+       CASE WHEN round(CAST(top AS DOUBLE) / total, 6) > {GOPHER_TOP_BIGRAM_MAX}
+              THEN 'rep_top_bigram'
+            WHEN round(CAST(dup AS DOUBLE) / total, 6) > {GOPHER_DUP_BIGRAM_MAX}
+              THEN 'rep_dup_bigram'
+            ELSE 'keep' END AS gopher_bucket
+FROM per ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape: cluster-blocked embedding near-dups)
+# --------------------------------------------------------------------
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: block by LEARNED cluster (the
+    frozen IVF coarse quantizer — no ground-truth label, unlike
+    embedding_neardup's generator-label blocking), compare pairwise
+    within each cell, and DROP every vector that has any lower-id
+    cell-mate with cosine >= NEARDUP_COSINE (keep-min-id, the same
+    greedy rule as dedup_exact). Output is the prune list: one row
+    per dropped vector with its cell, how many earlier near-dup
+    neighbors it had, and the strongest of them.
+
+    Plan: (1) frozen-centroid cell assignment — one narrow pass,
+    lineage-truncated because three consumers read it; (2) the
+    label-free reuse of the neardup BLAS block kernel, grouped by
+    cell (O(sum cell^2) vectorized candidates, threshold - margin);
+    (3) exact JVM re-score of the tiny candidate set so the emitted
+    cosines and the >= cut match the oracle bit-for-bit; (4) one
+    groupBy over the dropped ids. At 100 TB the contract is the IVF
+    one: a cell fits executor memory; skewed cells split via AQE.
+    This is the production semantic-dedup shape — the quantizer is
+    trained once on a sample (operators.ann.ivf_build), shipped as
+    literals/broadcast, and the corpus-wide pass is cell-local."""
+    from big_data_spark.operators.ann import (
+        ivf_cell_from_dists,
+        ivf_dists_expr,
+    )
+    from big_data_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    ensure_executor_package(spark)
+    emb = _emb(spark, sf_dir)
+    assigned = truncate_lineage(
+        emb.select(
+            "vec_id", "embedding", ivf_dists_expr(IVF_CENTROIDS).alias("dists")
+        ).select(
+            "vec_id", "embedding", ivf_cell_from_dists("dists").alias("cell")
+        )
+    )
+    candidates = assigned.groupBy("cell").applyInPandas(
+        _pair_block_kernel, "id_a bigint, id_b bigint"
+    )
+    va = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    vb = assigned.select(
+        F.col("vec_id").alias("id_b"), "cell", F.col("embedding").alias("emb_b")
+    )
+    cosine = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (
+            F.sqrt(_dot(F.col("emb_a"), F.col("emb_a")))
+            * F.sqrt(_dot(F.col("emb_b"), F.col("emb_b")))
+        ),
+        6,
+    )
+    pairs = (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_b", "cell", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+    )
+    return (
+        pairs.groupBy("id_b", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .select(
+            F.col("id_b").alias("vec_id"), "cell", "n_dups", "max_cosine"
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sql_dedup_semantic() -> str:
+    from big_data_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    def lit_list(xs: list[float]) -> str:
+        return "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in xs) + "]"
+
+    def sq_dist(c: list[float]) -> str:
+        cl = lit_list(c)
+        return (
+            f"list_sum(list_transform(list_zip(ed, {cl}), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2])))"
+        )
+
+    dists = ",\n           ".join(f"({sq_dist(c)})" for c in IVF_CENTROIDS)
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH e2 AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS ed
+  FROM embeddings
+), assigned AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         [{dists}] AS dists
+  FROM e2
+), cells AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         CAST(list_indexof(dists, list_min(dists)) - 1 AS INTEGER) AS cell
+  FROM assigned
+)
+SELECT b.vec_id AS vec_id, b.cell AS cell, COUNT(*) AS n_dups,
+       MAX(round({cos}, 6)) AS max_cosine
+FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round({cos}, 6) >= {NEARDUP_COSINE}
+GROUP BY b.vec_id, b.cell ORDER BY vec_id
+"""
+
+
+ORACLE_DEDUP_SEMANTIC = _sql_dedup_semantic()
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -1430,6 +1669,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "vocab_coverage": q_vocab_coverage,
     "corpus_sample_mix": q_corpus_sample_mix,
+    "quality_gopher": q_quality_gopher,
+    "dedup_semantic": q_dedup_semantic,
 }
 
 ORACLE_SQL = {
@@ -1450,4 +1691,6 @@ ORACLE_SQL = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "corpus_sample_mix": ORACLE_CORPUS_SAMPLE_MIX,
+    "quality_gopher": ORACLE_QUALITY_GOPHER,
+    "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
 }

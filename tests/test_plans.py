@@ -8,12 +8,15 @@ import re
 
 import pytest
 
-from big_data_spark.queries import QUERIES
+from big_data_spark.queries import QUERIES_ALL
 from tests.conftest import SF_SMOKE
 
 
 def _plan(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_SMOKE)
+    # QUERIES_ALL, not the driver-capped QUERIES: plan guards must
+    # survive driver-slot rotation (a query moved to pytest-only
+    # keeps its physical-plan contract).
+    df = QUERIES_ALL[name](spark, SF_SMOKE)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -107,6 +110,28 @@ def test_ann_ivf_stays_jvm_and_prunes(spark):
         "vec_id",
         "embedding",
     }, m and m.group(1)
+
+
+def test_quality_gopher_is_shuffle_free(spark):
+    # The sorted-run fold counts bigram repetition inside one narrow
+    # projection: no hash-partition exchange anywhere (the only
+    # Exchange is the final orderBy's range partitioning) and no
+    # Python.
+    plan = _plan(spark, "quality_gopher")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+
+def test_dedup_semantic_arrow_kernel_and_pruned_scan(spark):
+    # Cell-blocked SemDeDup: the pair kernel is Arrow applyInPandas
+    # (never row-pickling) and the exact re-score stays JVM-side.
+    # (No ReadSchema assertion: the cell assignment is
+    # lineage-truncated by design, so the executed plan reads the
+    # checkpointed block, not the parquet scan.)
+    plan = _plan(spark, "dedup_semantic")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
 
 
 def test_pipeline_part1_groups_single_window_per_user(spark):
