@@ -4,6 +4,12 @@ from big_data_spark.operators.ann import (
     ivf_probe_cells,
     ivf_search,
 )
+from big_data_spark.operators.bloom import (
+    bloom_build,
+    bloom_fpp,
+    bloom_merge,
+    bloom_might_contain,
+)
 from big_data_spark.operators.cms import cms_lookup, cms_merge, cms_sketch
 from big_data_spark.operators.components import connected_components
 from big_data_spark.operators.connections import server_connections
@@ -34,4 +40,8 @@ __all__ = [
     "cms_sketch",
     "cms_merge",
     "cms_lookup",
+    "bloom_build",
+    "bloom_merge",
+    "bloom_might_contain",
+    "bloom_fpp",
 ]

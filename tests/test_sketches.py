@@ -276,3 +276,130 @@ def test_approx_percentile_brackets_exact(spark):
         F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.02
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted item probes true — the one-sided guarantee
+    decontamination/dedup pipelines rely on (a 'not seen' verdict is
+    final)."""
+    from big_data_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    tokens = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    bloom = bloom_build(tokens, ["source"], "tok", m=1024, k=3)
+    probed = bloom_might_contain(bloom, tokens, ["source"], "tok", m=1024, k=3)
+    n_false_neg = probed.filter(~F.col("might_contain")).count()
+    assert n_false_neg == 0
+    assert probed.count() == tokens.count()
+
+
+def test_bloom_fpp_bounded(spark):
+    """Absent items probe true at roughly the theoretical rate — and
+    never wildly above it (3x + small-sample slack)."""
+    from big_data_spark.operators.bloom import (
+        bloom_build,
+        bloom_fpp,
+        bloom_might_contain,
+    )
+
+    tokens = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    m, k = 256, 2
+    bloom = bloom_build(tokens, ["source"], "tok", m=m, k=k)
+    n_per_key = {
+        r.source: r.n
+        for r in tokens.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    absent = tokens.select("source").distinct().crossJoin(
+        spark.range(500).select(
+            F.concat(F.lit("zz_absent_"), F.col("id")).alias("tok")
+        )
+    )
+    probed = bloom_might_contain(bloom, absent, ["source"], "tok", m=m, k=k)
+    hits = {
+        r.source: r.h
+        for r in probed.groupBy("source")
+        .agg(F.sum(F.col("might_contain").cast("int")).alias("h"))
+        .collect()
+    }
+    for src, n in n_per_key.items():
+        expected = bloom_fpp(n, m=m, k=k)
+        observed = hits.get(src, 0) / 500.0
+        assert observed <= 3 * expected + 0.02, (src, observed, expected)
+
+
+def test_bloom_merge_equals_direct_build(spark):
+    """Bitwise-OR merge is EXACT: building over a union equals
+    merging the parts' filters, row for row — daily filters roll up
+    to monthly without raw data."""
+    from big_data_spark.operators.bloom import bloom_build, bloom_merge
+
+    tokens = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    parts = [tokens.filter(F.col("tok") < "m"), tokens.filter(F.col("tok") >= "m")]
+    merged = bloom_merge(*[bloom_build(p, ["source"], "tok") for p in parts])
+    direct = bloom_build(tokens, ["source"], "tok")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_bloom_param_mismatch_fails_loudly(spark):
+    """Probing with (m, k) different from the filter's would produce
+    false negatives — the embedded parameter columns turn it into an
+    assertion failure instead."""
+    import pytest
+
+    from big_data_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    rows = spark.createDataFrame([("a", "x")], "kk string, item string")
+    bloom = bloom_build(rows, ["kk"], "item", m=1024, k=3)
+    with pytest.raises(Exception, match="false negatives|ASSERT"):
+        bloom_might_contain(bloom, rows, ["kk"], "item", m=512, k=3).collect()
+
+
+def test_bloom_ignores_null_items(spark):
+    """NULLs are not values: they are neither inserted nor probed
+    (a NULL probe would test seed-derived positions of a value that
+    does not exist)."""
+    from big_data_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    rows = spark.createDataFrame(
+        [("a", "x"), ("a", None)], "kk string, item string"
+    )
+    bloom = bloom_build(rows, ["kk"], "item", m=256, k=2)
+    probed = bloom_might_contain(bloom, rows, ["kk"], "item", m=256, k=2)
+    got = probed.collect()
+    assert len(got) == 1 and got[0].item == "x" and got[0].might_contain
+
+
+def test_bloom_build_over_a_stream(spark):
+    """bit_or is a plain aggregate, so the filter build runs
+    unchanged as a streaming stateful aggregate — the filter of a
+    fully-drained stream equals the batch filter exactly."""
+    from big_data_spark.operators.bloom import bloom_build
+    from big_data_spark.streaming import read_events_stream, run_stream_to_table
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    streamed = run_stream_to_table(
+        bloom_build(stream, ["event_type"], "user_id", m=512, k=2),
+        "bloom_stream_filter",
+        output_mode="complete",
+    )
+    batch = bloom_build(
+        read_table(spark, SF_SMOKE, "events"), ["event_type"], "user_id", m=512, k=2
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
