@@ -54,6 +54,10 @@ _PYTEST_ONLY = (
     # §2 lines keep other driver coverage:
     "pivot_status",  # rollup/pivot/percentiles family keeps rollup_revenue + percentiles
     "shipping_priority",  # J1 keeps join_multiway; A-family keeps pricing_summary etc.
+    # New round-5 operators past the 50-cap: oracle-checked by the
+    # pytest gate (tests/test_oracle.py), candidates for future
+    # driver-slot rotation.
+    "pii_scrub",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

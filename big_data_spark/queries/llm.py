@@ -1651,6 +1651,72 @@ GROUP BY b.vec_id, b.cell ORDER BY vec_id
 ORACLE_DEDUP_SEMANTIC = _sql_dedup_semantic()
 
 
+# --------------------------------------------------------------------
+# PII scrubbing (functions/pii.py over a derived contact record)
+# --------------------------------------------------------------------
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact emails / IPv4s / long id runs
+    with the shared Java-and-RE2-safe patterns (functions/pii.py).
+
+    The corpus tables carry no real PII, so the text under scrub is a
+    CRM-export-shaped contact record DERIVED in-query from real
+    customer rows (name, key, nation) — both engines derive the same
+    string, so the hash compare exercises the actual cross-engine
+    regex semantics on varying row data, not a constant. Counts are
+    measured on the original text; redaction applies the fixed
+    specific-to-loose order. Pure narrow regexp work — no shuffle,
+    no Python, pushdown-safe at any scale."""
+    from big_data_spark.functions.pii import pii_counts, pii_redact
+
+    cust = read_table(spark, sf_dir, "customer")
+    contact = F.concat_ws(
+        "",
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.col("c_name")),
+        F.lit("@example.com> acct "),
+        (F.col("c_custkey") + 10000000).cast("string"),
+        F.lit(" from 10.0."),
+        F.col("c_nationkey").cast("string"),
+        F.lit(".1"),
+    )
+    base = cust.select("c_custkey", contact.alias("contact"))
+    counts = pii_counts(F.col("contact"))
+    return base.select(
+        "c_custkey",
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["id_number"].alias("n_ids"),
+        pii_redact(F.col("contact")).alias("redacted"),
+    ).orderBy("c_custkey")
+
+
+def _sql_pii_scrub() -> str:
+    from big_data_spark.functions.pii import sql_pii_counts, sql_pii_redact
+
+    counts = sql_pii_counts("contact")
+    return f"""
+WITH base AS (
+  SELECT c_custkey,
+         c_name || ' <' || lower(c_name) || '@example.com> acct '
+           || CAST(c_custkey + 10000000 AS VARCHAR)
+           || ' from 10.0.' || CAST(c_nationkey AS VARCHAR) || '.1' AS contact
+  FROM customer
+)
+SELECT c_custkey,
+       CAST({counts['email']} AS INTEGER) AS n_emails,
+       CAST({counts['ipv4']} AS INTEGER) AS n_ipv4,
+       CAST({counts['id_number']} AS INTEGER) AS n_ids,
+       {sql_pii_redact('contact')} AS redacted
+FROM base ORDER BY c_custkey
+"""
+
+
+ORACLE_PII_SCRUB = _sql_pii_scrub()
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -1671,6 +1737,7 @@ QUERIES = {
     "corpus_sample_mix": q_corpus_sample_mix,
     "quality_gopher": q_quality_gopher,
     "dedup_semantic": q_dedup_semantic,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLE_SQL = {
@@ -1693,4 +1760,5 @@ ORACLE_SQL = {
     "corpus_sample_mix": ORACLE_CORPUS_SAMPLE_MIX,
     "quality_gopher": ORACLE_QUALITY_GOPHER,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
+    "pii_scrub": ORACLE_PII_SCRUB,
 }
