@@ -1,3 +1,4 @@
+from big_data_spark.io.compact import compact_parquet, parquet_inventory
 from big_data_spark.io.readers import read_logs_json, read_table, read_tables
 from big_data_spark.io.writers import write_json, write_parquet, write_text
 
@@ -8,4 +9,6 @@ __all__ = [
     "write_json",
     "write_parquet",
     "write_text",
+    "compact_parquet",
+    "parquet_inventory",
 ]
