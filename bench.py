@@ -38,6 +38,7 @@ HEADLINE = [
     "lang_id",
     "embedding_topk",
     "embedding_neardup",
+    "dedup_semantic",
     "ann_hyperplane_lsh",
     "corpus_clean",
     "asof_join",
