@@ -14,6 +14,7 @@ from big_data_spark.operators.cms import cms_lookup, cms_merge, cms_sketch
 from big_data_spark.operators.components import connected_components
 from big_data_spark.operators.connections import server_connections
 from big_data_spark.operators.dbscan import dbscan_from_edges
+from big_data_spark.operators.incremental import incremental_dedup, seen_filter
 from big_data_spark.operators.hll import (
     hll_error_bound,
     hll_estimate,
@@ -44,4 +45,6 @@ __all__ = [
     "bloom_merge",
     "bloom_might_contain",
     "bloom_fpp",
+    "seen_filter",
+    "incremental_dedup",
 ]

@@ -1,0 +1,83 @@
+"""Incremental dedup: admit only the rows of a NEW batch whose key
+has never been seen in the corpus — without joining the whole batch
+against the whole corpus.
+
+The 100 TB ingestion shape: the corpus key set is huge (billions of
+content hashes) but a day's batch is small. A plain left-anti join
+prices every ingest at a corpus-wide shuffle. Instead:
+
+1. keep a Bloom filter of the corpus keys (operators/bloom.py —
+   built once, rolled up incrementally with ``bloom_merge`` as
+   batches are admitted; a few MB per billion keys at ~10 bits/key);
+2. probe the batch against the filter: keys probing FALSE are
+   **definitely new** (no false negatives) and are admitted with NO
+   join at all — the common case for genuinely fresh data;
+3. only the suspects (true duplicates + the filter's small
+   false-positive band) take the exact left-anti join against the
+   corpus keys — the join's probe side shrinks from |batch| to
+   |dups| + fpp * |batch|.
+
+Correctness does not depend on the filter: a false positive only
+routes a row through the exact join, which then admits it. The
+result equals the plain anti-join, always; the filter is purely a
+join-avoidance accelerator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_spark.operators.bloom import bloom_build, bloom_might_contain
+
+
+def seen_filter(
+    corpus_keys: DataFrame, key_col: str, m: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """Bloom filter of the corpus key set (no grouping key — one
+    filter for the whole corpus). Persist it to parquet and
+    ``bloom_merge`` each admitted batch's filter in, so the corpus is
+    never re-scanned to keep the filter current."""
+    return bloom_build(corpus_keys, [], key_col, m=m, k=k)
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus_keys: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Rows of ``batch`` whose ``key_col`` does not occur in
+    ``corpus_keys`` — equal to ``batch.join(corpus_keys, key,
+    "left_anti")``, computed with the corpus join only on Bloom
+    suspects.
+
+    NULL keys are admitted (a NULL matches nothing in an anti-join);
+    duplicates WITHIN the batch are preserved — this operator dedups
+    against the corpus, not inside the batch (follow with
+    dropDuplicates(key) if batch-internal dedup is wanted).
+
+    Plan shape: the filter is at most ceil(m/64) rows, so the probe
+    is a broadcast join; definitely-new rows never touch an
+    exchange, and the anti-join's left side is only the suspect
+    subset."""
+    keys = batch.select(key_col).where(F.col(key_col).isNotNull()).distinct()
+    verdicts = bloom_might_contain(bloom, keys, [], key_col, m=m, k=k)
+    flagged = batch.join(verdicts, on=key_col, how="left").withColumn(
+        # NULL key -> no verdict row -> definitely new (anti-join
+        # semantics: NULL matches nothing).
+        "_suspect",
+        F.coalesce(F.col("might_contain"), F.lit(False)),
+    )
+    definitely_new = flagged.filter(~F.col("_suspect")).drop(
+        "might_contain", "_suspect"
+    )
+    suspects = flagged.filter(F.col("_suspect")).drop("might_contain", "_suspect")
+    verified_new = suspects.join(
+        corpus_keys.select(key_col).where(F.col(key_col).isNotNull()),
+        on=key_col,
+        how="left_anti",
+    )
+    return definitely_new.unionByName(verified_new)
