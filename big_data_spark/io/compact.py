@@ -59,6 +59,49 @@ def parquet_inventory(spark: SparkSession, path: str) -> dict:
     return {"n_files": n_files, "total_bytes": total, "n_small_files": small}
 
 
+def zorder_key(cols: list[str], bits: int = 16) -> "F.Column":
+    """Z-order (Morton) key: bit-interleaving of ``len(cols)``
+    non-negative integer columns, ``bits`` bits each.
+
+    Output bit ``j * n_cols + i`` is bit ``j`` of column ``i``, so
+    sorting by the key gives every column locality at once — the
+    multi-dimensional layout single-column sorting can't provide:
+    a range-partitioned rewrite on the key yields files whose min/max
+    span is narrow on EVERY interleaved column, and parquet's
+    row-group statistics then prune scans filtered on any of them.
+
+    Columns must already be in [0, 2^bits) — rank or bucket them
+    first (percent_rank * (2^bits - 1) is the standard normalizer
+    for skewed or unbounded domains). Values outside the range fail
+    loudly rather than silently aliasing into wrong buckets.
+
+    Built as ONE SQL string (bits * n_cols shift-mask-or terms): pure
+    JVM integer arithmetic, whole-stage-codegen friendly, no Python.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns (use a plain sort for 1)")
+    if bits * n > 63:
+        raise ValueError(f"{bits} bits x {n} cols exceeds a signed 64-bit key")
+    checks = " AND ".join(
+        f"(CAST({c} AS BIGINT) >= 0 AND CAST({c} AS BIGINT) < {1 << bits})"
+        for c in cols
+    )
+    terms = [
+        f"shiftleft(shiftright(CAST({c} AS BIGINT), {j}) & 1, {j * n + i})"
+        for i, c in enumerate(cols)
+        for j in range(bits)
+    ]
+    cols_desc = ", ".join(cols).replace("'", "")
+    return F.expr(
+        f"CASE WHEN {checks} THEN ({' + '.join(terms)}) "
+        f"ELSE CAST(assert_true(false, 'zorder_key: [{cols_desc}] out of "
+        f"[0, 2^{bits}) — rank/bucket first') AS BIGINT) END"
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,
@@ -66,6 +109,8 @@ def compact_parquet(
     target_file_bytes: int = 128 << 20,
     cluster_by: list[str] | None = None,
     sort_within: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
     size_ratio: float = 1.0,
 ) -> dict:
     """Rewrite the parquet directory at ``src`` into ``dst`` with
@@ -81,22 +126,74 @@ def compact_parquet(
     stats prune hard. ``sort_within`` additionally orders rows inside
     each output file for tight row-group statistics.
 
+    With ``zorder_by`` (mutually exclusive with ``cluster_by``) the
+    rewrite range-partitions and sorts on the Morton key of those
+    columns (normalized to [0, 2^zorder_bits) by min/max scaling), so
+    every file's min/max span is narrow on EVERY listed column —
+    scans filtered on any of them prune files and row groups. One
+    shuffle plus the rank window; the layout investment for tables
+    queried along several independent dimensions.
+
     ``size_ratio`` estimates output/input bytes (re-encoded parquet
     from tiny files usually lands below 1.0); the returned dict
     reports the decision so callers can log it.
     """
     if target_file_bytes < 1 << 20:
         raise ValueError(f"target_file_bytes must be >= 1 MiB, got {target_file_bytes}")
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     inv = parquet_inventory(spark, src)
     if inv["n_files"] == 0:
         raise ValueError(f"no parquet data files under {src!r}")
     n_out = max(1, math.ceil(inv["total_bytes"] * size_ratio / target_file_bytes))
     df: DataFrame = spark.read.parquet(src)
-    if cluster_by:
+    if zorder_by:
+        from pyspark.sql import functions as F
+
+        # Normalize each dimension into [0, 2^bits) by linear min/max
+        # scaling: ONE map-side-combinable aggregate for all bounds,
+        # broadcast back as a 1-row join — fully distributed (a
+        # percent_rank window would be exact under skew but funnels
+        # the whole table through one task; wrong trade for a
+        # maintenance pass). Heavy skew degrades locality, not
+        # correctness — pre-bucket skewed columns if it matters.
+        top = (1 << zorder_bits) - 1
+        bounds = df.agg(
+            *[
+                f
+                for c in zorder_by
+                for f in (
+                    F.min(F.col(c).cast("double")).alias(f"_zmin_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"_zmax_{c}"),
+                )
+            ]
+        )
+        norm = df.join(F.broadcast(bounds))
+        for c in zorder_by:
+            span = F.col(f"_zmax_{c}") - F.col(f"_zmin_{c}")
+            scaled = F.when(span > 0, (F.col(c).cast("double") - F.col(f"_zmin_{c}")) / span).otherwise(F.lit(0.0))
+            norm = norm.withColumn(
+                f"_zr_{c}", F.round(scaled * top).cast("bigint")
+            )
+        keyed = norm.withColumn(
+            "_zkey",
+            zorder_key([f"_zr_{c}" for c in zorder_by], bits=zorder_bits),
+        ).drop(*[f"_zmin_{c}" for c in zorder_by], *[f"_zmax_{c}" for c in zorder_by])
+        out = (
+            keyed.repartitionByRange(n_out, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey", *[f"_zr_{c}" for c in zorder_by])
+        )
+    elif cluster_by:
         out = df.repartition(n_out, *cluster_by)
     else:
         out = df.coalesce(n_out)
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
     out.write.mode("error").parquet(dst)
-    return {**inv, "n_output_files": n_out, "clustered": bool(cluster_by)}
+    return {
+        **inv,
+        "n_output_files": n_out,
+        "clustered": bool(cluster_by),
+        "zordered": bool(zorder_by),
+    }
