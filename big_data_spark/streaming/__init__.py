@@ -8,6 +8,7 @@ windows, and a custom stateful operator via applyInPandasWithState —
 plus a run-to-completion helper for batch-parity testing.
 """
 
+from big_data_spark.streaming.ingest import read_lake, run_dedup_ingest
 from big_data_spark.streaming.events import (
     dedup_stream,
     hourly_counts_stream,
@@ -28,4 +29,6 @@ __all__ = [
     "user_totals_stateful",
     "run_stream_to_table",
     "write_stream_partitioned_parquet",
+    "run_dedup_ingest",
+    "read_lake",
 ]
