@@ -58,6 +58,7 @@ _PYTEST_ONLY = (
     # pytest gate (tests/test_oracle.py), candidates for future
     # driver-slot rotation.
     "pii_scrub",
+    "events_resample",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

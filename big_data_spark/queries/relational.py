@@ -725,6 +725,87 @@ FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type
 """
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling onto a complete hour grid with gap
+    fill: every (event_type, hour) cell from the global min to max
+    hour exists in the output — empty hours emit n=0 / sum=0.0 with
+    an ``is_gap`` flag — plus a forward-filled ``last_sum`` (most
+    recent real hourly sum), the shape dashboards and downstream
+    models need from irregular event data.
+
+    Plan: one map-side-combinable hourly aggregation; the grid is
+    |types| x |hours| rows built from a BROADCAST 1-row bounds agg
+    and an exploded sequence (never a driver loop); the gap-fill
+    left join shuffles on the same (type, hour) key as the agg; the
+    forward fill is a running last() window PARTITIONED by type —
+    parallel across types, never a global window. At 100 TB the same
+    shape resamples per (entity, bounded window) — the grid stays
+    derived data, proportional to the output, not the input."""
+    events = _t(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    hour = sec - sec % 3600
+    agg = events.groupBy("event_type", hour.alias("hour_epoch")).agg(
+        F.count(F.lit(1)).alias("n_events_raw"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value_raw"),
+    )
+    bounds = events.select(hour.alias("h")).agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))
+            ).alias("hour_epoch"),
+        )
+    )
+    joined = grid.join(agg, ["event_type", "hour_epoch"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour_epoch",
+        F.coalesce("n_events_raw", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value_raw", F.lit(0.0)).alias("sum_value"),
+        F.col("n_events_raw").isNull().alias("is_gap"),
+        F.last(F.col("sum_value_raw"), ignorenulls=True)
+        .over(w)
+        .alias("last_sum"),
+    ).orderBy("event_type", "hour_epoch")
+
+
+ORACLE_EVENTS_RESAMPLE = """
+WITH agg AS (
+  SELECT event_type, CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM agg
+), grid AS (
+  SELECT t.event_type, u.h AS hour_epoch
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN bounds
+  CROSS JOIN unnest(range(bounds.lo, bounds.hi + 3600, 3600)) AS u(h)
+)
+SELECT g.event_type, g.hour_epoch,
+       CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+       COALESCE(a.sum_value, 0.0) AS sum_value,
+       a.n_events IS NULL AS is_gap,
+       last_value(a.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour_epoch
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_sum
+FROM grid g LEFT JOIN agg a USING (event_type, hour_epoch)
+ORDER BY event_type, hour_epoch
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from a string column (§2.8 extension —
     schema-on-read the reference never needed)."""
@@ -1544,6 +1625,7 @@ QUERIES = {
     "map_roundtrip": q_map_roundtrip,
     "events_hourly": q_events_hourly,
     "events_json": q_events_json,
+    "events_resample": q_events_resample,
     "events_sessionize": q_events_sessionize,
     "rollup_revenue": q_rollup_revenue,
     "pivot_status": q_pivot_status,
@@ -1583,6 +1665,7 @@ ORACLE_SQL = {
     "map_roundtrip": ORACLE_MAP,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_json": ORACLE_EVENTS_JSON,
+    "events_resample": ORACLE_EVENTS_RESAMPLE,
     "events_sessionize": ORACLE_SESSIONIZE,
     "rollup_revenue": ORACLE_ROLLUP,
     "pivot_status": ORACLE_PIVOT,
