@@ -59,6 +59,7 @@ _PYTEST_ONLY = (
     # driver-slot rotation.
     "pii_scrub",
     "events_resample",
+    "semantic_search",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

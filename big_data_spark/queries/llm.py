@@ -1717,6 +1717,42 @@ FROM base ORDER BY c_custkey
 ORACLE_PII_SCRUB = _sql_pii_scrub()
 
 
+# --------------------------------------------------------------------
+# Semantic retrieval (ANN hit list joined back to document metadata)
+# --------------------------------------------------------------------
+
+
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval: the frozen-quantizer IVF ANN search
+    (q_ann_ivf) joined back to the documents table for the metadata a
+    retrieval consumer actually reads — language, source, a text
+    snippet. The cross-modal join every RAG-style pipeline ends with.
+
+    Plan: the hit list is k rows, so it BROADCASTS and the documents
+    scan stays pruned to the join columns; at 100 TB the expensive
+    side ran inside the ANN probe (cell-pruned), and this join costs
+    one broadcast lookup per hit."""
+    hits = q_ann_ivf(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", F.substring("text", 1, 40).alias("snippet")
+    )
+    return (
+        docs.join(F.broadcast(hits), docs.doc_id == hits.vec_id)
+        .select("vec_id", "cell", "cosine", "lang", "source", "snippet")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+    )
+
+
+# The ANN oracle is a full WITH..SELECT statement; DuckDB accepts it
+# verbatim as a parenthesized derived table.
+ORACLE_SEMANTIC_SEARCH = f"""
+SELECT t.vec_id, t.cell, t.cosine, d.lang, d.source,
+       left(d.text, 40) AS snippet
+FROM ({ORACLE_ANN_IVF}) t JOIN documents d ON d.doc_id = t.vec_id
+ORDER BY t.cosine DESC, t.vec_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -1738,6 +1774,7 @@ QUERIES = {
     "quality_gopher": q_quality_gopher,
     "dedup_semantic": q_dedup_semantic,
     "pii_scrub": q_pii_scrub,
+    "semantic_search": q_semantic_search,
 }
 
 ORACLE_SQL = {
@@ -1761,4 +1798,5 @@ ORACLE_SQL = {
     "quality_gopher": ORACLE_QUALITY_GOPHER,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "pii_scrub": ORACLE_PII_SCRUB,
+    "semantic_search": ORACLE_SEMANTIC_SEARCH,
 }
