@@ -247,19 +247,74 @@ def _parse_pnm(b: bytes) -> tuple[int, int, int, int, bytes]:
     return channels, w, h, maxval, raster
 
 
+def _parse_bmp(b: bytes) -> tuple[int, int, int, int, bytes]:
+    """Header + raster of an uncompressed 24-bit BMP (BITMAPINFOHEADER
+    or larger, BI_RGB). Returns the SAME contract as _parse_pnm —
+    (channels=3, width, height, maxval=255, top-down row-major RGB
+    bytes) — so the decode kernel is shared across formats.
+
+    BMP quirks handled explicitly: little-endian signed dimensions
+    (negative height = top-down row order), 4-byte row padding, and
+    BGR byte order. Everything else (palettes, 1/4/8/16/32 bpp, RLE)
+    raises — this is the no-codec-library subset, like P5/P6 for
+    netpbm."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP (BM magic expected)")
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
+    off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    planes = int.from_bytes(b[26:28], "little")
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if planes != 1:
+        raise ValueError(f"bad plane count {planes}")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BI_RGB supported, got bpp={bpp} "
+            f"compression={comp}"
+        )
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    bottom_up = h > 0
+    height = abs(h)
+    row_stride = (w * 3 + 3) // 4 * 4
+    need = row_stride * height
+    data = b[off : off + need]
+    if len(data) != need:
+        raise ValueError(f"truncated raster: need {need} bytes, got {len(data)}")
+    import numpy as np
+
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(height, row_stride)[
+        :, : w * 3
+    ]
+    if bottom_up:
+        rows = rows[::-1]
+    rgb = rows.reshape(height, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return 3, w, height, 255, np.ascontiguousarray(rgb).tobytes()
+
+
+_IMAGE_PARSERS = {"ppm": _parse_pnm, "bmp": _parse_bmp}
+
+
 def decode_image(
     media_df: DataFrame,
     fmt: str = "ppm",
     on_error: str = "raise",
     to_gray: bool = True,
 ) -> DataFrame:
-    """REAL image decode for binary netpbm payloads — P6 (RGB) and P5
-    (grayscale) — pure header+raster parsing, no codec library
-    needed. Emits width, height, maxval and the pixel array:
-    grayscale ints by default (``(r+g+b)//3`` for P6; P5 rasters are
-    already single-channel), row-major and directly consumable by
-    ``resize_pixels``; ``to_gray=False`` keeps P6 interleaved RGB
-    (P5 payloads are single-channel either way).
+    """REAL image decode for codec-library-free payloads — binary
+    netpbm (``fmt="ppm"``: P6 RGB and P5 grayscale) and uncompressed
+    24-bit BMP (``fmt="bmp"``: padding stripped, bottom-up rows
+    flipped, BGR reordered) — pure header+raster parsing. Emits
+    width, height, maxval and the pixel array: grayscale ints by
+    default (``(r+g+b)//3``; P5 rasters are already single-channel),
+    row-major and directly consumable by ``resize_pixels``;
+    ``to_gray=False`` keeps interleaved RGB.
 
     Any other format needs pillow, which this container does not ship
     — import-gated so the API fails loudly naming the dependency.
@@ -270,18 +325,19 @@ def decode_image(
     """
     if on_error not in ("raise", "quarantine"):
         raise ValueError(f"on_error={on_error!r}: use 'raise' or 'quarantine'")
-    if fmt != "ppm":
+    if fmt not in _IMAGE_PARSERS:
         try:
             import PIL  # noqa: F401
         except ImportError as exc:  # pragma: no cover - no pillow here
             raise NotImplementedError(
                 f"decode_image({fmt!r}) needs pillow (PIL) which is not "
-                "installed; binary PPM (P6) decodes natively and "
-                "fake_decode_image exercises the plumbing"
+                "installed; binary PPM (P5/P6) and 24-bit BMP decode "
+                "natively and fake_decode_image exercises the plumbing"
             ) from exc
         raise NotImplementedError(
-            "non-PPM decode path not implemented in this environment"
+            "non-PPM/BMP decode path not implemented in this environment"
         )  # pragma: no cover
+    parse = _IMAGE_PARSERS[fmt]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -290,11 +346,12 @@ def decode_image(
             out: dict[str, list] = {k: [] for k in _IMAGE_SCHEMA.names}
             for did, content in zip(pdf["doc_id"], pdf["content"]):
                 try:
-                    channels, w, h, maxval, raster = _parse_pnm(bytes(content))
+                    channels, w, h, maxval, raster = parse(bytes(content))
                 except Exception as exc:
                     if on_error == "raise":
                         raise ValueError(
-                            f"doc_id={did}: undecodable PPM payload: {exc}"
+                            f"doc_id={did}: undecodable {fmt.upper()} "
+                            f"payload: {exc}"
                         ) from exc
                     out["doc_id"].append(did)
                     out["width"].append(None)

@@ -319,3 +319,90 @@ def test_decode_audio_rejects_garbage(spark):
     )
     with pytest.raises(Exception, match="undecodable WAV|PySparkRuntimeError|Python worker"):
         decode_audio(media).collect()
+
+
+def _bmp_bytes(w: int, h: int, rgb_rows: list[list[tuple[int, int, int]]],
+               top_down: bool = False) -> bytes:
+    """Minimal uncompressed 24-bit BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, rows padded to 4 bytes, stored bottom-up unless
+    top_down (negative height)."""
+    stride = (w * 3 + 3) // 4 * 4
+    raster = b""
+    rows = rgb_rows if top_down else rgb_rows[::-1]
+    for row in rows:
+        line = b"".join(bytes((b_, g, r)) for (r, g, b_) in row)  # BGR
+        raster += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    height = -h if top_down else h
+    header = (
+        b"BM"
+        + (off + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + raster
+
+
+def test_decode_image_real_bmp(spark):
+    """The REAL BMP path: padding stripped, bottom-up rows flipped,
+    BGR reordered — same output contract as PPM, composes with
+    resize_pixels."""
+    from big_data_spark.multimodal import resize_pixels
+
+    # 3x2, distinct rows so the vertical flip is observable; w=3
+    # forces a 9->12 byte stride (3 padding bytes per row).
+    top = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    bot = [(110, 120, 130), (140, 150, 160), (170, 180, 190)]
+    media = spark.createDataFrame(
+        [(1, "bmp", _bmp_bytes(3, 2, [top, bot]), {"media_type": "image/bmp"})],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    row = decode_image(media, fmt="bmp").first()
+    assert (row.width, row.height, row.maxval) == (3, 2, 255)
+    gray = [sum(t) // 3 for t in top + bot]  # top-down row-major
+    assert row.pixels == gray
+    raw = decode_image(media, fmt="bmp", to_gray=False).first()
+    assert raw.pixels == [c for t in top + bot for c in t]
+    # A top-down (negative height) BMP decodes identically.
+    media_td = spark.createDataFrame(
+        [(1, "bmp", _bmp_bytes(3, 2, [top, bot], top_down=True),
+          {"media_type": "image/bmp"})],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    assert decode_image(media_td, fmt="bmp").first().pixels == gray
+    # Compose with the JVM resize: 3x2 -> 1x1 picks the top-left.
+    small = resize_pixels(decode_image(media, fmt="bmp"), 3, 2, 1, 1).first()
+    assert small.pixels == [gray[0]]
+
+
+def test_decode_image_bmp_rejects_and_quarantines(spark):
+    """Unsupported bpp and truncated rasters raise by default and
+    quarantine on request — same contract as the PPM/WAV decoders."""
+    import pytest as _pytest
+
+    good = _bmp_bytes(3, 2, [[(1, 2, 3)] * 3, [(4, 5, 6)] * 3])
+    bad_bpp = bytearray(good)
+    bad_bpp[28:30] = (8).to_bytes(2, "little")  # 8-bit palette BMP
+    truncated = good[:-4]
+    media = spark.createDataFrame(
+        [
+            (1, "bmp", bytes(bad_bpp), {}),
+            (2, "bmp", truncated, {}),
+            (3, "bmp", good, {}),
+        ],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    with _pytest.raises(Exception, match="BMP|24-bit|truncated"):
+        decode_image(media, fmt="bmp").collect()
+    rows = {r.doc_id: r for r in decode_image(media, fmt="bmp", on_error="quarantine").collect()}
+    assert rows[1].decode_error and "24-bit" in rows[1].decode_error
+    assert rows[2].decode_error and "truncated" in rows[2].decode_error
+    assert rows[3].decode_error is None and rows[3].width == 3
