@@ -402,18 +402,85 @@ _AUDIO_SCHEMA = StructType(
 )
 
 
+def _parse_wav(b: bytes):
+    """16-bit PCM WAV via stdlib ``wave``: (rate, channels, frames,
+    samples). WAV PCM is little-endian by spec; the dtype pins it
+    (array('h') would assume native order)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(b)) as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"only 16-bit PCM supported, got {8 * w.getsampwidth()}-bit"
+            )
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        frames = w.getnframes()
+        raw = w.readframes(frames)
+        samples = np.frombuffer(raw, dtype="<i2")
+        if len(samples) != frames * channels:
+            raise ValueError(
+                f"truncated data chunk: header declares "
+                f"{frames * channels} samples, got {len(samples)}"
+            )
+    return rate, channels, frames, samples
+
+
+def _parse_au(b: bytes):
+    """16-bit linear-PCM Sun/NeXT AU (.snd): 24-byte BIG-endian
+    header, big-endian samples — the explicit opposite of WAV's
+    little-endian, which is exactly why the dtype is pinned per
+    format. Same return contract as _parse_wav."""
+    import numpy as np
+
+    if b[:4] != b".snd":
+        raise ValueError("not an AU payload (.snd magic expected)")
+    if len(b) < 24:
+        raise ValueError("truncated AU header")
+    off = int.from_bytes(b[4:8], "big")
+    size = int.from_bytes(b[8:12], "big")
+    enc = int.from_bytes(b[12:16], "big")
+    rate = int.from_bytes(b[16:20], "big")
+    channels = int.from_bytes(b[20:24], "big")
+    if off < 24:
+        raise ValueError(f"bad data offset {off}")
+    if enc != 3:
+        raise ValueError(
+            f"only 16-bit linear PCM (encoding 3) supported, got encoding {enc}"
+        )
+    if rate <= 0 or channels <= 0:
+        raise ValueError(f"bad rate/channels {rate}/{channels}")
+    unknown = 0xFFFFFFFF
+    data = b[off:] if size == unknown else b[off : off + size]
+    if size != unknown and len(data) != size:
+        raise ValueError(
+            f"truncated data: header declares {size} bytes, got {len(data)}"
+        )
+    if len(data) % (2 * channels):
+        raise ValueError("data length is not a whole number of frames")
+    samples = np.frombuffer(data, dtype=">i2")
+    return rate, channels, len(samples) // channels, samples
+
+
+_AUDIO_PARSERS = {"wav": _parse_wav, "au": _parse_au}
+
+
 def decode_audio(
     media_df: DataFrame, fmt: str = "wav", on_error: str = "raise"
 ) -> DataFrame:
-    """REAL audio decode for WAV payloads via the stdlib ``wave``
-    module (no external codec needed): parses the RIFF container,
-    reads the PCM frames, and emits per-item sample rate, channel
-    count, sample count, duration and integer RMS amplitude — the
-    metadata+feature pass an audio training pipeline runs first.
+    """REAL audio decode for codec-library-free payloads — 16-bit PCM
+    WAV (``fmt="wav"``, stdlib ``wave``, little-endian) and 16-bit
+    linear-PCM Sun/NeXT AU (``fmt="au"``, big-endian header and
+    samples): parses the container, reads the PCM frames, and emits
+    per-item sample rate, channel count, sample count, duration and
+    integer RMS amplitude — the metadata+feature pass an audio
+    training pipeline runs first.
 
-    Only 16-bit PCM WAV is supported natively; any other format
-    raises NotImplementedError naming the codec dependency
-    (soundfile), never silently.
+    Any other format raises NotImplementedError naming the codec
+    dependency (soundfile), never silently.
 
     ``on_error`` decides what a malformed payload does:
 
@@ -431,22 +498,21 @@ def decode_audio(
     """
     if on_error not in ("raise", "quarantine"):
         raise ValueError(f"on_error={on_error!r}: use 'raise' or 'quarantine'")
-    if fmt != "wav":
+    if fmt not in _AUDIO_PARSERS:
         try:
             import soundfile  # noqa: F401
         except ImportError as exc:  # pragma: no cover - no soundfile here
             raise NotImplementedError(
                 f"decode_audio({fmt!r}) needs soundfile which is not "
-                "installed; 16-bit PCM WAV decodes natively"
+                "installed; 16-bit PCM WAV and AU decode natively"
             ) from exc
         raise NotImplementedError(
-            "non-WAV decode path not implemented in this environment"
+            "non-WAV/AU decode path not implemented in this environment"
         )  # pragma: no cover
+    parse = _AUDIO_PARSERS[fmt]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
         import math
-        import wave
 
         import numpy as np
 
@@ -454,29 +520,12 @@ def decode_audio(
             out: dict[str, list] = {k: [] for k in _AUDIO_SCHEMA.names}
             for did, content in zip(pdf["doc_id"], pdf["content"]):
                 try:
-                    with wave.open(io.BytesIO(bytes(content))) as w:
-                        if w.getsampwidth() != 2:
-                            raise ValueError(
-                                f"only 16-bit PCM supported, got "
-                                f"{8 * w.getsampwidth()}-bit"
-                            )
-                        rate = w.getframerate()
-                        channels = w.getnchannels()
-                        frames = w.getnframes()
-                        raw = w.readframes(frames)
-                        # WAV PCM is little-endian by spec; pin it
-                        # (array('h') would assume native order).
-                        samples = np.frombuffer(raw, dtype="<i2")
-                        if len(samples) != frames * channels:
-                            raise ValueError(
-                                f"truncated data chunk: header declares "
-                                f"{frames * channels} samples, got "
-                                f"{len(samples)}"
-                            )
+                    rate, channels, frames, samples = parse(bytes(content))
                 except Exception as exc:
                     if on_error == "raise":
                         raise ValueError(
-                            f"doc_id={did}: undecodable WAV payload: {exc}"
+                            f"doc_id={did}: undecodable {fmt.upper()} "
+                            f"payload: {exc}"
                         ) from exc
                     out["doc_id"].append(did)
                     out["sample_rate"].append(None)

@@ -406,3 +406,68 @@ def test_decode_image_bmp_rejects_and_quarantines(spark):
     assert rows[1].decode_error and "24-bit" in rows[1].decode_error
     assert rows[2].decode_error and "truncated" in rows[2].decode_error
     assert rows[3].decode_error is None and rows[3].width == 3
+
+
+def _au_bytes(rate: int, channels: int, samples: list[int]) -> bytes:
+    import struct
+
+    data = b"".join(struct.pack(">h", s) for s in samples)
+    return (
+        b".snd"
+        + (24).to_bytes(4, "big")
+        + len(data).to_bytes(4, "big")
+        + (3).to_bytes(4, "big")
+        + rate.to_bytes(4, "big")
+        + channels.to_bytes(4, "big")
+        + data
+    )
+
+
+def test_decode_audio_real_au(spark):
+    """The AU path: big-endian header AND samples (the opposite of
+    WAV), same output contract — identical samples give identical
+    RMS through either container."""
+    import math
+
+    samples = [0, 1000, -1000, 20000, -20000, 258, 0, 500]
+    media = spark.createDataFrame(
+        [(1, "au", _au_bytes(8000, 2, samples), {"media_type": "audio/basic"})],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    row = decode_audio(media, fmt="au").first()
+    assert (row.sample_rate, row.n_channels, row.n_samples) == (8000, 2, 8)
+    assert row.duration_ms == 4 * 1000 // 8000
+    assert row.rms == int(math.sqrt(sum(s * s for s in samples) / len(samples)))
+    assert row.decode_error is None
+    # Endianness pinned: 0x0102 stored big-endian must read as 258,
+    # not 513.
+    one = decode_audio(
+        spark.createDataFrame(
+            [(2, "au", _au_bytes(8000, 1, [258]), {})],
+            "doc_id long, source string, content binary, media map<string,string>",
+        ),
+        fmt="au",
+    ).first()
+    assert one.rms == 258
+
+
+def test_decode_audio_au_rejects_and_quarantines(spark):
+    import pytest as _pytest
+
+    good = _au_bytes(8000, 1, [1, 2, 3, 4])
+    mulaw = bytearray(good)
+    mulaw[12:16] = (1).to_bytes(4, "big")  # 8-bit mu-law
+    truncated = good[:-3]
+    media = spark.createDataFrame(
+        [(1, "au", bytes(mulaw), {}), (2, "au", truncated, {}), (3, "au", good, {})],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    with _pytest.raises(Exception, match="AU|encoding|truncated"):
+        decode_audio(media, fmt="au").collect()
+    rows = {
+        r.doc_id: r
+        for r in decode_audio(media, fmt="au", on_error="quarantine").collect()
+    }
+    assert rows[1].decode_error and "encoding 1" in rows[1].decode_error
+    assert rows[2].decode_error and "truncated" in rows[2].decode_error
+    assert rows[3].decode_error is None and rows[3].n_samples == 4
