@@ -564,6 +564,190 @@ def decode_audio(
     return media_df.mapInPandas(kernel, _AUDIO_SCHEMA)
 
 
+def _parse_avi(b: bytes):
+    """Uncompressed-DIB AVI (RIFF 'AVI '): chunk walk for the main
+    header (avih: timing, declared frame count, dimensions), the
+    stream format (strf: a BITMAPINFOHEADER — the same DIB header BMP
+    uses, validated 24-bit BI_RGB), and every '00db'/'00dc' frame
+    chunk under the movi list. Returns (width, height, us_per_frame,
+    frames) with each frame a raw bottom-up padded BGR raster.
+
+    This is the codec-free corner of video: no inter-frame
+    compression, every frame a full DIB — the video analogue of
+    P6/BMP for images and PCM for audio. Anything else raises naming
+    the dependency."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ' magic expected)")
+
+    def u32(buf: bytes, pos: int) -> int:
+        return int.from_bytes(buf[pos : pos + 4], "little")
+
+    avih: bytes | None = None
+    strf: bytes | None = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal avih, strf
+        pos = start
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            size = u32(b, pos + 4)
+            data0 = pos + 8
+            if data0 + size > len(b):
+                raise ValueError(
+                    f"chunk {cid!r} overruns the payload "
+                    f"({data0 + size} > {len(b)})"
+                )
+            if cid == b"LIST":
+                walk(data0 + 4, data0 + size)
+            elif cid == b"avih":
+                avih = b[data0 : data0 + size]
+            elif cid == b"strf":
+                strf = b[data0 : data0 + size]
+            elif cid in (b"00db", b"00dc"):
+                frames.append(b[data0 : data0 + size])
+            pos = data0 + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(b))
+    if avih is None or len(avih) < 40:
+        raise ValueError("missing or short avih main header")
+    if strf is None or len(strf) < 40:
+        raise ValueError("missing or short strf stream format")
+    us_per_frame = int.from_bytes(avih[0:4], "little")
+    n_declared = int.from_bytes(avih[16:20], "little")
+    w = int.from_bytes(avih[32:36], "little")
+    h = int.from_bytes(avih[36:40], "little")
+    bpp = int.from_bytes(strf[14:16], "little")
+    comp = int.from_bytes(strf[16:20], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit DIB frames supported, got bpp={bpp} "
+            f"compression={comp}"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    if n_declared != len(frames):
+        raise ValueError(
+            f"header declares {n_declared} frames, container holds "
+            f"{len(frames)}"
+        )
+    stride = (w * 3 + 3) // 4 * 4
+    for i, fr in enumerate(frames):
+        if len(fr) != stride * h:
+            raise ValueError(
+                f"frame {i}: truncated raster (need {stride * h} bytes, "
+                f"got {len(fr)})"
+            )
+    return w, h, us_per_frame, frames
+
+
+_VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("us_per_frame", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("pixels", ArrayType(IntegerType())),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def decode_video(
+    media_df: DataFrame,
+    fmt: str = "avi",
+    frame_stride: int = 1,
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL video decode for uncompressed-DIB AVI payloads — RIFF
+    walk + per-frame DIB raster math, no codec library. EXPLODES one
+    row per SAMPLED frame (every ``frame_stride``-th), each carrying
+    container metadata and the frame's grayscale pixels top-down
+    row-major (same contract as decode_image, so frames compose with
+    ``resize_pixels``). Grayscale is (r+g+b)//3 — channel order drops
+    out of the mean, so the BGR raster needs no reorder.
+
+    Compressed video (H.264/VP9/MJPEG...) needs pyav, absent here —
+    import-gated, loud. ``on_error="quarantine"`` emits one NULL row
+    per undecodable payload with the message in ``decode_error``.
+    Arrow-batched mapInPandas; at 100 TB the binary crosses the
+    boundary once per batch, and frame_stride is the cost dial (a
+    1 fps sample of 30 fps footage decodes 1/30th of the rasters —
+    only sampled frames pay the numpy conversion)."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error={on_error!r}: use 'raise' or 'quarantine'")
+    if frame_stride < 1:
+        raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
+    if fmt != "avi":
+        try:
+            import av  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - no pyav here
+            raise NotImplementedError(
+                f"decode_video({fmt!r}) needs pyav which is not installed; "
+                "uncompressed-DIB AVI decodes natively"
+            ) from exc
+        raise NotImplementedError(
+            "non-AVI decode path not implemented in this environment"
+        )  # pragma: no cover
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in _VIDEO_SCHEMA.names}
+
+            def emit(did, w=None, h=None, n=None, us=None, idx=None,
+                     px=None, err=None):
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(n)
+                out["us_per_frame"].append(us)
+                out["frame_idx"].append(idx)
+                out["pixels"].append(px)
+                out["decode_error"].append(err)
+
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    w, h, us, frames = _parse_avi(bytes(content))
+                except Exception as exc:
+                    if on_error == "raise":
+                        raise ValueError(
+                            f"doc_id={did}: undecodable AVI payload: {exc}"
+                        ) from exc
+                    emit(did, err=str(exc)[:500])
+                    continue
+                stride = (w * 3 + 3) // 4 * 4
+                for i in range(0, len(frames), frame_stride):
+                    rows = np.frombuffer(frames[i], dtype=np.uint8).reshape(
+                        h, stride
+                    )[:, : w * 3]
+                    gray = (
+                        rows[::-1]  # DIB rasters are bottom-up
+                        .reshape(h, w, 3)
+                        .astype(np.int32)
+                        .sum(axis=2)
+                        // 3
+                    )
+                    emit(did, w, h, len(frames), us, i, gray.ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="Int32"),
+                    "us_per_frame": pd.Series(out["us_per_frame"], dtype="Int32"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="Int32"),
+                    "pixels": pd.Series(out["pixels"], dtype="object"),
+                    "decode_error": pd.Series(out["decode_error"], dtype="object"),
+                }
+            )
+
+    return media_df.mapInPandas(kernel, _VIDEO_SCHEMA)
+
+
 _FAKE_IMAGE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

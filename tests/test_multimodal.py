@@ -471,3 +471,99 @@ def test_decode_audio_au_rejects_and_quarantines(spark):
     assert rows[1].decode_error and "encoding 1" in rows[1].decode_error
     assert rows[2].decode_error and "truncated" in rows[2].decode_error
     assert rows[3].decode_error is None and rows[3].n_samples == 4
+
+
+def _riff_chunk(cid: bytes, data: bytes) -> bytes:
+    return cid + len(data).to_bytes(4, "little") + data + (b"\x00" if len(data) & 1 else b"")
+
+
+def _avi_bytes(w: int, h: int, us_per_frame: int,
+               frames: list[list[list[tuple[int, int, int]]]],
+               n_frames_override: int | None = None,
+               compression: int = 0) -> bytes:
+    """Minimal uncompressed-DIB AVI: RIFF('AVI ' LIST(hdrl avih
+    LIST(strl strh strf)) LIST(movi 00db*))."""
+    stride = (w * 3 + 3) // 4 * 4
+    rasters = []
+    for fr in frames:
+        raster = b""
+        for row in fr[::-1]:  # DIB stores bottom-up
+            line = b"".join(bytes((b_, g, r)) for (r, g, b_) in row)
+            raster += line + b"\x00" * (stride - len(line))
+        rasters.append(raster)
+    n = len(frames) if n_frames_override is None else n_frames_override
+    avih = (
+        us_per_frame.to_bytes(4, "little") + b"\x00" * 12
+        + n.to_bytes(4, "little") + b"\x00" * 12
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little") + b"\x00" * 16
+    )
+    strh = b"vids" + b"DIB " + b"\x00" * 48
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + compression.to_bytes(4, "little") + b"\x00" * 20
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih)
+                       + _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
+                                     + _riff_chunk(b"strf", strf)))
+    movi = _riff_chunk(b"LIST", b"movi" + b"".join(_riff_chunk(b"00db", r) for r in rasters))
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
+def _vid_media(spark, payload, doc_id=1):
+    return spark.createDataFrame(
+        [(doc_id, "avi", payload, {"media_type": "video/x-msvideo"})],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+
+
+def test_decode_video_real_avi(spark):
+    """The REAL video path: RIFF walk, per-frame DIB flip, frame
+    sampling — and frames compose with resize_pixels."""
+    from big_data_spark.multimodal import decode_video, resize_pixels
+
+    def frame(base):
+        # 3x2 with distinct rows so the bottom-up flip is observable
+        return [[(base + c, base + c, base + c) for c in range(3)],
+                [(base + 10 + c,) * 3 for c in range(3)]]
+
+    frames = [frame(0), frame(40), frame(80)]
+    media = _vid_media(spark, _avi_bytes(3, 2, 33333, frames))
+    rows = decode_video(media).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    for r, base in zip(rows, (0, 40, 80)):
+        assert (r.width, r.height, r.n_frames, r.us_per_frame) == (3, 2, 3, 33333)
+        assert r.pixels == [base, base + 1, base + 2,
+                            base + 10, base + 11, base + 12]
+        assert r.decode_error is None
+    # Stride sampling: every 2nd frame only.
+    sampled = decode_video(media, frame_stride=2).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in sampled] == [0, 2]
+    # Compose a frame with the JVM resize: 3x2 -> 1x2 keeps column 0.
+    small = decode_video(media, frame_stride=3)
+    out = resize_pixels(small, 3, 2, 1, 2).first()
+    assert out.pixels == [0, 10]
+
+
+def test_decode_video_rejects_and_quarantines(spark):
+    from big_data_spark.multimodal import decode_video
+
+    frames = [[[(1, 2, 3)] * 3, [(4, 5, 6)] * 3]]
+    good = _avi_bytes(3, 2, 1000, frames)
+    wrong_count = _avi_bytes(3, 2, 1000, frames, n_frames_override=5)
+    compressed = _avi_bytes(3, 2, 1000, frames, compression=1)
+    for bad, msg in ((wrong_count, "declares 5 frames"),
+                     (compressed, "24-bit DIB"),
+                     (b"RIFF\x04\x00\x00\x00AVI ", "avih")):
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="AVI"):
+            decode_video(_vid_media(spark, bad)).collect()
+        row = decode_video(
+            _vid_media(spark, bad), on_error="quarantine"
+        ).first()
+        assert row.decode_error and msg in row.decode_error, (msg, row.decode_error)
+        assert row.pixels is None and row.width is None
+    assert decode_video(_vid_media(spark, good)).first().decode_error is None
