@@ -60,6 +60,7 @@ _PYTEST_ONLY = (
     "pii_scrub",
     "events_resample",
     "semantic_search",
+    "bm25_search",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -1753,6 +1753,141 @@ ORDER BY t.cosine DESC, t.vec_id
 """
 
 
+# --------------------------------------------------------------------
+# BM25 lexical retrieval (the keyword twin of semantic_search)
+# --------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("table", "scan", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 15
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search for a fixed 3-term query: classic lexical
+    retrieval (idf * saturated tf with length normalization), the
+    keyword twin of semantic_search's embedding path.
+
+    Cross-engine determinism is the interesting part: a float SUM
+    over a group is order-dependent, so per-term scores are built as
+    CONDITIONAL-AGG COLUMNS and added in fixed literal order — the
+    whole score is one deterministic expression tree both engines
+    evaluate identically (only the final score is rounded). Corpus
+    stats (N, avgdl, per-term document frequencies) are one 1-row agg
+    broadcast back. Plan: term filter pushes into the exploded token
+    stream BEFORE the tf groupBy, so the shuffle carries only rows
+    for the 3 query terms — at 100 TB this is the inverted-index
+    access path: work scales with posting-list sizes, not the corpus.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    terms = list(BM25_QUERY_TERMS)
+    base = docs.select(
+        "doc_id", F.size(toks).alias("dl"), toks.alias("t")
+    )
+    # tf per query term as columns (one narrow pass, no explode —
+    # size(filter(...)) counts occurrences inside the array). The
+    # lambda comes from a factory: a default-arg lambda would be
+    # two-arg, which PySpark reads as (element, index).
+    def _eq(trm: str):
+        return lambda x: x == F.lit(trm)
+
+    tf = base.select(
+        "doc_id",
+        "dl",
+        *[
+            F.size(F.filter("t", _eq(trm))).alias(f"tf_{i}")
+            for i, trm in enumerate(terms)
+        ],
+    )
+    # avgdl as exact-int sum / count, NOT avg(): both engines then
+    # divide the same exact integers, so the double is bit-identical
+    # (engine-internal avg accumulation orders are not).
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = tf.join(F.broadcast(stats))
+
+    def term_score(i: int):
+        tf_i = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        denom = tf_i + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return idf * (tf_i * (BM25_K1 + 1.0)) / denom
+
+    score = term_score(0) + term_score(1) + term_score(2)
+    return (
+        scored.select(
+            "doc_id",
+            F.col("dl").alias("doc_len"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def _sql_bm25() -> str:
+    terms = list(BM25_QUERY_TERMS)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(t, x -> x = '{trm}')) AS tf_{i}"
+        for i, trm in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+
+    def term_score(i: int) -> str:
+        # CAST everything to DOUBLE before the decimal literals touch
+        # it: DuckDB parses 0.5/1.2 as DECIMAL, and HUGEINT + DECIMAL
+        # stays exact decimal arithmetic — a different rounding path
+        # than Spark's all-double evaluation. With a double first
+        # operand every step promotes to double and the trees match.
+        n = "CAST(n_docs AS DOUBLE)"
+        dfi = f"CAST(df_{i} AS DOUBLE)"
+        idf = f"ln(({n} - {dfi} + 0.5) / ({dfi} + 0.5) + 1.0)"
+        tf = f"CAST(tf_{i} AS DOUBLE)"
+        denom = (
+            f"{tf} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} "
+            f"* CAST(dl AS DOUBLE) / avgdl)"
+        )
+        return f"({idf}) * ({tf} * ({BM25_K1} + 1.0)) / ({denom})"
+
+    score = " + ".join(f"({term_score(i)})" for i in range(len(terms)))
+    return f"""
+WITH tf AS (
+  SELECT doc_id, len(t) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {df_cols}
+  FROM tf
+)
+SELECT doc_id, CAST(dl AS INTEGER) AS doc_len,
+       round({score}, 6) AS bm25
+FROM tf CROSS JOIN stats
+WHERE round({score}, 6) > 0
+ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+ORACLE_BM25_SEARCH = _sql_bm25()
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -1775,6 +1910,7 @@ QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "pii_scrub": q_pii_scrub,
     "semantic_search": q_semantic_search,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLE_SQL = {
@@ -1799,4 +1935,5 @@ ORACLE_SQL = {
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "pii_scrub": ORACLE_PII_SCRUB,
     "semantic_search": ORACLE_SEMANTIC_SEARCH,
+    "bm25_search": ORACLE_BM25_SEARCH,
 }
