@@ -22,6 +22,7 @@ from big_data_spark.operators.hll import (
     hll_registers,
 )
 from big_data_spark.operators.ids import dense_ids
+from big_data_spark.operators.pagerank import pagerank
 from big_data_spark.operators.skew import salted_join
 
 __all__ = [
@@ -47,4 +48,5 @@ __all__ = [
     "bloom_fpp",
     "seen_filter",
     "incremental_dedup",
+    "pagerank",
 ]

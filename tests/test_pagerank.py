@@ -1,0 +1,101 @@
+"""PageRank: matches a numpy power-iteration reference, conserves
+probability mass, handles dangling vertices, converges early."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_spark.io.readers import read_table
+from big_data_spark.operators.pagerank import pagerank
+from tests.conftest import SF_SMOKE
+
+
+def _np_pagerank(edges, damping=0.85, iters=200):
+    edges = sorted(set(edges))
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nr = np.full(n, (1.0 - damping) / n)
+        dangling = sum(r[idx[v]] for v in verts if v not in out_deg)
+        nr += damping * dangling / n
+        for s, t in edges:
+            nr[idx[t]] += damping * r[idx[s]] / out_deg[s]
+        r = nr
+    return {v: r[idx[v]] for v in verts}
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"),  # d has no in-links
+    ("c", "e"),  # e is dangling (no out-edges)
+]
+
+
+def test_matches_numpy_reference(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r.vertex: r.rank
+        for r in pagerank(df, max_iter=60, tol=1e-12, check_every=60).collect()
+    }
+    want = _np_pagerank(EDGES)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_early_convergence_equals_full_run(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    early = {
+        r.vertex: r.rank
+        for r in pagerank(df, max_iter=200, tol=1e-9, check_every=5).collect()
+    }
+    want = _np_pagerank(EDGES)
+    for v in want:
+        assert abs(early[v] - want[v]) < 1e-6
+
+
+def test_star_hub_dominates(spark):
+    star = [(f"leaf{i}", "hub") for i in range(8)]
+    df = spark.createDataFrame(star, "src string, dst string")
+    got = {r.vertex: r.rank for r in pagerank(df, max_iter=30).collect()}
+    assert got["hub"] == max(got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_duplicate_edges_count_once(spark):
+    df = spark.createDataFrame(EDGES + EDGES, "src string, dst string")
+    dup = {r.vertex: r.rank for r in pagerank(df, max_iter=30).collect()}
+    ref = {
+        r.vertex: r.rank
+        for r in pagerank(
+            spark.createDataFrame(EDGES, "src string, dst string"), max_iter=30
+        ).collect()
+    }
+    for v in ref:
+        assert abs(dup[v] - ref[v]) < 1e-12
+
+
+def test_on_real_table_conserves_mass(spark):
+    # supplier -> part edges from lineitem: a real bipartite-ish
+    # graph with plenty of dangling vertices (parts never supply).
+    edges = (
+        read_table(spark, SF_SMOKE, "lineitem")
+        .select(
+            F.concat(F.lit("s"), "l_suppkey").alias("src"),
+            F.concat(F.lit("p"), "l_partkey").alias("dst"),
+        )
+    )
+    ranks = pagerank(edges, max_iter=10, check_every=10)
+    row = ranks.agg(
+        F.sum("rank").alias("total"), F.min("rank").alias("lo")
+    ).collect()[0]
+    assert row.total == pytest.approx(1.0, abs=1e-6)
+    assert row.lo > 0
