@@ -61,6 +61,8 @@ _PYTEST_ONLY = (
     "events_resample",
     "semantic_search",
     "bm25_search",
+    "grouping_sets",
+    "unpivot_metrics",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

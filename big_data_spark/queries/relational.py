@@ -1005,6 +1005,73 @@ ORDER BY returnflag, linestatus
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube are sugar
+    for): per-(flag, status), per-flag, and grand total in ONE
+    shuffle over the expanded grouping-set id, plus grouping_id() to
+    tell the levels apart without NULL ambiguity. The cross-level
+    report shape a warehouse burns three jobs on when written
+    naively."""
+    li = _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, returnflag, linestatus
+        """,
+        li=li,
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, returnflag, linestatus
+"""
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): the per-part price/size metrics as
+    (metric, value) rows — the inverse idiom of pivot_status, used
+    whenever heterogeneous metric columns must feed one generic
+    consumer. Spark's native unpivot() keeps it a zero-shuffle
+    narrow projection (each input row fans out to k rows in place)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
+        .filter(F.col("p_partkey") < 200)
+        .orderBy("p_partkey", "metric")
+    )
+
+
+# DuckDB's UNPIVOT exists but orders/aliases differently; the
+# portable spelling is the UNION ALL expansion — same rows.
+ORACLE_UNPIVOT = """
+SELECT p_partkey, metric, value FROM (
+  SELECT p_partkey, 'retailprice' AS metric,
+         CAST(p_retailprice AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+) WHERE p_partkey < 200 ORDER BY p_partkey, metric
+"""
+
+
 def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (SURVEY §2.4 'not present' list): order counts by
     priority x status. Pivot values are pinned so the plan is a single
@@ -1626,6 +1693,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_json": q_events_json,
     "events_resample": q_events_resample,
+    "grouping_sets": q_grouping_sets,
+    "unpivot_metrics": q_unpivot_metrics,
     "events_sessionize": q_events_sessionize,
     "rollup_revenue": q_rollup_revenue,
     "pivot_status": q_pivot_status,
@@ -1666,6 +1735,8 @@ ORACLE_SQL = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_json": ORACLE_EVENTS_JSON,
     "events_resample": ORACLE_EVENTS_RESAMPLE,
+    "grouping_sets": ORACLE_GROUPING_SETS,
+    "unpivot_metrics": ORACLE_UNPIVOT,
     "events_sessionize": ORACLE_SESSIONIZE,
     "rollup_revenue": ORACLE_ROLLUP,
     "pivot_status": ORACLE_PIVOT,
