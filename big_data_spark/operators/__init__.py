@@ -24,6 +24,7 @@ from big_data_spark.operators.hll import (
 from big_data_spark.operators.ids import dense_ids
 from big_data_spark.operators.pagerank import pagerank
 from big_data_spark.operators.skew import salted_join
+from big_data_spark.operators.skewreport import skew_report
 
 __all__ = [
     "server_connections",
@@ -49,4 +50,5 @@ __all__ = [
     "seen_filter",
     "incremental_dedup",
     "pagerank",
+    "skew_report",
 ]

@@ -1,0 +1,88 @@
+"""Footer-stats reader + skew report: audits without data scans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_spark.io.compact import compact_parquet, parquet_inventory
+from big_data_spark.io.readers import read_table
+from big_data_spark.io.stats import parquet_column_stats
+from big_data_spark.operators.skewreport import skew_report
+from tests.conftest import SF_SMOKE
+
+
+def test_footer_stats_match_data(spark, tmp_path):
+    src = str(tmp_path / "li")
+    li = read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    li.coalesce(1).write.parquet(src)
+    stats = {
+        r.column: r
+        for r in parquet_column_stats(
+            spark, src, ["l_orderkey", "l_quantity"]
+        ).collect()
+    }
+    lo, hi, n = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.count(F.lit(1))
+    ).collect()[0]
+    assert int(stats["l_orderkey"].min_value) == lo
+    assert int(stats["l_orderkey"].max_value) == hi
+    assert stats["l_orderkey"].n_rows == n
+    assert stats["l_orderkey"].n_nulls == 0
+
+
+def test_footer_stats_prove_zorder_narrowing(spark, tmp_path):
+    # The z-order claim, verified the way a scan planner would: from
+    # footers alone, per-file spans on both interleaved columns must
+    # shrink vs the source layout — no data pages read.
+    src = str(tmp_path / "frag")
+    li = read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    li.repartition(16).write.parquet(src)
+    inv = parquet_inventory(spark, src)
+    dst = str(tmp_path / "z")
+    compact_parquet(
+        spark,
+        src,
+        dst,
+        target_file_bytes=1 << 20,
+        zorder_by=["l_partkey", "l_suppkey"],
+        size_ratio=4.0 * (1 << 20) / inv["total_bytes"],
+    )
+    for col in ("l_partkey", "l_suppkey"):
+        lo, hi = li.agg(F.min(col), F.max(col)).collect()[0]
+        spans = [
+            (int(r.max_value) - int(r.min_value)) / (hi - lo)
+            for r in parquet_column_stats(spark, dst, [col]).collect()
+        ]
+        assert len(spans) == 4
+        assert sum(spans) / len(spans) < 0.8, (col, spans)
+
+
+def test_footer_stats_unknown_column_fails(spark, tmp_path):
+    import pytest
+
+    src = str(tmp_path / "n")
+    read_table(spark, SF_SMOKE, "nation").write.parquet(src)
+    with pytest.raises(Exception, match="not in file schema"):
+        parquet_column_stats(spark, src, ["nope"]).collect()
+
+
+def test_skew_report_flags_hot_key(spark):
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    # l_returnflag has ~3 values over thousands of rows: heavy skew
+    # relative to a uniform key.
+    summary, hot = skew_report(li, ["l_returnflag"], top=2)
+    s = summary.collect()[0]
+    assert s.n_keys <= 5
+    assert s.skew_ratio > 0.9  # max/avg near n_keys-bounded value
+    h = hot.collect()
+    assert len(h) == 2 and h[0].n_rows >= h[1].n_rows
+    assert 0 < h[0].share <= 1
+    # A near-unique key reports skew_ratio close to 1 ... bounded.
+    u_summary, _ = skew_report(li, ["l_orderkey", "l_linenumber"], top=1)
+    u = u_summary.collect()[0]
+    assert u.skew_ratio < s.n_keys * 2
+    assert u.total_rows == s.total_rows
