@@ -1676,7 +1676,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name"),
         F.lit(" <"),
         F.lower(F.col("c_name")),
-        F.lit("@example.com> acct "),
+        F.lit("@example.com> call (202) 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" acct "),
         (F.col("c_custkey") + 10000000).cast("string"),
         F.lit(" from 10.0."),
         F.col("c_nationkey").cast("string"),
@@ -1687,6 +1689,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "c_custkey",
         counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
         counts["ipv4"].alias("n_ipv4"),
         counts["id_number"].alias("n_ids"),
         pii_redact(F.col("contact")).alias("redacted"),
@@ -1700,13 +1703,15 @@ def _sql_pii_scrub() -> str:
     return f"""
 WITH base AS (
   SELECT c_custkey,
-         c_name || ' <' || lower(c_name) || '@example.com> acct '
-           || CAST(c_custkey + 10000000 AS VARCHAR)
+         c_name || ' <' || lower(c_name) || '@example.com> call (202) 555-'
+           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           || ' acct ' || CAST(c_custkey + 10000000 AS VARCHAR)
            || ' from 10.0.' || CAST(c_nationkey AS VARCHAR) || '.1' AS contact
   FROM customer
 )
 SELECT c_custkey,
        CAST({counts['email']} AS INTEGER) AS n_emails,
+       CAST({counts['phone']} AS INTEGER) AS n_phones,
        CAST({counts['ipv4']} AS INTEGER) AS n_ipv4,
        CAST({counts['id_number']} AS INTEGER) AS n_ids,
        {sql_pii_redact('contact')} AS redacted
