@@ -15,6 +15,12 @@ from big_data_spark.operators.components import connected_components
 from big_data_spark.operators.connections import server_connections
 from big_data_spark.operators.dbscan import dbscan_from_edges
 from big_data_spark.operators.incremental import incremental_dedup, seen_filter
+from big_data_spark.operators.histogram import (
+    hist_error_bound,
+    hist_merge,
+    hist_quantile,
+    hist_sketch,
+)
 from big_data_spark.operators.hll import (
     hll_error_bound,
     hll_estimate,
@@ -51,4 +57,8 @@ __all__ = [
     "incremental_dedup",
     "pagerank",
     "skew_report",
+    "hist_sketch",
+    "hist_merge",
+    "hist_quantile",
+    "hist_error_bound",
 ]

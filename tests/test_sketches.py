@@ -403,3 +403,79 @@ def test_bloom_build_over_a_stream(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_hist_quantile_within_bin_width(spark):
+    """Histogram sketch quantiles land within one bin width of the
+    exact percentile, per key."""
+    from big_data_spark.operators.histogram import (
+        hist_error_bound,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    lo, hi, bins = 900.0, 105000.0, 128
+    sk = hist_sketch(li, ["l_returnflag"], "l_extendedprice", lo, hi, bins)
+    for q in (0.5, 0.9):
+        est = {
+            r.l_returnflag: r[f"q{q}"]
+            for r in hist_quantile(sk, ["l_returnflag"], q).collect()
+        }
+        exact = {
+            r.l_returnflag: r.x
+            for r in li.groupBy("l_returnflag")
+            .agg(F.expr(f"percentile(l_extendedprice, {q})").alias("x"))
+            .collect()
+        }
+        tol = hist_error_bound(lo, hi, bins)
+        for k in exact:
+            assert abs(est[k] - exact[k]) <= tol, (q, k, est[k], exact[k])
+
+
+def test_hist_merge_equals_direct_sketch(spark):
+    from big_data_spark.operators.histogram import hist_merge, hist_sketch
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    parts = [li.filter("l_orderkey % 2 = 0"), li.filter("l_orderkey % 2 = 1")]
+    merged = hist_merge(
+        *[
+            hist_sketch(p, ["l_returnflag"], "l_extendedprice", 0.0, 120000.0)
+            for p in parts
+        ]
+    )
+    direct = hist_sketch(li, ["l_returnflag"], "l_extendedprice", 0.0, 120000.0)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_hist_out_of_range_pins_to_edges(spark):
+    from big_data_spark.operators.histogram import hist_sketch
+
+    rows = spark.createDataFrame(
+        [("k", -5.0), ("k", 0.5), ("k", 99.0), ("k", 250.0), ("k", None)],
+        "kk string, v double",
+    )
+    sk = {r.bucket: r.n for r in hist_sketch(rows, ["kk"], "v", 0.0, 100.0, 10).collect()}
+    assert sk[0] == 2   # -5 clamps into bucket 0, 0.5 lands there
+    assert sk[9] == 2   # 99 in last bucket, 250 clamps into it
+    assert sum(sk.values()) == 4  # NULL ignored
+
+
+def test_hist_sketch_over_a_stream(spark):
+    from big_data_spark.operators.histogram import hist_sketch
+    from big_data_spark.streaming import read_events_stream, run_stream_to_table
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    streamed = run_stream_to_table(
+        hist_sketch(stream, ["event_type"], "value", 0.0, 400.0, 32),
+        "hist_stream_sketch",
+        output_mode="complete",
+    )
+    batch = hist_sketch(
+        read_table(spark, SF_SMOKE, "events"), ["event_type"], "value", 0.0, 400.0, 32
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
