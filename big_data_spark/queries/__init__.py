@@ -58,11 +58,15 @@ _PYTEST_ONLY = (
     # pytest gate (tests/test_oracle.py), candidates for future
     # driver-slot rotation.
     "pii_scrub",
-    "events_resample",
     "semantic_search",
     "bm25_search",
     "grouping_sets",
     "unpivot_metrics",
+    # Second round-5 rotation: events_resample (gap/forward fill —
+    # the one new idiom whose float path deserves driver-hash
+    # certification) takes the slot of distinct_counts, whose A6-A8
+    # rows stay driver-certified by set_ops.
+    "distinct_counts",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}
