@@ -62,6 +62,7 @@ _PYTEST_ONLY = (
     "bm25_search",
     "grouping_sets",
     "unpivot_metrics",
+    "pmi_cooccur",
     # Second round-5 rotation: events_resample (gap/forward fill —
     # the one new idiom whose float path deserves driver-hash
     # certification) takes the slot of distinct_counts, whose A6-A8

@@ -1893,6 +1893,107 @@ ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
 ORACLE_BM25_SEARCH = _sql_bm25()
 
 
+# --------------------------------------------------------------------
+# PMI collocations (statistical word association over adjacent pairs)
+# --------------------------------------------------------------------
+
+PMI_MIN_PAIR = 20
+PMI_TOPK = 20
+
+
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation-mining pass (phrase detection, tokenizer-merge
+    candidates). PMI = ln(P(a,b) / (P(a) P(b))) with P from exact
+    corpus counts.
+
+    Determinism: every product in the PMI ratio multiplies EXACT
+    integer counts whose magnitudes stay far under 2^53, so both
+    engines form bit-identical doubles before the single ln — no
+    order-dependent float accumulation anywhere. Plan: one pair
+    groupBy + one unigram groupBy + two joins of the (tiny) unigram
+    table onto surviving pairs; the ``cnt_ab >= PMI_MIN_PAIR`` filter
+    lands BEFORE the unigram joins, so at 100 TB the join probe side
+    is the collocation candidates, not the raw pair stream."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(_tokens().alias("t")).where(F.size("t") >= 2)
+    n = F.size("t")
+    pairs_arr = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    pairs = (
+        base.select(F.explode(pairs_arr).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= PMI_MIN_PAIR)
+    )
+    uni = (
+        base.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = base.agg(
+        F.sum(n).cast("bigint").alias("tot_toks"),
+        F.sum(n - 1).cast("bigint").alias("tot_pairs"),
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("cnt").alias("cnt_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("cnt").alias("cnt_b"))
+    joined = (
+        pairs.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(totals))
+    )
+    num = (
+        F.col("cnt_ab").cast("double")
+        * F.col("tot_toks")
+        * F.col("tot_toks")
+    )
+    den = (
+        F.col("tot_pairs").cast("double") * F.col("cnt_a") * F.col("cnt_b")
+    )
+    return (
+        joined.select(
+            "a",
+            "b",
+            "cnt_ab",
+            F.round(F.log(num / den), 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(PMI_TOPK)
+    )
+
+
+ORACLE_PMI_COOCCUR = f"""
+WITH base AS (
+  SELECT t FROM (SELECT {_SQL_TOKENS} AS t FROM documents) WHERE len(t) >= 2
+), pairs AS (
+  SELECT p['a'] AS a, p['b'] AS b, COUNT(*) AS cnt_ab FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> struct_pack(a := t[i], b := t[i+1]))) AS p
+    FROM base
+  ) GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_PAIR}
+), uni AS (
+  SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(t) AS tok FROM base)
+  GROUP BY tok
+), totals AS (
+  SELECT CAST(SUM(len(t)) AS BIGINT) AS tot_toks,
+         CAST(SUM(len(t) - 1) AS BIGINT) AS tot_pairs
+  FROM base
+)
+SELECT p.a, p.b, p.cnt_ab,
+       round(ln((CAST(p.cnt_ab AS DOUBLE) * tot_toks * tot_toks)
+                / (CAST(tot_pairs AS DOUBLE) * ua.cnt * ub.cnt)), 6) AS pmi
+FROM pairs p
+JOIN uni ua ON ua.tok = p.a
+JOIN uni ub ON ub.tok = p.b
+CROSS JOIN totals
+ORDER BY pmi DESC, a, b LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -1916,6 +2017,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "semantic_search": q_semantic_search,
     "bm25_search": q_bm25_search,
+    "pmi_cooccur": q_pmi_cooccur,
 }
 
 ORACLE_SQL = {
@@ -1941,4 +2043,5 @@ ORACLE_SQL = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "semantic_search": ORACLE_SEMANTIC_SEARCH,
     "bm25_search": ORACLE_BM25_SEARCH,
+    "pmi_cooccur": ORACLE_PMI_COOCCUR,
 }
