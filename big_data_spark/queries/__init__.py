@@ -63,6 +63,8 @@ _PYTEST_ONLY = (
     "grouping_sets",
     "unpivot_metrics",
     "pmi_cooccur",
+    "events_funnel",
+    "scd2_intervals",
     # Second round-5 rotation: events_resample (gap/forward fill —
     # the one new idiom whose float path deserves driver-hash
     # certification) takes the slot of distinct_counts, whose A6-A8

@@ -806,6 +806,113 @@ ORDER BY event_type, hour_epoch
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    advances a stage only with an event STRICTLY AFTER their previous
+    stage's first event — the temporal-ordering constraint that makes
+    funnels harder than three counts.
+
+    Plan: three filtered per-user min-aggregations chained by joins,
+    each map-side combinable and keyed on user_id (one partitioning
+    reused); stage populations shrink monotonically so each join's
+    probe side is smaller than the last. ts is the raw nanosecond
+    long (read_table) — the oracle compares epoch_ns."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("stage"), F.count(F.lit(1)).alias("n_users")
+        )
+
+    return (
+        stage(views, "1_view")
+        .unionByName(stage(clicks, "2_click"))
+        .unionByName(stage(purchases, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_ns(ts)) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL SELECT '2_click', COUNT(*) FROM c
+UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+ORDER BY stage
+"""
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: each customer's
+    orders become versioned validity intervals — valid_from is the
+    order date, valid_to the NEXT order's date (open/NULL for the
+    current version). The lead() window partitions per customer, so
+    interval construction parallelizes across the dimension key, and
+    the (date, orderkey) tie-break makes the sequence deterministic
+    under same-day orders."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+
+    # o_orderdate arrives TIMESTAMP_NTZ; NTZ -> TIMESTAMP (session tz
+    # is pinned UTC by read_table) -> epoch seconds.
+    def epoch(c):
+        return c.cast("timestamp").cast("long")
+
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            epoch(F.col("o_orderdate")).alias("valid_from_epoch"),
+            epoch(nxt).alias("valid_to_epoch"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("o_custkey", "valid_from_epoch", "o_orderkey")
+    )
+
+
+ORACLE_SCD2 = """
+SELECT o_custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS valid_from_epoch,
+       CAST(floor(epoch(lead(o_orderdate) OVER w)) AS BIGINT) AS valid_to_epoch,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, valid_from_epoch, o_orderkey
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from a string column (§2.8 extension —
     schema-on-read the reference never needed)."""
@@ -1695,6 +1802,8 @@ QUERIES = {
     "events_resample": q_events_resample,
     "grouping_sets": q_grouping_sets,
     "unpivot_metrics": q_unpivot_metrics,
+    "events_funnel": q_events_funnel,
+    "scd2_intervals": q_scd2_intervals,
     "events_sessionize": q_events_sessionize,
     "rollup_revenue": q_rollup_revenue,
     "pivot_status": q_pivot_status,
@@ -1737,6 +1846,8 @@ ORACLE_SQL = {
     "events_resample": ORACLE_EVENTS_RESAMPLE,
     "grouping_sets": ORACLE_GROUPING_SETS,
     "unpivot_metrics": ORACLE_UNPIVOT,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
+    "scd2_intervals": ORACLE_SCD2,
     "events_sessionize": ORACLE_SESSIONIZE,
     "rollup_revenue": ORACLE_ROLLUP,
     "pivot_status": ORACLE_PIVOT,
