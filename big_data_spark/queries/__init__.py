@@ -65,6 +65,7 @@ _PYTEST_ONLY = (
     "pmi_cooccur",
     "events_funnel",
     "scd2_intervals",
+    "corpus_mix_temperature",
     # Second round-5 rotation: events_resample (gap/forward fill —
     # the one new idiom whose float path deserves driver-hash
     # certification) takes the slot of distinct_counts, whose A6-A8

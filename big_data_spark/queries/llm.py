@@ -1315,6 +1315,109 @@ GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------
+# Temperature-weighted corpus mixing (rates computed FROM the data)
+# --------------------------------------------------------------------
+
+MIX_TEMP_BUDGET_FRAC = 0.5  # sample down to half the corpus tokens
+
+
+def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced mixing (the multilingual/multi-source
+    upsampling shape): per-source rates are COMPUTED from token
+    shares — weight_s = share_s^alpha flattens the distribution so
+    small sources keep more of a fixed token budget — then applied
+    through the same deterministic md5 gate as corpus_sample_mix.
+
+    Cross-engine float contract: alpha is pinned at 0.5, so the
+    power is sqrt — the ONE power IEEE requires exactly rounded,
+    identical in the JVM and C libm (an arbitrary alpha would go
+    through exp/ln whose last ulp is implementation-defined). The
+    cross-source weight sum is a LEFT FOLD over the source-sorted
+    weight list in both engines (never a SUM aggregate, whose
+    accumulation order is unspecified), so every derived rate is
+    bit-identical and the hash-gate comparison can never split.
+
+    Plan: one map-side-combinable token-mass agg (|sources| rows),
+    a 1-row fold broadcast back, and the narrow gate filter — the
+    corpus-wide pass stays a pure map."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(toks)).alias("m")
+    )
+    w = F.sqrt(F.col("m").cast("double"))
+    tot = per_src.agg(
+        F.sum("m").alias("corpus_tokens"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("source"), w.alias("w")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("w_total"),
+    )
+    rated = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "m",
+        F.least(
+            F.lit(1.0),
+            (
+                (F.sqrt(F.col("m").cast("double")) / F.col("w_total"))
+                * (F.col("corpus_tokens").cast("double") * MIX_TEMP_BUDGET_FRAC)
+            )
+            / F.col("m").cast("double"),
+        ).alias("rate"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") / F.lit(_HASH_SPACE)
+    kept = docs.join(F.broadcast(rated), "source").filter(u < F.col("rate"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.size(toks)).alias("kept_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.round(F.max("rate"), 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_MIX_TEMPERATURE = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS m
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS corpus_tokens,
+         -- LEFT FOLD over the source-sorted weights (mirrors Spark's
+         -- aggregate over array_sort(collect_list)); a bare SUM's
+         -- accumulation order is unspecified in both engines.
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(sqrt(CAST(m AS DOUBLE)) ORDER BY source)),
+           (a, b) -> a + b) AS w_total
+  FROM per_src
+), rated AS (
+  SELECT source, m,
+         least(CAST(1.0 AS DOUBLE),
+               ((sqrt(CAST(m AS DOUBLE)) / w_total)
+                * (CAST(corpus_tokens AS DOUBLE) * {MIX_TEMP_BUDGET_FRAC}))
+               / CAST(m AS DOUBLE)) AS rate
+  FROM per_src CROSS JOIN tot
+)
+SELECT d.source, COUNT(*) AS n_kept,
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS kept_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       round(MAX(r.rate), 6) AS rate
+FROM documents d JOIN rated r USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / {_HASH_SPACE} < r.rate
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+# --------------------------------------------------------------------
 # Decontamination + vocabulary coverage
 # --------------------------------------------------------------------
 
@@ -2018,6 +2121,7 @@ QUERIES = {
     "semantic_search": q_semantic_search,
     "bm25_search": q_bm25_search,
     "pmi_cooccur": q_pmi_cooccur,
+    "corpus_mix_temperature": q_corpus_mix_temperature,
 }
 
 ORACLE_SQL = {
@@ -2044,4 +2148,5 @@ ORACLE_SQL = {
     "semantic_search": ORACLE_SEMANTIC_SEARCH,
     "bm25_search": ORACLE_BM25_SEARCH,
     "pmi_cooccur": ORACLE_PMI_COOCCUR,
+    "corpus_mix_temperature": ORACLE_CORPUS_MIX_TEMPERATURE,
 }
