@@ -1,3 +1,4 @@
+from big_data_spark.pipeline.corpus import prepare_corpus
 from big_data_spark.pipeline.processes import (
     equal_process_groups,
     grouped_logs,
@@ -14,4 +15,5 @@ __all__ = [
     "observations_text",
     "similar_process_groups",
     "run_pipeline",
+    "prepare_corpus",
 ]
