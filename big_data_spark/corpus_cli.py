@@ -1,0 +1,51 @@
+"""Corpus-preparation CLI — the training-data twin of ``main.py``'s
+log workflow:
+
+    python -m big_data_spark.corpus_cli /root/testdata/sf0.01 out/corpus
+
+runs the composed pipeline (quality -> Gopher -> PII -> exact dedup
+-> SemDeDup -> temperature mix; pipeline/corpus.py) over the
+``documents``/``embeddings`` tables in the given directory, writes
+the survivors as lang-partitioned parquet, and prints the per-stage
+funnel as one JSON line (machine-readable, like bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from big_data_spark.pipeline.corpus import prepare_corpus
+from big_data_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None, spark=None) -> dict:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("sf_dir", help="directory with documents/embeddings parquet")
+    parser.add_argument("out_dir", help="output directory for the prepared corpus")
+    parser.add_argument(
+        "--budget-frac",
+        type=float,
+        default=0.5,
+        help="token budget as a fraction of the deduped survivors' tokens",
+    )
+    args = parser.parse_args(argv)
+
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app_name="big_data_spark-corpus")
+        spark.sparkContext.setLogLevel("WARN")
+    try:
+        _, report = prepare_corpus(
+            spark, args.sf_dir, out_dir=args.out_dir, budget_frac=args.budget_frac
+        )
+        funnel = {r.stage: r.n_docs for r in report.collect()}
+        print(json.dumps({"funnel": funnel, "out_dir": args.out_dir}))
+        return funnel
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()

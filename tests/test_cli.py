@@ -37,3 +37,20 @@ def test_cli_writes_all_three_outputs(spark, tmp_path):
             with open(os.path.join(obs2, name)) as fh:
                 texts.append(fh.read())
     assert any(t.strip() for t in texts)
+
+
+def test_corpus_cli_writes_and_reports(spark, tmp_path, capsys):
+    import json
+
+    from big_data_spark.corpus_cli import main as corpus_main
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "corpus")
+    funnel = corpus_main([SF_SMOKE, out], spark=spark)
+    assert funnel["0_input"] == 500
+    assert funnel["5_mixed"] > 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["funnel"] == funnel and parsed["out_dir"] == out
+    back = spark.read.parquet(out)
+    assert back.count() == funnel["5_mixed"]
