@@ -66,6 +66,7 @@ _PYTEST_ONLY = (
     "events_funnel",
     "scd2_intervals",
     "corpus_mix_temperature",
+    "stream_sliding",
     # Second round-5 rotation: events_resample (gap/forward fill —
     # the one new idiom whose float path deserves driver-hash
     # certification) takes the slot of distinct_counts, whose A6-A8

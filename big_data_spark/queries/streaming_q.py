@@ -17,6 +17,7 @@ from big_data_spark.streaming import (
     read_events_stream,
     run_stream_to_table,
     sessionize_stream,
+    sliding_counts_stream,
 )
 
 
@@ -97,14 +98,44 @@ ORDER BY purchase_id, click_id
 """
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows over the stream (2 h window, 1 h slide): each
+    event lands in two overlapping buckets — the trailing-window
+    dashboard shape tumbling windows can't express. Event-time only,
+    so the drained result is micro-batch-slicing independent."""
+    stream = sliding_counts_stream(read_events_stream(spark, sf_dir))
+    out = run_stream_to_table(stream, "stream_sliding_result")
+    return out.orderBy("win_start_epoch", "event_type")
+
+
+# Each event contributes to the two hourly-aligned 2-hour windows
+# covering it: starts {hour - 3600, hour} — expressed by unnesting
+# both starts per event, then a plain group-by. Exact integer counts
+# + decimal sums, same cross-engine contract as stream_hourly.
+ORACLE_STREAM_SLIDING = """
+SELECT s AS win_start_epoch, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT unnest([hh - 3600, hh]) AS s, event_type, value FROM (
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hh,
+           event_type, value
+    FROM events
+  )
+)
+GROUP BY s, event_type ORDER BY win_start_epoch, event_type
+"""
+
+
 QUERIES = {
     "stream_hourly": q_stream_hourly,
     "stream_sessionize": q_stream_sessionize,
     "stream_stream_join": q_stream_stream_join,
+    "stream_sliding": q_stream_sliding,
 }
 
 ORACLE_SQL = {
     "stream_hourly": ORACLE_STREAM_HOURLY,
     "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
     "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
+    "stream_sliding": ORACLE_STREAM_SLIDING,
 }

@@ -16,6 +16,7 @@ from big_data_spark.streaming.events import (
     read_events_stream,
     run_stream_to_table,
     sessionize_stream,
+    sliding_counts_stream,
     user_totals_stateful,
     write_stream_partitioned_parquet,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "read_events_stream",
     "hourly_counts_stream",
     "sessionize_stream",
+    "sliding_counts_stream",
     "purchase_click_join_stream",
     "dedup_stream",
     "user_totals_stateful",

@@ -87,6 +87,33 @@ def hourly_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """SLIDING event-time windows (each event lands in
+    window/slide overlapping buckets) — the trailing-window dashboard
+    aggregate tumbling windows can't express. State per (window,
+    type) bucket; the watermark must cover the LONGEST window so a
+    bucket only closes after every contributing event is in."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -257,3 +257,48 @@ def test_streaming_process_encodings_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_sliding_window_multi_batch_matches_batch(spark, tmp_path):
+    """Sliding windows (2 h / 1 h slide): every event lands in exactly
+    two buckets, and the drained result is identical whether the
+    source arrives as one batch or three micro-batches."""
+    from big_data_spark.streaming import sliding_counts_stream, run_stream_to_table
+
+    events = read_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "ev_src")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("event_time", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    )
+    multi = run_stream_to_table(
+        sliding_counts_stream(stream), "sliding_multi"
+    )
+    # Batch twin: same window spec on the static table.
+    batch = (
+        events.withColumn(
+            "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
+        )
+        .groupBy(F.window("event_time", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert sorted(map(tuple, multi.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # Two buckets per event exactly.
+    total = multi.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 2 * events.count()
