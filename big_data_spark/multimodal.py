@@ -748,6 +748,132 @@ def decode_video(
     return media_df.mapInPandas(kernel, _VIDEO_SCHEMA)
 
 
+_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", LongType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def audio_frame_energy(
+    media_df: DataFrame,
+    fmt: str = "wav",
+    frame_ms: int = 100,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Per-frame energy (integer RMS over ``frame_ms`` windows) for
+    decodable audio — the feature-extraction pass after decode:
+    silence detection, segmentation, loudness normalization all start
+    from exactly this table. One exploded row per full frame
+    (trailing partial frames are dropped, like sample_frames);
+    channels stay interleaved inside a frame, so a frame's RMS is
+    over ``channels * rate * frame_ms / 1000`` samples.
+
+    Same kernel contract as the decoders: Arrow-batched mapInPandas,
+    vectorized numpy per frame (reshape + one int64 reduction — never
+    a per-sample Python loop), raise/quarantine error handling."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error={on_error!r}: use 'raise' or 'quarantine'")
+    if frame_ms < 1:
+        raise ValueError(f"frame_ms must be >= 1, got {frame_ms}")
+    if fmt not in _AUDIO_PARSERS:
+        raise NotImplementedError(
+            f"audio_frame_energy({fmt!r}): only the native decoders "
+            f"{sorted(_AUDIO_PARSERS)} are supported here"
+        )
+    parse = _AUDIO_PARSERS[fmt]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in _ENERGY_SCHEMA.names}
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    rate, channels, frames, samples = parse(bytes(content))
+                    spf = channels * max(1, rate * frame_ms // 1000)
+                    n_full = len(samples) // spf
+                except Exception as exc:
+                    if on_error == "raise":
+                        raise ValueError(
+                            f"doc_id={did}: undecodable {fmt.upper()} "
+                            f"payload: {exc}"
+                        ) from exc
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(None)
+                    out["n_samples"].append(None)
+                    out["rms"].append(None)
+                    out["decode_error"].append(str(exc)[:500])
+                    continue
+                if n_full:
+                    m = (
+                        samples[: n_full * spf]
+                        .astype(np.int64)
+                        .reshape(n_full, spf)
+                    )
+                    rms = np.sqrt((m * m).sum(axis=1) / spf).astype(np.int64)
+                    for i in range(n_full):
+                        out["doc_id"].append(did)
+                        out["frame_idx"].append(i)
+                        out["n_samples"].append(spf)
+                        out["rms"].append(int(rms[i]))
+                        out["decode_error"].append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="Int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="Int32"),
+                    "rms": pd.Series(out["rms"], dtype="Int64"),
+                    "decode_error": pd.Series(out["decode_error"], dtype="object"),
+                }
+            )
+
+    return media_df.mapInPandas(kernel, _ENERGY_SCHEMA)
+
+
+def dhash64(pixels_col: str = "pixels", grid_w: int = 9, grid_h: int = 8) -> "F.Column":
+    """64-bit difference hash (dHash) over a ``grid_w x grid_h``
+    row-major grayscale pixel array — the standard perceptual image
+    fingerprint: bit (r, c) is set iff pixel (r, c) > pixel (r, c+1),
+    so the hash captures gradient structure and survives brightness
+    shifts, re-encoding and small noise. Feed it the output of
+    ``decode_image(...) |> resize_pixels(..., 9, 8)``.
+
+    Built as ONE SQL expression (64 comparison-shift terms, pure JVM
+    integer ops, whole-stage codegen) — per-pixel Python here would
+    be the row-at-a-time tax this module exists to avoid. Near-dup
+    images then reduce to ``hamming64(a, b) <= k`` — integer
+    operations on one BIGINT per image instead of pixel arrays."""
+    if grid_w < 2 or grid_h < 1 or (grid_w - 1) * grid_h > 64:
+        raise ValueError(
+            f"dhash grid {grid_w}x{grid_h} must fit 64 bits of (w-1)*h"
+        )
+    terms = []
+    for r in range(grid_h):
+        for c in range(grid_w - 1):
+            left = r * grid_w + c + 1  # element_at is 1-based
+            bit = r * (grid_w - 1) + c
+            terms.append(
+                f"shiftleft(CAST(element_at({pixels_col}, {left}) > "
+                f"element_at({pixels_col}, {left + 1}) AS BIGINT), {bit})"
+            )
+    return F.expr(" + ".join(terms))
+
+
+def hamming64(a, b) -> "F.Column":
+    """Bit distance between two 64-bit fingerprints (dhash64): the
+    image-similarity metric — JVM xor + popcount."""
+    return F.bit_count(
+        (F.col(a) if isinstance(a, str) else a).bitwiseXOR(
+            F.col(b) if isinstance(b, str) else b
+        )
+    )
+
+
 _FAKE_IMAGE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -567,3 +567,76 @@ def test_decode_video_rejects_and_quarantines(spark):
         assert row.decode_error and msg in row.decode_error, (msg, row.decode_error)
         assert row.pixels is None and row.width is None
     assert decode_video(_vid_media(spark, good)).first().decode_error is None
+
+
+def test_audio_frame_energy_exact_values(spark):
+    """Constant-amplitude halves give exactly-known per-frame RMS,
+    and trailing partial frames drop."""
+    from big_data_spark.multimodal import audio_frame_energy
+
+    rate = 1000  # 100 ms frame = 100 samples
+    samples = [1000] * 250 + [-2000] * 100  # 3 full frames + 50 left
+    media = spark.createDataFrame(
+        [(1, "wav", _wav_bytes(rate, 1, samples), {})],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    rows = {r.frame_idx: r for r in audio_frame_energy(media, frame_ms=100).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[0].rms == 1000 and rows[1].rms == 1000
+    # frame 2: 50 samples at 1000, 50 at 2000 -> sqrt((50*1e6+50*4e6)/100)
+    import math
+
+    assert rows[2].rms == int(math.sqrt((50 * 1000**2 + 50 * 2000**2) / 100))
+    assert all(r.n_samples == 100 for r in rows.values())
+
+
+def test_audio_frame_energy_au_and_quarantine(spark):
+    from big_data_spark.multimodal import audio_frame_energy
+
+    good = _au_bytes(1000, 1, [500] * 200)
+    media = spark.createDataFrame(
+        [(1, "au", good, {}), (2, "au", b".snd junk", {})],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    rows = audio_frame_energy(media, fmt="au", frame_ms=100, on_error="quarantine").collect()
+    ok = [r for r in rows if r.decode_error is None]
+    bad = [r for r in rows if r.decode_error is not None]
+    assert len(ok) == 2 and all(r.rms == 500 for r in ok)
+    assert len(bad) == 1 and bad[0].doc_id == 2
+
+
+def test_dhash_stability_and_discrimination(spark):
+    """dHash: identical images match, a brightness shift matches
+    (gradients unchanged), a different image is far in Hamming
+    distance — computed via decode -> resize -> one JVM expression."""
+    from big_data_spark.multimodal import decode_image, dhash64, hamming64, resize_pixels
+
+    def img(fn):
+        rgb = [fn(r, c) for r in range(8) for c in range(9)]
+        return _ppm_bytes(9, 8, [(v, v, v) for v in rgb])
+
+    base = img(lambda r, c: (r * 9 + c) * 2)           # smooth gradient
+    brighter = img(lambda r, c: (r * 9 + c) * 2 + 40)  # same gradients
+    other = img(lambda r, c: 255 if (r + c) % 2 else 0)  # checkerboard
+    media = spark.createDataFrame(
+        [(1, "ppm", base, {}), (2, "ppm", brighter, {}), (3, "ppm", other, {})],
+        "doc_id long, source string, content binary, media map<string,string>",
+    )
+    decoded = resize_pixels(decode_image(media), 9, 8, 9, 8)
+    hashed = decoded.select("doc_id", dhash64().alias("h"))
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    import pyspark.sql.functions as F
+
+    dists = {
+        (r["a_id"], r["b_id"]): r.d
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            hamming64(F.col("a.h"), F.col("b.h")).alias("d"),
+        )
+        .collect()
+    }
+    assert dists[(1, 2)] == 0          # brightness shift: identical hash
+    assert dists[(1, 3)] > 16          # different structure: far away
