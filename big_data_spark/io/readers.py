@@ -223,3 +223,52 @@ def parallelize_small_scan(
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or tuple(TESTDATA_SCHEMAS)
     return {n: read_table(spark, sf_dir, n) for n in use}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    sep: str = ",",
+    fail_on_corrupt: bool = True,
+) -> DataFrame:
+    """CSV source with the same explicit-schema + quarantine contract
+    as ``read_logs_json`` — never schema-inferred (inference costs a
+    full extra pass and guesses types per-file at scale), never
+    silently null-filling.
+
+    PERMISSIVE mode parses what it can and flags anything malformed
+    (wrong arity, unparseable numerics/timestamps) in the corrupt
+    column; ``fail_on_corrupt=True`` (default) raises with samples,
+    ``False`` drops the bad rows — ETL chooses loud or lossy
+    explicitly, never silent. CSV is splittable when uncompressed, so
+    large files still scan in parallel; schema and required-ness are
+    asserted the same way on every split.
+    """
+    full = StructType(
+        list(schema.fields) + [StructField(_CORRUPT, StringType(), True)]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+    clean = F.col(_CORRUPT).isNull()
+    if fail_on_corrupt:
+        # Spark refuses plans over raw CSV that reference ONLY the
+        # corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+        # RECORD_COLUMN); the documented recipe is to materialize the
+        # parsed rows first. The cache also means the success path
+        # pays the parse once, not once for the probe and once for
+        # the caller's first action.
+        df = df.cache()
+        bad = df.filter(~clean)
+        if not bad.isEmpty():
+            sample = [r[_CORRUPT] for r in bad.select(_CORRUPT).head(3)]
+            df.unpersist()
+            raise ValueError(f"malformed csv rows, e.g. {sample}")
+    return df.filter(clean).drop(_CORRUPT)

@@ -72,6 +72,21 @@ _PYTEST_ONLY = (
     # certification) takes the slot of distinct_counts, whose A6-A8
     # rows stay driver-certified by set_ops.
     "distinct_counts",
+    # Third round-5 rotation: the lakehouse-maintenance pair
+    # merge_upsert (MERGE INTO: matched-update/-delete +
+    # insert-gated not-matched) and cdc_apply (ordered change fold,
+    # operators/cdc.py) take driver slots — they are the table-write
+    # primitives a 100 TB lake lives on. Swapped OUT: regex_extract
+    # (§2.8 keeps events_json + case_buckets + map_roundtrip driver
+    # rows) and events_hourly (§2.5 keeps window_running_sum +
+    # window_latest_order + events_sessionize; the identical hourly
+    # aggregation stays driver-certified through stream_hourly).
+    "regex_extract",
+    "events_hourly",
+    # New round-5 graph/analytics rows past the cap — pytest-oracle
+    # gated, future rotation candidates:
+    "triangle_count",
+    "cohort_retention",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

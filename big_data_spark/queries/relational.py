@@ -1776,6 +1776,230 @@ ORDER BY group_processes_id
 """
 
 
+# --------------------------------------------------------------------
+# Lakehouse maintenance: MERGE INTO / CDC apply (round 5)
+# --------------------------------------------------------------------
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on a real fact slice: the target misses every 4th
+    order, the change set re-prices every even order (+10%, priority
+    'MERGED'), finished ('F') changes are deletes. Exercises all
+    three MERGE clauses — matched-update, matched-delete,
+    not-matched-insert — plus the insert gate (a delete arriving for
+    an absent key is a no-op, not an insert).
+
+    Plan: one full-outer key join (operators/merge.py) — AQE
+    broadcasts the smaller side; the strict cardinality guard rides
+    the source-side window only, so the target flows shuffle-free on
+    the broadcast path."""
+    from big_data_spark.operators.merge import merge_into
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+    target = o.filter(F.col("o_orderkey") % 4 != 0).select(*cols)
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        # double * double: one IEEE op, bit-identical in both engines
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        F.lit("MERGED").alias("o_orderpriority"),
+    )
+    merged = merge_into(
+        target,
+        source,
+        ["o_orderkey"],
+        update_cols=["o_totalprice", "o_orderpriority"],
+        delete_condition=F.col("s.o_orderstatus") == "F",
+        insert_condition=F.col("s.o_orderstatus") != "F",
+    )
+    return merged.orderBy("o_orderkey")
+
+
+ORACLE_MERGE_UPSERT = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_custkey < 300 AND o_orderkey % 4 <> 0
+), s AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice,
+         'MERGED' AS o_orderpriority
+  FROM orders WHERE o_custkey < 300 AND o_orderkey % 2 = 0
+)
+SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+            ELSE t.o_totalprice END AS o_totalprice,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+            ELSE t.o_orderpriority END AS o_orderpriority
+FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+WHERE s.o_orderkey IS NULL OR s.o_orderstatus <> 'F'
+UNION ALL
+SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus,
+       s.o_totalprice, s.o_orderpriority
+FROM s
+WHERE s.o_orderstatus <> 'F'
+  AND NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: each order is a change event against a customer
+    balance mirror — op 'D' when the order finished ('F'), else
+    upsert of the order's total as the new balance; the latest
+    (o_orderdate, o_orderkey) change per customer wins. Customers
+    with no orders pass through; a winning delete removes the row
+    even for never-seen keys (no-op) — the Debezium fold,
+    end-to-end through operators/cdc.py.
+
+    Plan: the row_number winner pass shuffles only the change batch;
+    the fold itself is the single merge join."""
+    from big_data_spark.operators.cdc import apply_changes
+
+    snap = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select("c_custkey", "c_acctbal")
+    )
+    ch = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 500)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_totalprice").alias("c_acctbal"),
+            # NTZ -> UTC-pinned timestamp -> epoch seconds (BIGINT)
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("seq"),
+            F.col("o_orderkey").alias("idx"),
+            F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+    )
+    return apply_changes(snap, ch, ["c_custkey"], "seq", "idx").orderBy(
+        "c_custkey"
+    )
+
+
+ORACLE_CDC_APPLY = """
+WITH snap AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 500
+), ch AS (
+  SELECT o_custkey AS c_custkey, o_totalprice AS c_acctbal,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS seq,
+         o_orderkey AS idx,
+         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_custkey < 500
+), win AS (
+  SELECT c_custkey, c_acctbal, op FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY c_custkey ORDER BY seq DESC, idx DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+)
+SELECT COALESCE(s.c_custkey, w.c_custkey) AS c_custkey,
+       CASE WHEN w.c_custkey IS NOT NULL THEN w.c_acctbal
+            ELSE s.c_acctbal END AS c_acctbal
+FROM snap s FULL JOIN win w ON s.c_custkey = w.c_custkey
+WHERE w.op IS NULL OR w.op <> 'D'
+ORDER BY c_custkey
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-occurrence graph (parts
+    sharing an order are connected) — the graph-analytics staple
+    beyond components/PageRank, as three relational self-joins.
+
+    The u < v edge orientation counts each triangle exactly once
+    (u < v < w), and turns the cyclic pattern into an acyclic join.
+    The edge table is truncated once (lineage knob) because all
+    three join legs read it; joins are equi-joins on vertex ids, so
+    at scale they shuffle-partition by vertex — the standard
+    distributed triangle enumeration (node-iterator on the oriented
+    graph)."""
+    from big_data_spark.lineage import truncate_lineage
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    e = truncate_lineage(
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+    )
+    n_e = e.agg(F.count(F.lit(1)).alias("n_edges"), F.lit(1).alias("_j"))
+    n_t = tri.agg(F.count(F.lit(1)).alias("n_triangles"), F.lit(1).alias("_j"))
+    return n_e.join(n_t, "_j").select("n_edges", "n_triangles")
+
+
+ORACLE_TRIANGLES = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM e e1
+          JOIN e e2 ON e1.v = e2.u
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    counted in each later week they return — the growth-analytics
+    matrix. Week ids are integer floor-divisions of the raw
+    nanosecond timestamp (no float in the path), the cohort pass is
+    one min-agg per user, and the matrix is one distinct-count per
+    (cohort, offset): two shuffles total, both keyed on user_id or
+    the output key."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.expr("ts div 604800000000000")  # long div: ns -> week index
+    byweek = ev.select("user_id", wk.alias("week")).distinct()
+    cohort = byweek.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        byweek.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE_COHORT = """
+WITH byweek AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM byweek GROUP BY user_id
+)
+SELECT c.cohort_week, b.week - c.cohort_week AS week_offset,
+       COUNT(*) AS n_users
+FROM byweek b JOIN cohort c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "pipeline_part1_groups": q_pipeline_part1_groups,
@@ -1818,6 +2042,10 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "large_volume_customers": q_large_volume_customers,
     "range_join_bands": q_range_join_bands,
+    "merge_upsert": q_merge_upsert,
+    "cdc_apply": q_cdc_apply,
+    "triangle_count": q_triangle_count,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -1862,4 +2090,8 @@ ORACLE_SQL = {
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "large_volume_customers": ORACLE_LARGE_VOLUME,
     "range_join_bands": ORACLE_RANGE_JOIN,
+    "merge_upsert": ORACLE_MERGE_UPSERT,
+    "cdc_apply": ORACLE_CDC_APPLY,
+    "triangle_count": ORACLE_TRIANGLES,
+    "cohort_retention": ORACLE_COHORT,
 }

@@ -1,0 +1,199 @@
+"""MERGE INTO / CDC apply: semantics, clause interactions, the
+cardinality contract, and the partitioned-merge pruning shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+from big_data_spark.operators.cdc import apply_changes, latest_changes
+from big_data_spark.operators.merge import merge_into, touched_partitions
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (3, "c", 30.0),
+            (4, None, 40.0),  # legitimately-NULL payload survives merge
+        ],
+        "k int, name string, v double",
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_merge_update_insert_delete(spark):
+    src = spark.createDataFrame(
+        [
+            (2, "B", 200.0, "U"),  # matched -> update
+            (3, "c", 30.0, "D"),  # matched -> delete
+            (9, "z", 90.0, "I"),  # unmatched -> insert
+        ],
+        "k int, name string, v double, op string",
+    )
+    out = merge_into(
+        _target(spark),
+        src,
+        ["k"],
+        update_cols=["name", "v"],
+        delete_condition=F.col("s.op") == "D",
+    )
+    assert _rows(out) == {
+        (1, "a", 10.0),
+        (2, "B", 200.0),
+        (4, None, 40.0),
+        (9, "z", 90.0),
+    }
+
+
+def test_merge_update_condition_gates_update(spark):
+    src = spark.createDataFrame(
+        [(1, "A", 1.0, "U"), (2, "B", 2.0, "skip")],
+        "k int, name string, v double, op string",
+    )
+    out = merge_into(
+        _target(spark),
+        src,
+        ["k"],
+        update_condition=F.col("s.op") == "U",
+        insert=False,
+    )
+    rows = _rows(out)
+    assert (1, "A", 1.0) in rows  # updated
+    assert (2, "b", 20.0) in rows  # matched but gated -> unchanged
+    assert len(rows) == 4
+
+
+def test_merge_insert_condition_drops_unmatched(spark):
+    src = spark.createDataFrame(
+        [(8, "x", 1.0, "D"), (9, "y", 2.0, "U")],
+        "k int, name string, v double, op string",
+    )
+    out = merge_into(
+        _target(spark),
+        src,
+        ["k"],
+        delete_condition=F.col("s.op") == "D",
+        insert_condition=F.col("s.op") != "D",
+    )
+    rows = _rows(out)
+    assert (9, "y", 2.0) in rows
+    assert not any(r[0] == 8 for r in rows)  # delete-for-absent-key: no-op
+
+
+def test_merge_null_keys_never_match(spark):
+    tgt = spark.createDataFrame(
+        [(None, "t", 1.0)], "k int, name string, v double"
+    )
+    src = spark.createDataFrame(
+        [(None, "s", 2.0)], "k int, name string, v double"
+    )
+    out = merge_into(tgt, src, ["k"])
+    # target NULL-key row kept unchanged; source NULL-key row inserted.
+    assert _rows(out) == {(None, "t", 1.0), (None, "s", 2.0)}
+
+
+def test_merge_cardinality_violation_raises(spark):
+    src = spark.createDataFrame(
+        [(2, "B1", 1.0), (2, "B2", 2.0)], "k int, name string, v double"
+    )
+    out = merge_into(_target(spark), src, ["k"])
+    with pytest.raises(Exception, match="cardinality"):
+        out.collect()
+
+
+def test_merge_duplicate_unmatched_keys_allowed(spark):
+    # SQL MERGE: multiple NOT MATCHED source rows insert independently.
+    src = spark.createDataFrame(
+        [(8, "x", 1.0), (8, "y", 2.0)], "k int, name string, v double"
+    )
+    out = merge_into(_target(spark), src, ["k"])
+    assert out.filter(F.col("k") == 8).count() == 2
+
+
+def test_merge_idempotent_on_replay(spark):
+    src = spark.createDataFrame(
+        [(1, "A", 100.0), (9, "z", 90.0)], "k int, name string, v double"
+    )
+    once = merge_into(_target(spark), src, ["k"])
+    twice = merge_into(once, src, ["k"])
+    assert _rows(once) == _rows(twice)
+
+
+def test_touched_partitions_prunes_scan(spark, tmp_path):
+    path = str(tmp_path / "ptable")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("ds"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    df.write.partitionBy("ds").parquet(path)
+    changes = spark.createDataFrame([(3, 3, -1.0)], "k long, ds long, v double")
+
+    target = spark.read.parquet(path)
+    parts = touched_partitions(changes, ["ds"])
+    pruned = target.join(F.broadcast(parts), ["ds"], "left_semi")
+    merged = merge_into(pruned, changes, ["k", "ds"], update_cols=["v"])
+
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    # the semi join against partition values must reach the scan as
+    # dynamic/partition pruning or at minimum a partition filter —
+    # the scan must not read all 10 partitions' files.
+    assert merged.count() == 10  # ds=3 partition only
+    assert _rows(merged.filter(F.col("k") == 3)) == {(3, 3, -1.0)}
+    assert "left_semi" in plan.lower() or "LeftSemi" in plan
+
+
+def test_latest_changes_picks_max_seq_with_tiebreak(spark):
+    ch = spark.createDataFrame(
+        [
+            (1, "v1", 10, 0, "U"),
+            (1, "v2", 20, 0, "U"),
+            (1, "v2-late", 20, 1, "U"),  # same seq, higher tie wins
+            (2, "x", 5, 0, "D"),
+        ],
+        "k int, name string, seq int, idx int, op string",
+    )
+    winners = latest_changes(ch, ["k"], "seq", "idx")
+    got = {(r.k, r.name, r.op) for r in winners.collect()}
+    assert got == {(1, "v2-late", "U"), (2, "x", "D")}
+
+
+def test_apply_changes_end_to_end(spark):
+    snap = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k int, name string, v double",
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, "a1", 10.0, 1, 0, "U"),
+            (1, "a2", 11.0, 2, 0, "U"),  # latest wins
+            (2, "b", 2.0, 1, 0, "D"),  # delete
+            (2, "b9", 9.0, 0, 0, "U"),  # stale update loses to delete
+            (5, "e", 5.0, 1, 0, "U"),  # insert via upsert
+            (6, "f", 6.0, 1, 0, "D"),  # delete for absent key: no-op
+        ],
+        "k int, name string, v double, seq int, idx int, op string",
+    )
+    out = apply_changes(snap, ch, ["k"], "seq", "idx")
+    assert _rows(out) == {
+        (1, "a2", 11.0),
+        (3, "c", 3.0),
+        (5, "e", 5.0),
+    }
+
+
+def test_apply_changes_replay_idempotent(spark):
+    snap = spark.createDataFrame([(1, "a", 1.0)], "k int, name string, v double")
+    ch = spark.createDataFrame(
+        [(1, "a1", 2.0, 1, 0, "U"), (2, "b", 3.0, 1, 0, "U")],
+        "k int, name string, v double, seq int, idx int, op string",
+    )
+    once = apply_changes(snap, ch, ["k"], "seq", "idx")
+    twice = apply_changes(once, ch, ["k"], "seq", "idx")
+    assert _rows(once) == _rows(twice) == {(1, "a1", 2.0), (2, "b", 3.0)}

@@ -114,3 +114,40 @@ def test_events_stream_rejects_mistyped_column(spark, tmp_path):
     sf_dir = _write_events_variant(spark, tmp_path, "cast(ts as string)")
     with pytest.raises(ValueError, match="refusing to misparse"):
         read_events_stream(spark, sf_dir)
+
+
+def test_read_csv_explicit_schema_and_quarantine(spark, tmp_path):
+    """CSV source: explicit schema, clean rows parse typed, malformed
+    rows (wrong arity / unparseable numerics) raise by default and are
+    droppable explicitly."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from big_data_spark.io.readers import read_csv
+
+    path = str(tmp_path / "t.csv")
+    with open(path, "w") as f:
+        f.write("id,name,score\n")
+        f.write("1,alpha,1.5\n")
+        f.write("2,beta,2.5\n")
+        f.write("3,gamma,not_a_number\n")  # corrupt: bad double
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    with pytest.raises(ValueError, match="malformed csv"):
+        read_csv(spark, path, schema).collect()
+
+    ok = read_csv(spark, path, schema, fail_on_corrupt=False)
+    rows = {tuple(r) for r in ok.collect()}
+    assert rows == {(1, "alpha", 1.5), (2, "beta", 2.5)}
+    assert ok.schema["score"].dataType.simpleString() == "double"
