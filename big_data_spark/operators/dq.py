@@ -1,0 +1,191 @@
+"""Data-quality constraint suite: declarative checks verified in as
+few passes as possible — the Deequ/dbt-tests shape that gates every
+serious ingest, absent from the reference (whose UDFs silently
+swallowed bad rows into ``{}``/``-1`` sentinels; SURVEY §4.3).
+
+All row-local checks (not_null / in_set / in_range / matches /
+custom predicate) compile to ``sum(when(violated, 1))`` columns of
+ONE aggregation over ONE scan — adding a check adds an expression,
+not a pass. ``unique`` rides the same aggregation as a
+count_distinct; ``referential`` (FK containment) is the one check
+that genuinely needs a join per referenced table, built as a
+broadcast-friendly anti-join count.
+
+The report is a tall DataFrame (one row per check:
+name, column, violations, n_rows, passed) produced by stacking the
+single agg row — so the whole suite is itself one query, composable
+into pipelines and oracle-checkable cross-engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint. ``kind`` selects the verifier; ``violated`` is
+    a row predicate (row-local kinds only)."""
+
+    name: str
+    kind: str
+    column: str
+    violated: Column | None = None
+    ref: DataFrame | None = field(default=None, compare=False)
+    ref_col: str | None = None
+
+
+def not_null(col: str, name: str | None = None) -> Check:
+    return Check(name or f"not_null({col})", "row", col, F.col(col).isNull())
+
+
+def in_set(col: str, values: list, name: str | None = None) -> Check:
+    return Check(
+        name or f"in_set({col})",
+        "row",
+        col,
+        # NULL never violates in_set — pair with not_null to require
+        # presence; mirrors SQL CHECK semantics (NULL passes CHECK).
+        ~F.col(col).isin(values) & F.col(col).isNotNull(),
+    )
+
+
+def in_range(
+    col: str, lo=None, hi=None, name: str | None = None
+) -> Check:
+    if lo is None and hi is None:
+        raise ValueError("in_range needs lo and/or hi")
+    v = F.lit(False)
+    if lo is not None:
+        v = v | (F.col(col) < F.lit(lo))
+    if hi is not None:
+        v = v | (F.col(col) > F.lit(hi))
+    return Check(
+        name or f"in_range({col})", "row", col, v & F.col(col).isNotNull()
+    )
+
+
+def matches(col: str, pattern: str, name: str | None = None) -> Check:
+    return Check(
+        name or f"matches({col})",
+        "row",
+        col,
+        ~F.col(col).rlike(pattern) & F.col(col).isNotNull(),
+    )
+
+
+def satisfies(predicate: Column, name: str, column: str = "") -> Check:
+    """Arbitrary row predicate that must HOLD; violations are rows
+    where it is false or NULL."""
+    return Check(name, "row", column, ~F.coalesce(predicate, F.lit(False)))
+
+
+def unique(col: str, name: str | None = None) -> Check:
+    return Check(name or f"unique({col})", "unique", col)
+
+
+def referential(
+    col: str, ref: DataFrame, ref_col: str, name: str | None = None
+) -> Check:
+    """Every non-NULL value of ``col`` exists in ``ref[ref_col]``."""
+    return Check(
+        name or f"referential({col})", "referential", col, None, ref, ref_col
+    )
+
+
+def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run the suite; returns one row per check:
+    ``check`` (name), ``column``, ``violations``, ``n_rows``,
+    ``passed`` — ordered by check name for determinism.
+
+    Cost model: one aggregation over one scan for every row-local and
+    uniqueness check combined, plus one aggregated anti-join per
+    ``referential`` check (broadcast the dim side when small — at
+    scale FK checks against big tables shuffle by the key, which is
+    the floor for that verification).
+    """
+    if not checks:
+        raise ValueError("empty check suite")
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate check names: {names}")
+
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    stacked_cols: list[str] = []
+    for c in checks:
+        if c.kind == "row":
+            aggs.append(
+                F.sum(
+                    F.when(c.violated, F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"_v_{c.name}")
+            )
+            stacked_cols.append(c.name)
+        elif c.kind == "unique":
+            # duplicates = rows - distinct values - missing rows are
+            # counted per NULL (NULLs are not compared equal; pair
+            # with not_null if NULL keys must be absent).
+            aggs.append(
+                (
+                    F.count(F.col(c.column))
+                    - F.count_distinct(F.col(c.column))
+                ).alias(f"_v_{c.name}")
+            )
+            stacked_cols.append(c.name)
+        elif c.kind == "referential":
+            continue  # joined below
+        else:
+            raise ValueError(f"unknown check kind {c.kind!r}")
+
+    col_of = {c.name: c.column for c in checks}
+    report = None
+    if stacked_cols:
+        one = df.agg(*aggs)
+        # Tall report from the single agg row: stack(name, count, ...)
+        stack_expr = "stack({n}, {pairs}) as (check, violations)".format(
+            n=len(stacked_cols),
+            pairs=", ".join(
+                f"'{name}', `_v_{name}`" for name in stacked_cols
+            ),
+        )
+        report = one.selectExpr("_n_rows", stack_expr).select(
+            "check",
+            F.col("violations").cast("long").alias("violations"),
+            F.col("_n_rows").cast("long").alias("n_rows"),
+        )
+
+    for c in checks:
+        if c.kind != "referential":
+            continue
+        viol = (
+            df.select(F.col(c.column))
+            .filter(F.col(c.column).isNotNull())
+            .join(
+                c.ref.select(F.col(c.ref_col).alias(c.column)).distinct(),
+                c.column,
+                "left_anti",
+            )
+            .agg(
+                F.lit(c.name).alias("check"),
+                F.count(F.lit(1)).cast("long").alias("violations"),
+                F.lit(1).alias("_j"),
+            )
+        )
+        n_rows = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.lit(1).alias("_j"),
+        )
+        ref_row = viol.join(n_rows, "_j").drop("_j")
+        report = ref_row if report is None else report.unionByName(ref_row)
+
+    mapping = F.create_map(
+        *[x for name in col_of for x in (F.lit(name), F.lit(col_of[name]))]
+    )
+    return (
+        report.withColumn("column", mapping[F.col("check")])
+        .withColumn("passed", F.col("violations") == 0)
+        .select("check", "column", "violations", "n_rows", "passed")
+        .orderBy("check")
+    )

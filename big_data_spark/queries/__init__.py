@@ -87,6 +87,7 @@ _PYTEST_ONLY = (
     # gated, future rotation candidates:
     "triangle_count",
     "cohort_retention",
+    "dq_report",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

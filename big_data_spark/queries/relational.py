@@ -2044,6 +2044,73 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over the orders feed (operators/dq.py): six
+    declarative constraints — presence, key uniqueness, enum
+    membership, numeric bounds, format regex, FK containment —
+    verified as ONE aggregation over one scan plus one anti-join for
+    the FK (Deequ's single-pass verification shape). The report is
+    itself a DataFrame: rows of (check, column, violations, n_rows,
+    passed)."""
+    from big_data_spark.operators import dq
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    report = dq.check_suite(
+        orders,
+        [
+            dq.not_null("o_custkey"),
+            dq.unique("o_orderkey"),
+            dq.in_set("o_orderstatus", ["F", "O", "P"]),
+            dq.in_range("o_totalprice", lo=0.0),
+            dq.matches("o_orderpriority", "^[1-5]-"),
+            dq.referential("o_custkey", customer, "c_custkey"),
+        ],
+    )
+    return report.select(
+        F.col("check").alias("check_name"),
+        F.col("column").alias("col_name"),
+        "violations",
+        "n_rows",
+        "passed",
+    ).orderBy("check_name")
+
+
+ORACLE_DQ_REPORT = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+r AS (
+  SELECT 'in_range(o_totalprice)' AS check_name, 'o_totalprice' AS col_name,
+         (SELECT COUNT(*) FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_totalprice < 0) AS violations,
+         n.n_rows FROM n
+  UNION ALL
+  SELECT 'in_set(o_orderstatus)', 'o_orderstatus',
+         (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT NULL
+           AND o_orderstatus NOT IN ('F','O','P')), n.n_rows FROM n
+  UNION ALL
+  SELECT 'matches(o_orderpriority)', 'o_orderpriority',
+         (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL
+           AND NOT regexp_matches(o_orderpriority, '^[1-5]-')), n.n_rows FROM n
+  UNION ALL
+  SELECT 'not_null(o_custkey)', 'o_custkey',
+         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL), n.n_rows FROM n
+  UNION ALL
+  SELECT 'referential(o_custkey)', 'o_custkey',
+         (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)), n.n_rows FROM n
+  UNION ALL
+  SELECT 'unique(o_orderkey)', 'o_orderkey',
+         (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders),
+         n.n_rows FROM n
+)
+SELECT check_name, col_name, violations, n_rows,
+       violations = 0 AS passed
+FROM r
+ORDER BY check_name
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "pipeline_part1_groups": q_pipeline_part1_groups,
@@ -2090,6 +2157,7 @@ QUERIES = {
     "cdc_apply": q_cdc_apply,
     "triangle_count": q_triangle_count,
     "cohort_retention": q_cohort_retention,
+    "dq_report": q_dq_report,
 }
 
 ORACLE_SQL = {
@@ -2138,4 +2206,5 @@ ORACLE_SQL = {
     "cdc_apply": ORACLE_CDC_APPLY,
     "triangle_count": ORACLE_TRIANGLES,
     "cohort_retention": ORACLE_COHORT,
+    "dq_report": ORACLE_DQ_REPORT,
 }
