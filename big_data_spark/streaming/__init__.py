@@ -9,6 +9,11 @@ plus a run-to-completion helper for batch-parity testing.
 """
 
 from big_data_spark.streaming.ingest import read_lake, run_dedup_ingest
+from big_data_spark.streaming.cdc_mirror import (
+    purge_tombstones,
+    read_mirror,
+    run_cdc_mirror,
+)
 from big_data_spark.streaming.events import (
     dedup_stream,
     hourly_counts_stream,
@@ -22,6 +27,9 @@ from big_data_spark.streaming.events import (
 )
 
 __all__ = [
+    "run_cdc_mirror",
+    "read_mirror",
+    "purge_tombstones",
     "read_events_stream",
     "hourly_counts_stream",
     "sessionize_stream",

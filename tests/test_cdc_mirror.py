@@ -1,0 +1,132 @@
+"""Streaming CDC mirror: multi-batch fold equals the global fold,
+replays are no-ops, stale updates cannot resurrect deleted keys, and
+rewrites touch only the changed buckets."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_spark.operators.cdc import latest_changes
+from big_data_spark.streaming.cdc_mirror import (
+    purge_tombstones,
+    read_mirror,
+    run_cdc_mirror,
+)
+
+SCHEMA = "k bigint, name string, v double, seq bigint, idx bigint, op string"
+
+
+def _stream(spark, path):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def _run(spark, tmp_path, rows, tag, n_files=1, mirror="mirror"):
+    src = str(tmp_path / f"src_{tag}")
+    spark.createDataFrame(rows, SCHEMA).repartition(n_files).write.parquet(src)
+    run_cdc_mirror(
+        _stream(spark, src),
+        ["k"],
+        "seq",
+        "idx",
+        str(tmp_path / mirror),
+        str(tmp_path / f"ckpt_{tag}"),
+        n_buckets=4,
+    )
+    return str(tmp_path / mirror)
+
+
+def _expected(spark, rows):
+    """Global (batch-free) fold of the same feed."""
+    feed = spark.createDataFrame(rows, SCHEMA)
+    win = latest_changes(feed, ["k"], "seq", "idx")
+    return {
+        tuple(r)
+        for r in win.filter(F.col("op") != "D").drop("op").collect()
+    }
+
+
+def _mirror_rows(spark, mirror_dir):
+    return {tuple(r) for r in read_mirror(spark, mirror_dir).collect()}
+
+
+FEED = [
+    (1, "a1", 1.0, 10, 0, "U"),
+    (1, "a2", 2.0, 20, 0, "U"),
+    (2, "b1", 1.0, 10, 0, "U"),
+    (2, "b1", 1.0, 30, 0, "D"),
+    (3, "c1", 3.0, 10, 0, "U"),
+    (4, "d1", 4.0, 10, 0, "U"),
+    (4, "d2", 5.0, 20, 0, "U"),
+    (5, "never", 0.0, 10, 0, "D"),  # delete for a never-seen key
+]
+
+
+def test_multi_batch_fold_equals_global_fold(spark, tmp_path):
+    mirror = _run(spark, tmp_path, FEED, "main", n_files=4)
+    assert _mirror_rows(spark, mirror) == _expected(spark, FEED)
+
+
+def test_replay_with_fresh_checkpoint_is_noop(spark, tmp_path):
+    mirror = _run(spark, tmp_path, FEED, "one", n_files=3)
+    before = _mirror_rows(spark, mirror)
+    # Same feed again, fresh checkpoint: every change is now stale or
+    # equal -> the monotone guard rejects everything.
+    _run(spark, tmp_path, FEED, "two", n_files=3)
+    assert _mirror_rows(spark, mirror) == before
+
+
+def test_stale_update_cannot_resurrect_deleted_key(spark, tmp_path):
+    mirror = _run(
+        spark, tmp_path, [(7, "x", 1.0, 50, 0, "D")], "del"
+    )
+    # A stale update (seq 20 < delete's 50) delivered later:
+    _run(spark, tmp_path, [(7, "xx", 9.0, 20, 0, "U")], "stale")
+    assert not any(
+        r[0] == 7 for r in _mirror_rows(spark, mirror)
+    ), "tombstone must reject the stale update"
+    # A genuinely newer update DOES revive the key.
+    _run(spark, tmp_path, [(7, "x3", 3.0, 60, 0, "U")], "newer")
+    assert (7, "x3", 3.0, 60, 0) in _mirror_rows(spark, mirror)
+
+
+def test_purge_tombstones_respects_watermark(spark, tmp_path):
+    mirror = _run(
+        spark,
+        tmp_path,
+        [(1, "a", 1.0, 10, 0, "U"), (2, "b", 2.0, 40, 0, "D")],
+        "purge",
+    )
+    data = f"{mirror}/data"
+    raw = spark.read.parquet(data)
+    assert raw.filter(F.col("_deleted")).count() == 1
+    purge_tombstones(spark, mirror, "seq", 40)  # watermark == seq: keep
+    assert spark.read.parquet(data).filter(F.col("_deleted")).count() == 1
+    purge_tombstones(spark, mirror, "seq", 41)  # older than 41: purge
+    assert spark.read.parquet(data).filter(F.col("_deleted")).count() == 0
+    # Live rows untouched either way.
+    assert _mirror_rows(spark, mirror) == {(1, "a", 1.0, 10, 0)}
+
+
+def test_only_touched_buckets_rewritten(spark, tmp_path):
+    mirror = _run(spark, tmp_path, FEED, "base", n_files=1)
+    files_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{mirror}/data/_kb=*/*.parquet")
+    }
+    # One new change for one key -> exactly one bucket rewritten.
+    _run(spark, tmp_path, [(1, "a3", 9.0, 99, 0, "U")], "delta")
+    changed_parts = set()
+    for p in glob.glob(f"{mirror}/data/_kb=*/*.parquet"):
+        if p not in files_before or os.path.getmtime(p) != files_before[p]:
+            changed_parts.add(p.split("/_kb=")[1].split("/")[0])
+    assert len(changed_parts) == 1, (
+        f"expected 1 rewritten bucket, got {sorted(changed_parts)}"
+    )
+    assert (1, "a3", 9.0, 99, 0) in _mirror_rows(spark, mirror)
