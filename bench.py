@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from big_data_spark.session import get_spark  # noqa: E402
-from big_data_spark.queries import QUERIES  # noqa: E402
+from big_data_spark.queries import QUERIES_ALL as QUERIES  # noqa: E402
 
 # Representative of every operator family: scan-agg, multiway join,
 # window, sessionization, JSON, exact + LSH dedup, simhash, text
@@ -43,6 +43,9 @@ HEADLINE = [
     "corpus_clean",
     "asof_join",
     "range_join_bands",
+    "merge_upsert",
+    "cdc_apply",
+    "dq_report",
     "media_byte_stats",
     "media_frame_sample",
     "stream_hourly",

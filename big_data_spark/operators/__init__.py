@@ -10,11 +10,13 @@ from big_data_spark.operators.bloom import (
     bloom_merge,
     bloom_might_contain,
 )
+from big_data_spark.operators.cdc import apply_changes, latest_changes
 from big_data_spark.operators.cms import cms_lookup, cms_merge, cms_sketch
 from big_data_spark.operators.components import connected_components
 from big_data_spark.operators.connections import server_connections
 from big_data_spark.operators.dbscan import dbscan_from_edges
 from big_data_spark.operators.incremental import incremental_dedup, seen_filter
+from big_data_spark.operators.merge import merge_into, touched_partitions
 from big_data_spark.operators.histogram import (
     hist_error_bound,
     hist_merge,
@@ -33,6 +35,10 @@ from big_data_spark.operators.skew import salted_join
 from big_data_spark.operators.skewreport import skew_report
 
 __all__ = [
+    "merge_into",
+    "touched_partitions",
+    "apply_changes",
+    "latest_changes",
     "server_connections",
     "connected_components",
     "dbscan_from_edges",
