@@ -10,7 +10,7 @@ from big_data_spark.operators.bloom import (
     bloom_merge,
     bloom_might_contain,
 )
-from big_data_spark.operators.cdc import apply_changes, latest_changes
+from big_data_spark.operators.cdc import apply_changes, latest_changes, scd2_apply
 from big_data_spark.operators.cms import cms_lookup, cms_merge, cms_sketch
 from big_data_spark.operators.components import connected_components
 from big_data_spark.operators.connections import server_connections
@@ -38,6 +38,7 @@ __all__ = [
     "merge_into",
     "touched_partitions",
     "apply_changes",
+    "scd2_apply",
     "latest_changes",
     "server_connections",
     "connected_components",

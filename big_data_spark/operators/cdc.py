@@ -101,3 +101,130 @@ def apply_changes(
         insert_condition=~is_delete,
         strict=True,
     )
+
+
+def scd2_apply(
+    history: DataFrame | None,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    tie_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Fold a change batch into a TYPE-2 history table (the versioned
+    companion to ``apply_changes``): every non-delete change OPENS a
+    new validity interval and CLOSES the key's previous one; a delete
+    closes without opening. Batching is transparent — applying a feed
+    in any number of batches yields the same history as one batch
+    (tested), because closing is a lead() over the per-key version
+    sequence, not a property of batch boundaries.
+
+    History schema: the feed's payload columns plus
+    ``valid_from_seq``/``valid_from_tie`` (the opening change's
+    position), ``valid_to_seq``/``valid_to_tie`` (the closing
+    change's position — NULL while current; a delete's position lands
+    here and nowhere else) and ``is_current``. Pass ``history=None``
+    to bootstrap from nothing.
+
+    Stale protection: each key's HIGH-WATER mark is the max
+    (seq, tie) across every interval boundary it has ever recorded —
+    including the closing positions of deleted keys — and incoming
+    changes at-or-below it are dropped. Redelivered batches are
+    therefore no-ops even for keys whose every version is closed
+    (the guard an open-row-only check would miss).
+
+    Scale shape: closed history of untouched keys streams through
+    with no shuffle; touched keys pay one semi-join, one small agg
+    (high-water) and one window over (open rows + batch). Pair with
+    a key-bucketed layout and dynamic overwrite exactly like
+    streaming/cdc_mirror.py when materializing.
+    """
+    payload = [
+        c
+        for c in changes.columns
+        if c not in keys and c not in (seq_col, tie_col, op_col)
+    ]
+    hist_cols = keys + payload + [
+        "valid_from_seq",
+        "valid_from_tie",
+        "valid_to_seq",
+        "valid_to_tie",
+        "is_current",
+    ]
+    if history is None:
+        schema_src = changes.select(
+            *keys,
+            *payload,
+            F.col(seq_col).alias("valid_from_seq"),
+            F.col(tie_col).alias("valid_from_tie"),
+            F.col(seq_col).alias("valid_to_seq"),
+            F.col(tie_col).alias("valid_to_tie"),
+            F.lit(True).alias("is_current"),
+        )
+        history = changes.sparkSession.createDataFrame([], schema_src.schema)
+    missing = [c for c in hist_cols if c not in history.columns]
+    if missing:
+        raise ValueError(f"history lacks columns: {missing}")
+
+    ch_keys = changes.select(*keys).distinct()
+    touched_hist = history.join(ch_keys, keys, "left_semi")
+    untouched = history.join(ch_keys, keys, "left_anti").unionByName(
+        # Closed versions of touched keys pass through unchanged.
+        touched_hist.filter(~F.col("is_current"))
+    )
+
+    # High-water per touched key: max boundary position ever recorded.
+    hw = touched_hist.groupBy(*keys).agg(
+        F.max(
+            F.struct(
+                F.coalesce(
+                    F.col("valid_to_seq"), F.col("valid_from_seq")
+                ).alias("s"),
+                F.coalesce(
+                    F.col("valid_to_tie"), F.col("valid_from_tie")
+                ).alias("t"),
+            )
+        ).alias("_hw")
+    )
+    fresh = (
+        changes.join(hw, keys, "left")
+        .filter(
+            F.col("_hw").isNull()
+            | (F.col(seq_col) > F.col("_hw.s"))
+            | (
+                (F.col(seq_col) == F.col("_hw.s"))
+                & (F.col(tie_col) > F.col("_hw.t"))
+            )
+        )
+        .select(*changes.columns)
+    )
+
+    # Version events: open rows re-enter the window as their own
+    # interval start, followed by the fresh changes.
+    as_event = fresh.select(
+        *keys,
+        *payload,
+        F.col(seq_col).alias("valid_from_seq"),
+        F.col(tie_col).alias("valid_from_tie"),
+        (F.col(op_col) == F.lit(delete_op)).alias("_is_del"),
+    )
+    open_event = touched_hist.filter(F.col("is_current")).select(
+        *keys,
+        *payload,
+        "valid_from_seq",
+        "valid_from_tie",
+        F.lit(False).alias("_is_del"),
+    )
+    w = Window.partitionBy(*keys).orderBy("valid_from_seq", "valid_from_tie")
+    versions = (
+        open_event.unionByName(as_event)
+        .withColumn("valid_to_seq", F.lead("valid_from_seq").over(w))
+        .withColumn("valid_to_tie", F.lead("valid_from_tie").over(w))
+        .filter(~F.col("_is_del"))
+        .withColumn("is_current", F.col("valid_to_seq").isNull())
+        .drop("_is_del")
+    )
+    return untouched.select(*hist_cols).unionByName(
+        versions.select(*hist_cols)
+    )

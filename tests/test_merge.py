@@ -197,3 +197,75 @@ def test_apply_changes_replay_idempotent(spark):
     once = apply_changes(snap, ch, ["k"], "seq", "idx")
     twice = apply_changes(once, ch, ["k"], "seq", "idx")
     assert _rows(once) == _rows(twice) == {(1, "a1", 2.0), (2, "b", 3.0)}
+
+
+# ---------------------------------------------------------------- scd2
+
+
+SCD_SCHEMA = "k int, name string, seq int, idx int, op string"
+SCD_FEED = [
+    (1, "a1", 10, 0, "U"),
+    (1, "a2", 20, 0, "U"),
+    (1, "a3", 30, 0, "U"),
+    (2, "b1", 10, 0, "U"),
+    (2, "b1", 25, 0, "D"),  # delete closes without opening
+    (2, "b2", 40, 0, "U"),  # revival opens a fresh version
+    (3, "c1", 15, 0, "U"),
+]
+
+
+def _scd2(spark, history, rows):
+    from big_data_spark.operators.cdc import scd2_apply
+
+    ch = spark.createDataFrame(rows, SCD_SCHEMA)
+    return scd2_apply(history, ch, ["k"], "seq", "idx")
+
+
+def _hist_rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+EXPECTED_FULL = {
+    # k, name, from_seq, from_tie, to_seq, to_tie, is_current
+    (1, "a1", 10, 0, 20, 0, False),
+    (1, "a2", 20, 0, 30, 0, False),
+    (1, "a3", 30, 0, None, None, True),
+    (2, "b1", 10, 0, 25, 0, False),
+    (2, "b2", 40, 0, None, None, True),
+    (3, "c1", 15, 0, None, None, True),
+}
+
+
+def test_scd2_bootstrap_full_feed(spark):
+    hist = _scd2(spark, None, SCD_FEED)
+    assert _hist_rows(hist) == EXPECTED_FULL
+
+
+def test_scd2_batch_split_parity(spark):
+    h1 = _scd2(spark, None, SCD_FEED[:3])
+    h2 = _scd2(spark, h1, SCD_FEED[3:])
+    assert _hist_rows(h2) == EXPECTED_FULL
+    # split at a different boundary, same result
+    h1b = _scd2(spark, None, SCD_FEED[:5])
+    h2b = _scd2(spark, h1b, SCD_FEED[5:])
+    assert _hist_rows(h2b) == EXPECTED_FULL
+
+
+def test_scd2_replay_is_noop(spark):
+    h = _scd2(spark, None, SCD_FEED)
+    again = _scd2(spark, h, SCD_FEED)
+    assert _hist_rows(again) == EXPECTED_FULL
+
+
+def test_scd2_stale_change_for_deleted_key_dropped(spark):
+    # key 9: single version then delete; a stale update (seq between
+    # open and delete) redelivered later must NOT reopen the key —
+    # the high-water lives in the closed row's valid_to.
+    h = _scd2(
+        spark, None, [(9, "x", 10, 0, "U"), (9, "x", 50, 0, "D")]
+    )
+    h2 = _scd2(spark, h, [(9, "ghost", 30, 0, "U")])
+    assert _hist_rows(h2) == {(9, "x", 10, 0, 50, 0, False)}
+    # A genuinely newer change DOES reopen it.
+    h3 = _scd2(spark, h2, [(9, "back", 60, 0, "U")])
+    assert (9, "back", 60, 0, None, None, True) in _hist_rows(h3)
