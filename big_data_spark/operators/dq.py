@@ -189,3 +189,76 @@ def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
         .select("check", "column", "violations", "n_rows", "passed")
         .orderBy("check")
     )
+
+
+def assert_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Gate a pipeline on the suite: returns ``df`` unchanged when
+    every check passes, raises ``ValueError`` naming the failing
+    checks and their violation counts otherwise — put it between a
+    transform and its sink so bad batches fail LOUDLY instead of
+    landing (the reference's silent ``{}``/``-1`` sentinel mode,
+    SURVEY §4.3, inverted).
+
+    The verification cost is the suite's one aggregation (+ FK
+    joins); the returned ``df`` is the caller's original plan,
+    unchanged.
+    """
+    failed = [
+        (r["check"], r["violations"])
+        for r in check_suite(df, checks).collect()
+        if not r["passed"]
+    ]
+    if failed:
+        detail = ", ".join(f"{name}: {n} violations" for name, n in failed)
+        raise ValueError(f"data-quality gate failed — {detail}")
+    return df
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass column profile: per column —
+    ``n`` (non-null count), ``n_null``, ``approx_distinct`` (HLL++
+    sketch aggregate), ``min``/``max`` (rendered as strings so one
+    tall schema fits every type), and ``mean`` (numeric columns,
+    NULL otherwise). The whole profile is ONE aggregation over one
+    scan regardless of column count — the first thing to run against
+    an unknown 100 TB table, and the input that tunes the dq suite's
+    thresholds.
+    """
+    from pyspark.sql.types import NumericType
+
+    cols = columns or df.columns
+    types = {f.name: f.dataType for f in df.schema.fields}
+    unknown = [c for c in cols if c not in types]
+    if unknown:
+        raise ValueError(f"no such columns: {unknown}")
+
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"_n_{c}"),
+            F.approx_count_distinct(F.col(c)).alias(f"_d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            (
+                F.avg(F.col(c))
+                if isinstance(types[c], NumericType)
+                else F.lit(None).cast("double")
+            ).alias(f"_avg_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack = "stack({n}, {q}) as (column, n, approx_distinct, min, max, mean)".format(
+        n=len(cols),
+        q=", ".join(
+            f"'{c}', `_n_{c}`, `_d_{c}`, `_min_{c}`, `_max_{c}`, `_avg_{c}`"
+            for c in cols
+        ),
+    )
+    return one.selectExpr("_total", stack).select(
+        "column",
+        F.col("n").cast("long").alias("n"),
+        (F.col("_total") - F.col("n")).cast("long").alias("n_null"),
+        F.col("approx_distinct").cast("long").alias("approx_distinct"),
+        "min",
+        "max",
+        "mean",
+    )

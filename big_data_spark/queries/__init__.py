@@ -88,6 +88,7 @@ _PYTEST_ONLY = (
     "triangle_count",
     "cohort_retention",
     "dq_report",
+    "stratified_sample",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

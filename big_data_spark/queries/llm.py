@@ -2097,6 +2097,65 @@ ORDER BY pmi DESC, a, b LIMIT {PMI_TOPK}
 """
 
 
+STRAT_K = 20
+
+
+def stratified_sample(
+    docs: DataFrame, stratum_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sampling: rank rows within
+    each stratum by the md5 of their id (hash order == unbiased
+    pseudo-random order, but a pure function of the id — reruns and
+    both engines pick the SAME rows, which seeded sample()/TABLESAMPLE
+    never guarantees across engines or partitionings) and keep rank
+    <= k. One shuffle, keyed on the stratum; the quota is exact even
+    when a stratum holds fewer than k rows (it keeps them all).
+
+    The companion to rate-based ``deterministic_sample``: use rates
+    for proportional mixes, use this when the contract is a fixed
+    budget per source/language/label (eval-set carving, per-source
+    caps, few-shot pools)."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source quota: 20 docs per source, deterministic hash
+    order, with an id checksum proving exact membership."""
+    docs = _docs(spark, sf_dir)
+    kept = stratified_sample(docs, "source", STRAT_K)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept,
+       SUM(doc_id) AS id_checksum,
+       SUM(n_chars) AS chars_kept
+FROM ranked WHERE r <= {STRAT_K}
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -2122,6 +2181,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "pmi_cooccur": q_pmi_cooccur,
     "corpus_mix_temperature": q_corpus_mix_temperature,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -2149,4 +2209,5 @@ ORACLE_SQL = {
     "bm25_search": ORACLE_BM25_SEARCH,
     "pmi_cooccur": ORACLE_PMI_COOCCUR,
     "corpus_mix_temperature": ORACLE_CORPUS_MIX_TEMPERATURE,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
 }

@@ -106,3 +106,25 @@ def test_all_green_suite(spark):
     clean = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
     rep = dq.check_suite(clean, [dq.not_null("id"), dq.unique("id")])
     assert all(r["passed"] for r in rep.collect())
+
+
+def test_assert_suite_passes_through_or_raises(spark, df):
+    clean_checks = [dq.in_range("score", lo=-100.0)]
+    out = dq.assert_suite(df, clean_checks)
+    assert out is df  # unchanged plan on success
+    with pytest.raises(ValueError, match="not_null\\(id\\): 1 violations"):
+        dq.assert_suite(df, [dq.not_null("id")])
+
+
+def test_profile_table_one_pass(spark, df):
+    prof = dq.profile_table(df)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    rows = {r["column"]: r for r in prof.collect()}
+    assert rows["id"]["n"] == 4 and rows["id"]["n_null"] == 1
+    assert rows["score"]["n_null"] == 1
+    assert rows["score"]["min"] == "-5.0" and rows["score"]["max"] == "30.0"
+    assert rows["email"]["mean"] is None  # non-numeric
+    assert abs(rows["score"]["mean"] - (10.0 - 5.0 + 20.0 + 30.0) / 4) < 1e-9
+    # approx_count_distinct is exact at this cardinality
+    assert rows["country"]["approx_distinct"] == 4
