@@ -89,6 +89,7 @@ _PYTEST_ONLY = (
     "cohort_retention",
     "dq_report",
     "stratified_sample",
+    "cube_sales",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -1148,6 +1148,41 @@ ORDER BY gid, returnflag, linestatus
 """
 
 
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four aggregation levels —
+    per-pair, per-status, per-priority, grand total — in ONE shuffle
+    over the expanded grouping-set id (completes the rollup /
+    GROUPING SETS / cube trio; rollup cannot produce the per-priority
+    slice and the naive version burns four jobs)."""
+    orders = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_orders
+        FROM {orders}
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, status, priority
+        """,
+        orders=orders,
+    )
+
+
+ORACLE_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, status, priority
+"""
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (wide -> long): the per-part price/size metrics as
     (metric, value) rows — the inverse idiom of pivot_status, used
@@ -2158,6 +2193,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "cohort_retention": q_cohort_retention,
     "dq_report": q_dq_report,
+    "cube_sales": q_cube_sales,
 }
 
 ORACLE_SQL = {
@@ -2207,4 +2243,5 @@ ORACLE_SQL = {
     "triangle_count": ORACLE_TRIANGLES,
     "cohort_retention": ORACLE_COHORT,
     "dq_report": ORACLE_DQ_REPORT,
+    "cube_sales": ORACLE_CUBE,
 }
