@@ -90,6 +90,7 @@ _PYTEST_ONLY = (
     "dq_report",
     "stratified_sample",
     "cube_sales",
+    "dedup_segments",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2097,6 +2097,96 @@ ORDER BY pmi DESC, a, b LIMIT {PMI_TOPK}
 """
 
 
+SEG_TOKENS = 3
+
+
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document dedup (the C4/Dolma paragraph-dedup shape): carve
+    each doc into fixed token windows, drop every window whose exact
+    text already occurred earlier in the corpus (first occurrence by
+    (doc_id, seg_id) wins), and report the per-doc survivor count +
+    an md5 digest of the REASSEMBLED text — proving exact membership
+    and order, not just counts. Real corpora segment on newlines /
+    sentence bounds; the fixed window stands in because the synthetic
+    text has no separators, and the plan is identical either way.
+
+    Plan: segments come from ONE higher-order transform over the
+    token array (no per-token explode) then one posexplode of
+    segments; first-occurrence is a window over the segment text
+    (shuffle keyed on content — the dedup floor); reassembly is an
+    ordered collect per doc. At 100 TB the segment window would be an
+    8-byte xxhash64 of the text (same plan, narrower shuffle) — kept
+    as raw text here so the oracle is engine-portable."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    nseg = F.ceil(F.size(toks) / F.lit(SEG_TOKENS)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * SEG_TOKENS + 1, SEG_TOKENS), " "
+        ),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(segs).alias("seg_id", "seg_text")
+    )
+    w = Window.partitionBy("seg_text").orderBy("doc_id", "seg_id")
+    marked = exploded.withColumn(
+        "keep", F.row_number().over(w) == 1
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("keep"),
+                                    F.struct("seg_id", "seg_text"),
+                                )
+                            )
+                        ),
+                        lambda s: s["seg_text"],
+                    ),
+                    " ",
+                )
+            ).alias("digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_SEGMENTS = f"""
+WITH arrs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), numbered AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {SEG_TOKENS}.0) AS BIGINT)))
+           AS i
+  FROM arrs
+), segs AS (
+  SELECT doc_id, CAST(i AS INT) AS seg_id,
+         array_to_string(
+           list_slice(toks, i * {SEG_TOKENS} + 1,
+                      i * {SEG_TOKENS} + {SEG_TOKENS}), ' ') AS seg_text
+  FROM numbered
+), marked AS (
+  SELECT doc_id, seg_id, seg_text,
+         row_number() OVER (
+           PARTITION BY seg_text ORDER BY doc_id, seg_id) = 1 AS keep
+  FROM segs
+)
+SELECT doc_id, COUNT(*) AS n_segs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN seg_text END, ' '
+                               ORDER BY seg_id), '')) AS digest
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 STRAT_K = 20
 
 
@@ -2149,8 +2239,8 @@ WITH ranked AS (
   FROM documents
 )
 SELECT source, COUNT(*) AS n_kept,
-       SUM(doc_id) AS id_checksum,
-       SUM(n_chars) AS chars_kept
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
 FROM ranked WHERE r <= {STRAT_K}
 GROUP BY source ORDER BY source
 """
@@ -2182,6 +2272,7 @@ QUERIES = {
     "pmi_cooccur": q_pmi_cooccur,
     "corpus_mix_temperature": q_corpus_mix_temperature,
     "stratified_sample": q_stratified_sample,
+    "dedup_segments": q_dedup_segments,
 }
 
 ORACLE_SQL = {
@@ -2210,4 +2301,5 @@ ORACLE_SQL = {
     "pmi_cooccur": ORACLE_PMI_COOCCUR,
     "corpus_mix_temperature": ORACLE_CORPUS_MIX_TEMPERATURE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "dedup_segments": ORACLE_DEDUP_SEGMENTS,
 }
