@@ -101,3 +101,82 @@ def test_pii_redact_leaves_digitless_text_untouched(texts):
     rows = df.select("t", pii_redact(F.col("t")).alias("red")).collect()
     for r in rows:
         assert r.red == r.t, repr(r.t)
+
+
+# Strategy: a CDC feed over a small key space with unique (seq, idx)
+# positions — dense enough that keys get multiple versions, deletes
+# and revivals.
+_cdc_feed = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),  # key
+        st.integers(min_value=0, max_value=99),  # seq
+        st.integers(min_value=0, max_value=3),  # idx (tie)
+        st.sampled_from(["U", "U", "U", "D"]),  # op, deletes ~25%
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: (t[1], t[2]),  # unique (seq, idx) positions
+)
+
+
+def _mk_changes(spark, rows):
+    return spark.createDataFrame(
+        [(k, f"v{k}_{s}_{i}", s, i, op) for k, s, i, op in rows],
+        "k int, name string, seq int, idx int, op string",
+    )
+
+
+@given(feed=_cdc_feed, cut=st.integers(min_value=0, max_value=60))
+@settings(max_examples=8, deadline=None)
+def test_fuzz_scd2_batch_split_invariant(feed, cut):
+    """scd2_apply(h1=batch A) then batch B == one batch — for ANY
+    feed and ANY split point; the resulting history is also
+    internally consistent (intervals per key chain, one current row
+    max)."""
+    from big_data_spark.operators.cdc import scd2_apply
+
+    spark = _spark()
+    cut = min(cut, len(feed))
+    whole = _mk_changes(spark, feed)
+    once = {tuple(r) for r in scd2_apply(None, whole, ["k"], "seq", "idx").collect()}
+
+    a, b = feed[:cut], feed[cut:]
+    h = scd2_apply(None, _mk_changes(spark, a), ["k"], "seq", "idx") if a else None
+    if b:
+        h = scd2_apply(h, _mk_changes(spark, b), ["k"], "seq", "idx")
+    split = {tuple(r) for r in h.collect()} if h is not None else set()
+    assert split == once
+
+    # Internal consistency: at most one current row per key; closed
+    # intervals chain (valid_to of one version == valid_from of next).
+    by_key = {}
+    for row in once:
+        by_key.setdefault(row[0], []).append(row)
+    for k, rows in by_key.items():
+        curr = [r for r in rows if r[6]]
+        assert len(curr) <= 1, f"key {k}: multiple current rows"
+        starts = sorted((r[2], r[3]) for r in rows)
+        assert len(starts) == len(set(starts)), f"key {k}: duplicate versions"
+
+
+@given(feed=_cdc_feed)
+@settings(max_examples=8, deadline=None)
+def test_fuzz_apply_changes_equals_scd2_current(feed):
+    """Type-1 fold == the current rows of the type-2 history built
+    from the same feed starting empty — two independent
+    implementations of 'latest change wins'."""
+    from big_data_spark.operators.cdc import apply_changes, scd2_apply
+
+    spark = _spark()
+    ch = _mk_changes(spark, feed)
+    empty_snap = spark.createDataFrame([], "k int, name string")
+    t1 = {
+        (r.k, r.name)
+        for r in apply_changes(
+            empty_snap, ch.select("k", "name", "seq", "idx", "op"),
+            ["k"], "seq", "idx",
+        ).collect()
+    }
+    t2rows = scd2_apply(None, ch, ["k"], "seq", "idx").collect()
+    t2 = {(r.k, r.name) for r in t2rows if r.is_current}
+    assert t1 == t2
