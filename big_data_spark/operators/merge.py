@@ -50,6 +50,7 @@ def merge_into(
     update_condition: Column | None = None,
     insert_condition: Column | None = None,
     strict: bool = True,
+    fill_missing: bool = False,
 ) -> DataFrame:
     """Return the post-merge table as a DataFrame (write it wherever
     the target lives; this operator is pure).
@@ -58,7 +59,9 @@ def merge_into(
     - ``update_cols``: columns taken from ``source`` on match
       (default: every non-key column both sides share).
     - ``insert``: insert source rows with no target match
-      (column-for-column; source must carry every target column).
+      (column-for-column; source must carry every target column
+      unless ``fill_missing=True``, which inserts typed NULLs for
+      target columns the feed lacks — the partial-CDC-feed case).
     - ``delete_condition`` / ``update_condition`` /
       ``insert_condition``: predicates over the joined row (reference
       source columns via the ``s`` alias, e.g.
@@ -84,11 +87,12 @@ def merge_into(
     bad = [c for c in update_cols if c not in source.columns or c in keys]
     if bad:
         raise ValueError(f"update_cols not updatable from source: {bad}")
-    if insert:
+    if insert and not fill_missing:
         lacking = [c for c in tgt_cols if c not in source.columns]
         if lacking:
             raise ValueError(
-                f"insert=True but source lacks target columns: {lacking}"
+                f"insert=True but source lacks target columns: {lacking} "
+                "(pass fill_missing=True to insert NULLs for them)"
             )
 
     # Presence markers survive the full-outer join where data columns
@@ -130,7 +134,9 @@ def merge_into(
             col = F.col(c)  # USING-join key: coalesced across sides
         else:
             src_val = (
-                F.col(f"s.{c}") if c in source.columns else F.lit(None)
+                F.col(f"s.{c}")
+                if c in source.columns
+                else F.lit(None).cast(target.schema[c].dataType)
             )
             take_src = (updated & ~deleted & F.lit(c in update_cols)) | (
                 ~matched_t

@@ -269,3 +269,15 @@ def test_scd2_stale_change_for_deleted_key_dropped(spark):
     # A genuinely newer change DOES reopen it.
     h3 = _scd2(spark, h2, [(9, "back", 60, 0, "U")])
     assert (9, "back", 60, 0, None, None, True) in _hist_rows(h3)
+
+
+def test_merge_fill_missing_inserts_typed_nulls(spark):
+    # feed lacks `name`: updates touch only v; inserts get NULL name.
+    src = spark.createDataFrame([(2, 99.0), (8, 8.0)], "k int, v double")
+    with pytest.raises(ValueError, match="fill_missing"):
+        merge_into(_target(spark), src, ["k"])
+    out = merge_into(_target(spark), src, ["k"], fill_missing=True)
+    rows = _rows(out)
+    assert (2, "b", 99.0) in rows  # update keeps existing name
+    assert (8, None, 8.0) in rows  # insert fills NULL
+    assert dict(out.dtypes)["name"] == "string"
