@@ -87,10 +87,15 @@ _PYTEST_ONLY = (
     # gated, future rotation candidates:
     "triangle_count",
     "cohort_retention",
-    "dq_report",
     "stratified_sample",
     "cube_sales",
     "dedup_segments",
+    # Fourth round-5 rotation: dq_report (the single-pass data-quality
+    # gate — six constraint kinds incl. an FK anti-join, a flagship
+    # table-lifecycle operator) takes the slot of text_stats, whose
+    # text-statistics family keeps three driver rows (text_quality,
+    # token_counts, lang_id).
+    "text_stats",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}
