@@ -214,6 +214,62 @@ def assert_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
     return df
 
 
+def check_stream(
+    stream_df: DataFrame,
+    checks: list[Check],
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The suite over a STREAM: per event-time window, violation
+    counts for every row-local check — data quality as a live metric
+    feed (alert when a window's violations jump) instead of a batch
+    gate. Row-local checks compile to the same conditional sums as
+    the batch path, which are exactly the incremental aggregates
+    Structured Streaming supports; ``unique``/``referential`` need
+    global state and are rejected here (run them on the lake behind
+    the stream).
+
+    Returns one row per (window_start, check): append-mode capable
+    (watermarked tumbling window), schema
+    (window_start, check, column, violations, n_rows).
+    """
+    bad = [c.name for c in checks if c.kind != "row"]
+    if bad:
+        raise ValueError(
+            f"streaming dq supports row-local checks only; not: {bad}"
+        )
+    if not checks:
+        raise ValueError("empty check suite")
+    aggs = [F.count(F.lit(1)).alias("_n_rows")] + [
+        F.sum(F.when(c.violated, F.lit(1)).otherwise(F.lit(0))).alias(
+            f"_v_{c.name}"
+        )
+        for c in checks
+    ]
+    win = F.window(F.col(ts_col), window_duration)
+    agged = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("_w"))
+        .agg(*aggs)
+    )
+    stack_expr = "stack({n}, {pairs}) as (check, violations)".format(
+        n=len(checks),
+        pairs=", ".join(f"'{c.name}', `_v_{c.name}`" for c in checks),
+    )
+    col_of = {c.name: c.column for c in checks}
+    mapping = F.create_map(
+        *[x for n in col_of for x in (F.lit(n), F.lit(col_of[n]))]
+    )
+    return agged.selectExpr("_w.start as window_start", "_n_rows", stack_expr).select(
+        "window_start",
+        "check",
+        mapping[F.col("check")].alias("column"),
+        F.col("violations").cast("long").alias("violations"),
+        F.col("_n_rows").cast("long").alias("n_rows"),
+    )
+
+
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """One-pass column profile: per column —
     ``n`` (non-null count), ``n_null``, ``approx_distinct`` (HLL++

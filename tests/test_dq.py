@@ -128,3 +128,41 @@ def test_profile_table_one_pass(spark, df):
     assert abs(rows["score"]["mean"] - (10.0 - 5.0 + 20.0 + 30.0) / 4) < 1e-9
     # approx_count_distinct is exact at this cardinality
     assert rows["country"]["approx_distinct"] == 4
+
+
+def test_check_stream_matches_batch(spark, tmp_path):
+    """Streaming DQ == the same windowed conditional sums run in
+    batch; only row-local checks are accepted."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from big_data_spark.streaming.events import run_stream_to_table
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=m), float(v))
+        for m, v in [(0, 1.0), (10, -2.0), (70, 3.0), (80, -4.0), (90, -5.0)]
+    ]
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("v", DoubleType())]
+    )
+    src = str(tmp_path / "dq_stream_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    checks = [dq.in_range("v", lo=0.0)]
+    rep = dq.check_stream(stream, checks, "ts", "1 hour", "2 hours")
+    got = {
+        (r["window_start"].minute + r["window_start"].hour * 60, r["violations"], r["n_rows"])
+        for r in run_stream_to_table(rep, "dq_stream_tbl").collect()
+    }
+    assert got == {(0, 1, 2), (60, 2, 3)}
+
+    with pytest.raises(ValueError, match="row-local"):
+        dq.check_stream(stream, [dq.unique("v")], "ts")
