@@ -118,8 +118,14 @@ def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
     for c in checks:
         if c.kind == "row":
             aggs.append(
-                F.sum(
-                    F.when(c.violated, F.lit(1)).otherwise(F.lit(0))
+                # coalesce: an EMPTY input (e.g. a trailing empty
+                # micro-batch in foreachBatch) sums to NULL, which
+                # must read as zero violations, not a failure.
+                F.coalesce(
+                    F.sum(
+                        F.when(c.violated, F.lit(1)).otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
                 ).alias(f"_v_{c.name}")
             )
             stacked_cols.append(c.name)

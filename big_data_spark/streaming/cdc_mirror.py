@@ -48,15 +48,28 @@ def run_cdc_mirror(
     op_col: str = "op",
     delete_op: str = "D",
     n_buckets: int = 16,
+    checks: list | None = None,
 ) -> None:
     """Drain ``change_stream`` (availableNow) into the mirror at
     ``mirror_dir/data``. The feed carries the mirrored columns plus
     ``op_col`` / ``seq_col`` / ``tie_col``; ``(seq, tie)`` must be
-    unique per change (commit LSN + change index)."""
+    unique per change (commit LSN + change index).
+
+    ``checks`` (operators/dq.py Check list) gates every batch BEFORE
+    it folds: a failing batch raises inside foreachBatch, the
+    streaming query stops, and — because nothing was written — the
+    checkpoint does not advance, so fixing the feed and restarting
+    re-processes the same batch. Bad data halts the mirror loudly
+    instead of landing in it.
+    """
     data_path = f"{mirror_dir}/data"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if checks:
+            from big_data_spark.operators.dq import assert_suite
+
+            assert_suite(batch_df, checks)
         winners = latest_changes(batch_df, keys, seq_col, tie_col, op_col)
         incoming = (
             winners.withColumn(

@@ -6,6 +6,9 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -130,3 +133,35 @@ def test_only_touched_buckets_rewritten(spark, tmp_path):
         f"expected 1 rewritten bucket, got {sorted(changed_parts)}"
     )
     assert (1, "a3", 9.0, 99, 0) in _mirror_rows(spark, mirror)
+
+
+def test_dq_gate_halts_bad_batch_and_checkpoint_retries(spark, tmp_path):
+    """A batch failing its dq checks raises, nothing lands, and a
+    restart with a FIXED feed (same checkpoint) processes cleanly."""
+    from big_data_spark.operators import dq
+
+    checks = [dq.in_range("v", lo=0.0)]
+    src = str(tmp_path / "src_bad")
+    bad = spark.createDataFrame(
+        [(1, "x", -5.0, 1, 0, "U")], SCHEMA
+    )
+    bad.write.parquet(src)
+    mirror = str(tmp_path / "mirror_dq")
+    ckpt = str(tmp_path / "ckpt_dq")
+    with pytest.raises(Exception, match="data-quality gate failed"):
+        run_cdc_mirror(
+            _stream(spark, src), ["k"], "seq", "idx", mirror, ckpt,
+            n_buckets=4, checks=checks,
+        )
+    assert not os.path.exists(f"{mirror}/data")
+    # Fix the feed in place; SAME checkpoint reprocesses the batch.
+    good = spark.createDataFrame([(1, "x", 5.0, 1, 0, "U")], SCHEMA)
+    shutil.rmtree(src)
+    good.write.parquet(src)
+    run_cdc_mirror(
+        _stream(spark, src), ["k"], "seq", "idx", mirror, ckpt,
+        n_buckets=4, checks=checks,
+    )
+    assert {tuple(r) for r in read_mirror(spark, mirror).collect()} == {
+        (1, "x", 5.0, 1, 0)
+    }
