@@ -15,7 +15,11 @@ from big_data_spark.operators.cms import cms_lookup, cms_merge, cms_sketch
 from big_data_spark.operators.components import connected_components
 from big_data_spark.operators.connections import server_connections
 from big_data_spark.operators.dbscan import dbscan_from_edges
-from big_data_spark.operators.incremental import incremental_dedup, seen_filter
+from big_data_spark.operators.incremental import (
+    incremental_dedup,
+    refresh_aggregate,
+    seen_filter,
+)
 from big_data_spark.operators.merge import merge_into, touched_partitions
 from big_data_spark.operators.histogram import (
     hist_error_bound,
@@ -36,6 +40,7 @@ from big_data_spark.operators.skewreport import skew_report
 
 __all__ = [
     "merge_into",
+    "refresh_aggregate",
     "touched_partitions",
     "apply_changes",
     "scd2_apply",

@@ -81,3 +81,68 @@ def incremental_dedup(
         how="left_anti",
     )
     return definitely_new.unionByName(verified_new)
+
+
+def refresh_aggregate(
+    mv: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incrementally maintain a grouped-aggregate materialized view
+    ``SELECT keys, SUM(measure)..., COUNT(*) FROM base GROUP BY keys``
+    from a change batch — the warehouse MV-refresh shape: cost is one
+    aggregation of the BATCH plus one merge join, never a rescan of
+    the base table.
+
+    ``changes`` holds base-table rows; with ``op_col`` set, rows
+    whose op equals ``delete_op`` RETRACT (the CDC before-image
+    pattern — a delete carries the same measure values the insert
+    did, and subtracts them). The batch folds to one delta row per
+    key (sum of signed measures, signed row count); the merge then:
+
+    - updates existing groups additively
+      (``SET m = t.m + s.m`` via merge_into's update_exprs),
+    - deletes groups whose row count reaches zero,
+    - inserts new groups (skipping pure-retraction deltas).
+
+    Only additive aggregates (sum / count, and anything derived from
+    them downstream, e.g. avg) survive deletes incrementally; min/max
+    need the base table on retraction and are out of scope.
+    """
+    from big_data_spark.operators.merge import merge_into
+
+    sign = (
+        F.when(F.col(op_col) == F.lit(delete_op), F.lit(-1)).otherwise(
+            F.lit(1)
+        )
+        if op_col
+        else F.lit(1)
+    )
+    for c in measures + [count_col]:
+        if c not in mv.columns:
+            raise ValueError(f"mv lacks column {c!r}")
+    delta = changes.groupBy(*keys).agg(
+        *[
+            F.sum(F.col(m) * sign).alias(m)
+            for m in measures
+        ],
+        F.sum(sign).cast("long").alias(count_col),
+    )
+    new_count = F.col(f"t.{count_col}") + F.col(f"s.{count_col}")
+    return merge_into(
+        mv,
+        delta,
+        keys,
+        update_exprs={
+            **{m: F.col(f"t.{m}") + F.col(f"s.{m}") for m in measures},
+            count_col: new_count,
+        },
+        update_cols=[],
+        delete_condition=new_count == F.lit(0),
+        insert_condition=F.col(f"s.{count_col}") > F.lit(0),
+        strict=True,
+    )

@@ -51,6 +51,7 @@ def merge_into(
     insert_condition: Column | None = None,
     strict: bool = True,
     fill_missing: bool = False,
+    update_exprs: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Return the post-merge table as a DataFrame (write it wherever
     the target lives; this operator is pure).
@@ -58,6 +59,11 @@ def merge_into(
     - ``keys``: equality merge keys (must exist on both sides).
     - ``update_cols``: columns taken from ``source`` on match
       (default: every non-key column both sides share).
+    - ``update_exprs``: SQL-MERGE ``SET col = expr`` — per-column
+      expressions over the joined row (``t.``/``s.`` aliases)
+      overriding the plain take-from-source update for those columns,
+      e.g. ``{"total": F.col("t.total") + F.col("s.delta")}`` for
+      additive maintenance.
     - ``insert``: insert source rows with no target match
       (column-for-column; source must carry every target column
       unless ``fill_missing=True``, which inserts typed NULLs for
@@ -87,6 +93,10 @@ def merge_into(
     bad = [c for c in update_cols if c not in source.columns or c in keys]
     if bad:
         raise ValueError(f"update_cols not updatable from source: {bad}")
+    update_exprs = update_exprs or {}
+    bad = [c for c in update_exprs if c in keys or c not in tgt_cols]
+    if bad:
+        raise ValueError(f"update_exprs must target non-key target columns: {bad}")
     if insert and not fill_missing:
         lacking = [c for c in tgt_cols if c not in source.columns]
         if lacking:
@@ -138,10 +148,16 @@ def merge_into(
                 if c in source.columns
                 else F.lit(None).cast(target.schema[c].dataType)
             )
-            take_src = (updated & ~deleted & F.lit(c in update_cols)) | (
-                ~matched_t
+            upd_val = update_exprs.get(c, src_val)
+            is_updatable = c in update_cols or c in update_exprs
+            col = (
+                F.when(
+                    updated & ~deleted & F.lit(is_updatable) & is_match,
+                    upd_val,
+                )
+                .when(~matched_t, src_val)
+                .otherwise(F.col(f"t.{c}"))
             )
-            col = F.when(take_src, src_val).otherwise(F.col(f"t.{c}"))
         out_cols.append(col.alias(c))
 
     keep = matched_t & ~deleted
