@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -120,3 +121,52 @@ def parquet_column_stats(
     return paths.repartition(min(len(files), 64)).mapInPandas(
         kernel, _STATS_SCHEMA
     )
+
+
+def prune_files(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Metadata-only data skipping: the files under ``path`` a
+    numeric range predicate ``lo <= column <= hi`` could possibly
+    touch, decided from parquet FOOTER min/max alone — the manifest
+    pruning an Iceberg/Delta reader does, as an explicit operator.
+
+    Returns (file, min_value, max_value, keep): ``keep`` is false iff
+    the file's [min, max] interval provably misses the predicate
+    range — reading only kept files is guaranteed lossless (rows
+    matching the predicate can only live in kept files; proven in
+    tests/test_stats.py against the full-scan answer). Feed the kept
+    list to ``spark.read.parquet(*files)``. Pair with the z-order /
+    repartitionByRange writers (io/compact.py) — pruning is only as
+    good as the layout's min/max narrowness.
+    """
+    if lo is None and hi is None:
+        raise ValueError("prune_files needs lo and/or hi")
+    stats = parquet_column_stats(spark, path, [column])
+    per_file = (
+        stats.withColumn("mn", F.col("min_value").cast("double"))
+        .withColumn("mx", F.col("max_value").cast("double"))
+        .groupBy("file")
+        .agg(
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+            # a row group without stats makes the file unprunable
+            F.max(F.col("mn").isNull().cast("int")).alias("_nostats"),
+        )
+    )
+    keep = F.col("_nostats") == 1
+    cond = F.lit(True)
+    if hi is not None:
+        cond = cond & (F.col("min_value") <= F.lit(float(hi)))
+    if lo is not None:
+        cond = cond & (F.col("max_value") >= F.lit(float(lo)))
+    return per_file.select(
+        "file",
+        "min_value",
+        "max_value",
+        (keep | cond).alias("keep"),
+    ).orderBy("file")

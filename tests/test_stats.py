@@ -86,3 +86,42 @@ def test_skew_report_flags_hot_key(spark):
     u = u_summary.collect()[0]
     assert u.skew_ratio < s.n_keys * 2
     assert u.total_rows == s.total_rows
+
+
+def test_prune_files_lossless_and_effective(spark, tmp_path):
+    """Metadata pruning drops files a range predicate cannot touch,
+    and reading ONLY the kept files returns exactly the full-scan
+    answer (no false drops)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.io.stats import prune_files
+
+    path = str(tmp_path / "ranged")
+    # repartitionByRange on v -> each file covers a narrow v band.
+    (
+        spark.range(10000)
+        .select(F.col("id"), (F.col("id") % 1000).cast("double").alias("v"))
+        .repartitionByRange(10, "v")
+        .write.parquet(path)
+    )
+    pruned = prune_files(spark, path, "v", lo=100.0, hi=150.0)
+    rows = pruned.collect()
+    kept = [r["file"] for r in rows if r["keep"]]
+    assert 0 < len(kept) < len(rows), "pruning must drop some files"
+
+    local = [re.sub(r"^file:(//)?", "", f) for f in kept]
+    got = (
+        spark.read.parquet(*local)
+        .filter((F.col("v") >= 100.0) & (F.col("v") <= 150.0))
+        .agg(F.count(F.lit(1)), F.sum("id"))
+        .collect()[0]
+    )
+    want = (
+        spark.read.parquet(path)
+        .filter((F.col("v") >= 100.0) & (F.col("v") <= 150.0))
+        .agg(F.count(F.lit(1)), F.sum("id"))
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)
