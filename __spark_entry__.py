@@ -3,12 +3,16 @@
 ``entry(spark)`` runs the flagship multiway-join query at sf0.001;
 ``queries()``/``oracle_sql()`` expose 50 oracle-checked queries: every
 implemented operator from SURVEY.md §2 (see COVERAGE.md for the
-line-by-line map) plus the training-data-pipeline extensions (dedup,
-ANN, multimodal, text analysis, decontamination, streaming incl. a
+line-by-line map) plus the training-data-pipeline and lakehouse
+extensions (dedup, ANN, multimodal, text analysis, decontamination,
+MERGE INTO / CDC apply, the data-quality gate, streaming incl. a
 watermarked stream-stream interval join, range join) with DuckDB
-oracles. Three further window-idiom variants are oracle-checked in
-pytest only (the correctness gate records at most 50 entries —
-COVERAGE.md "Round-1 note").
+oracles. The registry holds 79 oracle-paired queries in total; the
+29 past the 50-row driver cap are oracle-checked in pytest
+(tests/test_oracle.py) and by the full gate mirror
+(tools/gate_sim.py) at sf0.001/0.01/0.1, rotating into driver slots
+across rounds (COVERAGE.md "Round-1 note" and the rotation log in
+queries/__init__.py).
 """
 
 from __future__ import annotations
