@@ -112,6 +112,14 @@ def refresh_aggregate(
     Only additive aggregates (sum / count, and anything derived from
     them downstream, e.g. avg) survive deletes incrementally; min/max
     need the base table on retraction and are out of scope.
+
+    ORDERING CONTRACT: a retraction must be applied no earlier than
+    the batch of its insert (the per-key in-order delivery every CDC
+    feed guarantees). A retraction folding into a batch BEFORE its
+    insert leaves a negative delta for a group the view does not
+    hold, which the insert gate drops — the lost retraction then
+    overstates the group once the insert lands. Within one batch
+    order is free (insert and retract cancel in the delta).
     """
     from big_data_spark.operators.merge import merge_into
 

@@ -9,6 +9,11 @@ plus a run-to-completion helper for batch-parity testing.
 """
 
 from big_data_spark.streaming.ingest import read_lake, run_dedup_ingest
+from big_data_spark.streaming.mv import (
+    prune_mv_versions,
+    read_mv,
+    run_mv_refresh,
+)
 from big_data_spark.streaming.cdc_mirror import (
     purge_tombstones,
     read_mirror,
@@ -28,6 +33,9 @@ from big_data_spark.streaming.events import (
 
 __all__ = [
     "run_cdc_mirror",
+    "run_mv_refresh",
+    "read_mv",
+    "prune_mv_versions",
     "read_mirror",
     "purge_tombstones",
     "read_events_stream",
