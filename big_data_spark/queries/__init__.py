@@ -96,6 +96,7 @@ _PYTEST_ONLY = (
     # text-statistics family keeps three driver rows (text_quality,
     # token_counts, lang_id).
     "text_stats",
+    "mv_refresh",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

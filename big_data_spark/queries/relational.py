@@ -1947,6 +1947,59 @@ ORDER BY c_custkey
 """
 
 
+def q_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance, cross-engine: a per-customer
+    revenue view built over a base slice of orders, then refreshed
+    with a change batch (every 3rd order inserted; the base's
+    finished orders retracted via their before-image) — the result
+    must equal the oracle's from-scratch aggregate over the final
+    row set. Measures ride as DECIMAL so both the one-pass oracle
+    fold and the two-step incremental fold are exact (a double sum
+    would differ by association order).
+
+    Plan: refresh cost is one agg of the change batch + one merge
+    against the |groups|-row view; the base is never rescanned."""
+    from big_data_spark.operators.incremental import refresh_aggregate
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 400)
+    price = F.col("o_totalprice").cast("decimal(28,2)")
+    base = o.filter(F.col("o_orderkey") % 3 != 0)
+    mv = base.groupBy("o_custkey").agg(
+        F.sum(price).alias("v"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_custkey", price.alias("v"), F.lit("I").alias("op")
+    )
+    deletes = base.filter(F.col("o_orderstatus") == "F").select(
+        "o_custkey", price.alias("v"), F.lit("D").alias("op")
+    )
+    refreshed = refresh_aggregate(
+        mv,
+        inserts.unionByName(deletes),
+        ["o_custkey"],
+        ["v"],
+        op_col="op",
+    )
+    return refreshed.select(
+        "o_custkey",
+        F.col("v").cast("double").alias("revenue"),
+        "n_rows",
+    ).orderBy("o_custkey")
+
+
+ORACLE_MV_REFRESH = """
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM orders
+WHERE o_custkey < 400
+  AND (o_orderkey % 3 = 0 OR o_orderstatus <> 'F')
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the part co-occurrence graph (parts
     sharing an order are connected) — the graph-analytics staple
@@ -2194,6 +2247,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "dq_report": q_dq_report,
     "cube_sales": q_cube_sales,
+    "mv_refresh": q_mv_refresh,
 }
 
 ORACLE_SQL = {
@@ -2244,4 +2298,5 @@ ORACLE_SQL = {
     "cohort_retention": ORACLE_COHORT,
     "dq_report": ORACLE_DQ_REPORT,
     "cube_sales": ORACLE_CUBE,
+    "mv_refresh": ORACLE_MV_REFRESH,
 }
