@@ -51,3 +51,18 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (native Spark datasource — columnar with stripe-level
+    min/max like parquet's row groups; the interchange format for
+    Hive-era lakes). Same pushdown/pruning behavior on re-read."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -151,3 +151,29 @@ def test_read_csv_explicit_schema_and_quarantine(spark, tmp_path):
     rows = {tuple(r) for r in ok.collect()}
     assert rows == {(1, "alpha", 1.5), (2, "beta", 2.5)}
     assert ok.schema["score"].dataType.simpleString() == "double"
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC sink/source round-trip; predicate pushdown reaches the
+    ORC scan like parquet."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.io.readers import read_table
+    from big_data_spark.io.writers import write_orc
+
+    path = str(tmp_path / "orders_orc")
+    orders = read_table(spark, SF_SMOKE, "orders")
+    write_orc(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.orc(path)
+    assert back.count() == orders.count()
+    q = back.filter(F.col("o_orderstatus") == "F").filter(
+        F.col("o_totalprice") > 1000.0
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "o_orderstatus" in plan
+    assert "PushedFilters" in plan
+    got = q.agg(F.count(F.lit(1))).collect()[0][0]
+    want = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0)
+    ).count()
+    assert got == want
