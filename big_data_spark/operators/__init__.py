@@ -36,6 +36,7 @@ from big_data_spark.operators.hll import (
 from big_data_spark.operators.ids import dense_ids
 from big_data_spark.operators.pagerank import pagerank
 from big_data_spark.operators.skew import salted_join
+from big_data_spark.operators.timeseries import asof_join, sessionize
 from big_data_spark.operators.skewreport import skew_report
 
 __all__ = [
@@ -50,6 +51,8 @@ __all__ = [
     "dbscan_from_edges",
     "dense_ids",
     "salted_join",
+    "asof_join",
+    "sessionize",
     "ivf_build",
     "ivf_search",
     "ivf_cell_expr",
