@@ -39,19 +39,28 @@ def latest_changes(
     keys: list[str],
     seq_col: str,
     tie_col: str,
-    op_col: str = "op",
 ) -> DataFrame:
     """Per-key winning change: max ``(seq_col, tie_col)``. The pair
-    must be unique per key (true for (commit_lsn, change_index)-style
-    feeds); uniqueness is the caller's feed contract and duplicates of
-    the SAME pair are collapsed arbitrarily-but-consistently by the
-    final dropDuplicates on the full ordering tuple."""
+    being unique per key is the feed contract ((commit_lsn,
+    change_index)-style); if a feed nonetheless delivers conflicting
+    rows at the SAME position, the winner is still DETERMINISTIC — a
+    payload-hash tie-break, so reruns and both sides of any parity
+    test agree (Spark's dropDuplicates keeps whichever row a scan
+    meets first, which varies with partitioning, and is deliberately
+    not used here)."""
+    others = [
+        c for c in changes.columns if c not in keys + [seq_col, tie_col]
+    ]
+    payload_order = (
+        F.xxhash64(*[F.col(c) for c in others]).desc()
+        if others
+        else F.lit(0).asc()
+    )
     w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(), F.col(tie_col).desc()
+        F.col(seq_col).desc(), F.col(tie_col).desc(), payload_order
     )
     return (
-        changes.dropDuplicates(keys + [seq_col, tie_col])
-        .withColumn("_cdc_rn", F.row_number().over(w))
+        changes.withColumn("_cdc_rn", F.row_number().over(w))
         .filter(F.col("_cdc_rn") == 1)
         .drop("_cdc_rn")
     )
@@ -73,7 +82,7 @@ def apply_changes(
 
     Returns the new snapshot with exactly the snapshot's columns.
     """
-    winners = latest_changes(changes, keys, seq_col, tie_col, op_col)
+    winners = latest_changes(changes, keys, seq_col, tie_col)
     payload = [
         c
         for c in snapshot.columns

@@ -38,6 +38,21 @@ class Check:
     ref_col: str | None = None
 
 
+def _validate_names(checks: list[Check]) -> None:
+    """Check names are interpolated into the stack() SQL literal, so
+    quote characters would break parsing at runtime — reject them at
+    the boundary with a clear message instead. Also rejects
+    duplicates (the report keys on the name)."""
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate check names: {names}")
+    bad = [n for n in names if "'" in n or "`" in n or "\\" in n]
+    if bad:
+        raise ValueError(
+            f"check names must not contain quotes or backslashes: {bad}"
+        )
+
+
 def not_null(col: str, name: str | None = None) -> Check:
     return Check(name or f"not_null({col})", "row", col, F.col(col).isNull())
 
@@ -109,9 +124,7 @@ def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
     """
     if not checks:
         raise ValueError("empty check suite")
-    names = [c.name for c in checks]
-    if len(set(names)) != len(names):
-        raise ValueError(f"duplicate check names: {names}")
+    _validate_names(checks)
 
     aggs = [F.count(F.lit(1)).alias("_n_rows")]
     stacked_cols: list[str] = []
@@ -162,6 +175,22 @@ def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
             F.col("_n_rows").cast("long").alias("n_rows"),
         )
 
+    # Row count for FK report rows: reuse the combined agg's _n_rows
+    # when it exists; otherwise count ONCE for the whole suite — never
+    # one extra full scan per referential check.
+    n_rows_df = None
+    if any(c.kind == "referential" for c in checks):
+        if stacked_cols:
+            n_rows_df = one.select(
+                F.col("_n_rows").cast("long").alias("n_rows"),
+                F.lit(1).alias("_j"),
+            )
+        else:
+            n_rows_df = df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.lit(1).alias("_j"),
+            )
+
     for c in checks:
         if c.kind != "referential":
             continue
@@ -179,11 +208,7 @@ def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
                 F.lit(1).alias("_j"),
             )
         )
-        n_rows = df.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.lit(1).alias("_j"),
-        )
-        ref_row = viol.join(n_rows, "_j").drop("_j")
+        ref_row = viol.join(n_rows_df, "_j").drop("_j")
         report = ref_row if report is None else report.unionByName(ref_row)
 
     mapping = F.create_map(
@@ -247,6 +272,7 @@ def check_stream(
         )
     if not checks:
         raise ValueError("empty check suite")
+    _validate_names(checks)
     aggs = [F.count(F.lit(1)).alias("_n_rows")] + [
         F.sum(F.when(c.violated, F.lit(1)).otherwise(F.lit(0))).alias(
             f"_v_{c.name}"

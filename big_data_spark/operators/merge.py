@@ -129,14 +129,17 @@ def merge_into(
     matched_s = F.col(_S_MARK).isNotNull()
     is_match = matched_t & matched_s
 
-    deleted = (
-        is_match & delete_condition
-        if delete_condition is not None
-        else F.lit(False)
-    )
-    updated = is_match & (
-        update_condition if update_condition is not None else F.lit(True)
-    )
+    # SQL MERGE: a clause predicate evaluating to NULL means the
+    # clause does NOT apply (coalesce to false) — without this, a
+    # NULL delete_condition poisons `keep` to NULL and the filter
+    # silently DROPS the matched row instead of leaving it unchanged.
+    def _applies(cond: Column | None, default: bool) -> Column:
+        if cond is None:
+            return F.lit(default)
+        return F.coalesce(cond, F.lit(False))
+
+    deleted = is_match & _applies(delete_condition, False)
+    updated = is_match & _applies(update_condition, True)
 
     out_cols = []
     for c in tgt_cols:
@@ -164,16 +167,22 @@ def merge_into(
     if insert:
         inserted = ~matched_t & matched_s
         if insert_condition is not None:
-            inserted = inserted & insert_condition
+            inserted = inserted & _applies(insert_condition, False)
         keep = keep | inserted
 
     if strict:
         # A matched row whose source key multiplicity exceeds 1 is the
-        # SQL MERGE cardinality violation. The guard is a conjunct of
-        # the output predicate, so it cannot be pruned away; duplicate
-        # UNMATCHED source keys are allowed (they become independent
-        # inserts, as in SQL's multi-row NOT MATCHED clause).
-        guard = F.when(
+        # SQL MERGE cardinality violation — regardless of which clause
+        # the duplicates would take (deleting twice is as ambiguous as
+        # updating twice). The violation test is the WHEN branch
+        # condition of the final predicate, so it is evaluated on
+        # every row BEFORE the keep logic and cannot be skipped by
+        # boolean short-circuiting (a plain `keep & guard` conjunct
+        # would never evaluate the guard on rows whose keep side is
+        # already false — e.g. duplicate deletes). Duplicate UNMATCHED
+        # source keys are allowed (independent inserts, as in SQL's
+        # multi-row NOT MATCHED clause).
+        keep = F.when(
             is_match & (F.col(_S_DUP) > F.lit(1)),
             F.raise_error(
                 F.concat(
@@ -184,8 +193,7 @@ def merge_into(
                     F.lit(") matches multiple source rows"),
                 )
             ).cast("boolean"),
-        ).otherwise(F.lit(True))
-        keep = keep & guard
+        ).otherwise(keep)
 
     return joined.filter(keep).select(*out_cols)
 

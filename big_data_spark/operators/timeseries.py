@@ -80,23 +80,29 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    picked_ts = F.last(
-        F.when(F.col(_PROBE) == 0, F.col(ts_col)), ignorenulls=True
+    # The matched right row travels as ONE struct: taking ts and each
+    # value column through separate last(..., ignorenulls) calls would
+    # skip right rows whose VALUE is NULL and silently substitute a
+    # stale earlier value for the matched timestamp. The struct is
+    # non-NULL for every right row (even all-NULL fields), so
+    # ignorenulls skips exactly the probe rows.
+    picked = F.last(
+        F.when(
+            F.col(_PROBE) == 0,
+            F.struct(F.col(ts_col).alias("_ts"), *[F.col(c) for c in value_cols]),
+        ),
+        ignorenulls=True,
     ).over(w)
-    out = lhs.unionByName(rhs).withColumn(f"{ts_col}{suffix}", picked_ts)
-    for c in value_cols:
-        out = out.withColumn(
-            f"{c}{suffix}",
-            F.last(
-                F.when(F.col(_PROBE) == 0, F.col(c)), ignorenulls=True
-            ).over(w),
-        )
+    out = lhs.unionByName(rhs).withColumn("_asof_match", picked)
     return (
         out.filter(F.col(_PROBE) == 1)
         .select(
             *left.columns,
-            f"{ts_col}{suffix}",
-            *[f"{c}{suffix}" for c in value_cols],
+            F.col("_asof_match._ts").alias(f"{ts_col}{suffix}"),
+            *[
+                F.col(f"_asof_match.{c}").alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
         )
     )
 

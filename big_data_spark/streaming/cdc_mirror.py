@@ -70,7 +70,7 @@ def run_cdc_mirror(
             from big_data_spark.operators.dq import assert_suite
 
             assert_suite(batch_df, checks)
-        winners = latest_changes(batch_df, keys, seq_col, tie_col, op_col)
+        winners = latest_changes(batch_df, keys, seq_col, tie_col)
         incoming = (
             winners.withColumn(
                 _BUCKET,

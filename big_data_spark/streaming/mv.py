@@ -31,7 +31,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from big_data_spark.lineage import truncate_lineage
 from big_data_spark.operators.incremental import refresh_aggregate
@@ -40,15 +39,21 @@ _VER = "_v"
 
 
 def _versions(spark: SparkSession, data_path: str) -> list[int]:
-    try:
-        df = spark.read.parquet(data_path)
-    except AnalysisException:
+    """Version ids from the DIRECTORY listing, not from data rows — a
+    fully-retracted snapshot is an EMPTY version whose rows cannot
+    vouch for it; missing it would silently resurrect the pre-batch
+    state on the next read/refresh."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(data_path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return []
-    if _VER not in df.columns:
-        return []
-    return sorted(
-        r[_VER] for r in df.select(_VER).distinct().collect()
-    )
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(f"{_VER}="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
 
 
 def run_mv_refresh(
@@ -96,14 +101,31 @@ def run_mv_refresh(
             delete_op=delete_op,
             count_col=count_col,
         )
+        new = truncate_lineage(new)
         (
-            truncate_lineage(new)
-            .withColumn(_VER, F.lit(batch_id))
+            new.withColumn(_VER, F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(_VER)
             .parquet(data_path)
         )
+        # A fully-retracted snapshot has zero rows, so the dynamic
+        # overwrite above creates NO _v=<batch_id> partition and the
+        # previous state would resurrect. Materialize the empty
+        # version explicitly (one 0-row file preserving the schema).
+        vdir = f"{data_path}/{_VER}={batch_id}"
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(vdir)
+        fs = hpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if not fs.exists(hpath):
+            (
+                spark.createDataFrame([], new.schema)
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(vdir)
+            )
 
     query = (
         change_stream.writeStream.foreachBatch(apply_batch)

@@ -281,3 +281,36 @@ def test_merge_fill_missing_inserts_typed_nulls(spark):
     assert (2, "b", 99.0) in rows  # update keeps existing name
     assert (8, None, 8.0) in rows  # insert fills NULL
     assert dict(out.dtypes)["name"] == "string"
+
+
+def test_merge_null_clause_predicate_keeps_row(spark):
+    """SQL MERGE: a NULL clause predicate means the clause does not
+    apply — a NULL op must upsert, never silently delete."""
+    src = spark.createDataFrame(
+        [(1, "A", 2.0, None)], "k int, name string, v double, op string"
+    )
+    out = merge_into(
+        _target(spark),
+        src,
+        ["k"],
+        delete_condition=F.col("s.op") == "D",
+        insert_condition=F.col("s.op") != "D",
+    )
+    rows = _rows(out)
+    assert (1, "A", 2.0) in rows  # updated, not deleted
+    assert len(rows) == 4
+
+
+def test_merge_duplicate_deletes_still_raise_cardinality(spark):
+    """The strict guard must fire even when every duplicate source
+    row takes the DELETE clause (keep=false must not short-circuit
+    past the guard)."""
+    src = spark.createDataFrame(
+        [(2, "x", 0.0, "D"), (2, "y", 0.0, "D")],
+        "k int, name string, v double, op string",
+    )
+    out = merge_into(
+        _target(spark), src, ["k"], delete_condition=F.col("s.op") == "D"
+    )
+    with pytest.raises(Exception, match="cardinality"):
+        out.collect()

@@ -144,3 +144,36 @@ def test_versions_time_travel_and_prune(spark, tmp_path):
     assert {tuple(r) for r in read_mv(spark, mv).collect()} == _expected(FEED)
     with pytest.raises(ValueError, match="keep_last"):
         prune_mv_versions(spark, mv, keep_last=1)
+
+
+def test_full_retraction_yields_empty_mv_not_resurrection(spark, tmp_path):
+    """A batch that retracts every group must produce an EMPTY
+    current MV — the empty snapshot version is materialized even
+    though dynamic overwrite writes no rows for it."""
+    mv = _run(
+        spark,
+        tmp_path,
+        [(1, 5.0, "I"), (1, 5.0, "D")],
+        "retract_all",
+        n_files=2,  # insert in batch 0, retraction in batch 1
+    )
+    assert read_mv(spark, mv).count() == 0
+    # and a later insert starts cleanly from the empty state
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = str(tmp_path / "src_retract_all")
+    part = str(tmp_path / "part_back")
+    spark.createDataFrame([(2, 9.0, "I")], SCHEMA).coalesce(1).write.parquet(part)
+    (pq,) = glob.glob(f"{part}/*.parquet")
+    shutil.copy(pq, f"{src}/9000.parquet")
+    now = time.time() + 100
+    os.utime(f"{src}/9000.parquet", (now, now))
+    run_mv_refresh(
+        _stream(spark, src), ["k"], ["v"], mv,
+        str(tmp_path / "ckpt_retract_all"), op_col="op",
+    )
+    got = {tuple(r) for r in read_mv(spark, mv).collect()}
+    assert got == {(2, 9.0, 1)}

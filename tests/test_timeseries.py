@@ -130,3 +130,16 @@ def test_sessionize_matches_registry_query(spark):
     )
     n_sessions_ref = flags.agg(F.sum("new_s")).collect()[0][0]
     assert n_sessions_ours == n_sessions_ref
+
+
+def test_asof_null_value_in_matched_row_not_substituted(spark):
+    """The matched right row's NULL value must surface as NULL — not
+    a stale value from an earlier row (ts and values travel as one
+    struct)."""
+    quotes = spark.createDataFrame(
+        [("A", 10, 1.0), ("A", 20, None)], "sym string, ts long, px double"
+    )
+    trades = spark.createDataFrame([("A", 25, 1)], "sym string, ts long, qty int")
+    out = asof_join(trades, quotes, ["sym"], "ts", ["px"]).collect()
+    assert len(out) == 1
+    assert out[0].ts_asof == 20 and out[0].px_asof is None
