@@ -17,7 +17,9 @@ from big_data_spark.streaming.mv import (
 from big_data_spark.streaming.cdc_mirror import (
     purge_tombstones,
     read_mirror,
+    read_scd2_mirror,
     run_cdc_mirror,
+    run_scd2_mirror,
 )
 from big_data_spark.streaming.events import (
     dedup_stream,
@@ -33,6 +35,8 @@ from big_data_spark.streaming.events import (
 
 __all__ = [
     "run_cdc_mirror",
+    "run_scd2_mirror",
+    "read_scd2_mirror",
     "run_mv_refresh",
     "read_mv",
     "prune_mv_versions",

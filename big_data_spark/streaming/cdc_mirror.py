@@ -173,3 +173,81 @@ def purge_tombstones(
         hpath = jvm.org.apache.hadoop.fs.Path(f"{data_path}/{_BUCKET}={b}")
         fs = hpath.getFileSystem(hconf)
         fs.delete(hpath, True)
+
+
+def run_scd2_mirror(
+    change_stream: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    tie_col: str,
+    mirror_dir: str,
+    checkpoint: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    n_buckets: int = 16,
+    checks: list | None = None,
+) -> None:
+    """TYPE-2 twin of ``run_cdc_mirror``: maintain a versioned
+    history table (operators/cdc.scd2_apply — validity intervals,
+    delete-closes, per-key high-water) from a live change feed,
+    under the same bucketed layout and touched-bucket rewrites.
+
+    Replay safety comes from scd2_apply itself: its high-water mark
+    over every recorded interval boundary makes redelivered batches
+    no-ops, so the dynamic overwrite of a replayed batch rewrites
+    identical bucket contents. Read the current rows with
+    ``read_scd2_mirror(..., current_only=True)`` or the full history
+    with ``current_only=False``.
+    """
+    data_path = f"{mirror_dir}/data"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from big_data_spark.operators.cdc import scd2_apply
+
+        spark = batch_df.sparkSession
+        if checks:
+            from big_data_spark.operators.dq import assert_suite
+
+            assert_suite(batch_df, checks)
+        bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+        batch = batch_df.withColumn(_BUCKET, bucket)
+        try:
+            history = spark.read.parquet(data_path)
+        except AnalysisException:
+            history = None
+        else:
+            touched = batch.select(_BUCKET).distinct()
+            history = history.join(F.broadcast(touched), _BUCKET, "left_semi")
+        new = scd2_apply(
+            history,
+            batch,
+            keys + [_BUCKET],
+            seq_col,
+            tie_col,
+            op_col=op_col,
+            delete_op=delete_op,
+        )
+        (
+            truncate_lineage(new)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BUCKET)
+            .parquet(data_path)
+        )
+
+    query = (
+        change_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def read_scd2_mirror(
+    spark: SparkSession, mirror_dir: str, current_only: bool = True
+) -> DataFrame:
+    """The SCD2 history (bookkeeping bucket dropped); with
+    ``current_only`` just the open versions."""
+    df = spark.read.parquet(f"{mirror_dir}/data").drop(_BUCKET)
+    return df.filter(F.col("is_current")) if current_only else df

@@ -171,3 +171,97 @@ def test_dq_gate_halts_bad_batch_and_checkpoint_retries(spark, tmp_path):
     assert {tuple(r) for r in read_mirror(spark, mirror).collect()} == {
         (1, "x", 5.0, 1, 0)
     }
+
+
+# ------------------------------------------------------ scd2 mirror
+
+
+def _run_scd2(spark, tmp_path, rows, tag, n_files=1, mirror="scd2m"):
+    from big_data_spark.streaming.cdc_mirror import run_scd2_mirror
+
+    import glob
+    import time
+
+    src = str(tmp_path / f"s2src_{tag}")
+    os.makedirs(src, exist_ok=True)
+    step = max(1, -(-len(rows) // n_files))
+    for i in range(0, len(rows), step):
+        part = str(tmp_path / f"s2part_{tag}_{i}")
+        spark.createDataFrame(rows[i : i + step], SCHEMA).coalesce(
+            1
+        ).write.parquet(part)
+        (pq,) = glob.glob(f"{part}/*.parquet")
+        shutil.copy(pq, f"{src}/{i:04d}.parquet")
+        now = time.time() + i
+        os.utime(f"{src}/{i:04d}.parquet", (now, now))
+    run_scd2_mirror(
+        _stream(spark, src),
+        ["k"],
+        "seq",
+        "idx",
+        str(tmp_path / mirror),
+        str(tmp_path / f"s2ckpt_{tag}"),
+        n_buckets=4,
+    )
+    return str(tmp_path / mirror)
+
+
+SCD2_FEED = [
+    (1, "a1", 1.0, 10, 0, "U"),
+    (1, "a2", 2.0, 20, 0, "U"),
+    (2, "b1", 1.0, 10, 0, "U"),
+    (2, "b1", 1.0, 30, 0, "D"),
+    (3, "c1", 3.0, 15, 0, "U"),
+]
+
+
+def test_scd2_mirror_matches_batch_fold(spark, tmp_path):
+    from big_data_spark.operators.cdc import scd2_apply
+    from big_data_spark.streaming.cdc_mirror import read_scd2_mirror
+
+    mirror = _run_scd2(spark, tmp_path, SCD2_FEED, "main", n_files=3)
+    got = {
+        tuple(r)
+        for r in read_scd2_mirror(spark, mirror, current_only=False)
+        .select(
+            "k", "name", "v",
+            "valid_from_seq", "valid_to_seq", "is_current",
+        )
+        .collect()
+    }
+    want_df = scd2_apply(
+        None,
+        spark.createDataFrame(SCD2_FEED, SCHEMA),
+        ["k"],
+        "seq",
+        "idx",
+    )
+    want = {
+        tuple(r)
+        for r in want_df.select(
+            "k", "name", "v",
+            "valid_from_seq", "valid_to_seq", "is_current",
+        ).collect()
+    }
+    assert got == want
+    current = {
+        (r.k, r.name)
+        for r in read_scd2_mirror(spark, mirror).collect()
+    }
+    assert current == {(1, "a2"), (3, "c1")}
+
+
+def test_scd2_mirror_replay_is_noop(spark, tmp_path):
+    from big_data_spark.streaming.cdc_mirror import read_scd2_mirror
+
+    mirror = _run_scd2(spark, tmp_path, SCD2_FEED, "r1", n_files=2)
+    before = {
+        tuple(r)
+        for r in read_scd2_mirror(spark, mirror, current_only=False).collect()
+    }
+    _run_scd2(spark, tmp_path, SCD2_FEED, "r2", n_files=2, mirror="scd2m")
+    after = {
+        tuple(r)
+        for r in read_scd2_mirror(spark, mirror, current_only=False).collect()
+    }
+    assert after == before
