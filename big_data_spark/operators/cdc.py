@@ -141,7 +141,18 @@ def scd2_apply(
     including the closing positions of deleted keys — and incoming
     changes at-or-below it are dropped. Redelivered batches are
     therefore no-ops even for keys whose every version is closed
-    (the guard an open-row-only check would miss).
+    (the guard an open-row-only check would miss). A delete for a
+    key the history never held leaves a closed MARKER row (zero
+    effective width, ``is_current=false``) so even ITS position
+    enters the high-water — otherwise a stale update redelivered
+    after it would resurrect the key.
+
+    Ordering contract (same as refresh_aggregate): per-key delivery
+    must be in order ACROSS batches — within a batch any order is
+    fine (the window sorts). An out-of-order cross-batch feed cannot
+    reproduce the single-batch fold with any online algorithm that
+    drops stale changes; what IS guaranteed under disorder is the
+    safety property above (no resurrection, no double-apply).
 
     Scale shape: closed history of untouched keys streams through
     with no shuffle; touched keys pay one semi-join, one small agg
@@ -226,13 +237,25 @@ def scd2_apply(
         F.lit(False).alias("_is_del"),
     )
     w = Window.partitionBy(*keys).orderBy("valid_from_seq", "valid_from_tie")
+    # An ORPHAN delete — first event in its window with nothing to
+    # close (a delete for a key the history never held) — must still
+    # leave a row, or its position vanishes from the high-water and a
+    # later redelivered STALE update would resurrect the key. It is
+    # kept as a closed marker (is_current=false, payload from the
+    # delete's before-image); a delete with a predecessor needs no
+    # marker because the predecessor's valid_to records its position.
+    prev_exists = F.lag("valid_from_seq").over(w).isNotNull()
     versions = (
         open_event.unionByName(as_event)
         .withColumn("valid_to_seq", F.lead("valid_from_seq").over(w))
         .withColumn("valid_to_tie", F.lead("valid_from_tie").over(w))
-        .filter(~F.col("_is_del"))
-        .withColumn("is_current", F.col("valid_to_seq").isNull())
-        .drop("_is_del")
+        .withColumn("_orphan_del", F.col("_is_del") & ~prev_exists)
+        .filter(~F.col("_is_del") | F.col("_orphan_del"))
+        .withColumn(
+            "is_current",
+            F.col("valid_to_seq").isNull() & ~F.col("_is_del"),
+        )
+        .drop("_is_del", "_orphan_del")
     )
     return untouched.select(*hist_cols).unionByName(
         versions.select(*hist_cols)

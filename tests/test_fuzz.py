@@ -136,11 +136,17 @@ def test_fuzz_scd2_batch_split_invariant(feed, cut):
     from big_data_spark.operators.cdc import scd2_apply
 
     spark = _spark()
+    # The split-invariance contract holds for per-key-IN-ORDER
+    # cross-batch delivery (the CDC feed contract); sort globally by
+    # position before cutting, then REVERSE each slice so
+    # within-batch disorder (which the window must absorb) is still
+    # exercised.
+    feed = sorted(feed, key=lambda t: (t[1], t[2]))
     cut = min(cut, len(feed))
     whole = _mk_changes(spark, feed)
     once = {tuple(r) for r in scd2_apply(None, whole, ["k"], "seq", "idx").collect()}
 
-    a, b = feed[:cut], feed[cut:]
+    a, b = feed[:cut][::-1], feed[cut:][::-1]
     h = scd2_apply(None, _mk_changes(spark, a), ["k"], "seq", "idx") if a else None
     if b:
         h = scd2_apply(h, _mk_changes(spark, b), ["k"], "seq", "idx")

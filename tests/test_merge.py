@@ -314,3 +314,16 @@ def test_merge_duplicate_deletes_still_raise_cardinality(spark):
     )
     with pytest.raises(Exception, match="cardinality"):
         out.collect()
+
+
+def test_scd2_orphan_delete_blocks_stale_resurrection(spark):
+    """A delete for a NEVER-SEEN key must leave a high-water marker:
+    a stale update redelivered after it stays dropped instead of
+    resurrecting the key."""
+    h = _scd2(spark, None, [(7, "gone", 28, 2, "D")])
+    rows = _hist_rows(h)
+    assert rows == {(7, "gone", 28, 2, None, None, False)}  # closed marker
+    h2 = _scd2(spark, h, [(7, "ghost", 10, 0, "U")])  # stale
+    assert not any(r[6] for r in _hist_rows(h2)), "no current row"
+    h3 = _scd2(spark, h2, [(7, "back", 99, 0, "U")])  # newer
+    assert (7, "back", 99, 0, None, None, True) in _hist_rows(h3)
