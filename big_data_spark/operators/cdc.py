@@ -141,11 +141,12 @@ def scd2_apply(
     including the closing positions of deleted keys — and incoming
     changes at-or-below it are dropped. Redelivered batches are
     therefore no-ops even for keys whose every version is closed
-    (the guard an open-row-only check would miss). A delete for a
-    key the history never held leaves a closed MARKER row (zero
-    effective width, ``is_current=false``) so even ITS position
-    enters the high-water — otherwise a stale update redelivered
-    after it would resurrect the key.
+    (the guard an open-row-only check would miss). A delete that
+    closes no real open version — the key's first event, or one
+    following another delete — leaves a closed zero-width MARKER row
+    (``valid_to == valid_from``, ``is_current=false``) so even ITS
+    position enters the high-water; otherwise a stale update
+    redelivered after it would resurrect the key.
 
     Ordering contract (same as refresh_aggregate): per-key delivery
     must be in order ACROSS batches — within a batch any order is
@@ -244,18 +245,38 @@ def scd2_apply(
     # kept as a closed marker (is_current=false, payload from the
     # delete's before-image); a delete with a predecessor needs no
     # marker because the predecessor's valid_to records its position.
-    prev_exists = F.lag("valid_from_seq").over(w).isNotNull()
+    # A delete whose in-window predecessor is a NON-delete closes that
+    # version, which records the delete's position in its valid_to.
+    # Every other delete (first event for the key, or following
+    # another delete) has nothing to close — it leaves a ZERO-WIDTH
+    # marker (valid_to = own position, is_current=false) so its
+    # position always enters the high-water. Markers are never
+    # lead()-stretched: a later event would widen them in the
+    # single-batch fold but not in a split fold where the marker is
+    # already closed history.
+    prev_is_del = F.lag("_is_del").over(w)
+    marker = F.col("_is_del") & (prev_is_del.isNull() | prev_is_del)
     versions = (
         open_event.unionByName(as_event)
-        .withColumn("valid_to_seq", F.lead("valid_from_seq").over(w))
-        .withColumn("valid_to_tie", F.lead("valid_from_tie").over(w))
-        .withColumn("_orphan_del", F.col("_is_del") & ~prev_exists)
-        .filter(~F.col("_is_del") | F.col("_orphan_del"))
+        .withColumn("_marker", marker)
+        .withColumn(
+            "valid_to_seq",
+            F.when(
+                F.col("_marker"), F.col("valid_from_seq")
+            ).otherwise(F.lead("valid_from_seq").over(w)),
+        )
+        .withColumn(
+            "valid_to_tie",
+            F.when(
+                F.col("_marker"), F.col("valid_from_tie")
+            ).otherwise(F.lead("valid_from_tie").over(w)),
+        )
+        .filter(~F.col("_is_del") | F.col("_marker"))
         .withColumn(
             "is_current",
             F.col("valid_to_seq").isNull() & ~F.col("_is_del"),
         )
-        .drop("_is_del", "_orphan_del")
+        .drop("_is_del", "_marker")
     )
     return untouched.select(*hist_cols).unionByName(
         versions.select(*hist_cols)

@@ -322,7 +322,7 @@ def test_scd2_orphan_delete_blocks_stale_resurrection(spark):
     resurrecting the key."""
     h = _scd2(spark, None, [(7, "gone", 28, 2, "D")])
     rows = _hist_rows(h)
-    assert rows == {(7, "gone", 28, 2, None, None, False)}  # closed marker
+    assert rows == {(7, "gone", 28, 2, 28, 2, False)}  # zero-width marker
     h2 = _scd2(spark, h, [(7, "ghost", 10, 0, "U")])  # stale
     assert not any(r[6] for r in _hist_rows(h2)), "no current row"
     h3 = _scd2(spark, h2, [(7, "back", 99, 0, "U")])  # newer
