@@ -197,3 +197,13 @@ def compact_parquet(
         "clustered": bool(cluster_by),
         "zordered": bool(zorder_by),
     }
+
+
+def hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via Hadoop's FS API — the one
+    place the py4j boilerplate lives; works identically for local
+    paths, HDFS and object stores."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath

@@ -27,11 +27,35 @@ which is the usual practice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, MapType
 from pyspark.sql.window import Window
 
 from big_data_spark.operators.merge import merge_into
+
+
+def _contains_map(dt: DataType) -> bool:
+    if isinstance(dt, MapType):
+        return True
+    if hasattr(dt, "elementType"):
+        return _contains_map(dt.elementType)
+    if hasattr(dt, "fields"):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _payload_hash(df: DataFrame, cols: list[str]) -> Column:
+    """Deterministic 64-bit hash of payload columns for tie-breaking.
+    xxhash64 rejects MAP-typed inputs (Debezium-style feeds routinely
+    carry map payload columns), so map-bearing columns hash via their
+    canonical JSON rendering instead."""
+    parts = []
+    types = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        col = F.col(c)
+        parts.append(F.to_json(F.struct(col)) if _contains_map(types[c]) else col)
+    return F.xxhash64(*parts) if parts else F.lit(0)
 
 
 def latest_changes(
@@ -51,13 +75,10 @@ def latest_changes(
     others = [
         c for c in changes.columns if c not in keys + [seq_col, tie_col]
     ]
-    payload_order = (
-        F.xxhash64(*[F.col(c) for c in others]).desc()
-        if others
-        else F.lit(0).asc()
-    )
     w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(), F.col(tie_col).desc(), payload_order
+        F.col(seq_col).desc(),
+        F.col(tie_col).desc(),
+        _payload_hash(changes, others).desc(),
     )
     return (
         changes.withColumn("_cdc_rn", F.row_number().over(w))
@@ -237,14 +258,17 @@ def scd2_apply(
         "valid_from_tie",
         F.lit(False).alias("_is_del"),
     )
-    w = Window.partitionBy(*keys).orderBy("valid_from_seq", "valid_from_tie")
-    # An ORPHAN delete — first event in its window with nothing to
-    # close (a delete for a key the history never held) — must still
-    # leave a row, or its position vanishes from the high-water and a
-    # later redelivered STALE update would resurrect the key. It is
-    # kept as a closed marker (is_current=false, payload from the
-    # delete's before-image); a delete with a predecessor needs no
-    # marker because the predecessor's valid_to records its position.
+    # Tie-break duplicate (seq, tie) positions deterministically by
+    # payload hash — the same contract-violation tolerance as
+    # latest_changes; without it, which conflicting row becomes the
+    # surviving version would vary with partitioning, breaking
+    # replay-identical rewrites in run_scd2_mirror.
+    events = open_event.unionByName(as_event)
+    w = Window.partitionBy(*keys).orderBy(
+        "valid_from_seq",
+        "valid_from_tie",
+        _payload_hash(events, payload + ["_is_del"]).asc(),
+    )
     # A delete whose in-window predecessor is a NON-delete closes that
     # version, which records the delete's position in its valid_to.
     # Every other delete (first event for the key, or following
@@ -257,7 +281,7 @@ def scd2_apply(
     prev_is_del = F.lag("_is_del").over(w)
     marker = F.col("_is_del") & (prev_is_del.isNull() | prev_is_del)
     versions = (
-        open_event.unionByName(as_event)
+        events
         .withColumn("_marker", marker)
         .withColumn(
             "valid_to_seq",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _PROBE = "_asof_is_probe"
+_MATCH_TS = "_asof_matched_ts"
 
 
 def asof_join(
@@ -52,6 +53,10 @@ def asof_join(
     ]
     if clash:
         raise ValueError(f"suffix collision on {clash}")
+    if _MATCH_TS in value_cols or ts_col == _MATCH_TS:
+        raise ValueError(
+            f"column name {_MATCH_TS!r} is reserved by asof_join"
+        )
 
     lhs = left.withColumn(_PROBE, F.lit(1))
     rhs_cols = [F.col(c) for c in on] + [F.col(ts_col)]
@@ -89,7 +94,10 @@ def asof_join(
     picked = F.last(
         F.when(
             F.col(_PROBE) == 0,
-            F.struct(F.col(ts_col).alias("_ts"), *[F.col(c) for c in value_cols]),
+            F.struct(
+                F.col(ts_col).alias(_MATCH_TS),
+                *[F.col(c) for c in value_cols],
+            ),
         ),
         ignorenulls=True,
     ).over(w)
@@ -98,7 +106,7 @@ def asof_join(
         out.filter(F.col(_PROBE) == 1)
         .select(
             *left.columns,
-            F.col("_asof_match._ts").alias(f"{ts_col}{suffix}"),
+            F.col(f"_asof_match.{_MATCH_TS}").alias(f"{ts_col}{suffix}"),
             *[
                 F.col(f"_asof_match.{c}").alias(f"{c}{suffix}")
                 for c in value_cols

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from big_data_spark.io.compact import hadoop_fs
 from big_data_spark.lineage import truncate_lineage
 from big_data_spark.operators.cdc import latest_changes
 from big_data_spark.operators.merge import merge_into
@@ -167,11 +168,8 @@ def purge_tombstones(
     # written data; a bucket whose every row was a purgeable
     # tombstone produces no output rows, so its old files would
     # survive. Remove those emptied partition dirs explicitly.
-    jvm = spark._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for b in touched - survivors:
-        hpath = jvm.org.apache.hadoop.fs.Path(f"{data_path}/{_BUCKET}={b}")
-        fs = hpath.getFileSystem(hconf)
+        fs, hpath = hadoop_fs(spark, f"{data_path}/{_BUCKET}={b}")
         fs.delete(hpath, True)
 
 

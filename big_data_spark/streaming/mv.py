@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_spark.io.compact import hadoop_fs
 from big_data_spark.lineage import truncate_lineage
 from big_data_spark.operators.incremental import refresh_aggregate
 
@@ -43,9 +44,7 @@ def _versions(spark: SparkSession, data_path: str) -> list[int]:
     fully-retracted snapshot is an EMPTY version whose rows cannot
     vouch for it; missing it would silently resurrect the pre-batch
     state on the next read/refresh."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(data_path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs, hpath = hadoop_fs(spark, data_path)
     if not fs.exists(hpath):
         return []
     out = []
@@ -114,11 +113,7 @@ def run_mv_refresh(
         # previous state would resurrect. Materialize the empty
         # version explicitly (one 0-row file preserving the schema).
         vdir = f"{data_path}/{_VER}={batch_id}"
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(vdir)
-        fs = hpath.getFileSystem(
-            spark.sparkContext._jsc.hadoopConfiguration()
-        )
+        fs, hpath = hadoop_fs(spark, vdir)
         if not fs.exists(hpath):
             (
                 spark.createDataFrame([], new.schema)
@@ -158,9 +153,6 @@ def prune_mv_versions(
         raise ValueError("keep_last must be >= 2 (replay needs n-1)")
     data_path = f"{mv_dir}/data"
     vers = _versions(spark, data_path)
-    jvm = spark._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for v in vers[:-keep_last]:
-        hpath = jvm.org.apache.hadoop.fs.Path(f"{data_path}/{_VER}={v}")
-        fs = hpath.getFileSystem(hconf)
+        fs, hpath = hadoop_fs(spark, f"{data_path}/{_VER}={v}")
         fs.delete(hpath, True)

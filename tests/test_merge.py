@@ -327,3 +327,24 @@ def test_scd2_orphan_delete_blocks_stale_resurrection(spark):
     assert not any(r[6] for r in _hist_rows(h2)), "no current row"
     h3 = _scd2(spark, h2, [(7, "back", 99, 0, "U")])  # newer
     assert (7, "back", 99, 0, None, None, True) in _hist_rows(h3)
+
+
+def test_cdc_fold_accepts_map_payload(spark):
+    """Debezium-style feeds carry map payload columns; the
+    deterministic tie-break must hash them via JSON, not choke on
+    xxhash64's MAP-type rejection."""
+    ch = spark.createDataFrame(
+        [
+            (1, {"a": "1"}, 1, 0, "U"),
+            (1, {"a": "2"}, 2, 0, "U"),
+        ],
+        "k int, props map<string,string>, seq int, idx int, op string",
+    )
+    win = latest_changes(ch, ["k"], "seq", "idx").collect()
+    assert len(win) == 1 and win[0].props == {"a": "2"}
+    from big_data_spark.operators.cdc import scd2_apply
+
+    h = scd2_apply(None, ch, ["k"], "seq", "idx")
+    rows = h.collect()
+    assert len(rows) == 2
+    assert {r.is_current for r in rows} == {True, False}
