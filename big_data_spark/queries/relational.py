@@ -1273,43 +1273,30 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (time-series point-in-time lookup, absent from both
     the reference and vanilla Spark): for each click, the user's most
-    recent prior-or-equal purchase time. Implemented as the
-    union-marker + running last_value idiom — one shuffle on
-    (user_id), no per-key loop, no range cross-join; this is the shape
-    that survives 100 TB (the sort is within user partitions).
-    Oracle uses DuckDB's native ASOF JOIN."""
+    recent prior-or-equal purchase time — the GENERIC library
+    operator (`operators/timeseries.py asof_join`: union-marker +
+    running struct-valued last over one key-partitioned shuffle, no
+    per-key loop, no range cross-join; the shape that survives
+    100 TB), so this driver row certifies the operator itself
+    cross-engine. Oracle uses DuckDB's native ASOF JOIN."""
+    from big_data_spark.operators.timeseries import asof_join
+
     events = _t(spark, sf_dir, "events")
     clicks = events.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", F.lit(1).alias("is_probe")
+        "event_id", "user_id", "ts"
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.lit(0).alias("is_probe"),
+        "user_id", "ts"
     )
-    unioned = clicks.unionByName(purchases)
-    # Order purchases before clicks at equal ts so ts_a >= ts_b
-    # matches (ASOF semantics); (user_id, ts) is unique per type here
-    # but the tiebreak keeps the idiom correct in general.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_probe")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    last_purchase = F.last(
-        F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True
-    ).over(w)
     return (
-        unioned.withColumn("purchase_ts", last_purchase)
-        .filter(F.col("is_probe") == 1)
+        asof_join(clicks, purchases, ["user_id"], "ts", value_cols=[])
         .select(
             "event_id",
             "user_id",
             # microseconds: DuckDB timestamps are micro-precision, so
             # the nanos tail would never match cross-engine
             F.expr("ts div 1000").alias("click_ts_us"),
-            F.expr("purchase_ts div 1000").alias("purchase_ts_us"),
+            F.expr("ts_asof div 1000").alias("purchase_ts_us"),
         )
         .orderBy("event_id")
     )
