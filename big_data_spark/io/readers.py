@@ -238,37 +238,44 @@ def read_csv(
     full extra pass and guesses types per-file at scale), never
     silently null-filling.
 
-    PERMISSIVE mode parses what it can and flags anything malformed
-    (wrong arity, unparseable numerics/timestamps) in the corrupt
-    column; ``fail_on_corrupt=True`` (default) raises with samples,
-    ``False`` drops the bad rows — ETL chooses loud or lossy
-    explicitly, never silent. CSV is splittable when uncompressed, so
-    large files still scan in parallel; schema and required-ness are
-    asserted the same way on every split.
+    ``fail_on_corrupt=True`` (default) probes the file for anything
+    malformed (wrong arity, unparseable numerics/timestamps) and
+    raises with samples; ``False`` drops the bad rows — ETL chooses
+    loud or lossy explicitly, never silent. CSV is splittable when
+    uncompressed, so large files still scan in parallel; schema and
+    required-ness are asserted the same way on every split.
+
+    The RETURNED plan never carries Spark's internal corrupt-record
+    column: a plan whose only scan-referenced column is the corrupt
+    one (e.g. ``read_csv(...).count()`` after column pruning) is
+    rejected outright by Spark (UNSUPPORTED_FEATURE.QUERY_ONLY_
+    CORRUPT_RECORD_COLUMN), and the documented cache workaround pins
+    a full dataset copy in executor memory for the session. Instead
+    the loud path pays ONE eager validation scan (full-row projection
+    keeps it legal, uncached so nothing is pinned) and returns a
+    plain PERMISSIVE parse of the proven-clean file; the lossy path
+    returns Spark's native DROPMALFORMED parse. Under column pruning
+    DROPMALFORMED cannot observe malformedness in columns the query
+    never reads — exactly the scale-friendly behavior (don't parse
+    what you don't read).
     """
-    full = StructType(
-        list(schema.fields) + [StructField(_CORRUPT, StringType(), True)]
+    reader = (
+        spark.read.option("header", str(header).lower()).option("sep", sep)
     )
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .option("header", str(header).lower())
-        .option("sep", sep)
-        .csv(path)
-    )
-    clean = F.col(_CORRUPT).isNull()
     if fail_on_corrupt:
-        # Spark refuses plans over raw CSV that reference ONLY the
-        # corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
-        # RECORD_COLUMN); the documented recipe is to materialize the
-        # parsed rows first. The cache also means the success path
-        # pays the parse once, not once for the probe and once for
-        # the caller's first action.
-        df = df.cache()
-        bad = df.filter(~clean)
-        if not bad.isEmpty():
-            sample = [r[_CORRUPT] for r in bad.select(_CORRUPT).head(3)]
-            df.unpersist()
-            raise ValueError(f"malformed csv rows, e.g. {sample}")
-    return df.filter(clean).drop(_CORRUPT)
+        full = StructType(
+            list(schema.fields) + [StructField(_CORRUPT, StringType(), True)]
+        )
+        probe = (
+            reader.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", _CORRUPT)
+            .csv(path)
+        )
+        sample = probe.filter(F.col(_CORRUPT).isNotNull()).head(3)
+        if sample:
+            raise ValueError(
+                f"malformed csv rows, e.g. {[r[_CORRUPT] for r in sample]}"
+            )
+        return reader.schema(schema).option("mode", "PERMISSIVE").csv(path)
+    return reader.schema(schema).option("mode", "DROPMALFORMED").csv(path)

@@ -83,6 +83,12 @@ def merge_into(
     semantics.
     """
     tgt_cols = target.columns
+    reserved = {_T_MARK, _S_MARK, _S_DUP}
+    clash = sorted(reserved & set(tgt_cols) | reserved & set(source.columns))
+    if clash:
+        raise ValueError(
+            f"column names {clash} are reserved by merge_into"
+        )
     for k in keys:
         if k not in tgt_cols or k not in source.columns:
             raise ValueError(f"merge key {k!r} missing from a side")

@@ -43,9 +43,12 @@ def asof_join(
     """
     if how not in ("backward", "forward"):
         raise ValueError("how must be 'backward' or 'forward'")
-    value_cols = value_cols or [
-        c for c in right.columns if c not in on and c != ts_col
-    ]
+    # `is None`, not falsy: an explicit [] means "matched timestamp
+    # only" — `or` would silently expand it to every right column.
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in on and c != ts_col
+        ]
     clash = [
         f"{c}{suffix}"
         for c in value_cols + [ts_col]

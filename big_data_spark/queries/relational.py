@@ -2023,12 +2023,16 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vtx")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # Orient by (deg, id): a -> b iff (deg_u, u) < (deg_v, v).
+    # Orient by (deg, id): a -> b iff (deg_u, u) < (deg_v, v). No
+    # broadcast hint on the |V|-row degree table: AQE broadcasts it
+    # when it is small and falls back to a co-partitioned join when
+    # the vertex set outgrows executor memory — a forced broadcast of
+    # billions of vertices would fail outright at scale.
     withdeg = (
-        e.join(F.broadcast(deg).withColumnRenamed("vtx", "u"), "u")
+        e.join(deg.withColumnRenamed("vtx", "u"), "u")
         .withColumnRenamed("deg", "deg_u")
         .join(
-            F.broadcast(deg).withColumnRenamed("vtx", "v").withColumnRenamed(
+            deg.withColumnRenamed("vtx", "v").withColumnRenamed(
                 "deg", "deg_v"
             ),
             "v",

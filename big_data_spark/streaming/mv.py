@@ -73,6 +73,16 @@ def run_mv_refresh(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Idempotent replay: a crashed prior attempt may have left a
+        # partially committed _v=<batch_id> directory. Delete it up
+        # front — otherwise an EMPTY recomputed snapshot writes no
+        # partition through the dynamic overwrite, the exists-guard
+        # below sees the stale partial dir and skips the explicit
+        # empty write, and the partial rows become the current MV.
+        vdir = f"{data_path}/{_VER}={batch_id}"
+        fs, hpath = hadoop_fs(spark, vdir)
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
         prior = [v for v in _versions(spark, data_path) if v < batch_id]
         if prior:
             current = (

@@ -348,3 +348,13 @@ def test_cdc_fold_accepts_map_payload(spark):
     rows = h.collect()
     assert len(rows) == 2
     assert {r.is_current for r in rows} == {True, False}
+
+
+def test_merge_reserved_marker_names_raise(spark):
+    for bad in ("_merge_t_present", "_merge_s_present", "_merge_s_keydup"):
+        tgt = spark.createDataFrame([(1, "a")], f"k int, `{bad}` string")
+        src = spark.createDataFrame([(1, "b")], "k int, v string")
+        with pytest.raises(ValueError, match="reserved"):
+            merge_into(tgt, src, ["k"])
+        with pytest.raises(ValueError, match="reserved"):
+            merge_into(src, tgt, ["k"])

@@ -146,6 +146,44 @@ def test_versions_time_travel_and_prune(spark, tmp_path):
         prune_mv_versions(spark, mv, keep_last=1)
 
 
+def test_replayed_crash_partial_version_cannot_survive(spark, tmp_path):
+    """A crashed batch can leave a PARTIALLY committed _v=<batch_id>
+    directory. On replay, the recomputed snapshot must replace it
+    wholesale — even when the recomputed snapshot is EMPTY, where
+    dynamic overwrite alone would write no partition and the stale
+    partial rows would silently become the current MV."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    # batch 0: one insert
+    mv = _run(spark, tmp_path, [(1, 5.0, "I")], "crash", n_files=1)
+    # simulate batch 1's crashed attempt: a partial _v=1 directory
+    # holding garbage rows that never got committed to the checkpoint
+    stale = str(tmp_path / "stale")
+    spark.createDataFrame(
+        [(99, 999.0, 7)], "k int, sum_v double, n_rows bigint"
+    ).coalesce(1).write.parquet(stale)
+    vdir = f"{mv}/data/_v=1"
+    os.makedirs(vdir, exist_ok=True)
+    for pq in glob.glob(f"{stale}/*.parquet"):
+        shutil.copy(pq, vdir)
+    # deliver batch 1 for real: a FULL retraction (empty snapshot)
+    src = str(tmp_path / "src_crash")
+    part = str(tmp_path / "part_crash1")
+    spark.createDataFrame([(1, 5.0, "D")], SCHEMA).coalesce(1).write.parquet(part)
+    (pq,) = glob.glob(f"{part}/*.parquet")
+    shutil.copy(pq, f"{src}/9000.parquet")
+    now = time.time() + 100
+    os.utime(f"{src}/9000.parquet", (now, now))
+    run_mv_refresh(
+        _stream(spark, src), ["k"], ["v"], mv,
+        str(tmp_path / "ckpt_crash"), op_col="op",
+    )
+    assert read_mv(spark, mv).count() == 0  # not the stale (99, ...) row
+
+
 def test_full_retraction_yields_empty_mv_not_resurrection(spark, tmp_path):
     """A batch that retracts every group must produce an EMPTY
     current MV — the empty snapshot version is materialized even

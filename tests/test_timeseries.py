@@ -143,3 +143,12 @@ def test_asof_null_value_in_matched_row_not_substituted(spark):
     out = asof_join(trades, quotes, ["sym"], "ts", ["px"]).collect()
     assert len(out) == 1
     assert out[0].ts_asof == 20 and out[0].px_asof is None
+
+
+def test_asof_explicit_empty_value_cols_means_ts_only(spark, quotes, trades):
+    """value_cols=[] must mean 'matched timestamp only' — not expand
+    to every right payload column the way a falsy-or default would."""
+    out = asof_join(trades, quotes, ["sym"], "ts", value_cols=[])
+    assert out.columns == trades.columns + ["ts_asof"]
+    got = {(r.sym, r.ts, r.ts_asof) for r in out.collect()}
+    assert ("A", 25, 20) in got
