@@ -147,6 +147,29 @@ def compact_parquet(
         raise ValueError(f"no parquet data files under {src!r}")
     n_out = max(1, math.ceil(inv["total_bytes"] * size_ratio / target_file_bytes))
     df: DataFrame = spark.read.parquet(src)
+    out = _compaction_plan(
+        df, n_out, cluster_by, sort_within, zorder_by, zorder_bits
+    )
+    out.write.mode("error").parquet(dst)
+    return {
+        **inv,
+        "n_output_files": n_out,
+        "clustered": bool(cluster_by),
+        "zordered": bool(zorder_by),
+    }
+
+
+def _compaction_plan(
+    df: DataFrame,
+    n_out: int,
+    cluster_by: list[str] | None,
+    sort_within: list[str] | None,
+    zorder_by: list[str] | None,
+    zorder_bits: int,
+) -> DataFrame:
+    """The shared rewrite plan: coalesce (narrow merge) / repartition
+    (cluster) / range-partition-on-Morton-key (z-order), plus an
+    optional within-file sort for tight row-group statistics."""
     if zorder_by:
         from pyspark.sql import functions as F
 
@@ -190,13 +213,75 @@ def compact_parquet(
         out = df.coalesce(n_out)
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
-    out.write.mode("error").parquet(dst)
-    return {
-        **inv,
-        "n_output_files": n_out,
-        "clustered": bool(cluster_by),
-        "zordered": bool(zorder_by),
-    }
+    return out
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
+    size_ratio: float = 1.0,
+) -> dict:
+    """Compact a SNAPSHOT table (io/snapshot.py) in place, atomically:
+    read the current snapshot, rewrite it as one fresh data
+    generation via the same planning as ``compact_parquet``, and
+    publish with a single manifest rename. This closes the swap that
+    ``compact_parquet`` leaves to the caller — readers see the old
+    layout until the commit and the new one after; a crash mid-rewrite
+    leaves only an unreferenced generation for ``vacuum_snapshots``.
+
+    For a bucket-partitioned snapshot (e.g. the CDC mirror), the
+    rewrite folds every accumulated generation back into ONE while
+    preserving the partition column — after many touched-bucket
+    batches this is the pass that caps the number of live generations
+    a read must union.
+    """
+    from big_data_spark.io.snapshot import (
+        latest_manifest,
+        read_snapshot,
+        snapshot_ids,
+        write_snapshot,
+        write_snapshot_partial,
+    )
+
+    man = latest_manifest(spark, table_dir)
+    if man is None:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    inv = {"n_files": 0, "total_bytes": 0, "n_small_files": 0}
+    for rel in set(man["entries"].values()):
+        part = parquet_inventory(spark, f"{table_dir}/{rel}")
+        for k in inv:
+            inv[k] += part[k]
+    if inv["n_files"] == 0:
+        raise ValueError(f"no parquet data files under {table_dir!r}")
+    n_out = max(
+        1, math.ceil(inv["total_bytes"] * size_ratio / target_file_bytes)
+    )
+    df = read_snapshot(spark, table_dir)
+    next_id = snapshot_ids(spark, table_dir)[-1] + 1
+    pcol = man.get("partition_col")
+    if pcol:
+        if cluster_by or zorder_by:
+            raise ValueError(
+                "cluster_by/zorder_by not supported for a partitioned "
+                "snapshot — the partition column already fixes the layout"
+            )
+        out = df.repartition(n_out, pcol)
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        write_snapshot_partial(
+            out, table_dir, next_id, pcol, list(man["entries"].keys())
+        )
+    else:
+        out = _compaction_plan(
+            df, n_out, cluster_by, sort_within, zorder_by, zorder_bits
+        )
+        write_snapshot(out, table_dir, snapshot_id=next_id)
+    return {**inv, "n_output_files": n_out, "snapshot_id": next_id}
 
 
 def hadoop_fs(spark, path: str):

@@ -204,6 +204,33 @@ def merge_into(
     return joined.filter(keep).select(*out_cols)
 
 
+def merge_snapshot(
+    spark,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    **merge_kwargs,
+) -> int:
+    """MERGE ``source`` into the snapshot table at ``table_dir`` and
+    publish the result atomically (io/snapshot.py manifest commit):
+    readers concurrent with the merge see the old table until the
+    one-rename commit, the new one after — never a half-written mix —
+    and a crash mid-write leaves the table untouched (the orphan
+    generation is cleared on the next attempt).
+
+    This is the full-rewrite shape (the merged table is one new data
+    generation). For change sets that are tiny against a huge keyed
+    table, prefer the bucketed touched-partition path
+    (streaming/cdc_mirror.py), whose per-snapshot write cost scales
+    with the change set. Returns the committed snapshot id.
+    """
+    from big_data_spark.io.snapshot import read_snapshot, write_snapshot
+
+    target = read_snapshot(spark, table_dir)
+    merged = merge_into(target, source, keys, **merge_kwargs)
+    return write_snapshot(merged, table_dir)
+
+
 def touched_partitions(
     source: DataFrame, partition_cols: list[str]
 ) -> DataFrame:

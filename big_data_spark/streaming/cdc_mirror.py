@@ -1,7 +1,8 @@
 """Streaming CDC mirror — keep a parquet mirror of an OLTP table
 current from a live change feed (the Debezium -> lakehouse loop),
 composing latest-wins folding (operators/cdc.py) with MERGE
-(operators/merge.py) inside foreachBatch.
+(operators/merge.py) inside foreachBatch, published through atomic
+snapshot commits (io/snapshot.py).
 
 Design decisions that carry to 100 TB:
 
@@ -9,8 +10,20 @@ Design decisions that carry to 100 TB:
   hash-partitioned on the key (``_kb = pmod(xxhash64(keys),
   n_buckets)``). Each micro-batch prunes its read to the buckets its
   winners touch (broadcast semi-join -> partition pruning) and
-  dynamic-overwrites only those buckets: per-batch cost scales with
-  the CHANGE SET, never with the table.
+  rewrites only those buckets: per-batch cost scales with the CHANGE
+  SET, never with the table.
+- **Atomic, crash-safe publication.** Each batch writes its touched
+  buckets as an immutable data generation and then commits ONE
+  manifest naming every live bucket directory (touched buckets from
+  the new generation, untouched ones carried forward by reference).
+  A reader concurrent with a multi-bucket rewrite sees only the old
+  or only the new snapshot — never a mix — and a crash between
+  bucket writes leaves unreferenced files the next attempt deletes.
+  Snapshot ids are latest+1 (NOT the batch id): because the merge is
+  idempotent, a replayed batch — or a whole rebuild under a fresh
+  checkpoint, where batch ids restart at 0 — merges into the LATEST
+  state as a no-op and publishes on top, never below the live
+  manifest.
 - **Monotone merge.** The mirror stores each row's last-applied
   ``(seq, tie)``; an incoming change only lands if strictly newer.
   Replays and out-of-order redeliveries are no-ops — idempotency is
@@ -28,15 +41,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
-from big_data_spark.io.compact import hadoop_fs
+from big_data_spark.io.snapshot import (
+    latest_manifest,
+    read_entries,
+    read_snapshot,
+    write_snapshot_partial,
+)
 from big_data_spark.lineage import truncate_lineage
 from big_data_spark.operators.cdc import latest_changes
 from big_data_spark.operators.merge import merge_into
 
 _BUCKET = "_kb"
 _DELETED = "_deleted"
+
+
+def _touched_buckets(incoming: DataFrame) -> list[int]:
+    """Bucket ids the batch touches — bounded driver metadata (at
+    most n_buckets values), the manifest's carry-forward key set."""
+    return [r[_BUCKET] for r in incoming.select(_BUCKET).distinct().collect()]
 
 
 def run_cdc_mirror(
@@ -51,19 +74,18 @@ def run_cdc_mirror(
     n_buckets: int = 16,
     checks: list | None = None,
 ) -> None:
-    """Drain ``change_stream`` (availableNow) into the mirror at
-    ``mirror_dir/data``. The feed carries the mirrored columns plus
+    """Drain ``change_stream`` (availableNow) into the snapshot table
+    at ``mirror_dir``. The feed carries the mirrored columns plus
     ``op_col`` / ``seq_col`` / ``tie_col``; ``(seq, tie)`` must be
     unique per change (commit LSN + change index).
 
     ``checks`` (operators/dq.py Check list) gates every batch BEFORE
     it folds: a failing batch raises inside foreachBatch, the
-    streaming query stops, and — because nothing was written — the
+    streaming query stops, and — because nothing was committed — the
     checkpoint does not advance, so fixing the feed and restarting
     re-processes the same batch. Bad data halts the mirror loudly
     instead of landing in it.
     """
-    data_path = f"{mirror_dir}/data"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -80,13 +102,17 @@ def run_cdc_mirror(
             .withColumn(_DELETED, F.col(op_col) == F.lit(delete_op))
             .drop(op_col)
         )
-        try:
-            mirror = spark.read.parquet(data_path)
-        except AnalysisException:
-            new = incoming  # first batch: the winners ARE the mirror
+        touched = _touched_buckets(incoming)
+        prev = latest_manifest(spark, mirror_dir)
+        if prev is None or not prev["entries"]:
+            # first batch (or an empty table): the winners ARE the mirror
+            new = incoming
         else:
-            touched = incoming.select(_BUCKET).distinct()
-            pruned = mirror.join(F.broadcast(touched), _BUCKET, "left_semi")
+            mirror = read_entries(spark, mirror_dir, prev["entries"])
+            # _kb is a hive partition column of every live generation:
+            # the isin literal prunes the scan to the touched buckets
+            # statically — no join, no full-table read.
+            pruned = mirror.filter(F.col(_BUCKET).isin(touched))
             newer = (F.col(f"s.{seq_col}") > F.col(f"t.{seq_col}")) | (
                 (F.col(f"s.{seq_col}") == F.col(f"t.{seq_col}"))
                 & (F.col(f"s.{tie_col}") > F.col(f"t.{tie_col}"))
@@ -103,14 +129,12 @@ def run_cdc_mirror(
                 insert=True,
                 strict=True,
             )
-        # Materialize before the dynamic overwrite reads-and-writes
-        # the same root.
-        (
-            truncate_lineage(new)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(_BUCKET)
-            .parquet(data_path)
+        write_snapshot_partial(
+            truncate_lineage(new),
+            mirror_dir,
+            (prev["snapshot_id"] + 1) if prev else 0,
+            _BUCKET,
+            touched,
         )
 
     query = (
@@ -123,11 +147,11 @@ def run_cdc_mirror(
 
 
 def read_mirror(spark: SparkSession, mirror_dir: str) -> DataFrame:
-    """The live rows of the mirror (tombstones filtered, bookkeeping
-    dropped; the feed's seq/tie columns remain — they are the row
-    version, often wanted downstream)."""
+    """The live rows of the current snapshot (tombstones filtered,
+    bookkeeping dropped; the feed's seq/tie columns remain — they are
+    the row version, often wanted downstream)."""
     return (
-        spark.read.parquet(f"{mirror_dir}/data")
+        read_snapshot(spark, mirror_dir)
         .filter(~F.col(_DELETED))
         .drop(_BUCKET, _DELETED)
     )
@@ -140,37 +164,26 @@ def purge_tombstones(
     ``seq_watermark`` — safe once the feed can no longer redeliver
     changes that old (its retention horizon); a younger tombstone
     stays so the monotone guard keeps rejecting stale updates.
-    Rewrites only the buckets that actually hold purgeable tombstones
-    (dynamic overwrite after a semi-join prune, like the ingest
-    path); run as table maintenance, not per batch."""
-    data_path = f"{mirror_dir}/data"
-    df = spark.read.parquet(data_path)
+    Publishes a fresh snapshot rewriting only the buckets that hold
+    purgeable tombstones (a bucket left empty drops out of the
+    manifest atomically); run as table maintenance, not per batch."""
+    man = latest_manifest(spark, mirror_dir)
+    if man is None or not man["entries"]:
+        return
+    df = read_entries(spark, mirror_dir, man["entries"])
     purgeable = F.col(_DELETED) & (F.col(seq_col) < F.lit(seq_watermark))
-    touched = {
+    touched = [
         r[_BUCKET]
         for r in df.filter(purgeable).select(_BUCKET).distinct().collect()
-    }
+    ]
     if not touched:
         return
     rewritten = truncate_lineage(
-        df.filter(F.col(_BUCKET).isin(list(touched))).filter(~purgeable)
+        df.filter(F.col(_BUCKET).isin(touched)).filter(~purgeable)
     )
-    survivors = {
-        r[_BUCKET] for r in rewritten.select(_BUCKET).distinct().collect()
-    }
-    (
-        rewritten.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(_BUCKET)
-        .parquet(data_path)
+    write_snapshot_partial(
+        rewritten, mirror_dir, man["snapshot_id"] + 1, _BUCKET, touched
     )
-    # Dynamic overwrite only replaces partitions PRESENT in the
-    # written data; a bucket whose every row was a purgeable
-    # tombstone produces no output rows, so its old files would
-    # survive. Remove those emptied partition dirs explicitly.
-    for b in touched - survivors:
-        fs, hpath = hadoop_fs(spark, f"{data_path}/{_BUCKET}={b}")
-        fs.delete(hpath, True)
 
 
 def run_scd2_mirror(
@@ -188,16 +201,18 @@ def run_scd2_mirror(
     """TYPE-2 twin of ``run_cdc_mirror``: maintain a versioned
     history table (operators/cdc.scd2_apply — validity intervals,
     delete-closes, per-key high-water) from a live change feed,
-    under the same bucketed layout and touched-bucket rewrites.
+    under the same bucketed layout, touched-bucket rewrites and
+    atomic manifest commits.
 
-    Replay safety comes from scd2_apply itself: its high-water mark
-    over every recorded interval boundary makes redelivered batches
-    no-ops, so the dynamic overwrite of a replayed batch rewrites
-    identical bucket contents. Read the current rows with
-    ``read_scd2_mirror(..., current_only=True)`` or the full history
-    with ``current_only=False``.
+    Replay safety is two-layered: scd2_apply's high-water mark over
+    every recorded interval boundary makes a redelivered batch a
+    content no-op against the LATEST state (so, like the type-1
+    mirror, snapshots stack at latest+1 and fresh-checkpoint rebuilds
+    are safe), and the manifest commit makes each publication atomic.
+    Read the current rows with ``read_scd2_mirror(...,
+    current_only=True)`` or the full history with
+    ``current_only=False``.
     """
-    data_path = f"{mirror_dir}/data"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from big_data_spark.operators.cdc import scd2_apply
@@ -209,13 +224,14 @@ def run_scd2_mirror(
             assert_suite(batch_df, checks)
         bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
         batch = batch_df.withColumn(_BUCKET, bucket)
-        try:
-            history = spark.read.parquet(data_path)
-        except AnalysisException:
+        touched = _touched_buckets(batch)
+        prev = latest_manifest(spark, mirror_dir)
+        if prev is None or not prev["entries"]:
             history = None
         else:
-            touched = batch.select(_BUCKET).distinct()
-            history = history.join(F.broadcast(touched), _BUCKET, "left_semi")
+            history = read_entries(
+                spark, mirror_dir, prev["entries"]
+            ).filter(F.col(_BUCKET).isin(touched))
         new = scd2_apply(
             history,
             batch,
@@ -225,12 +241,12 @@ def run_scd2_mirror(
             op_col=op_col,
             delete_op=delete_op,
         )
-        (
-            truncate_lineage(new)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(_BUCKET)
-            .parquet(data_path)
+        write_snapshot_partial(
+            truncate_lineage(new),
+            mirror_dir,
+            (prev["snapshot_id"] + 1) if prev else 0,
+            _BUCKET,
+            touched,
         )
 
     query = (
@@ -247,5 +263,5 @@ def read_scd2_mirror(
 ) -> DataFrame:
     """The SCD2 history (bookkeeping bucket dropped); with
     ``current_only`` just the open versions."""
-    df = spark.read.parquet(f"{mirror_dir}/data").drop(_BUCKET)
+    df = read_snapshot(spark, mirror_dir).drop(_BUCKET)
     return df.filter(F.col("is_current")) if current_only else df

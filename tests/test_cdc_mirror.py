@@ -100,38 +100,45 @@ def test_stale_update_cannot_resurrect_deleted_key(spark, tmp_path):
 
 
 def test_purge_tombstones_respects_watermark(spark, tmp_path):
+    from big_data_spark.io.snapshot import read_snapshot
+
     mirror = _run(
         spark,
         tmp_path,
         [(1, "a", 1.0, 10, 0, "U"), (2, "b", 2.0, 40, 0, "D")],
         "purge",
     )
-    data = f"{mirror}/data"
-    raw = spark.read.parquet(data)
-    assert raw.filter(F.col("_deleted")).count() == 1
+
+    def n_tombstones():
+        return (
+            read_snapshot(spark, mirror).filter(F.col("_deleted")).count()
+        )
+
+    assert n_tombstones() == 1
     purge_tombstones(spark, mirror, "seq", 40)  # watermark == seq: keep
-    assert spark.read.parquet(data).filter(F.col("_deleted")).count() == 1
+    assert n_tombstones() == 1
     purge_tombstones(spark, mirror, "seq", 41)  # older than 41: purge
-    assert spark.read.parquet(data).filter(F.col("_deleted")).count() == 0
+    assert n_tombstones() == 0
     # Live rows untouched either way.
     assert _mirror_rows(spark, mirror) == {(1, "a", 1.0, 10, 0)}
 
 
 def test_only_touched_buckets_rewritten(spark, tmp_path):
+    from big_data_spark.io.snapshot import latest_manifest
+
     mirror = _run(spark, tmp_path, FEED, "base", n_files=1)
-    files_before = {
-        p: os.path.getmtime(p)
-        for p in glob.glob(f"{mirror}/data/_kb=*/*.parquet")
-    }
-    # One new change for one key -> exactly one bucket rewritten.
+    before = latest_manifest(spark, mirror)["entries"]
+    files_before = set(glob.glob(f"{mirror}/_data/s=*/_kb=*/*.parquet"))
+    # One new change for one key -> exactly one bucket's manifest
+    # entry moves to the new generation; untouched buckets carry
+    # forward BY REFERENCE (their data files are not rewritten).
     _run(spark, tmp_path, [(1, "a3", 9.0, 99, 0, "U")], "delta")
-    changed_parts = set()
-    for p in glob.glob(f"{mirror}/data/_kb=*/*.parquet"):
-        if p not in files_before or os.path.getmtime(p) != files_before[p]:
-            changed_parts.add(p.split("/_kb=")[1].split("/")[0])
-    assert len(changed_parts) == 1, (
-        f"expected 1 rewritten bucket, got {sorted(changed_parts)}"
-    )
+    after = latest_manifest(spark, mirror)["entries"]
+    moved = {k for k in before if after.get(k) != before[k]}
+    assert len(moved) == 1, f"expected 1 moved bucket, got {sorted(moved)}"
+    assert files_before <= set(
+        glob.glob(f"{mirror}/_data/s=*/_kb=*/*.parquet")
+    ), "untouched generations must not be rewritten"
     assert (1, "a3", 9.0, 99, 0) in _mirror_rows(spark, mirror)
 
 
@@ -153,13 +160,12 @@ def test_dq_gate_halts_bad_batch_and_checkpoint_retries(spark, tmp_path):
             _stream(spark, src), ["k"], "seq", "idx", mirror, ckpt,
             n_buckets=4, checks=checks,
         )
-    # Nothing from the bad batch landed (an empty batch-0 may have
-    # created the bare directory; rows are what matter).
-    try:
-        landed = spark.read.parquet(f"{mirror}/data").count()
-    except Exception:
-        landed = 0
-    assert landed == 0
+    # Nothing from the bad batch landed: every committed snapshot (an
+    # empty batch-0 may commit an entries-less manifest) holds no data.
+    from big_data_spark.io.snapshot import read_manifest, snapshot_ids
+
+    for sid in snapshot_ids(spark, mirror):
+        assert read_manifest(spark, mirror, sid)["entries"] == {}
     # Fix the feed in place; SAME checkpoint reprocesses the batch.
     good = spark.createDataFrame([(1, "x", 5.0, 1, 0, "U")], SCHEMA)
     shutil.rmtree(src)

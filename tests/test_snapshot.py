@@ -1,0 +1,234 @@
+"""Atomic snapshot commits (io/snapshot.py): crash injection between
+bucket writes, orphan-generation invisibility, first-committer-wins,
+time travel, vacuum, and the merge/compact table operations built on
+top. The invariant under test everywhere: a reader sees ONLY a fully
+committed snapshot — never a mix of old and new files."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_spark.io.snapshot import (
+    SnapshotConflict,
+    commit_manifest,
+    generation_dir,
+    latest_manifest,
+    read_manifest,
+    read_snapshot,
+    snapshot_ids,
+    vacuum_snapshots,
+    write_snapshot,
+    write_snapshot_partial,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _bucketed(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, _kb int")
+
+
+def test_crash_between_bucket_writes_is_invisible(spark, tmp_path):
+    """Kill-between-bucket-writes: a rewrite of two buckets that dies
+    after writing only one leaves readers on the OLD snapshot; the
+    completed retry flips them to the NEW one — no state in between."""
+    t = str(tmp_path / "tbl")
+    v0 = [(1, "a", 0), (2, "b", 1), (3, "c", 0)]
+    write_snapshot_partial(_bucketed(spark, v0), t, 0, "_kb", [0, 1])
+    old = _rows(read_snapshot(spark, t))
+    assert old == set(v0)
+
+    # Simulate the crash: the next snapshot's generation dir holds
+    # bucket 0's new data, bucket 1 never got written, no manifest.
+    gdir = generation_dir(t, 1)
+    spark.createDataFrame([(1, "a2", 0)], "k int, v string, _kb int").drop(
+        "_kb"
+    ).write.parquet(f"{gdir}/_kb=0")
+    assert _rows(read_snapshot(spark, t)) == old, (
+        "reader must not see the half-written rewrite"
+    )
+
+    # The retry recomputes BOTH buckets and commits; readers flip
+    # atomically to the complete new state.
+    v1 = [(1, "a2", 0), (2, "b2", 1)]
+    write_snapshot_partial(_bucketed(spark, v1), t, 1, "_kb", [0, 1])
+    assert _rows(read_snapshot(spark, t)) == set(v1)
+    assert _rows(read_snapshot(spark, t, as_of=0)) == old  # time travel
+
+
+def test_orphan_full_generation_is_invisible_and_replay_overwrites(
+    spark, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(i, "x") for i in range(5)], "k int, v string")
+    write_snapshot(df, t)
+    # crashed full rewrite: data generation exists, manifest does not
+    junk = spark.createDataFrame([(99, "junk")], "k int, v string")
+    junk.write.parquet(generation_dir(t, 1))
+    assert _rows(read_snapshot(spark, t)) == _rows(df)
+    # the retry clears the orphan and publishes cleanly
+    good = spark.createDataFrame([(7, "y")], "k int, v string")
+    sid = write_snapshot(good, t)
+    assert sid == 1
+    assert _rows(read_snapshot(spark, t)) == {(7, "y")}
+
+
+def test_commit_conflict_first_wins(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    sid = write_snapshot(df, t)
+    with pytest.raises(SnapshotConflict):
+        commit_manifest(spark, t, sid, {"": "_data/s=0"})
+    # the losing committer's temp file is cleaned up
+    assert not glob.glob(f"{t}/_manifests/.tmp-*")
+
+
+def test_partial_emptied_bucket_drops_from_manifest(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot_partial(
+        _bucketed(spark, [(1, "a", 0), (2, "b", 1)]), t, 0, "_kb", [0, 1]
+    )
+    empty = spark.createDataFrame([], "k int, v string, _kb int")
+    write_snapshot_partial(empty, t, 1, "_kb", [1])
+    assert _rows(read_snapshot(spark, t)) == {(1, "a", 0)}
+    assert set(latest_manifest(spark, t)["entries"]) == {"0"}
+
+
+def test_untouched_buckets_carry_forward_by_reference(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot_partial(
+        _bucketed(spark, [(1, "a", 0), (2, "b", 1)]), t, 0, "_kb", [0, 1]
+    )
+    files_before = set(glob.glob(f"{t}/_data/s=0/_kb=1/*.parquet"))
+    write_snapshot_partial(
+        _bucketed(spark, [(1, "a2", 0)]), t, 1, "_kb", [0]
+    )
+    entries = latest_manifest(spark, t)["entries"]
+    assert entries["1"] == "_data/s=0/_kb=1"  # same files, by reference
+    assert set(glob.glob(f"{t}/_data/s=0/_kb=1/*.parquet")) == files_before
+    assert _rows(read_snapshot(spark, t)) == {(1, "a2", 0), (2, "b", 1)}
+
+
+def test_vacuum_expires_manifests_and_unreferenced_generations(
+    spark, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        write_snapshot(
+            spark.createDataFrame([(i, "v")], "k int, v string"), t
+        )
+    junk_gen = generation_dir(t, 99)  # orphan from a crashed writer
+    spark.createDataFrame([(99, "junk")], "k int, v string").write.parquet(
+        junk_gen
+    )
+    res = vacuum_snapshots(spark, t, keep_last=2)
+    assert res["expired_manifests"] == [0, 1]
+    assert "s=99" in res["removed_generations"]
+    assert snapshot_ids(spark, t) == [2, 3]
+    assert _rows(read_snapshot(spark, t)) == {(3, "v")}
+    assert _rows(read_snapshot(spark, t, as_of=2)) == {(2, "v")}
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_snapshots(spark, t, keep_last=1)
+
+
+def test_vacuum_keeps_generations_referenced_by_kept_manifests(
+    spark, tmp_path
+):
+    """A partial rewrite keeps OLD generations live by reference —
+    vacuum must not delete a generation any kept manifest points at."""
+    t = str(tmp_path / "tbl")
+    write_snapshot_partial(
+        _bucketed(spark, [(1, "a", 0), (2, "b", 1)]), t, 0, "_kb", [0, 1]
+    )
+    for sid in (1, 2, 3):
+        write_snapshot_partial(
+            _bucketed(spark, [(1, f"a{sid}", 0)]), t, sid, "_kb", [0]
+        )
+    vacuum_snapshots(spark, t, keep_last=2)
+    # s=0 still holds bucket 1 for the kept manifests
+    assert os.path.isdir(f"{t}/_data/s=0/_kb=1")
+    assert not os.path.isdir(f"{t}/_data/s=1")  # unreferenced now
+    assert _rows(read_snapshot(spark, t)) == {(1, "a3", 0), (2, "b", 1)}
+
+
+def test_merge_snapshot_publishes_atomically(spark, tmp_path):
+    from big_data_spark.operators.merge import merge_snapshot
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k int, name string, v double"
+    )
+    write_snapshot(base, t)
+    changes = spark.createDataFrame(
+        [(2, "b2", 9.0), (3, "c", 3.0)], "k int, name string, v double"
+    )
+    sid = merge_snapshot(spark, t, changes, ["k"])
+    assert _rows(read_snapshot(spark, t)) == {
+        (1, "a", 1.0),
+        (2, "b2", 9.0),
+        (3, "c", 3.0),
+    }
+    assert _rows(read_snapshot(spark, t, as_of=sid - 1)) == _rows(base)
+
+
+def test_compact_snapshot_full_table(spark, tmp_path):
+    from big_data_spark.io.compact import compact_snapshot
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 2000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 7).cast("int").alias("g"),
+    )
+    write_snapshot(df.repartition(16), t)
+    n_before = len(glob.glob(f"{t}/_data/s=0/*.parquet"))
+    assert n_before >= 8
+    before = _rows(read_snapshot(spark, t))
+    res = compact_snapshot(spark, t, target_file_bytes=1 << 20)
+    assert res["snapshot_id"] == 1
+    assert _rows(read_snapshot(spark, t)) == before
+    assert len(glob.glob(f"{t}/_data/s=1/*.parquet")) < n_before
+    # old layout still readable until vacuumed
+    assert _rows(read_snapshot(spark, t, as_of=0)) == before
+
+
+def test_compact_snapshot_folds_partitioned_generations(spark, tmp_path):
+    from big_data_spark.io.compact import compact_snapshot
+
+    t = str(tmp_path / "tbl")
+    write_snapshot_partial(
+        _bucketed(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 2)]),
+        t, 0, "_kb", [0, 1, 2],
+    )
+    for sid, (k, v, b) in enumerate(
+        [(1, "a1", 0), (2, "b1", 1), (1, "a2", 0)], start=1
+    ):
+        write_snapshot_partial(_bucketed(spark, [(k, v, b)]), t, sid, "_kb", [b])
+    before = _rows(read_snapshot(spark, t))
+    gens_before = {
+        e.split("/")[1] for e in latest_manifest(spark, t)["entries"].values()
+    }
+    assert len(gens_before) > 1  # fragmentation accumulated
+    res = compact_snapshot(spark, t, target_file_bytes=1 << 20)
+    entries = latest_manifest(spark, t)["entries"]
+    assert {e.split("/")[1] for e in entries.values()} == {
+        f"s={res['snapshot_id']}"
+    }  # one generation again
+    assert _rows(read_snapshot(spark, t)) == before
+    with pytest.raises(ValueError, match="partitioned snapshot"):
+        compact_snapshot(spark, t, zorder_by=["k", "v"])
+
+
+def test_read_fully_emptied_table_raises_clearly(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot_partial(_bucketed(spark, [(1, "a", 0)]), t, 0, "_kb", [0])
+    empty = spark.createDataFrame([], "k int, v string, _kb int")
+    write_snapshot_partial(empty, t, 1, "_kb", [0])
+    with pytest.raises(ValueError, match="no live data"):
+        read_snapshot(spark, t)
+    assert read_manifest(spark, t, 1)["entries"] == {}
