@@ -22,7 +22,8 @@ from big_data_spark.queries import QUERIES_ALL as QUERIES  # noqa: E402
 
 # Representative of every operator family: scan-agg, multiway join,
 # window, sessionization, JSON, exact + LSH dedup, simhash, text
-# analysis, embedding similarity.
+# analysis, embedding similarity, graph iteration (round 6:
+# pagerank_topn + the pair->cluster closure dedup_clusters).
 HEADLINE = [
     "pricing_summary",
     "join_multiway",
@@ -49,6 +50,8 @@ HEADLINE = [
     "media_byte_stats",
     "media_frame_sample",
     "stream_hourly",
+    "pagerank_topn",
+    "dedup_clusters",
 ]
 
 
@@ -70,6 +73,22 @@ def main() -> None:
         shuffle_partitions=int(override) if override else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Micro-batch teardown of the streaming rows intermittently logs a
+    # benign one-burst ERROR stack ("attempted to access non-existent
+    # accumulator") when state-store task completions race the
+    # just-stopped query's accumulator unregistration. It is noise in
+    # the round artifact: rc and the JSON line (incl. the `errors`
+    # field, which records every REAL per-query failure from the
+    # try/except below) carry the actual signal, so scope that logger
+    # to FATAL for this session only.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:  # noqa: BLE001 — logging config must never fail the run
+        pass
     timings: dict[str, float] = {}
     # Warm the JVM + parquet footers once so timings measure the
     # queries, not session startup. Warm-up failures are per-query
@@ -103,6 +122,7 @@ def main() -> None:
     # per-query regression.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     errors: dict[str, str] = {}
+    spreads: dict[str, list[float]] = {}
     try:
         for name in headline:
             runs: list[float] = []
@@ -127,15 +147,34 @@ def main() -> None:
                     df.write.format("noop").mode("overwrite").save()
                     runs.append(time.perf_counter() - start)
                 timings[name] = round(statistics.median(runs), 3)
+                # min/median/max per query: round-over-round
+                # regressions become attributable to variance (or not)
+                # without a re-run.
+                spreads[name] = [
+                    round(min(runs), 3),
+                    round(statistics.median(runs), 3),
+                    round(max(runs), 3),
+                ]
             except Exception as exc:  # noqa: BLE001 — record, keep going
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
+        # Stop any streaming query a timed run left registered before
+        # the session drops it: a teardown racing late accumulator
+        # updates logs an ERROR-level DAGScheduler stack into the
+        # bench artifact even though rc=0 (round-5 verdict item).
+        try:
+            for q in spark.streams.active:
+                q.stop()
+                q.awaitTermination(30)
+        except Exception:  # noqa: BLE001 — teardown must never mask results
+            pass
         total = round(sum(timings.values()), 3)
         record: dict = {
             "metric": "headline_suite_seconds",
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "query_runs": spreads,
             "sf": sf_dir,
         }
         if errors:

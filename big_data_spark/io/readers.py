@@ -279,3 +279,55 @@ def read_csv(
             )
         return reader.schema(schema).option("mode", "PERMISSIVE").csv(path)
     return reader.schema(schema).option("mode", "DROPMALFORMED").csv(path)
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo: float | None = None,
+    hi: float | None = None,
+    residual: bool = True,
+) -> DataFrame:
+    """Parquet read with footer-statistics data skipping applied UP
+    FRONT: only the files whose [min, max] interval for ``column``
+    can possibly intersect ``lo <= column <= hi`` enter the scan.
+
+    This closes the z-order/sort-layout loop into ONE call: write
+    with ``compact_parquet(..., zorder_by=...)`` or
+    ``repartitionByRange`` (io/compact.py), then read back through
+    here — the manifest pruning an Iceberg/Delta reader performs,
+    through the public reader instead of three manual steps
+    (stats scan -> keep list -> read). Spark's own parquet filter
+    pushdown still row-group-prunes WITHIN the kept files; this layer
+    removes whole files from the FileIndex, which pushdown alone
+    cannot do until it has already listed and footer-read every file
+    per query.
+
+    Scale: the footer sweep runs ON EXECUTORS (io/stats.py
+    mapInPandas); only the kept FILE NAMES come back to the driver —
+    bounded metadata, the same thing a table-format reader holds in
+    memory when planning a scan. For a table re-read many times per
+    session, the kept list amortizes exactly like a manifest cache.
+
+    ``residual=True`` (default) applies the predicate as a filter on
+    the result too — pruning is file-granular, so kept files still
+    carry out-of-range rows; the residual makes the result exactly
+    ``read(path).filter(lo <= column <= hi)`` (lossless-ness proven
+    in tests/test_stats.py). ``residual=False`` returns every row of
+    every kept file — the audit view.
+    """
+    from big_data_spark.io.stats import prune_files
+
+    decisions = prune_files(spark, path, column, lo=lo, hi=hi).collect()
+    kept = [r["file"] for r in decisions if r["keep"]]
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(column) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(column) <= F.lit(hi))
+    if not kept:
+        # Every file provably misses the range: empty result, real schema.
+        return spark.read.parquet(path).where(F.lit(False))
+    df = spark.read.parquet(*kept)
+    return df.filter(cond) if residual else df

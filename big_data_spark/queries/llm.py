@@ -539,8 +539,10 @@ def _sql_sig() -> str:
     return mins
 
 
-ORACLE_MINHASH = f"""
-WITH sh AS (
+# The CTE chain up to the verified near-dup PAIR set — shared by the
+# pair-emitting oracle (ORACLE_MINHASH) and the cluster-closure oracle
+# (ORACLE_DEDUP_CLUSTERS).
+_MINHASH_PAIR_CTES = f"""sh AS (
   SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
 ), sig AS (
   SELECT doc_id,
@@ -562,14 +564,81 @@ WITH sh AS (
   GROUP BY c.doc_a, c.doc_b
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-)
-SELECT doc_a, doc_b,
-       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {MINHASH_THRESHOLD}
+), pairs AS (
+  SELECT doc_a, doc_b,
+         round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {MINHASH_THRESHOLD}
+)"""
+
+ORACLE_MINHASH = f"""
+WITH {_MINHASH_PAIR_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
 ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS closed into canonical GROUPS: the step the
+    reference's own flow takes after LSH (pair set -> connected
+    components -> keep one doc per component,
+    /root/reference/Src/dbscan.py:109-117) and the step every
+    production dedup pipeline needs — a pair list alone cannot say
+    which rows to drop when duplicates chain (a~b, b~c).
+
+    Composition: q_dedup_minhash_lsh's verified pair set feeds
+    operators/components.connected_components (pointer-doubling
+    DataFrame loop); the canonical doc per cluster is the minimum
+    doc_id (deterministic keep-first). Scale: the pair set is the
+    banded-LSH output (never all-pairs) and the component loop is
+    O(log diameter) shuffles over |pairs| edges — near-dup clusters
+    are tiny, so convergence is a handful of rounds.
+
+    Oracle: DuckDB recursive CTE reachability closure over the SAME
+    deterministic pair set."""
+    from big_data_spark.operators.components import connected_components
+
+    pairs = truncate_lineage(
+        q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+nodes AS (
+  SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs
+), uedges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN uedges e ON e.s = r.id
+), comp AS (
+  SELECT id AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY id
+), sized AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id
+)
+SELECT c.doc_id, c.canonical_id, s.cluster_size,
+       c.doc_id = c.canonical_id AS is_kept
+FROM comp c JOIN sized s USING (canonical_id)
+ORDER BY doc_id
 """
 
 
@@ -2255,6 +2324,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -2284,6 +2354,7 @@ ORACLE_SQL = {
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "simhash": ORACLE_SIMHASH,
     "embedding_topk": ORACLE_EMB_TOPK,
     "embedding_neardup": ORACLE_EMB_NEARDUP,

@@ -2086,6 +2086,157 @@ SELECT (SELECT count(*) FROM e) AS n_edges,
 """
 
 
+PAGERANK_ITERS = 8
+PAGERANK_DAMPING = 0.85
+
+
+def q_pagerank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer–supplier trade network (an edge per
+    distinct supplier->customer shipping relationship, symmetrized so
+    importance flows both ways), top 20 vertices — routed THROUGH the
+    generic operator (operators/pagerank.py), like asof_join.
+
+    Iterations are FROZEN at PAGERANK_ITERS with tol=0 so the result
+    is a pure function of the edge set and cross-engine checkable:
+    the DuckDB oracle unrolls the same 8 iterations as chained CTEs
+    (no dangling term needed — the symmetrized graph gives every
+    vertex an out-edge). Ranks rounded to 6 dp on both sides; the
+    top-20 cutoff orders by (rounded rank DESC, vertex) so the pick
+    is deterministic in both engines.
+
+    Vertex ids are integers in one namespace — suppliers positive,
+    customers mapped to -(custkey+1) (customer AND supplier keys both
+    start at 0, so plain negation would conflate customer 0 with
+    supplier 0) — so the shuffle keys are 8-byte longs, not strings,
+    and edge dedup happens ONCE (inside the operator) rather than per
+    derivation step."""
+    from big_data_spark.io.readers import parallelize_small_scan
+    from big_data_spark.operators.pagerank import pagerank
+
+    li = parallelize_small_scan(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("src"),
+        (-F.col("o_custkey") - F.lit(1)).alias("dst"),
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(
+        edges,
+        damping=PAGERANK_DAMPING,
+        max_iter=PAGERANK_ITERS,
+        tol=0.0,
+        check_every=PAGERANK_ITERS + 1,
+        # 8 frozen iterations need only 2 lineage cuts: each checkpoint
+        # job re-runs <=4 lazy iterations once, and halving the job
+        # count beats the recompute (A/B in PERF.md round 6).
+        truncate_every=4,
+    )
+    return (
+        pr.select("vertex", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "vertex")
+        .limit(20)
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE unroll of the same frozen iteration count; float
+    literals are repr()s of the exact Python doubles the operator
+    uses, so both engines run bit-identical constants."""
+    d = PAGERANK_DAMPING
+    base_num = 1.0 - d
+    parts = [
+        """e0 AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS src, CAST(-o_custkey - 1 AS BIGINT) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+r0 AS (SELECT v, CAST(1 AS DOUBLE) / (SELECT n FROM nv) AS rank FROM verts)"""
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT e.dst AS v,
+         {base_num!r} / (SELECT n FROM nv)
+           + {d!r} * SUM(r.rank / d2.deg) AS rank
+  FROM edges e
+  JOIN r{i - 1} r ON r.v = e.src
+  JOIN deg d2 ON d2.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT v AS vertex, round(rank, 6) AS rank FROM r{PAGERANK_ITERS}"
+        + "\nORDER BY round(rank, 6) DESC, v LIMIT 20"
+    )
+
+
+ORACLE_PAGERANK = _pagerank_oracle()
+
+
+SSP_LANDMARKS = (0, 1, 2)  # supplier vertices; keys start at 0 at every sf
+SSP_MAX_HOPS = 6
+
+
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark hop distances over the same symmetrized
+    supplier-customer trade graph as pagerank_topn (suppliers
+    positive, customers -(custkey+1)): for every vertex, the minimum
+    number of hops to each of three hub suppliers, capped at
+    SSP_MAX_HOPS — GraphFrames' shortestPaths surface, routed THROUGH
+    the delta-frontier BFS operator (operators/paths.py).
+
+    Deterministic (pure function of the edge set, frozen hop cap), so
+    the DuckDB oracle is a recursive CTE over the same edges with
+    UNION-dedup bounding state at |V| x |L| x max_hops rows."""
+    from big_data_spark.io.readers import parallelize_small_scan
+    from big_data_spark.operators.paths import shortest_paths
+
+    li = parallelize_small_scan(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("src"),
+        (-F.col("o_custkey") - F.lit(1)).alias("dst"),
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sp = shortest_paths(
+        edges, list(SSP_LANDMARKS), max_hops=SSP_MAX_HOPS
+    )
+    return sp.orderBy("vertex", "landmark")
+
+
+ORACLE_SHORTEST_PATHS = f"""
+WITH RECURSIVE e0 AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS src, CAST(-o_custkey - 1 AS BIGINT) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+lm(landmark) AS (VALUES {", ".join(f"(CAST({x} AS BIGINT))" for x in SSP_LANDMARKS)}),
+walk(v, landmark, d) AS (
+  SELECT landmark, landmark, 0 FROM lm
+  UNION
+  SELECT e.src, w.landmark, w.d + 1
+  FROM edges e JOIN walk w ON e.dst = w.v
+  WHERE w.d < {SSP_MAX_HOPS}
+)
+SELECT v AS vertex, landmark, CAST(MIN(d) AS INT) AS dist
+FROM walk GROUP BY v, landmark
+ORDER BY vertex, landmark
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucketed by first-seen week,
     counted in each later week they return — the growth-analytics
@@ -2235,6 +2386,8 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "cdc_apply": q_cdc_apply,
     "triangle_count": q_triangle_count,
+    "pagerank_topn": q_pagerank_topn,
+    "shortest_paths": q_shortest_paths,
     "cohort_retention": q_cohort_retention,
     "dq_report": q_dq_report,
     "cube_sales": q_cube_sales,
@@ -2286,6 +2439,8 @@ ORACLE_SQL = {
     "merge_upsert": ORACLE_MERGE_UPSERT,
     "cdc_apply": ORACLE_CDC_APPLY,
     "triangle_count": ORACLE_TRIANGLES,
+    "pagerank_topn": ORACLE_PAGERANK,
+    "shortest_paths": ORACLE_SHORTEST_PATHS,
     "cohort_retention": ORACLE_COHORT,
     "dq_report": ORACLE_DQ_REPORT,
     "cube_sales": ORACLE_CUBE,

@@ -422,3 +422,33 @@ def test_ngram_posting_cap_bounds_hot_shingle_pairs(spark):
     assert capped.count() == 0
     uncapped = ngram_jaccard_pairs(docs, posting_cap=10**6)
     assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_shortest_paths_bfs_semantics(spark):
+    """Hop counts on a known digraph: forward-direction semantics,
+    min over alternative routes, unreachable pairs absent, and the
+    hop cap truncates exactly."""
+    from big_data_spark.operators.paths import shortest_paths
+
+    # 1->2->3->4 chain, a 1->3 shortcut, 5 isolated-from-4, 9 alone.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (5, 1)],
+        "src long, dst long",
+    )
+    got = {
+        (r.vertex, r.landmark): r.dist
+        for r in shortest_paths(edges, [4, 9]).collect()
+    }
+    assert got == {
+        (4, 4): 0,
+        (3, 4): 1,
+        (2, 4): 2,
+        (1, 4): 2,  # shortcut 1->3->4 beats 1->2->3->4
+        (5, 4): 3,
+        (9, 9): 0,  # landmark not in the graph: itself only
+    }
+    capped = {
+        (r.vertex, r.landmark): r.dist
+        for r in shortest_paths(edges, [4], max_hops=1).collect()
+    }
+    assert capped == {(4, 4): 0, (3, 4): 1}

@@ -125,3 +125,36 @@ def test_prune_files_lossless_and_effective(spark, tmp_path):
         .collect()[0]
     )
     assert tuple(got) == tuple(want)
+
+
+def test_read_pruned_end_to_end(spark, tmp_path):
+    """The PUBLIC reader applies footer pruning: fewer files enter
+    the scan (inputFiles shrinks) and the result still equals the
+    full-scan filter — the one-call z-order+skipping story."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.io.readers import read_pruned
+
+    path = str(tmp_path / "ranged")
+    (
+        spark.range(10000)
+        .select(F.col("id"), (F.col("id") % 1000).cast("double").alias("v"))
+        .repartitionByRange(10, "v")
+        .write.parquet(path)
+    )
+    full = spark.read.parquet(path)
+    pruned = read_pruned(spark, path, "v", lo=100.0, hi=150.0)
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    got = pruned.agg(F.count(F.lit(1)), F.sum("id")).collect()[0]
+    want = (
+        full.filter((F.col("v") >= 100.0) & (F.col("v") <= 150.0))
+        .agg(F.count(F.lit(1)), F.sum("id"))
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)
+    # Audit view: kept files, no residual filter -> a superset.
+    audit = read_pruned(spark, path, "v", lo=100.0, hi=150.0, residual=False)
+    assert audit.count() >= got[0]
+    # A provably-impossible range returns empty with the real schema.
+    none = read_pruned(spark, path, "v", lo=5000.0, hi=6000.0)
+    assert none.count() == 0 and none.columns == full.columns
