@@ -7,11 +7,12 @@ line-by-line map) plus the training-data-pipeline and lakehouse
 extensions (dedup, ANN, multimodal, text analysis, decontamination,
 MERGE INTO / CDC apply, the data-quality gate, streaming incl. a
 watermarked stream-stream interval join, range join) with DuckDB
-oracles. The registry holds 83 oracle-paired queries in total
+oracles. The registry holds 84 oracle-paired queries in total
 (round 6 added dedup_clusters — LSH pairs closed into canonical
 groups via connected components; pagerank_topn — frozen-iteration
-PageRank vs an unrolled-CTE oracle; and shortest_paths — landmark
-BFS distances vs a recursive-CTE oracle); the 33 past the
+PageRank vs an unrolled-CTE oracle; shortest_paths — landmark
+BFS distances vs a recursive-CTE oracle; and community_lpa —
+deterministic synchronous label propagation); the 34 past the
 50-row driver cap are oracle-checked in pytest
 (tests/test_oracle.py) and by the full gate mirror
 (tools/gate_sim.py) at sf0.001/0.01/0.1, rotating into driver slots

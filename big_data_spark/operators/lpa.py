@@ -1,0 +1,80 @@
+"""Synchronous label propagation (community detection) as DataFrame
+iteration — completing the graph family (components, PageRank,
+triangles, shortest paths) with the standard near-linear community
+algorithm, deterministic by construction.
+
+Classic LPA is notoriously nondeterministic (async updates, random
+tie-breaks). This is the SYNCHRONOUS variant with a total tie order:
+every round, every vertex simultaneously adopts the most frequent
+label among its in-neighbors, ties broken by SMALLEST label; vertices
+with no in-neighbors keep their label. A frozen round count then
+makes the whole computation a pure function of the edge set — the
+property the cross-engine oracle needs (queries/relational.py
+community_lpa) and the property that makes results reproducible
+across cluster sizes, which random-order LPA cannot promise.
+
+Per round: one join (labels onto the iteration-invariant,
+checkpointed edge table), one count aggregate, one per-vertex
+window pick (row_number over (count DESC, label ASC)), one left
+join back onto the vertex set for the keep-own-label fallback. All
+shuffles key on vertex ids (8-byte longs); label payload is one long.
+At 100 TB: pre-partition edges by dst once; the labels side is the
+small changing side, same discipline as pagerank().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_spark.lineage import truncate_lineage
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    truncate_every: int = 2,
+) -> DataFrame:
+    """(vertex, community) after ``rounds`` synchronous label
+    updates; community = the adopted label (labels start as vertex
+    ids). Directed semantics: vertex v votes over the labels of its
+    OUT-neighbors {u : (v, u) in E} — labels flow backward along
+    edges. Symmetrize the edge list for the usual undirected
+    semantics."""
+    e = truncate_lineage(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct(),
+        eager=True,
+    )
+    vertices = truncate_lineage(
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct(),
+        eager=True,
+    )
+    labels = vertices.select("v", F.col("v").alias("label"))
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+    for r in range(1, rounds + 1):
+        nbr = e.join(
+            labels.withColumnRenamed("v", "dst"), "dst"
+        ).select(F.col("src").alias("v"), "label")
+        mode = (
+            nbr.groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(mode, "v", "left")
+            .select(
+                "v",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+        if r % truncate_every == 0 or r == rounds:
+            labels = truncate_lineage(labels)
+    return labels.select(F.col("v").alias("vertex"), F.col("label").alias("community"))

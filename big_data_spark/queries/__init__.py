@@ -105,10 +105,12 @@ _PYTEST_ONLY = (
     "lang_id",  # text family: text_quality + token_counts + quality_gopher stay
     "vocab_coverage",  # benchmark-postings family: decontaminate stays
     "embedding_neardup",  # embedding family: embedding_topk + ann_hyperplane_lsh + ann_ivf + dedup_semantic stay
-    # New round-6 row past the cap (pytest-oracle gated, rotation
-    # candidate): landmark BFS distances via the delta-frontier
-    # operator (operators/paths.py).
+    # New round-6 rows past the cap (pytest-oracle gated, rotation
+    # candidates): landmark BFS distances via the delta-frontier
+    # operator (operators/paths.py) and deterministic synchronous
+    # label-propagation communities (operators/lpa.py).
     "shortest_paths",
+    "community_lpa",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2217,6 +2217,79 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.orderBy("vertex", "landmark")
 
 
+LPA_ROUNDS = 4
+
+
+def q_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the symmetrized supplier-customer
+    trade graph via deterministic synchronous label propagation
+    (operators/lpa.py), LPA_ROUNDS frozen rounds, reported as
+    per-community sizes (communities of the vertex carrying the
+    minimum id) — the classic near-linear community algorithm next to
+    components/PageRank/triangles/paths.
+
+    Deterministic: synchronous updates + (count DESC, label ASC)
+    tie-break + frozen rounds = a pure function of the edge set; the
+    DuckDB oracle replays the same rounds as chained CTEs with the
+    same ROW_NUMBER tie order."""
+    from big_data_spark.io.readers import parallelize_small_scan
+    from big_data_spark.operators.lpa import label_propagation
+
+    li = parallelize_small_scan(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("src"),
+        (-F.col("o_custkey") - F.lit(1)).alias("dst"),
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lp = label_propagation(edges, rounds=LPA_ROUNDS)
+    return (
+        lp.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("community")
+    )
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """e0 AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS src, CAST(-o_custkey - 1 AS BIGINT) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+l0 AS (SELECT v, v AS label FROM verts)"""
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f"""m{r} AS (
+  SELECT v, label AS new_label FROM (
+    SELECT e.src AS v, l.label, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM edges e JOIN l{r - 1} l ON l.v = e.dst
+    GROUP BY e.src, l.label
+  ) WHERE rn = 1
+), l{r} AS (
+  SELECT p.v, COALESCE(m.new_label, p.label) AS label
+  FROM l{r - 1} p LEFT JOIN m{r} m ON m.v = p.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT label AS community, COUNT(*) AS n_members
+FROM l{LPA_ROUNDS} GROUP BY label ORDER BY community"""
+    )
+
+
+ORACLE_COMMUNITY_LPA = _lpa_oracle()
+
+
 ORACLE_SHORTEST_PATHS = f"""
 WITH RECURSIVE e0 AS (
   SELECT CAST(l_suppkey AS BIGINT) AS src, CAST(-o_custkey - 1 AS BIGINT) AS dst
@@ -2388,6 +2461,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "pagerank_topn": q_pagerank_topn,
     "shortest_paths": q_shortest_paths,
+    "community_lpa": q_community_lpa,
     "cohort_retention": q_cohort_retention,
     "dq_report": q_dq_report,
     "cube_sales": q_cube_sales,
@@ -2441,6 +2515,7 @@ ORACLE_SQL = {
     "triangle_count": ORACLE_TRIANGLES,
     "pagerank_topn": ORACLE_PAGERANK,
     "shortest_paths": ORACLE_SHORTEST_PATHS,
+    "community_lpa": ORACLE_COMMUNITY_LPA,
     "cohort_retention": ORACLE_COHORT,
     "dq_report": ORACLE_DQ_REPORT,
     "cube_sales": ORACLE_CUBE,

@@ -452,3 +452,32 @@ def test_shortest_paths_bfs_semantics(spark):
         for r in shortest_paths(edges, [4], max_hops=1).collect()
     }
     assert capped == {(4, 4): 0, (3, 4): 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: LPA converges to one
+    community per triangle (min member id), and the synchronous +
+    (count DESC, label ASC) tie-break makes the result exactly
+    reproducible run to run."""
+    from big_data_spark.operators.lpa import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    bridge = [(3, 4)]
+    directed = tri1 + tri2 + bridge
+    edges = spark.createDataFrame(
+        directed + [(b, a) for a, b in directed], "src long, dst long"
+    )
+    got = {
+        r.vertex: r.community
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    # Hand-simulated fixpoint (reached at round 3): the first
+    # triangle keeps label 1; the bridge leaks label 3 into the
+    # second triangle, which converges on it.
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    again = {
+        r.vertex: r.community
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert got == again
