@@ -284,7 +284,7 @@ def read_csv(
 def read_pruned(
     spark: SparkSession,
     path: str,
-    column: str,
+    column: str | dict[str, tuple[float | None, float | None]],
     lo: float | None = None,
     hi: float | None = None,
     residual: bool = True,
@@ -310,6 +310,11 @@ def read_pruned(
     memory when planning a scan. For a table re-read many times per
     session, the kept list amortizes exactly like a manifest cache.
 
+    ``column`` is either one column name (with ``lo``/``hi``) or a
+    dict ``{col: (lo, hi)}`` for a CONJUNCTION over several clustered
+    columns — the multi-dimensional case Z-order layouts exist for
+    (any one column's footer interval can veto a file).
+
     ``residual=True`` (default) applies the predicate as a filter on
     the result too — pruning is file-granular, so kept files still
     carry out-of-range rows; the residual makes the result exactly
@@ -317,15 +322,22 @@ def read_pruned(
     in tests/test_stats.py). ``residual=False`` returns every row of
     every kept file — the audit view.
     """
-    from big_data_spark.io.stats import prune_files
+    from big_data_spark.io.stats import prune_files_multi
 
-    decisions = prune_files(spark, path, column, lo=lo, hi=hi).collect()
+    ranges = column if isinstance(column, dict) else {column: (lo, hi)}
+    decisions = (
+        prune_files_multi(spark, path, ranges)
+        .select("file", "keep")
+        .distinct()
+        .collect()
+    )
     kept = [r["file"] for r in decisions if r["keep"]]
     cond = F.lit(True)
-    if lo is not None:
-        cond = cond & (F.col(column) >= F.lit(lo))
-    if hi is not None:
-        cond = cond & (F.col(column) <= F.lit(hi))
+    for c, (c_lo, c_hi) in ranges.items():
+        if c_lo is not None:
+            cond = cond & (F.col(c) >= F.lit(c_lo))
+        if c_hi is not None:
+            cond = cond & (F.col(c) <= F.lit(c_hi))
     if not kept:
         # Every file provably misses the range: empty result, real schema.
         return spark.read.parquet(path).where(F.lit(False))

@@ -123,6 +123,62 @@ def parquet_column_stats(
     )
 
 
+def prune_files_multi(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple[float | None, float | None]],
+) -> DataFrame:
+    """Metadata-only data skipping over a CONJUNCTION of numeric
+    range predicates ``lo_c <= c <= hi_c`` — the case Z-order layouts
+    exist for: one clustered rewrite makes min/max narrow on SEVERAL
+    columns at once, and a file is droppable when ANY predicate
+    provably misses it (the AND semantics let each column veto
+    independently).
+
+    Returns one row per (file, column) with that column's folded
+    [min, max] plus the file-level ``keep`` — false iff some column's
+    interval provably misses its range. Losslessness per column
+    implies losslessness of the conjunction, proven in
+    tests/test_stats.py. A row group without stats for a column makes
+    that column unprunable for the file (never a false drop).
+    """
+    if not ranges or all(
+        lo is None and hi is None for lo, hi in ranges.values()
+    ):
+        raise ValueError("prune_files needs at least one bounded range")
+    cols = list(ranges)
+    stats = parquet_column_stats(spark, path, cols)
+    per_file_col = (
+        stats.withColumn("mn", F.col("min_value").cast("double"))
+        .withColumn("mx", F.col("max_value").cast("double"))
+        .groupBy("file", "column")
+        .agg(
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+            # a row group without stats makes the column unprunable
+            F.max(F.col("mn").isNull().cast("int")).alias("_nostats"),
+        )
+    )
+    col_ok = F.col("_nostats") == 1
+    for c in cols:
+        lo, hi = ranges[c]
+        ok = F.lit(True)
+        if hi is not None:
+            ok = ok & (F.col("min_value") <= F.lit(float(hi)))
+        if lo is not None:
+            ok = ok & (F.col("max_value") >= F.lit(float(lo)))
+        col_ok = F.when(F.col("column") == c, col_ok | ok).otherwise(col_ok)
+    flagged = per_file_col.withColumn("_col_keep", col_ok)
+    keep_per_file = flagged.groupBy("file").agg(
+        F.min(F.col("_col_keep").cast("int")).cast("boolean").alias("keep")
+    )
+    return (
+        flagged.drop("_nostats", "_col_keep")
+        .join(keep_per_file, "file")
+        .orderBy("file", "column")
+    )
+
+
 def prune_files(
     spark: SparkSession,
     path: str,
@@ -142,31 +198,9 @@ def prune_files(
     tests/test_stats.py against the full-scan answer). Feed the kept
     list to ``spark.read.parquet(*files)``. Pair with the z-order /
     repartitionByRange writers (io/compact.py) — pruning is only as
-    good as the layout's min/max narrowness.
+    good as the layout's min/max narrowness. Conjunctions over
+    several clustered columns: ``prune_files_multi``.
     """
-    if lo is None and hi is None:
-        raise ValueError("prune_files needs lo and/or hi")
-    stats = parquet_column_stats(spark, path, [column])
-    per_file = (
-        stats.withColumn("mn", F.col("min_value").cast("double"))
-        .withColumn("mx", F.col("max_value").cast("double"))
-        .groupBy("file")
-        .agg(
-            F.min("mn").alias("min_value"),
-            F.max("mx").alias("max_value"),
-            # a row group without stats makes the file unprunable
-            F.max(F.col("mn").isNull().cast("int")).alias("_nostats"),
-        )
+    return prune_files_multi(spark, path, {column: (lo, hi)}).select(
+        "file", "min_value", "max_value", "keep"
     )
-    keep = F.col("_nostats") == 1
-    cond = F.lit(True)
-    if hi is not None:
-        cond = cond & (F.col("min_value") <= F.lit(float(hi)))
-    if lo is not None:
-        cond = cond & (F.col("max_value") >= F.lit(float(lo)))
-    return per_file.select(
-        "file",
-        "min_value",
-        "max_value",
-        (keep | cond).alias("keep"),
-    ).orderBy("file")
