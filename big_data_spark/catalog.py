@@ -1,0 +1,50 @@
+"""SQL surface: the engine's tables as temp views, so users run raw
+``spark.sql`` — and, where they stick to the ANSI-portable subset,
+the SAME query text runs unchanged on DuckDB (the oracle engine) and
+any other ANSI system.
+
+The reference exposes only a programmatic pipeline (its queries are
+hard-coded DataFrame/RDD chains, reference: Src/main.py); a user
+switching engines gets a SQL front door here for free, because Spark
+IS a SQL engine — registering views costs nothing and Catalyst
+optimizes ``spark.sql`` text and DataFrame code identically.
+
+Views are registered through ``read_table``, so the schema-drift
+assertions and the events.ts nanosecond normalization apply to SQL
+users exactly as they do to DataFrame users — two doors, one
+contract. (``events.ts`` is therefore an epoch-nanosecond BIGINT in
+SQL too, not a timestamp — the engine's one deliberate canonical
+deviation, documented in io/readers.py.)
+
+``queries/relational.py sql_portable_revenue`` demonstrates the
+portability contract end-to-end: one SQL string, executed by Spark
+through this module AND by DuckDB verbatim, hash-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_spark.io.readers import read_table
+from big_data_spark.schemas import TESTDATA_SCHEMAS
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> list[str]:
+    """Register each testdata table as a session temp view named
+    after the table. Returns the registered names. Idempotent —
+    re-registration replaces the view (same DataFrame, memoized by
+    read_table)."""
+    use = names or tuple(TESTDATA_SCHEMAS)
+    for n in use:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    return list(use)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Register the testdata views, then run ``sql`` — the one-call
+    SQL door. The returned DataFrame is lazy like any other; Catalyst
+    sees exactly the plan a DataFrame formulation would produce."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)

@@ -111,6 +111,9 @@ _PYTEST_ONLY = (
     # label-propagation communities (operators/lpa.py).
     "shortest_paths",
     "community_lpa",
+    # SQL front door (catalog.py): ONE ANSI string run by spark.sql
+    # AND verbatim by DuckDB — the portability-contract row.
+    "sql_portable_revenue",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2217,6 +2217,38 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.orderBy("vertex", "landmark")
 
 
+# ONE SQL string, two engines: executed by Spark via the catalog
+# module's temp views AND by DuckDB verbatim as its own oracle. The
+# portability contract: ANSI joins/aggregates, TIMESTAMP literals,
+# CAST(... AS STRING) for dates (both engines render ISO dates
+# identically), round() for the float path. TPC-H Q3's shape
+# (shipping-priority revenue) over the testdata tables.
+PORTABLE_REVENUE_SQL = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_date,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_sql_portable_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door (catalog.py): raw ANSI SQL through
+    spark.sql over the registered views — the oracle runs the SAME
+    text, so this row proves the two-engine portability contract,
+    not just result parity of two hand-matched formulations."""
+    from big_data_spark.catalog import run_sql
+
+    return run_sql(spark, sf_dir, PORTABLE_REVENUE_SQL)
+
+
 LPA_ROUNDS = 4
 
 
@@ -2462,6 +2494,7 @@ QUERIES = {
     "pagerank_topn": q_pagerank_topn,
     "shortest_paths": q_shortest_paths,
     "community_lpa": q_community_lpa,
+    "sql_portable_revenue": q_sql_portable_revenue,
     "cohort_retention": q_cohort_retention,
     "dq_report": q_dq_report,
     "cube_sales": q_cube_sales,
@@ -2516,6 +2549,7 @@ ORACLE_SQL = {
     "pagerank_topn": ORACLE_PAGERANK,
     "shortest_paths": ORACLE_SHORTEST_PATHS,
     "community_lpa": ORACLE_COMMUNITY_LPA,
+    "sql_portable_revenue": PORTABLE_REVENUE_SQL,
     "cohort_retention": ORACLE_COHORT,
     "dq_report": ORACLE_DQ_REPORT,
     "cube_sales": ORACLE_CUBE,

@@ -177,3 +177,36 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
         (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0)
     ).count()
     assert got == want
+
+
+def test_catalog_sql_door_matches_dataframe(spark):
+    """register_views exposes the same canonical tables spark-side
+    SQL and DataFrame code see (one contract, two doors): a raw SQL
+    aggregate equals its DataFrame twin, events.ts arrives as the
+    canonical epoch-nanosecond BIGINT in SQL too, and re-registration
+    is idempotent."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import register_views, run_sql
+    from big_data_spark.io.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    names = register_views(spark, sf)
+    assert "lineitem" in names and "events" in names
+    got = run_sql(
+        spark,
+        sf,
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag",
+    ).collect()
+    want = (
+        read_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    ts_type = dict(spark.sql("SELECT ts FROM events").dtypes)["ts"]
+    assert ts_type == "bigint"
+    register_views(spark, sf)  # replace, not fail
