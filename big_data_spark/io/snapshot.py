@@ -106,6 +106,41 @@ def latest_manifest(
     return read_manifest(spark, table_dir, ids[-1])
 
 
+def _schema_fields(df: DataFrame) -> list[dict[str, str]]:
+    return [
+        {"name": f.name, "type": f.dataType.simpleString()}
+        for f in df.schema.fields
+    ]
+
+
+def check_schema_evolution(
+    prev_fields: list[dict] | None, new_fields: list[dict]
+) -> None:
+    """Enforce the ADDITIVE evolution contract at commit time: every
+    column of the predecessor snapshot must still exist with the same
+    type; new columns may appear (older generations read them as
+    NULL). Drops, renames and type changes raise — silently narrowing
+    a 100 TB table's schema is how readers discover data loss months
+    later; an explicit rewrite (write_snapshot of a transformed read)
+    is the loud way to do those."""
+    if not prev_fields:
+        return
+    new_by_name = {f["name"]: f["type"] for f in new_fields}
+    missing = [f["name"] for f in prev_fields if f["name"] not in new_by_name]
+    changed = [
+        f"{f['name']}: {f['type']} -> {new_by_name[f['name']]}"
+        for f in prev_fields
+        if f["name"] in new_by_name and new_by_name[f["name"]] != f["type"]
+    ]
+    if missing or changed:
+        raise ValueError(
+            "snapshot schema evolution must be additive — "
+            f"dropped: {missing}, type-changed: {changed}. "
+            "Rewrite the table through a full write_snapshot of an "
+            "explicitly transformed read to do this on purpose."
+        )
+
+
 def commit_manifest(
     spark: SparkSession,
     table_dir: str,
@@ -113,6 +148,7 @@ def commit_manifest(
     entries: dict[str, str],
     partition_col: str | None = None,
     replace: bool = False,
+    schema_fields: list[dict] | None = None,
 ) -> None:
     """Atomically publish ``entries`` as snapshot ``snapshot_id``.
 
@@ -121,12 +157,17 @@ def commit_manifest(
     makes the rename fail -> ``SnapshotConflict`` (first committer
     wins); with ``replace`` the existing one is deleted first — only
     valid for deterministic replays of the same inputs.
+
+    ``schema_fields`` (ordered name/type pairs) records the
+    snapshot's committed schema so readers can present one canonical
+    column order across mixed-schema generations.
     """
     body = json.dumps(
         {
             "snapshot_id": snapshot_id,
             "entries": entries,
             "partition_col": partition_col,
+            "schema": schema_fields,
         },
         sort_keys=True,
     )
@@ -171,11 +212,15 @@ def read_snapshot(
         man = latest_manifest(spark, table_dir, below=below)
     if man is None:
         raise ValueError(f"no committed snapshots under {table_dir!r}")
-    return read_entries(spark, table_dir, man["entries"])
+    order = [f["name"] for f in man.get("schema") or []] or None
+    return read_entries(spark, table_dir, man["entries"], column_order=order)
 
 
 def read_entries(
-    spark: SparkSession, table_dir: str, entries: dict[str, str]
+    spark: SparkSession,
+    table_dir: str,
+    entries: dict[str, str],
+    column_order: list[str] | None = None,
 ) -> DataFrame:
     if not entries:
         raise ValueError(
@@ -199,7 +244,16 @@ def read_entries(
             )
     df = dfs[0]
     for other in dfs[1:]:
-        df = df.unionByName(other)
+        # allowMissingColumns: generations written before an additive
+        # schema change lack the new columns — they read as NULL, the
+        # standard mergeSchema semantics. Commit-time validation
+        # (check_schema_evolution) guarantees the surviving columns
+        # agree in type, so the union can never silently coerce.
+        df = df.unionByName(other, allowMissingColumns=True)
+    if column_order:
+        # Canonical column order = the snapshot's committed schema
+        # (generation iteration order is an implementation detail).
+        df = df.select(*column_order)
     return df
 
 
@@ -238,6 +292,9 @@ def write_snapshot(
     if snapshot_id is None:
         ids = snapshot_ids(spark, table_dir)
         snapshot_id = (ids[-1] + 1) if ids else 0
+    fields = _schema_fields(df)
+    prev = latest_manifest(spark, table_dir, below=snapshot_id)
+    check_schema_evolution((prev or {}).get("schema"), fields)
     gdir = clear_generation(spark, table_dir, snapshot_id)
     df.write.mode("error").parquet(gdir)
     commit_manifest(
@@ -246,6 +303,7 @@ def write_snapshot(
         snapshot_id,
         {"": f"{_DATA_DIR}/s={snapshot_id}"},
         replace=replace,
+        schema_fields=fields,
     )
     return snapshot_id
 
@@ -273,6 +331,8 @@ def write_snapshot_partial(
     """
     spark = df.sparkSession
     prev = latest_manifest(spark, table_dir, below=snapshot_id)
+    fields = _schema_fields(df)
+    check_schema_evolution((prev or {}).get("schema"), fields)
     entries = dict(prev["entries"]) if prev else {}
     gdir = clear_generation(spark, table_dir, snapshot_id)
     df.write.mode("error").partitionBy(partition_col).parquet(gdir)
@@ -295,6 +355,7 @@ def write_snapshot_partial(
         entries,
         partition_col=partition_col,
         replace=replace,
+        schema_fields=fields,
     )
 
 

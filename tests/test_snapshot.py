@@ -232,3 +232,57 @@ def test_read_fully_emptied_table_raises_clearly(spark, tmp_path):
     with pytest.raises(ValueError, match="no live data"):
         read_snapshot(spark, t)
     assert read_manifest(spark, t, 1)["entries"] == {}
+
+
+def test_schema_evolution_additive_and_guarded(spark, tmp_path):
+    """Additive evolution through the full-table writer: the new
+    column lands, time travel shows each snapshot's own schema (and
+    its own rows — a full publish replaces contents), and drops /
+    type changes are refused at COMMIT time."""
+    t = str(tmp_path / "evo")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t
+    )
+    # Additive: new column w.
+    write_snapshot_ok = write_snapshot(
+        spark.createDataFrame(
+            [(3, "c", 9.5)], "k int, v string, w double"
+        ),
+        t,
+    )
+    assert write_snapshot_ok == 1
+    cur = read_snapshot(spark, t)
+    assert cur.columns == ["k", "v", "w"]
+    assert {tuple(r) for r in cur.collect()} == {(3, "c", 9.5)}
+    # Time travel: snapshot 0 keeps its own (pre-evolution) schema.
+    old = read_snapshot(spark, t, as_of=0)
+    assert old.columns == ["k", "v"]
+    assert {tuple(r) for r in old.collect()} == {(1, "a"), (2, "b")}
+
+    with pytest.raises(ValueError, match="dropped: \\['v', 'w'\\]"):
+        write_snapshot(spark.createDataFrame([(4,)], "k int"), t)
+    with pytest.raises(ValueError, match="type-changed"):
+        write_snapshot(
+            spark.createDataFrame(
+                [(4, "d", 1)], "k int, v string, w int"
+            ),
+            t,
+        )
+
+
+def test_schema_evolution_partial_writes(spark, tmp_path):
+    """The partial (bucketed) writer enforces the same additive
+    contract, and untouched carried-forward buckets null-fill the
+    new column on read."""
+    t = str(tmp_path / "evo_part")
+    v0 = [(1, "a", 0), (2, "b", 1)]
+    write_snapshot_partial(_bucketed(spark, v0), t, 0, "_kb", [0, 1])
+    evolved = spark.createDataFrame(
+        [(1, "a2", 7.0, 0)], "k int, v string, w double, _kb int"
+    )
+    write_snapshot_partial(evolved, t, 1, "_kb", [0])
+    got = {tuple(r) for r in read_snapshot(spark, t).collect()}
+    # Bucket 0 rewritten with w; bucket 1 carried forward, w is NULL.
+    assert got == {(1, "a2", 7.0, 0), (2, "b", None, 1)}
+    with pytest.raises(ValueError, match="additive"):
+        write_snapshot_partial(_bucketed(spark, [(9, "z", 1)]), t, 2, "_kb", [1])
