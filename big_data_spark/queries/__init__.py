@@ -114,6 +114,9 @@ _PYTEST_ONLY = (
     # SQL front door (catalog.py): ONE ANSI string run by spark.sql
     # AND verbatim by DuckDB — the portability-contract row.
     "sql_portable_revenue",
+    # Point-in-time SCD2 enrichment via the as-of operator; oracle is
+    # the textbook BETWEEN join proving the equivalence.
+    "temporal_join",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -913,6 +913,92 @@ ORDER BY o_custkey, valid_from_epoch, o_orderkey
 """
 
 
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join — the query side of
+    SCD2: each event is enriched with the order-version that was
+    valid AT the event's timestamp. Routed through the as-of join
+    operator (operators/timeseries.py): for contiguous, non-empty
+    validity intervals, "latest valid_from <= ts" IS the
+    BETWEEN-join answer, at ONE key-partitioned shuffle instead of a
+    range join (the oracle runs the textbook BETWEEN join to prove
+    the equivalence). Zero-length versions (same-day successors,
+    superseded the same day) are dropped before the as-of — they can
+    match nothing, and removing them makes valid_from unique per key
+    so the pick is deterministic.
+
+    At 100 TB: the fact side shuffles once on the dimension key; the
+    dimension rides the same shuffle. A range join here would
+    broadcast interval bands or pay an O(|fact| x versions-per-key)
+    expansion — the as-of window does neither."""
+    from big_data_spark.operators.timeseries import asof_join
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("ts div 1000000000").alias("ts_sec"),
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    dim = (
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderkey").alias("version_orderkey"),
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("ts_sec"),
+            nxt.cast("timestamp").cast("long").alias("valid_to_epoch"),
+        )
+        # Drop zero-length versions: superseded the same second.
+        .filter(
+            F.col("valid_to_epoch").isNull()
+            | (F.col("valid_to_epoch") > F.col("ts_sec"))
+        )
+        .drop("valid_to_epoch")
+    )
+    joined = asof_join(
+        ev,
+        dim,
+        on=["user_id"],
+        ts_col="ts_sec",
+        value_cols=["version_orderkey"],
+        how="backward",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts_sec",
+        F.col("version_orderkey_asof").alias("version_orderkey"),
+        F.col("ts_sec_asof").alias("valid_from_epoch"),
+    ).orderBy("user_id", "event_id")
+
+
+ORACLE_TEMPORAL_JOIN = """
+WITH dim0 AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS valid_from,
+         CAST(floor(epoch(lead(o_orderdate) OVER w)) AS BIGINT) AS valid_to
+  FROM orders WHERE o_custkey < 50
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), dim AS (
+  SELECT * FROM dim0 WHERE valid_to IS NULL OR valid_to > valid_from
+), ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+  FROM events WHERE user_id < 50
+)
+SELECT ev.user_id, ev.event_id, ev.ts_sec,
+       d.o_orderkey AS version_orderkey,
+       d.valid_from AS valid_from_epoch
+FROM ev LEFT JOIN dim d
+  ON d.o_custkey = ev.user_id
+ AND d.valid_from <= ev.ts_sec
+ AND (d.valid_to IS NULL OR ev.ts_sec < d.valid_to)
+ORDER BY user_id, event_id
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from a string column (§2.8 extension —
     schema-on-read the reference never needed)."""
@@ -2474,6 +2560,7 @@ QUERIES = {
     "unpivot_metrics": q_unpivot_metrics,
     "events_funnel": q_events_funnel,
     "scd2_intervals": q_scd2_intervals,
+    "temporal_join": q_temporal_join,
     "events_sessionize": q_events_sessionize,
     "rollup_revenue": q_rollup_revenue,
     "pivot_status": q_pivot_status,
@@ -2529,6 +2616,7 @@ ORACLE_SQL = {
     "unpivot_metrics": ORACLE_UNPIVOT,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "scd2_intervals": ORACLE_SCD2,
+    "temporal_join": ORACLE_TEMPORAL_JOIN,
     "events_sessionize": ORACLE_SESSIONIZE,
     "rollup_revenue": ORACLE_ROLLUP,
     "pivot_status": ORACLE_PIVOT,
