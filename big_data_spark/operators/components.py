@@ -60,6 +60,99 @@ def _graphframes_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def _sym(e: DataFrame) -> DataFrame:
+    """Both directions of an edge set, deduped, no self-loops —
+    large/small-star's canonical working representation."""
+    return (
+        e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_components(
+    edges: DataFrame, src: str, dst: str, max_iterations: int
+) -> DataFrame:
+    """Alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", 2014) — the
+    trillion-edge scale path the label-propagation loop's docstring
+    promises.
+
+    Why it scales where pointer doubling strains: each round only
+    re-wires edges toward per-neighborhood minima, so the working
+    edge set stays O(|E|) with bounded degree growth, every step is
+    groupBy-min + join (map-side combinable, AQE-skew-splittable),
+    and convergence is O(log n) rounds on ANY graph shape — no
+    label table hot-spotting on high-degree components.
+
+    large-star: every neighbor v > u re-attaches to
+    m(u) = min(neighborhood(u) ∪ {u}); small-star: every neighbor
+    v <= u (and u itself) attaches to m(u). At the fixpoint the
+    graph is a disjoint union of stars rooted at component minima.
+    """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = truncate_lineage(_sym(raw), eager=True)
+    # Vertex set from the RAW edges: _sym drops self-loops, and the
+    # API contract says isolated vertices arrive as self-loops — they
+    # must still appear in the output (as their own component).
+    vertices = truncate_lineage(
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
+        .distinct(),
+        eager=True,
+    )
+
+    def nbr_min(s: DataFrame) -> DataFrame:
+        return s.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    for _ in range(max_iterations):
+        m = nbr_min(e)
+        large = (
+            e.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        ls = _sym(large)
+        m2 = nbr_min(ls)
+        small = (
+            ls.join(m2, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m2.select("u", F.col("m").alias("v")))
+        )
+        new_e = truncate_lineage(_sym(small), eager=True)
+        # Fixpoint: the canonical symmetric edge sets are equal.
+        # Both are distinct sets, so equal counts + empty one-way
+        # difference => equality; each check is one bounded action.
+        if (
+            new_e.count() == e.count()
+            and new_e.exceptAll(e).limit(1).count() == 0
+        ):
+            e = new_e
+            break
+        e = new_e
+    # Star fixpoint: every edge points at (or from) the component
+    # root; isolated-in-input vertices (self-loops dropped by _sym)
+    # fall back to themselves via the left join.
+    root = (
+        e.groupBy("u").agg(F.min("v").alias("nbr_min"))
+        .select("u", F.col("nbr_min"))
+    )
+    return (
+        vertices.join(root, vertices.id == root.u, "left")
+        .select(
+            "id",
+            F.least(
+                F.col("id"), F.coalesce("nbr_min", F.col("id"))
+            ).alias("component"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -73,10 +166,12 @@ def connected_components(
     orderable type). Isolated vertices should be passed as self-loops
     (src == dst) if they must appear in the output.
 
-    impl: 'native' (default — the DataFrame loop below, no external
-    deps), 'graphframes' (requires the GraphFrames package + jar, the
-    reference's engine), or 'auto' (graphframes when importable, else
-    native). All three return the same contract.
+    impl: 'native' (default — the pointer-doubling DataFrame loop
+    below, no external deps), 'star' (alternating large-star /
+    small-star — the trillion-edge scale path; see
+    _star_components), 'graphframes' (requires the GraphFrames
+    package + jar, the reference's engine), or 'auto' (graphframes
+    when importable, else native). All return the same contract.
 
     Returns (id, component) where component = min vertex id reachable.
     """
@@ -84,6 +179,8 @@ def connected_components(
         impl = "graphframes" if graphframes_available() else "native"
     if impl == "graphframes":
         return _graphframes_components(edges, src, dst)
+    if impl == "star":
+        return _star_components(edges, src, dst, max_iterations)
     if impl != "native":
         raise ValueError(f"unknown connected_components impl: {impl!r}")
     # Materialize the edge list once: every iteration joins against it,

@@ -186,3 +186,105 @@ def test_fuzz_apply_changes_equals_scd2_current(feed):
     t2rows = scd2_apply(None, ch, ["k"], "seq", "idx").collect()
     t2 = {(r.k, r.name) for r in t2rows if r.is_current}
     assert t1 == t2
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+def _py_bfs(edges, landmarks, max_hops):
+    """Pure-Python reference: forward-hop BFS per landmark."""
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+    dist = {}
+    for lm in landmarks:
+        dist[(lm, lm)] = 0
+        frontier = {lm}
+        for hop in range(1, max_hops + 1):
+            frontier = {
+                v
+                for v in set(out)
+                if (v, lm) not in dist and out[v] & frontier
+            }
+            for v in frontier:
+                dist[(v, lm)] = hop
+            if not frontier:
+                break
+    return dist
+
+
+@given(edges=_edges, lms=st.sets(st.integers(0, 15), min_size=1, max_size=3))
+@settings(max_examples=5, deadline=None)
+def test_fuzz_shortest_paths_matches_python_bfs(edges, lms):
+    from big_data_spark.operators.paths import shortest_paths
+
+    spark = _spark()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.vertex, r.landmark): r.dist
+        for r in shortest_paths(df, sorted(lms), max_hops=6).collect()
+    }
+    assert got == _py_bfs(edges, sorted(lms), 6)
+
+
+def _py_lpa(edges, rounds):
+    from collections import Counter
+
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    labels = {v: v for e in edges for v in e}
+    for _ in range(rounds):
+        new = {}
+        for v, lbl in labels.items():
+            votes = Counter(labels[u] for u in out.get(v, []))
+            if votes:
+                new[v] = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            else:
+                new[v] = lbl
+        labels = new
+    return labels
+
+
+@given(edges=_edges, rounds=st.integers(min_value=1, max_value=4))
+@settings(max_examples=5, deadline=None)
+def test_fuzz_label_propagation_matches_python_sync_lpa(edges, rounds):
+    from big_data_spark.operators.lpa import label_propagation
+
+    spark = _spark()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.vertex: r.community
+        for r in label_propagation(df, rounds=rounds).collect()
+    }
+    assert got == _py_lpa(edges, rounds)
+
+
+@given(edges=_edges)
+@settings(max_examples=5, deadline=None)
+def test_fuzz_star_components_match_pointer_doubling(edges):
+    """The large-star/small-star scale path and the pointer-doubling
+    loop agree on every random graph (same min-id contract),
+    including isolated vertices passed as self-loops."""
+    from big_data_spark.operators.components import connected_components
+
+    spark = _spark()
+    df = spark.createDataFrame(edges + [(99, 99)], "src long, dst long")
+    native = {
+        r.id: r.component
+        for r in connected_components(df, impl="native").collect()
+    }
+    star = {
+        r.id: r.component
+        for r in connected_components(df, impl="star").collect()
+    }
+    assert star == native
+    assert star[99] == 99
