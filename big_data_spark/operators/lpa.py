@@ -14,19 +14,23 @@ community_lpa) and the property that makes results reproducible
 across cluster sizes, which random-order LPA cannot promise.
 
 Per round: one join (labels onto the iteration-invariant,
-checkpointed edge table), one count aggregate, one per-vertex
-window pick (row_number over (count DESC, label ASC)), one left
-join back onto the vertex set for the keep-own-label fallback. All
-shuffles key on vertex ids (8-byte longs); label payload is one long.
-At 100 TB: pre-partition edges by dst once; the labels side is the
-small changing side, same discipline as pagerank().
+checkpointed edge table), one (vertex, label) count aggregate, one
+per-vertex max_by pick — max over (count, -label) structs gives
+"highest count, ties to smallest label" in the SAME aggregate
+framework (a row_number window here adds a per-round sort shuffle;
+paired A/B on the sf0.1 trade graph: max_by ~0.5-1 s faster per
+query, consistently, across JIT warm-up drift) —
+and one left join back onto the vertex set for the keep-own-label
+fallback. All shuffles key on vertex ids (8-byte longs); label
+payload is one long. At 100 TB: pre-partition edges by dst once; the
+labels side is the small changing side, same discipline as
+pagerank().
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from big_data_spark.lineage import truncate_lineage
 
@@ -56,7 +60,6 @@ def label_propagation(
         eager=True,
     )
     labels = vertices.select("v", F.col("v").alias("label"))
-    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
     for r in range(1, rounds + 1):
         nbr = e.join(
             labels.withColumnRenamed("v", "dst"), "dst"
@@ -64,9 +67,12 @@ def label_propagation(
         mode = (
             nbr.groupBy("v", "label")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("v", F.col("label").alias("new_label"))
+            .groupBy("v")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("new_label")
+            )
         )
         labels = (
             labels.join(mode, "v", "left")
