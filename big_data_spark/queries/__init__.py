@@ -117,6 +117,9 @@ _PYTEST_ONLY = (
     # Point-in-time SCD2 enrichment via the as-of operator; oracle is
     # the textbook BETWEEN join proving the equivalence.
     "temporal_join",
+    # Bigram-LM perplexity quality scoring (statistical complement to
+    # the heuristic text_quality / quality_gopher filters).
+    "lm_perplexity",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

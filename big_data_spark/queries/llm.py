@@ -2073,6 +2073,94 @@ PMI_MIN_PAIR = 20
 PMI_TOPK = 20
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document — the quality-filtering
+    signal LLM corpus pipelines rank on (boilerplate and gibberish
+    score high-perplexity under a corpus-trained LM; cf. the
+    heuristic filters in q_text_quality / q_quality_gopher, which
+    this complements with a statistical model).
+
+    Model: add-one-smoothed bigram LM trained on the corpus itself —
+    p(w|c) = (count(c w) + 1) / (count(c) + V). Per doc:
+    avg_nll = mean over positions of -ln p, ppl = exp(avg_nll).
+
+    Determinism: counts are exact integers, each term is a single ln
+    of a ratio of exact doubles (the PMI discipline); the only float
+    accumulation is the per-doc mean, whose summation-order spread
+    (~1e-12) sits far under the 1e-6/1e-3 output rounding.
+
+    Scale: the bigram model is a (bigram, count) table joined on
+    8-byte-hashable string keys — never broadcast (at 100 TB it is
+    billions of rows); the unigram/context table is vocab-sized and
+    AQE decides. One explode + three joins + one per-doc aggregate;
+    hot stopword contexts are exactly what AQE skew-split handles."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", _tokens().alias("t"))
+    n = F.size("t")
+    bg_arr = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bge = (
+        base.where(n >= 2)
+        .select("doc_id", F.explode(bg_arr).alias("bg"))
+        .withColumn("ctx", F.substring_index("bg", " ", 1))
+    )
+    bge = truncate_lineage(bge)
+    bgc = bge.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    uni = (
+        base.select(F.explode("t").alias("ctx"))
+        .groupBy("ctx")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    scored = (
+        bge.join(bgc, "bg")
+        .join(uni, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.log(F.col("cu") + F.col("v")) - F.log(F.col("cb") + F.lit(1.0))
+            ).alias("nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("nll", 6).alias("avg_nll"),
+        F.round(F.exp("nll"), 3).alias("ppl"),
+    ).orderBy("doc_id")
+
+
+ORACLE_LM_PERPLEXITY = f"""
+WITH base AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+bge AS (
+  SELECT doc_id, bg, split_part(bg, ' ', 1) AS ctx FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS bg
+    FROM base WHERE len(t) >= 2
+  )
+),
+bgc AS (SELECT bg, COUNT(*) AS cb FROM bge GROUP BY bg),
+uni AS (
+  SELECT tok AS ctx, COUNT(*) AS cu
+  FROM (SELECT unnest(t) AS tok FROM base) GROUP BY tok
+),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vv FROM uni),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         AVG(ln(cu + (SELECT vv FROM v)) - ln(cb + 1.0)) AS nll
+  FROM bge JOIN bgc USING (bg) JOIN uni USING (ctx)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, round(nll, 6) AS avg_nll, round(exp(nll), 3) AS ppl
+FROM scored ORDER BY doc_id
+"""
+
+
 def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information over adjacent token pairs — the
     collocation-mining pass (phrase detection, tokenizer-merge
@@ -2340,6 +2428,7 @@ QUERIES = {
     "semantic_search": q_semantic_search,
     "bm25_search": q_bm25_search,
     "pmi_cooccur": q_pmi_cooccur,
+    "lm_perplexity": q_lm_perplexity,
     "corpus_mix_temperature": q_corpus_mix_temperature,
     "stratified_sample": q_stratified_sample,
     "dedup_segments": q_dedup_segments,
@@ -2370,6 +2459,7 @@ ORACLE_SQL = {
     "semantic_search": ORACLE_SEMANTIC_SEARCH,
     "bm25_search": ORACLE_BM25_SEARCH,
     "pmi_cooccur": ORACLE_PMI_COOCCUR,
+    "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "corpus_mix_temperature": ORACLE_CORPUS_MIX_TEMPERATURE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "dedup_segments": ORACLE_DEDUP_SEGMENTS,
