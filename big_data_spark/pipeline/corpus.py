@@ -48,12 +48,27 @@ def prepare_corpus(
     sf_dir: str,
     out_dir: str | None = None,
     budget_frac: float = MIX_TEMP_BUDGET_FRAC,
+    max_ppl: float | None = None,
+    near_dedup: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(survivors, report): the prepared corpus (doc_id, lang,
     source, redacted text, n_tokens) and a per-stage funnel report
     (stage, n_docs) over the SAME single plan. When ``out_dir`` is
     given the survivors are also written as parquet partitioned by
-    lang (the downstream-training read pattern)."""
+    lang (the downstream-training read pattern).
+
+    Optional stages (both off by default — each adds wide work):
+
+    - ``max_ppl``: bigram-LM perplexity filter (the CCNet-style
+      statistical quality gate next to the heuristic ones) — drop
+      docs whose corpus-trained add-one bigram perplexity exceeds
+      the bound. Adds the LM count aggregates + two joins.
+    - ``near_dedup``: MinHash-LSH pairs closed into clusters via
+      connected components, keep-min-doc_id — the fuzzy sibling of
+      the exact-dedup stage, run AFTER it so verbatim copies never
+      reach the (more expensive) banding. Adds the LSH joins and the
+      iterative component closure (multi-action, unlike every other
+      stage — the price of transitive near-dup semantics)."""
     ensure_executor_package(spark)
     docs = parallelize_small_scan(read_table(spark, sf_dir, "documents"))
     toks = _tokens()
@@ -115,10 +130,62 @@ def prepare_corpus(
     staged = staged.withColumn("gopher_ok", gopher_ok).withColumn(
         "redacted", pii_redact(F.concat_ws(" ", "text_toks"))
     )
+    # --- optional: bigram-LM perplexity gate (CCNet-style) --------
+    if max_ppl is not None:
+        bge = staged.select(
+            "doc_id", F.explode(bigrams).alias("bg")
+        ).withColumn("ctx", F.substring_index("bg", " ", 1))
+        bge = truncate_lineage(bge)
+        bgc = bge.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+        uni = (
+            staged.select(F.explode("text_toks").alias("ctx"))
+            .groupBy("ctx")
+            .agg(F.count(F.lit(1)).alias("cu"))
+        )
+        vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+        ppl = (
+            bge.join(bgc, "bg")
+            .join(uni, "ctx")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("doc_id")
+            .agg(
+                F.exp(
+                    F.avg(
+                        F.log(F.col("cu") + F.col("v"))
+                        - F.log(F.col("cb") + F.lit(1.0))
+                    )
+                ).alias("_ppl")
+            )
+        )
+        staged = staged.join(ppl, "doc_id", "left").withColumn(
+            "ppl_ok", F.coalesce(F.col("_ppl") <= F.lit(max_ppl), F.lit(False))
+        ).drop("_ppl")
+
     # --- stage 4: exact dedup (one shuffle) -----------------------
     w_keep = F.min("doc_id").over(Window.partitionBy(F.md5("redacted")))
     staged = staged.withColumn("exact_keep", F.col("doc_id") == w_keep)
     staged = truncate_lineage(staged)
+
+    # --- optional: near-dup cluster dedup (LSH -> components) -----
+    if near_dedup:
+        from big_data_spark.operators.components import connected_components
+        from big_data_spark.queries.llm import minhash_lsh_pairs
+
+        pre = F.col("q_ok") & F.col("gopher_ok") & F.col("exact_keep")
+        if max_ppl is not None:
+            pre = pre & F.col("ppl_ok")
+        pairs = minhash_lsh_pairs(
+            staged.filter(pre).select("doc_id", F.col("redacted").alias("text"))
+        ).select("doc_a", "doc_b")
+        cc = connected_components(pairs, src="doc_a", dst="doc_b")
+        near_drop = (
+            cc.filter(F.col("id") != F.col("component"))
+            .select(F.col("id").alias("doc_id"))
+            .withColumn("_nd", F.lit(True))
+        )
+        staged = staged.join(near_drop, "doc_id", "left").withColumn(
+            "near_keep", F.col("_nd").isNull()
+        ).drop("_nd")
 
     # --- stage 5: semantic dedup prune list (cell-blocked) --------
     from big_data_spark.operators.ann import ivf_cell_from_dists, ivf_dists_expr
@@ -141,12 +208,19 @@ def prepare_corpus(
     ).withColumn("sem_keep", F.col("sem_drop").isNull()).drop("sem_drop")
 
     # --- stage 6: temperature mix over the deduped survivors ------
-    surv = (
-        F.col("q_ok")
-        & F.col("gopher_ok")
-        & F.col("exact_keep")
-        & F.col("sem_keep")
-    )
+    # Ordered survival flags; the funnel report below is generated
+    # from this list, so optional stages slot in without renumbering
+    # by hand (default config keeps the historical stage names).
+    stage_flags = [("quality", "q_ok"), ("gopher", "gopher_ok")]
+    if max_ppl is not None:
+        stage_flags.append(("perplexity", "ppl_ok"))
+    stage_flags.append(("exact_dedup", "exact_keep"))
+    if near_dedup:
+        stage_flags.append(("near_dedup", "near_keep"))
+    stage_flags.append(("semantic_dedup", "sem_keep"))
+    surv = F.lit(True)
+    for _, c in stage_flags:
+        surv = surv & F.col(c)
     staged = staged.withColumn("surv", surv)
     per_src = (
         staged.filter("surv").groupBy("source").agg(F.sum("n_tokens").alias("m"))
@@ -182,27 +256,20 @@ def prepare_corpus(
     survivors = staged.filter("mix_keep").select(
         "doc_id", "lang", "source", F.col("redacted").alias("text"), "n_tokens"
     )
-    report = (
-        staged.agg(
-            F.count(F.lit(1)).alias("0_input"),
-            F.sum(F.col("q_ok").cast("long")).alias("1_quality"),
-            F.sum((F.col("q_ok") & F.col("gopher_ok")).cast("long")).alias(
-                "2_gopher"
-            ),
-            F.sum(
-                (F.col("q_ok") & F.col("gopher_ok") & F.col("exact_keep")).cast(
-                    "long"
-                )
-            ).alias("3_exact_dedup"),
-            F.sum(F.col("surv").cast("long")).alias("4_semantic_dedup"),
-            F.sum(F.col("mix_keep").cast("long")).alias("5_mixed"),
-        )
-        .selectExpr(
-            "stack(6, '0_input', `0_input`, '1_quality', `1_quality`, "
-            "'2_gopher', `2_gopher`, '3_exact_dedup', `3_exact_dedup`, "
-            "'4_semantic_dedup', `4_semantic_dedup`, '5_mixed', `5_mixed`) "
-            "AS (stage, n_docs)"
-        )
+    agg_exprs = [F.count(F.lit(1)).alias("0_input")]
+    names = ["0_input"]
+    cum = F.lit(True)
+    for i, (stage_name, c) in enumerate(stage_flags, start=1):
+        cum = cum & F.col(c)
+        alias = f"{i}_{stage_name}"
+        agg_exprs.append(F.sum(cum.cast("long")).alias(alias))
+        names.append(alias)
+    mixed = f"{len(stage_flags) + 1}_mixed"
+    agg_exprs.append(F.sum(F.col("mix_keep").cast("long")).alias(mixed))
+    names.append(mixed)
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    report = staged.agg(*agg_exprs).selectExpr(
+        f"stack({len(names)}, {stack}) AS (stage, n_docs)"
     )
     if out_dir is not None:
         survivors.write.mode("error").partitionBy("lang").parquet(out_dir)

@@ -447,19 +447,20 @@ LSH_BANDS = ((0, 1), (2, 3), (4, 5))
 MINHASH_THRESHOLD = 0.2
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup with *deterministic* hashes: signature_i =
-    min(md5(i|shingle)); band key = md5 of its signature pair;
-    candidates share >=1 band bucket, then exact-Jaccard verified.
-    This is the scale path for n-gram dedup — the inverted index runs
-    over O(bands x docs) band keys instead of every shingle, and the
-    exact verify touches only candidate pairs.
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash+LSH near-dup pairs over any (doc_id, text) DataFrame
+    with *deterministic* hashes: signature_i = min(md5(i|shingle));
+    band key = md5 of its signature pair; candidates share >=1 band
+    bucket, then exact-Jaccard verified. This is the scale path for
+    n-gram dedup — the inverted index runs over O(bands x docs) band
+    keys instead of every shingle, and the exact verify touches only
+    candidate pairs. (Query twin: q_dedup_minhash_lsh; pipeline
+    consumer: pipeline/corpus.py's near-dedup stage.)
 
     Shuffle budget: signatures are array_min over transform — a narrow
     per-row op, NO explode/groupBy shuffle; the only wide ops are the
     band-bucket self-join and the two candidate->shingle-array joins
     (n_common via array_intersect, not a posting-list join)."""
-    docs = _docs(spark, sf_dir)
     # Shingle arrays + signatures are rebuilt by every consumer below
     # (two join sides + verify) and higher-order funcs are codegen
     # fallback, so materialize once: ~#docs rows of small arrays.
@@ -530,6 +531,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
 def _sql_sig() -> str:

@@ -68,3 +68,38 @@ def test_partitioned_write(spark, tmp_path):
         back.select(F.countDistinct("lang")).collect()[0][0]
         == survivors.select(F.countDistinct("lang")).collect()[0][0]
     )
+
+
+def test_optional_perplexity_and_near_dedup_stages(spark):
+    """With both optional gates on, the funnel renumbers itself, the
+    perplexity stage drops the statistical outliers the heuristics
+    keep, and near-dedup removes every non-canonical member of each
+    LSH/Jaccard cluster while keeping the minimum doc_id."""
+    from big_data_spark.operators.components import connected_components
+    from big_data_spark.queries.llm import minhash_lsh_pairs
+
+    survivors, report = prepare_corpus(
+        spark, SF_SMOKE, max_ppl=2000.0, near_dedup=True
+    )
+    r = _report_dict(report)
+    order = [
+        "0_input",
+        "1_quality",
+        "2_gopher",
+        "3_perplexity",
+        "4_exact_dedup",
+        "5_near_dedup",
+        "6_semantic_dedup",
+        "7_mixed",
+    ]
+    vals = [r[k] for k in order]
+    assert vals[0] == 500
+    assert all(a >= b for a, b in zip(vals, vals[1:])), vals
+    assert r["5_near_dedup"] < r["4_exact_dedup"], "near-dup must drop"
+    # No surviving pair is a near-dup of another survivor: the pair
+    # set over survivors' texts must be empty.
+    surv_docs = survivors.select(
+        "doc_id", F.col("text")
+    )
+    left = minhash_lsh_pairs(surv_docs).count()
+    assert left == 0
