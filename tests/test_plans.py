@@ -141,3 +141,33 @@ def test_pipeline_part1_groups_single_window_per_user(spark):
     plan = _plan(spark, "pipeline_part1_groups")
     assert "BatchEvalPython" not in plan
     assert re.search(r"Window.*user_id", plan), plan[:2000]
+
+
+def test_temporal_join_is_one_union_window_not_range_join(spark):
+    """The point-in-time join must compile to the as-of union+window
+    shape: no BroadcastNestedLoopJoin / CartesianProduct (the range
+    join would appear as one) and a Window over the key partition."""
+    plan = _plan(spark, "temporal_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_sql_door_pushes_filters_like_dataframes(spark):
+    """Raw spark.sql text gets the same Catalyst treatment: the
+    mktsegment predicate reaches the customer parquet scan."""
+    plan = _plan(spark, "sql_portable_revenue")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("EqualTo(c_mktsegment,BUILDING)" in p for p in pushed), plan[:3000]
+
+
+def test_lm_perplexity_never_broadcasts_the_bigram_model(spark):
+    """The bigram count table is billions of rows at scale — the plan
+    must not carry a broadcast hint on it (the only broadcasts are
+    the 1-row vocab scalar and whatever AQE proves small itself).
+    Guarded structurally: no BatchEvalPython, and the explode feeding
+    the model is present (JVM generate), i.e. the model is built
+    in-plan, not collected."""
+    plan = _plan(spark, "lm_perplexity")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan
