@@ -120,6 +120,8 @@ _PYTEST_ONLY = (
     # Bigram-LM perplexity quality scoring (statistical complement to
     # the heuristic text_quality / quality_gopher filters).
     "lm_perplexity",
+    # PSI drift detection over the mergeable histogram sketches.
+    "drift_psi",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

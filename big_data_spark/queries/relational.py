@@ -2303,6 +2303,64 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.orderBy("vertex", "landmark")
 
 
+PSI_LO, PSI_HI, PSI_BINS = 900.0, 105000.0, 32
+PSI_SPLIT = "1998-07-01"
+PSI_EPS = 1e-6
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: Population Stability Index of
+    the l_extendedprice distribution per return flag, early shipments
+    vs late (split at PSI_SPLIT) — the monitoring pass that catches a
+    feed silently changing shape. Routed through the sketch family:
+    one fixed-bin histogram per side (operators/histogram.py
+    hist_sketch — mergeable, streaming-safe), then hist_psi compares
+    n_keys x n_bins COUNT rows, never the raw data twice.
+
+    Determinism: bucket assignment is one float expression mirrored
+    literally in the oracle; probabilities are single divisions of
+    exact counts, one ln per bucket ratio (the PMI discipline), and
+    the <=32-term per-key sum sits far inside the 1e-6 rounding."""
+    from big_data_spark.operators.histogram import hist_psi, hist_sketch
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_shipdate"
+    )
+    early = li.filter(F.col("l_shipdate") < F.lit(PSI_SPLIT).cast("timestamp"))
+    late = li.filter(F.col("l_shipdate") >= F.lit(PSI_SPLIT).cast("timestamp"))
+    ha = hist_sketch(early, ["l_returnflag"], "l_extendedprice", PSI_LO, PSI_HI, PSI_BINS)
+    hb = hist_sketch(late, ["l_returnflag"], "l_extendedprice", PSI_LO, PSI_HI, PSI_BINS)
+    return (
+        hist_psi(ha, hb, ["l_returnflag"], eps=PSI_EPS)
+        .select("l_returnflag", F.round("psi", 6).alias("psi"))
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_DRIFT_PSI = f"""
+WITH binned AS (
+  SELECT l_returnflag,
+         l_shipdate < TIMESTAMP '{PSI_SPLIT} 00:00:00' AS early,
+         CAST(LEAST(GREATEST(floor((l_extendedprice - {PSI_LO!r}) / {PSI_HI - PSI_LO!r} * {PSI_BINS}), 0), {PSI_BINS - 1}) AS INT) AS bucket
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+ca AS (SELECT l_returnflag, bucket, COUNT(*) AS n FROM binned WHERE early GROUP BY 1, 2),
+cb AS (SELECT l_returnflag, bucket, COUNT(*) AS n FROM binned WHERE NOT early GROUP BY 1, 2),
+ta AS (SELECT l_returnflag, SUM(n) AS tot FROM ca GROUP BY 1),
+tb AS (SELECT l_returnflag, SUM(n) AS tot FROM cb GROUP BY 1),
+pa AS (SELECT ca.l_returnflag, bucket, ca.n / ta.tot AS p FROM ca JOIN ta USING (l_returnflag)),
+pb AS (SELECT cb.l_returnflag, bucket, cb.n / tb.tot AS p FROM cb JOIN tb USING (l_returnflag)),
+j AS (
+  SELECT l_returnflag,
+         GREATEST(COALESCE(pa.p, 0.0), {PSI_EPS!r}) AS qa,
+         GREATEST(COALESCE(pb.p, 0.0), {PSI_EPS!r}) AS qb
+  FROM pa FULL OUTER JOIN pb USING (l_returnflag, bucket)
+)
+SELECT l_returnflag, round(SUM((qa - qb) * (ln(qa) - ln(qb))), 6) AS psi
+FROM j GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ONE SQL string, two engines: executed by Spark via the catalog
 # module's temp views AND by DuckDB verbatim as its own oracle. The
 # portability contract: ANSI joins/aggregates, TIMESTAMP literals,
@@ -2582,6 +2640,7 @@ QUERIES = {
     "shortest_paths": q_shortest_paths,
     "community_lpa": q_community_lpa,
     "sql_portable_revenue": q_sql_portable_revenue,
+    "drift_psi": q_drift_psi,
     "cohort_retention": q_cohort_retention,
     "dq_report": q_dq_report,
     "cube_sales": q_cube_sales,
@@ -2638,6 +2697,7 @@ ORACLE_SQL = {
     "shortest_paths": ORACLE_SHORTEST_PATHS,
     "community_lpa": ORACLE_COMMUNITY_LPA,
     "sql_portable_revenue": PORTABLE_REVENUE_SQL,
+    "drift_psi": ORACLE_DRIFT_PSI,
     "cohort_retention": ORACLE_COHORT,
     "dq_report": ORACLE_DQ_REPORT,
     "cube_sales": ORACLE_CUBE,

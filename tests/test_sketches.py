@@ -479,3 +479,34 @@ def test_hist_sketch_over_a_stream(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_hist_psi_detects_shift_and_zeroes_on_identity(spark):
+    """PSI of a distribution against itself is exactly 0; shifting
+    the distribution moves PSI past the 0.25 'major shift' line; and
+    PSI over merged sketch halves equals PSI over the whole — drift
+    monitoring composes with the mergeable-sketch contract."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.histogram import (
+        hist_merge,
+        hist_psi,
+        hist_sketch,
+    )
+
+    base = spark.range(4000).select(
+        F.lit("k").alias("key"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    shifted = base.withColumn("v", F.col("v") + 50.0)
+    ha = hist_sketch(base, ["key"], "v", 0.0, 200.0, 40)
+    hb = hist_sketch(shifted, ["key"], "v", 0.0, 200.0, 40)
+    same = hist_psi(ha, ha, ["key"]).collect()[0]
+    assert same["psi"] == 0.0
+    moved = hist_psi(ha, hb, ["key"]).collect()[0]
+    assert moved["psi"] > 0.25
+    # Merge halves -> identical PSI to the monolithic sketch.
+    h1 = hist_sketch(base.filter("id % 2 = 0"), ["key"], "v", 0.0, 200.0, 40)
+    h2 = hist_sketch(base.filter("id % 2 = 1"), ["key"], "v", 0.0, 200.0, 40)
+    merged = hist_merge(h1, h2, key_cols=["key"])
+    via_merge = hist_psi(merged, hb, ["key"]).collect()[0]
+    assert abs(via_merge["psi"] - moved["psi"]) < 1e-12
