@@ -7,7 +7,7 @@ line-by-line map) plus the training-data-pipeline and lakehouse
 extensions (dedup, ANN, multimodal, text analysis, decontamination,
 MERGE INTO / CDC apply, the data-quality gate, streaming incl. a
 watermarked stream-stream interval join, range join) with DuckDB
-oracles. The registry holds 88 oracle-paired queries in total
+oracles. The registry holds 89 oracle-paired queries in total
 (round 6 added dedup_clusters — LSH pairs closed into canonical
 groups via connected components; pagerank_topn — frozen-iteration
 PageRank vs an unrolled-CTE oracle; shortest_paths — landmark

@@ -122,6 +122,8 @@ _PYTEST_ONLY = (
     "lm_perplexity",
     # PSI drift detection over the mergeable histogram sketches.
     "drift_psi",
+    # Recall@k self-evaluation of the IVF index vs the exact scan.
+    "ann_recall",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

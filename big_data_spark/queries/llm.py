@@ -1215,6 +1215,83 @@ ORDER BY cosine DESC, vec_id LIMIT {IVF_K}
 ORACLE_ANN_IVF = _sql_ann_ivf()
 
 
+def _ivf_cos_sql() -> str:
+    """Spark-SQL cosine of `embedding` against the frozen query
+    vector, as one string (shared by the IVF search and the exact
+    baseline so recall compares identical scores)."""
+    from big_data_spark.operators.ann import _dlit
+
+    query = _ivf_query_vector()
+    q_sql = "array(" + ", ".join(_dlit(x) for x in query) + ")"
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    return (
+        f"round(({dot('embedding', q_sql)}) / "
+        f"(sqrt({dot('embedding', 'embedding')}) * sqrt({dot(q_sql, q_sql)})), 6)"
+    )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against the exact scan, for the same
+    frozen query vector — the self-evaluation every ANN deployment
+    needs (an index you cannot score is an index you cannot trust).
+    Both sides are deterministic (frozen centroids, frozen query,
+    tie-broken top-k), so even the QUALITY measurement is
+    cross-engine checkable, not just the result sets.
+
+    Scale: the exact side is the linear brute-force scan — this row
+    is the periodic audit you run on a sample, not the serving path;
+    the IVF side prunes to n_probe/n_cells of the corpus as usual."""
+    ivf_ids = q_ann_ivf(spark, sf_dir).select("vec_id")
+    exact_ids = (
+        _emb(spark, sf_dir)
+        .selectExpr("vec_id", f"{_ivf_cos_sql()} AS cosine")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(IVF_K)
+        .select("vec_id")
+    )
+    return (
+        ivf_ids.join(exact_ids, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select(
+            F.lit(IVF_K).alias("k"),
+            "n_hit",
+            F.round(F.col("n_hit") / F.lit(IVF_K), 4).alias("recall"),
+        )
+    )
+
+
+def _sql_ann_recall() -> str:
+    query = _ivf_query_vector()
+
+    def lit_list(xs: list[float]) -> str:
+        return "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in xs) + "]"
+
+    q = lit_list(query)
+    ivf_select = ORACLE_ANN_IVF.strip()
+    return f"""
+WITH ivf AS (SELECT vec_id FROM ({ivf_select}) t),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, round({_sql_cosine('embedding', q)}, 6) AS cosine
+    FROM embeddings
+  ) ORDER BY cosine DESC, vec_id LIMIT {IVF_K}
+)
+SELECT {IVF_K} AS k, COUNT(*) AS n_hit,
+       round(COUNT(*) / {float(IVF_K)!r}, 4) AS recall
+FROM ivf JOIN exact USING (vec_id)
+"""
+
+
+ORACLE_ANN_RECALL = _sql_ann_recall()
+
+
 # --------------------------------------------------------------------
 # Corpus-cleaning composition (the end-to-end training-data shape)
 # --------------------------------------------------------------------
@@ -2423,6 +2500,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_recall": q_ann_recall,
     "corpus_clean": q_corpus_clean,
     "decontaminate": q_decontaminate,
     "vocab_coverage": q_vocab_coverage,
@@ -2454,6 +2532,7 @@ ORACLE_SQL = {
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     "ann_hyperplane_lsh": ORACLE_ANN_HYPERPLANE,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_recall": ORACLE_ANN_RECALL,
     "corpus_clean": ORACLE_CORPUS_CLEAN,
     "decontaminate": ORACLE_DECONTAMINATE,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
