@@ -29,6 +29,19 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         default=0.5,
         help="token budget as a fraction of the deduped survivors' tokens",
     )
+    parser.add_argument(
+        "--max-ppl",
+        type=float,
+        default=None,
+        help="enable the bigram-LM perplexity gate: drop docs whose "
+        "corpus-trained perplexity exceeds this bound",
+    )
+    parser.add_argument(
+        "--near-dedup",
+        action="store_true",
+        help="enable transitive near-dup clustering (MinHash-LSH pairs "
+        "closed via connected components, keep-min-id)",
+    )
     args = parser.parse_args(argv)
 
     owns_session = spark is None
@@ -37,7 +50,12 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         spark.sparkContext.setLogLevel("WARN")
     try:
         _, report = prepare_corpus(
-            spark, args.sf_dir, out_dir=args.out_dir, budget_frac=args.budget_frac
+            spark,
+            args.sf_dir,
+            out_dir=args.out_dir,
+            budget_frac=args.budget_frac,
+            max_ppl=args.max_ppl,
+            near_dedup=args.near_dedup,
         )
         funnel = {r.stage: r.n_docs for r in report.collect()}
         print(json.dumps({"funnel": funnel, "out_dir": args.out_dir}))
