@@ -58,6 +58,10 @@ def shortest_paths(
     """
     if not landmarks:
         raise ValueError("shortest_paths needs at least one landmark")
+    # Dedupe: a repeated landmark would seed duplicate (v, v, 0) rows
+    # that survive to the output (the frontier groupBy dedups
+    # expansions, not the seeds).
+    landmarks = sorted(set(landmarks))
     e = truncate_lineage(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct(),
