@@ -12,7 +12,7 @@ oracles. The registry holds 89 oracle-paired queries in total
 groups via connected components; pagerank_topn — frozen-iteration
 PageRank vs an unrolled-CTE oracle; shortest_paths — landmark
 BFS distances vs a recursive-CTE oracle; and community_lpa —
-deterministic synchronous label propagation); the 34 past the
+deterministic synchronous label propagation); the 39 past the
 50-row driver cap are oracle-checked in pytest
 (tests/test_oracle.py) and by the full gate mirror
 (tools/gate_sim.py) at sf0.001/0.01/0.1, rotating into driver slots

@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from big_data_spark.session import get_spark  # noqa: E402
+from big_data_spark.session import get_spark, quiet_logs, stop_spark  # noqa: E402
 from big_data_spark.queries import QUERIES_ALL as QUERIES  # noqa: E402
 
 # Representative of every operator family: scan-agg, multiway join,
@@ -72,23 +72,11 @@ def main() -> None:
         app_name="big_data_spark-bench",
         shuffle_partitions=int(override) if override else None,
     )
-    spark.sparkContext.setLogLevel("ERROR")
-    # Micro-batch teardown of the streaming rows intermittently logs a
-    # benign one-burst ERROR stack ("attempted to access non-existent
-    # accumulator") when state-store task completions race the
-    # just-stopped query's accumulator unregistration. It is noise in
-    # the round artifact: rc and the JSON line (incl. the `errors`
-    # field, which records every REAL per-query failure from the
-    # try/except below) carry the actual signal, so scope that logger
-    # to FATAL for this session only.
-    try:
-        jvm = spark._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.scheduler.DAGScheduler",
-            jvm.org.apache.logging.log4j.Level.FATAL,
-        )
-    except Exception:  # noqa: BLE001 — logging config must never fail the run
-        pass
+    # Shared tool-session log scoping (session.quiet_logs): rc and
+    # the JSON line (incl. the `errors` field, which records every
+    # REAL per-query failure from the try/except below) carry the
+    # actual signal; the known benign teardown stack is muted.
+    quiet_logs(spark)
     timings: dict[str, float] = {}
     # Warm the JVM + parquet footers once so timings measure the
     # queries, not session startup. Warm-up failures are per-query
@@ -158,16 +146,6 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — record, keep going
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
-        # Stop any streaming query a timed run left registered before
-        # the session drops it: a teardown racing late accumulator
-        # updates logs an ERROR-level DAGScheduler stack into the
-        # bench artifact even though rc=0 (round-5 verdict item).
-        try:
-            for q in spark.streams.active:
-                q.stop()
-                q.awaitTermination(30)
-        except Exception:  # noqa: BLE001 — teardown must never mask results
-            pass
         total = round(sum(timings.values()), 3)
         record: dict = {
             "metric": "headline_suite_seconds",
@@ -180,7 +158,9 @@ def main() -> None:
         if errors:
             record["errors"] = errors
         print(json.dumps(record))
-    spark.stop()
+    # Streams stopped before session drop (round-5 verdict item),
+    # now via the shared session.stop_spark helper.
+    stop_spark(spark)
 
 
 if __name__ == "__main__":

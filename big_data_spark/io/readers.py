@@ -341,5 +341,10 @@ def read_pruned(
     if not kept:
         # Every file provably misses the range: empty result, real schema.
         return spark.read.parquet(path).where(F.lit(False))
-    df = spark.read.parquet(*kept)
+    # basePath keeps hive-style partition columns in the schema when
+    # the dataset is partitioned (round-6 advice: without it a
+    # residual filter on a partition column fails / diverges from the
+    # documented full-scan-filter equivalence); harmless when the
+    # layout is flat.
+    df = spark.read.option("basePath", path).parquet(*kept)
     return df.filter(cond) if residual else df

@@ -333,20 +333,52 @@ def write_snapshot_partial(
     prev = latest_manifest(spark, table_dir, below=snapshot_id)
     fields = _schema_fields(df)
     check_schema_evolution((prev or {}).get("schema"), fields)
+    # Layout-compatibility gate (round-6 advice): carrying forward a
+    # predecessor that is unpartitioned (a "" whole-table entry from
+    # write_snapshot/merge_snapshot) or partitioned on a DIFFERENT
+    # column would leave the old generation live alongside the new
+    # per-partition entries — readers would silently see duplicate /
+    # stale rows for every touched partition. Force the explicit
+    # full rewrite instead.
+    if prev is not None:
+        prev_col = prev.get("partition_col")
+        if "" in prev["entries"] or prev_col != partition_col:
+            raise ValueError(
+                "write_snapshot_partial on a table whose current "
+                f"snapshot is {'unpartitioned' if '' in prev['entries'] else f'partitioned on {prev_col!r}'} "
+                f"(requested partition_col={partition_col!r}) — a "
+                "partial write cannot atomically re-layout; publish a "
+                "full write_snapshot of the re-partitioned table first."
+            )
+    if any(key is None for key in touched_keys):
+        raise ValueError(
+            "write_snapshot_partial: null partition keys are not "
+            "supported (Spark writes them as __HIVE_DEFAULT_PARTITION__, "
+            "which cannot round-trip through the manifest keys)"
+        )
     entries = dict(prev["entries"]) if prev else {}
     gdir = clear_generation(spark, table_dir, snapshot_id)
     df.write.mode("error").partitionBy(partition_col).parquet(gdir)
     fs, gpath = hadoop_fs(spark, gdir)
-    written = set()
+    # Written dir names are hive-ESCAPED (%, /, ':', '=', ... become
+    # %XX); manifest entry keys are the RAW partition values, so the
+    # reconcile below (pop str(key) / insert written key) stays
+    # consistent for values Spark escapes (round-6 advice).
+    unescape = (
+        spark._jvm.org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName
+    )
+    written: dict[str, str] = {}
     for st in fs.listStatus(gpath):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith(f"{partition_col}="):
-            written.add(name.split("=", 1)[1])
+            escaped = name.split("=", 1)[1]
+            written[unescape(escaped)] = escaped
     for key in touched_keys:
         entries.pop(str(key), None)
-    for key in written:
+    for key, escaped in written.items():
         entries[key] = posixpath.join(
-            _DATA_DIR, f"s={snapshot_id}", f"{partition_col}={key}"
+            _DATA_DIR, f"s={snapshot_id}", f"{partition_col}={escaped}"
         )
     commit_manifest(
         spark,
@@ -370,6 +402,7 @@ def vacuum_snapshots(
         raise ValueError("keep_last must be >= 2 (replay reads n-1)")
     ids = snapshot_ids(spark, table_dir)
     expired, kept = ids[:-keep_last], ids[-keep_last:]
+    newest = ids[-1] if ids else -1
     live_gens = set()
     for sid in kept:
         for rel in read_manifest(spark, table_dir, sid)["entries"].values():
@@ -386,7 +419,26 @@ def vacuum_snapshots(
     if fs.exists(dpath):
         for st in fs.listStatus(dpath):
             name = st.getPath().getName()
-            if st.isDirectory() and name not in live_gens:
-                fs.delete(st.getPath(), True)
-                removed.append(name)
-    return {"expired_manifests": expired, "removed_generations": removed}
+            if not st.isDirectory() or name in live_gens:
+                continue
+            # In-flight-writer guard (round-6 advice): a generation id
+            # ABOVE the newest committed manifest belongs to a writer
+            # in its df.write -> commit_manifest window (e.g. a running
+            # CDC-mirror batch). Deleting it would either make the
+            # writer commit a manifest pointing at vanished data or
+            # silently shrink a partial write's manifest. Leave such
+            # dirs alone — if the writer crashed, its own replay (or a
+            # later vacuum, once newer snapshots commit past it)
+            # reclaims them.
+            try:
+                gen_id = int(name.split("=", 1)[1])
+            except (IndexError, ValueError):
+                gen_id = None
+            if gen_id is not None and gen_id > newest:
+                continue
+            fs.delete(st.getPath(), True)
+            removed.append(name)
+    return {
+        "expired_manifests": expired,
+        "removed_generations": removed,
+    }

@@ -109,6 +109,7 @@ def _star_components(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
 
+    converged = False
     for _ in range(max_iterations):
         m = nbr_min(e)
         large = (
@@ -133,8 +134,19 @@ def _star_components(
             and new_e.exceptAll(e).limit(1).count() == 0
         ):
             e = new_e
+            converged = True
             break
         e = new_e
+    if not converged:
+        # The post-loop min-neighbor root mapping is only valid on a
+        # CONVERGED star graph — returning it early would silently
+        # split components. Match the native pointer-doubling
+        # implementation's contract and fail loudly (round-6 advice).
+        raise RuntimeError(
+            f"star connected-components did not converge within "
+            f"{max_iterations} iterations — raise max_iterations "
+            "(rounds needed are O(log^2 n))"
+        )
     # Star fixpoint: every edge points at (or from) the component
     # root; isolated-in-input vertices (self-loops dropped by _sym)
     # fall back to themselves via the left join.

@@ -10,7 +10,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from big_data_spark.session import get_spark  # noqa: E402
+from big_data_spark.session import get_spark, quiet_logs, stop_spark  # noqa: E402
 
 TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 SF_SMOKE = f"{TESTDATA_ROOT}/sf0.001"
@@ -25,8 +25,9 @@ TABLES = (
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="big_data_spark-tests", shuffle_partitions=8)
+    quiet_logs(spark)
     yield spark
-    spark.stop()
+    stop_spark(spark)
 
 
 @pytest.fixture(scope="session")

@@ -72,6 +72,17 @@ def test_connected_components_chain(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_star_components_raise_on_iteration_exhaustion(spark):
+    """An unconverged star loop must fail loudly, not return split
+    components (round-6 advice: the post-loop root mapping is only
+    valid at the star fixpoint, matching the native impl's contract)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, impl="star", max_iterations=1)
+
+
 def test_connected_components_auto_falls_back_to_native(spark):
     from big_data_spark.operators.components import graphframes_available
 

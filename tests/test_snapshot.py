@@ -115,6 +115,56 @@ def test_untouched_buckets_carry_forward_by_reference(spark, tmp_path):
     assert _rows(read_snapshot(spark, t)) == {(1, "a2", 0), (2, "b", 1)}
 
 
+def test_partial_write_refuses_incompatible_predecessor_layout(
+    spark, tmp_path
+):
+    """A partial write over an unpartitioned (or differently
+    partitioned) predecessor would leave the whole-table generation
+    live next to per-partition entries — duplicate rows for every
+    touched key. The API must force the explicit full rewrite
+    (round-6 advice)."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(_bucketed(spark, [(1, "a", 0), (2, "b", 1)]), t)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        write_snapshot_partial(
+            _bucketed(spark, [(1, "a2", 0)]), t, 1, "_kb", [0]
+        )
+    t2 = str(tmp_path / "tbl2")
+    write_snapshot_partial(_bucketed(spark, [(1, "a", 0)]), t2, 0, "_kb", [0])
+    with pytest.raises(ValueError, match="partitioned on '_kb'"):
+        write_snapshot_partial(
+            _bucketed(spark, [(1, "a", 0)]), t2, 1, "k", [1]
+        )
+    with pytest.raises(ValueError, match="null partition keys"):
+        write_snapshot_partial(
+            _bucketed(spark, [(1, "a", 0)]), t2, 1, "_kb", [None]
+        )
+
+
+def test_partial_write_roundtrips_hive_escaped_string_keys(
+    spark, tmp_path
+):
+    """String partition values Spark hive-escapes on disk (':', '%',
+    '/', '=') must reconcile against manifest keys by their RAW
+    value: a rewrite of such a key replaces its entry instead of
+    duplicating it (round-6 advice)."""
+    t = str(tmp_path / "tbl")
+    df0 = spark.createDataFrame(
+        [(1, "a:b"), (2, "c/d"), (3, "plain")], "k int, part string"
+    )
+    write_snapshot_partial(df0, t, 0, "part", ["a:b", "c/d", "plain"])
+    entries = latest_manifest(spark, t)["entries"]
+    assert set(entries) == {"a:b", "c/d", "plain"}
+    df1 = spark.createDataFrame([(10, "a:b")], "k int, part string")
+    write_snapshot_partial(df1, t, 1, "part", ["a:b"])
+    entries = latest_manifest(spark, t)["entries"]
+    assert set(entries) == {"a:b", "c/d", "plain"}  # no stale duplicate
+    assert entries["a:b"].startswith("_data/s=1/")
+    assert _rows(read_snapshot(spark, t)) == {
+        (10, "a:b"), (2, "c/d"), (3, "plain")
+    }
+
+
 def test_vacuum_expires_manifests_and_unreferenced_generations(
     spark, tmp_path
 ):
@@ -123,18 +173,35 @@ def test_vacuum_expires_manifests_and_unreferenced_generations(
         write_snapshot(
             spark.createDataFrame([(i, "v")], "k int, v string"), t
         )
-    junk_gen = generation_dir(t, 99)  # orphan from a crashed writer
+    junk_gen = generation_dir(t, 99)  # data written, manifest not yet
     spark.createDataFrame([(99, "junk")], "k int, v string").write.parquet(
         junk_gen
     )
     res = vacuum_snapshots(spark, t, keep_last=2)
     assert res["expired_manifests"] == [0, 1]
-    assert "s=99" in res["removed_generations"]
+    # s=99 sits ABOVE the newest committed snapshot (3): it may be an
+    # in-flight writer between df.write and commit_manifest, so vacuum
+    # must not touch it (round-6 advice — deleting it would let the
+    # writer commit a manifest pointing at vanished data).
+    assert "s=99" not in res["removed_generations"]
+    assert os.path.isdir(junk_gen)
     assert snapshot_ids(spark, t) == [2, 3]
     assert _rows(read_snapshot(spark, t)) == {(3, "v")}
     assert _rows(read_snapshot(spark, t, as_of=2)) == {(2, "v")}
     with pytest.raises(ValueError, match="keep_last"):
         vacuum_snapshots(spark, t, keep_last=1)
+    # Once commits pass the orphan's id it is provably dead (no
+    # manifest ever claimed it) and the next vacuum reclaims it.
+    write_snapshot(
+        spark.createDataFrame([(4, "v")], "k int, v string"), t,
+        snapshot_id=100,
+    )
+    write_snapshot(
+        spark.createDataFrame([(5, "v")], "k int, v string"), t
+    )
+    res2 = vacuum_snapshots(spark, t, keep_last=2)
+    assert "s=99" in res2["removed_generations"]
+    assert not os.path.isdir(junk_gen)
 
 
 def test_vacuum_keeps_generations_referenced_by_kept_manifests(

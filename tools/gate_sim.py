@@ -148,6 +148,9 @@ def main() -> int:
             else:
                 print(f"ok   {name} ({dt:.1f}s, {len(spark_pdf)} rows)")
         con.close()
+    from big_data_spark.session import stop_spark
+
+    stop_spark(spark)
     print(f"\n{'ALL GREEN' if not failures else f'{failures} FAILURES'}")
     return 1 if failures else 0
 

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from big_data_spark.session import get_spark  # noqa: E402
+from big_data_spark.session import get_spark, quiet_logs, stop_spark  # noqa: E402
 from big_data_spark.streaming.ingest import read_lake, run_dedup_ingest  # noqa: E402
 
 
@@ -28,7 +28,7 @@ def main() -> None:
     mults = [int(m) for m in sys.argv[1:]] or [1, 4, 16]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="ingest-scale")
-    spark.sparkContext.setLogLevel("ERROR")
+    quiet_logs(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -70,7 +70,7 @@ def main() -> None:
             f"{dt:.1f}s, {int(n_in / dt)} rows/s"
         )
         assert n_out == base_n * ((m + 1) // 2), (n_out, m, base_n)
-    spark.stop()
+    stop_spark(spark)
 
 
 if __name__ == "__main__":

@@ -34,10 +34,10 @@ FORBIDDEN = ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct")
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from big_data_spark.queries import QUERIES_ALL
-    from big_data_spark.session import get_spark
+    from big_data_spark.session import get_spark, quiet_logs, stop_spark
 
     spark = get_spark(app_name="plan-audit", shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
+    quiet_logs(spark)
     bad = []
     for name, fn in sorted(QUERIES_ALL.items()):
         try:
@@ -53,7 +53,7 @@ def main() -> int:
         print(f"{tag:28s} {name:28s} exchanges={n_ex} arrow_kernels={n_arrow}")
         if hits:
             bad.append((name, hits))
-    spark.stop()
+    stop_spark(spark)
     if bad:
         print(f"\nFLAGGED: {bad}")
         return 1

@@ -41,7 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from big_data_spark.session import get_spark  # noqa: E402
+from big_data_spark.session import get_spark, quiet_logs, stop_spark  # noqa: E402
 
 HOT_SENTENCE = (
     "all rights reserved see terms of service for details about cookies"
@@ -120,7 +120,7 @@ def main() -> int:
     spark = get_spark(
         app_name="skew-stress", extra_conf={"spark.ui.enabled": "true"}
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    quiet_logs(spark)
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
 
@@ -163,6 +163,7 @@ def main() -> int:
             print(
                 f"| {lead} | {sid}: {sname} | {ntasks} | {med:.3f} | {mx:.3f} | {ratio:.1f}x |"
             )
+    stop_spark(spark)
     if failures:
         print("\nFAIL — stragglers:\n" + "\n".join(failures))
         return 1
