@@ -42,6 +42,14 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         help="enable transitive near-dup clustering (MinHash-LSH pairs "
         "closed via connected components, keep-min-id)",
     )
+    parser.add_argument(
+        "--neardup-index",
+        default=None,
+        metavar="DIR",
+        help="use the incrementally maintained near-dup index at DIR "
+        "(streaming/neardup_ingest.py) instead of re-banding the "
+        "corpus — the continuous-ingest deployment path",
+    )
     args = parser.parse_args(argv)
 
     owns_session = spark is None
@@ -49,6 +57,11 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         spark = get_spark(app_name="big_data_spark-corpus")
         spark.sparkContext.setLogLevel("WARN")
     try:
+        keep_df = None
+        if args.neardup_index is not None:
+            from big_data_spark.streaming.neardup_ingest import neardup_keep
+
+            keep_df = neardup_keep(spark, args.neardup_index)
         _, report = prepare_corpus(
             spark,
             args.sf_dir,
@@ -56,6 +69,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             budget_frac=args.budget_frac,
             max_ppl=args.max_ppl,
             near_dedup=args.near_dedup,
+            neardup_keep_df=keep_df,
         )
         funnel = {r.stage: r.n_docs for r in report.collect()}
         print(json.dumps({"funnel": funnel, "out_dir": args.out_dir}))

@@ -308,6 +308,54 @@ def write_snapshot(
     return snapshot_id
 
 
+def append_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    replace: bool = False,
+) -> int:
+    """Append-only publish: write ``df`` as a fresh data generation
+    and commit a manifest keeping EVERY predecessor entry plus the new
+    generation — the incremental-index primitive (per-batch cost is
+    O(batch), never a rewrite of prior generations; compaction
+    (io/compact.py compact_snapshot) folds generations back together
+    when the union fan-in grows).
+
+    Same replay contract as write_snapshot_partial: pass the batch id
+    as ``snapshot_id`` (+ ``replace=True``) from deterministic replay
+    loops — the predecessor is the newest manifest STRICTLY BELOW the
+    id, so recomputing a crashed batch converges. Refuses a
+    hive-partitioned predecessor (mixing per-partition entries with
+    whole-generation appends would double-count touched partitions).
+    """
+    spark = df.sparkSession
+    if snapshot_id is None:
+        ids = snapshot_ids(spark, table_dir)
+        snapshot_id = (ids[-1] + 1) if ids else 0
+    prev = latest_manifest(spark, table_dir, below=snapshot_id)
+    if prev is not None and prev.get("partition_col") is not None:
+        raise ValueError(
+            "append_snapshot on a table partitioned on "
+            f"{prev['partition_col']!r} — appends are whole-generation "
+            "entries; use write_snapshot_partial for partitioned tables."
+        )
+    fields = _schema_fields(df)
+    check_schema_evolution((prev or {}).get("schema"), fields)
+    entries = dict(prev["entries"]) if prev else {}
+    gdir = clear_generation(spark, table_dir, snapshot_id)
+    df.write.mode("error").parquet(gdir)
+    entries[f"b{snapshot_id}"] = f"{_DATA_DIR}/s={snapshot_id}"
+    commit_manifest(
+        spark,
+        table_dir,
+        snapshot_id,
+        entries,
+        replace=replace,
+        schema_fields=fields,
+    )
+    return snapshot_id
+
+
 def write_snapshot_partial(
     df: DataFrame,
     table_dir: str,

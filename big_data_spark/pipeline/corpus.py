@@ -50,6 +50,7 @@ def prepare_corpus(
     budget_frac: float = MIX_TEMP_BUDGET_FRAC,
     max_ppl: float | None = None,
     near_dedup: bool = False,
+    neardup_keep_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(survivors, report): the prepared corpus (doc_id, lang,
     source, redacted text, n_tokens) and a per-stage funnel report
@@ -68,8 +69,82 @@ def prepare_corpus(
       the exact-dedup stage, run AFTER it so verbatim copies never
       reach the (more expensive) banding. Adds the LSH joins and the
       iterative component closure (multi-action, unlike every other
-      stage — the price of transitive near-dup semantics)."""
+      stage — the price of transitive near-dup semantics).
+
+    ``neardup_keep_df`` replaces the batch LSH closure with a
+    PRECOMPUTED (doc_id, near_keep) frame — the incrementally
+    maintained index (streaming/neardup_ingest.neardup_keep), so a
+    continuously-ingesting deployment runs the pipeline without
+    re-banding the corpus. Docs absent from the frame keep True
+    (they were filtered out before the stage ever saw them)."""
     ensure_executor_package(spark)
+    staged = _stage_through_exact(spark, sf_dir, max_ppl)
+
+    # --- optional: near-dup cluster dedup (LSH -> components) -----
+    if neardup_keep_df is not None:
+        staged = staged.join(
+            F.broadcast(neardup_keep_df.select("doc_id", "near_keep")),
+            "doc_id",
+            "left",
+        ).withColumn("near_keep", F.coalesce("near_keep", F.lit(True)))
+        near_dedup = True
+    elif near_dedup:
+        from big_data_spark.operators.components import connected_components
+        from big_data_spark.queries.llm import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            neardup_stage_docs(spark, sf_dir, max_ppl=max_ppl, _staged=staged)
+        ).select("doc_a", "doc_b")
+        cc = connected_components(pairs, src="doc_a", dst="doc_b")
+        near_drop = (
+            cc.filter(F.col("id") != F.col("component"))
+            .select(F.col("id").alias("doc_id"))
+            .withColumn("_nd", F.lit(True))
+        )
+        staged = staged.join(near_drop, "doc_id", "left").withColumn(
+            "near_keep", F.col("_nd").isNull()
+        ).drop("_nd")
+    return _finish_corpus(
+        spark, sf_dir, staged, out_dir, budget_frac, max_ppl, near_dedup
+    )
+
+
+def _neardup_pre(max_ppl: float | None):
+    """Survival predicate of every stage BEFORE near-dedup — the
+    docs the banding stage actually sees."""
+    pre = F.col("q_ok") & F.col("gopher_ok") & F.col("exact_keep")
+    if max_ppl is not None:
+        pre = pre & F.col("ppl_ok")
+    return pre
+
+
+def neardup_stage_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_ppl: float | None = None,
+    _staged: DataFrame | None = None,
+) -> DataFrame:
+    """The near-dedup stage's exact input: (doc_id, text) of every
+    doc surviving quality/Gopher/(perplexity)/exact-dedup, with text
+    already PII-redacted. Public so the INCREMENTAL ingest
+    (streaming/neardup_ingest.py) can be fed the same docs the batch
+    stage bands — the parity contract between the two paths."""
+    staged = (
+        _staged
+        if _staged is not None
+        else _stage_through_exact(spark, sf_dir, max_ppl)
+    )
+    return staged.filter(_neardup_pre(max_ppl)).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+
+
+def _stage_through_exact(
+    spark: SparkSession, sf_dir: str, max_ppl: float | None
+) -> DataFrame:
+    """Stages 1-4 (quality, Gopher repetition, PII redaction,
+    optional perplexity gate, exact dedup) as one staged frame with
+    survival-flag columns."""
     docs = parallelize_small_scan(read_table(spark, sf_dir, "documents"))
     toks = _tokens()
 
@@ -164,29 +239,21 @@ def prepare_corpus(
     # --- stage 4: exact dedup (one shuffle) -----------------------
     w_keep = F.min("doc_id").over(Window.partitionBy(F.md5("redacted")))
     staged = staged.withColumn("exact_keep", F.col("doc_id") == w_keep)
-    staged = truncate_lineage(staged)
+    return truncate_lineage(staged)
 
-    # --- optional: near-dup cluster dedup (LSH -> components) -----
-    if near_dedup:
-        from big_data_spark.operators.components import connected_components
-        from big_data_spark.queries.llm import minhash_lsh_pairs
 
-        pre = F.col("q_ok") & F.col("gopher_ok") & F.col("exact_keep")
-        if max_ppl is not None:
-            pre = pre & F.col("ppl_ok")
-        pairs = minhash_lsh_pairs(
-            staged.filter(pre).select("doc_id", F.col("redacted").alias("text"))
-        ).select("doc_a", "doc_b")
-        cc = connected_components(pairs, src="doc_a", dst="doc_b")
-        near_drop = (
-            cc.filter(F.col("id") != F.col("component"))
-            .select(F.col("id").alias("doc_id"))
-            .withColumn("_nd", F.lit(True))
-        )
-        staged = staged.join(near_drop, "doc_id", "left").withColumn(
-            "near_keep", F.col("_nd").isNull()
-        ).drop("_nd")
-
+def _finish_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    staged: DataFrame,
+    out_dir: str | None,
+    budget_frac: float,
+    max_ppl: float | None,
+    near_dedup: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Stages 5-6 (semantic dedup, temperature mix) + the funnel
+    report over a staged frame that already carries the earlier
+    stages' survival flags."""
     # --- stage 5: semantic dedup prune list (cell-blocked) --------
     from big_data_spark.operators.ann import ivf_cell_from_dists, ivf_dists_expr
     from big_data_spark.operators.ivf_centroids import IVF_CENTROIDS

@@ -447,6 +447,84 @@ LSH_BANDS = ((0, 1), (2, 3), (4, 5))
 MINHASH_THRESHOLD = 0.2
 
 
+def minhash_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) for any (doc_id, text) frame — the shared
+    shingling step of the batch pair finder AND the incremental
+    band-index ingest (streaming/neardup_ingest.py), so the two paths
+    can never drift on tokenization."""
+    return docs.select("doc_id", _shingles().alias("shingles"))
+
+
+def minhash_band_rows(docs_sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band rows from a (doc_id, shingles)
+    frame. Deterministic: signature_i = min(md5(i|shingle)), band key
+    = md5 of its signature pair — no RNG, so the same doc always lands
+    in the same buckets across batches and engines."""
+    # NB: closure factory, not a default-arg lambda — PySpark counts a
+    # defaulted second parameter and would treat it as (element, index).
+    def _minhash(seed: int):
+        return F.array_min(
+            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+        )
+
+    sig = docs_sh.select(
+        "doc_id",
+        *[_minhash(s_i).alias(f"h{s_i}") for s_i in MINHASH_SEEDS],
+    )
+    # One pass per row: all 6 mins once, exploded into 3 band rows —
+    # a unionByName of per-band selects would recompute the signature
+    # expressions in every branch.
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(F.concat(F.col(f"h{r0}"), F.col(f"h{r1}"))).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi, (r0, r1) in enumerate(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def verify_jaccard_pairs(
+    candidates: DataFrame, shingles_a: DataFrame, shingles_b: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
+    fetch both shingle arrays and intersect (shingles are already
+    distinct per doc). Returns (doc_a, doc_b, jaccard) at or above
+    MINHASH_THRESHOLD. Only candidate pairs ever pay the verify —
+    shared by the batch pair finder and the incremental ingest."""
+    arr_a = shingles_a.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    arr_b = shingles_b.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        candidates.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= MINHASH_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """MinHash+LSH near-dup pairs over any (doc_id, text) DataFrame
     with *deterministic* hashes: signature_i = min(md5(i|shingle));
@@ -464,41 +542,8 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # Shingle arrays + signatures are rebuilt by every consumer below
     # (two join sides + verify) and higher-order funcs are codegen
     # fallback, so materialize once: ~#docs rows of small arrays.
-    docs_sh = truncate_lineage(
-        docs.select("doc_id", _shingles().alias("shingles"))
-    )
-
-    # NB: closure factory, not a default-arg lambda — PySpark counts a
-    # defaulted second parameter and would treat it as (element, index).
-    def _minhash(seed: int):
-        return F.array_min(
-            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
-        )
-
-    sig = docs_sh.select(
-        "doc_id",
-        *[_minhash(s_i).alias(f"h{s_i}") for s_i in MINHASH_SEEDS],
-    )
-    # One pass per row: all 6 mins once, exploded into 3 band rows —
-    # a unionByName of per-band selects would recompute the signature
-    # expressions in every branch.
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(F.concat(F.col(f"h{r0}"), F.col(f"h{r1}"))).alias(
-                            "bucket"
-                        ),
-                    )
-                    for bi, (r0, r1) in enumerate(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    bands = truncate_lineage(bands)
+    docs_sh = truncate_lineage(minhash_shingles(docs))
+    bands = truncate_lineage(minhash_band_rows(docs_sh))
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -511,25 +556,9 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verify on candidates only: fetch both shingle arrays and
-    # intersect (shingles are already distinct per doc).
-    arr_a = docs_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    arr_b = docs_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        candidates.join(arr_a, "doc_a")
-        .join(arr_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
-            F.size("sh_a").alias("n_a"),
-            F.size("sh_b").alias("n_b"),
-        )
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= MINHASH_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+    # Exact verify on candidates only (shared kernel).
+    return verify_jaccard_pairs(candidates, docs_sh, docs_sh).orderBy(
+        "doc_a", "doc_b"
     )
 
 

@@ -9,6 +9,12 @@ plus a run-to-completion helper for batch-parity testing.
 """
 
 from big_data_spark.streaming.ingest import read_lake, run_dedup_ingest
+from big_data_spark.streaming.neardup_ingest import (
+    ingest_neardup_batch,
+    neardup_keep,
+    read_neardup_clusters,
+    run_neardup_ingest,
+)
 from big_data_spark.streaming.mv import (
     prune_mv_versions,
     read_mv,
@@ -53,4 +59,8 @@ __all__ = [
     "write_stream_partitioned_parquet",
     "run_dedup_ingest",
     "read_lake",
+    "ingest_neardup_batch",
+    "read_neardup_clusters",
+    "neardup_keep",
+    "run_neardup_ingest",
 ]
