@@ -322,7 +322,7 @@ def read_pruned(
     in tests/test_stats.py). ``residual=False`` returns every row of
     every kept file — the audit view.
     """
-    from big_data_spark.io.stats import prune_files_multi
+    from big_data_spark.io.stats import prune_files_multi, range_predicate
 
     ranges = column if isinstance(column, dict) else {column: (lo, hi)}
     decisions = (
@@ -332,12 +332,7 @@ def read_pruned(
         .collect()
     )
     kept = [r["file"] for r in decisions if r["keep"]]
-    cond = F.lit(True)
-    for c, (c_lo, c_hi) in ranges.items():
-        if c_lo is not None:
-            cond = cond & (F.col(c) >= F.lit(c_lo))
-        if c_hi is not None:
-            cond = cond & (F.col(c) <= F.lit(c_hi))
+    cond = range_predicate(ranges)
     if not kept:
         # Every file provably misses the range: empty result, real schema.
         return spark.read.parquet(path).where(F.lit(False))

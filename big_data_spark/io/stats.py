@@ -44,22 +44,24 @@ _STATS_SCHEMA = StructType(
 
 
 def parquet_column_stats(
-    spark: SparkSession, path: str, columns: list[str]
+    spark: SparkSession, path: str | list[str], columns: list[str]
 ) -> DataFrame:
     """(file, row_group, column, n_rows, n_nulls, min, max) for every
-    row group of every data file under ``path`` — footers only, no
-    data pages read."""
+    row group of every data file under ``path`` (one directory, or a
+    list of directories/files — the multi-generation snapshot case) —
+    footers only, no data pages read."""
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    it = fs.listFiles(hpath, True)
     files: list[str] = []
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
-        files.append(st.getPath().toString())
+    for p in [path] if isinstance(path, str) else path:
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            files.append(st.getPath().toString())
     if not files:
         raise ValueError(f"no parquet data files under {path!r}")
     paths = spark.createDataFrame([(f,) for f in files], "file string")
@@ -123,9 +125,24 @@ def parquet_column_stats(
     )
 
 
+def range_predicate(
+    ranges: dict[str, tuple[float | None, float | None]],
+):
+    """The residual Column for a pruning range conjunction — shared
+    by read_pruned and the snapshot reader so file-level skipping and
+    the row-level filter can never disagree."""
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            cond = cond & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(c) <= F.lit(hi))
+    return cond
+
+
 def prune_files_multi(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     ranges: dict[str, tuple[float | None, float | None]],
 ) -> DataFrame:
     """Metadata-only data skipping over a CONJUNCTION of numeric

@@ -124,6 +124,10 @@ _PYTEST_ONLY = (
     "drift_psi",
     # Recall@k self-evaluation of the IVF index vs the exact scan.
     "ann_recall",
+    # Round-7: SQL time travel over the engine's own snapshot tables
+    # (catalog.register_snapshot_views) — the oracle re-derives each
+    # version from the raw orders table.
+    "sql_snapshot_asof",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2393,6 +2393,66 @@ def q_sql_portable_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, PORTABLE_REVENUE_SQL)
 
 
+# One ANSI string over the lakehouse views registered by
+# catalog.register_snapshot_views: the v0 view is the time-travel
+# read, the unsuffixed view the current table. Revenue aggregates in
+# exact DECIMAL and casts once at the end, so both engines emit
+# bit-identical doubles.
+SNAPSHOT_ASOF_SQL = """
+SELECT version, o_custkey, n_orders, revenue
+FROM (
+  SELECT 'v0' AS version, o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(o_totalprice) AS DOUBLE) AS revenue
+  FROM snap_orders_v0 GROUP BY o_custkey
+  UNION ALL
+  SELECT 'latest' AS version, o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(o_totalprice) AS DOUBLE) AS revenue
+  FROM snap_orders GROUP BY o_custkey
+) v
+ORDER BY version, o_custkey
+"""
+
+
+def q_sql_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL time travel over the engine's own table format: build a
+    two-version snapshot table from an orders slice (v0 = the base
+    slice; v1 = surcharge every price by 10.00 and drop finished
+    orders — a full atomic rewrite), register it through
+    catalog.register_snapshot_views, and answer ONE ANSI string that
+    reads BOTH the as-of-v0 view and the current view. The oracle
+    re-derives each version's content from the raw ``orders`` table,
+    so a wrong manifest resolution (stale generation, mixed
+    versions, lost rewrite) hash-mismatches immediately.
+
+    Scale: the snapshot reads are ordinary pruned parquet scans
+    (io/snapshot.py); registering views adds no materialization."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_spark.catalog import register_snapshot_views
+    from big_data_spark.io.snapshot import write_snapshot
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tdir = os.path.join(tempfile.gettempdir(), f"bds_sqlsnap_{tag}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    v0 = base.select("o_orderkey", "o_custkey", price.alias("o_totalprice"))
+    write_snapshot(v0, tdir)
+    v1 = base.filter(F.col("o_orderstatus") != "F").select(
+        "o_orderkey",
+        "o_custkey",
+        (price + F.lit("10.00").cast("decimal(18,2)")).cast(
+            "decimal(18,2)"
+        ).alias("o_totalprice"),
+    )
+    write_snapshot(v1, tdir)
+    register_snapshot_views(spark, tdir, "snap_orders")
+    return spark.sql(SNAPSHOT_ASOF_SQL)
+
+
 LPA_ROUNDS = 4
 
 
@@ -2640,6 +2700,7 @@ QUERIES = {
     "shortest_paths": q_shortest_paths,
     "community_lpa": q_community_lpa,
     "sql_portable_revenue": q_sql_portable_revenue,
+    "sql_snapshot_asof": q_sql_snapshot_asof,
     "drift_psi": q_drift_psi,
     "cohort_retention": q_cohort_retention,
     "dq_report": q_dq_report,
@@ -2697,6 +2758,23 @@ ORACLE_SQL = {
     "shortest_paths": ORACLE_SHORTEST_PATHS,
     "community_lpa": ORACLE_COMMUNITY_LPA,
     "sql_portable_revenue": PORTABLE_REVENUE_SQL,
+    # Re-derives each snapshot VERSION's content from the raw orders
+    # table — an independent check of the manifest resolution itself.
+    "sql_snapshot_asof": """
+SELECT version, o_custkey, n_orders, revenue
+FROM (
+  SELECT 'v0' AS version, o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+  UNION ALL
+  SELECT 'latest' AS version, o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                  + CAST('10.00' AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders WHERE o_custkey < 200 AND o_orderstatus <> 'F'
+  GROUP BY o_custkey
+) v
+ORDER BY version, o_custkey
+""",
     "drift_psi": ORACLE_DRIFT_PSI,
     "cohort_retention": ORACLE_COHORT,
     "dq_report": ORACLE_DQ_REPORT,

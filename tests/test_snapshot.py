@@ -115,6 +115,66 @@ def test_untouched_buckets_carry_forward_by_reference(spark, tmp_path):
     assert _rows(read_snapshot(spark, t)) == {(1, "a2", 0), (2, "b", 1)}
 
 
+def test_reader_resolved_before_vacuum_survives_on_kept_snapshots(
+    spark, tmp_path
+):
+    """The RUNBOOK retention contract: a DataFrame resolved against a
+    snapshot that vacuum KEEPS still scans successfully after the
+    vacuum ran (its generations are never deleted), even when older
+    snapshots and their data are reclaimed around it."""
+    t = str(tmp_path / "tbl")
+    for i in range(5):
+        write_snapshot(
+            spark.createDataFrame([(i, "v")], "k int, v string"), t
+        )
+    # Long-running readers: resolved (plan built, manifest read) NOW,
+    # consumed only after vacuum.
+    reader_latest = read_snapshot(spark, t)
+    reader_asof = read_snapshot(spark, t, as_of=3)
+    res = vacuum_snapshots(spark, t, keep_last=2)
+    assert res["expired_manifests"] == [0, 1, 2]
+    assert _rows(reader_latest) == {(4, "v")}
+    assert _rows(reader_asof) == {(3, "v")}
+
+
+def test_predicate_pruning_through_snapshot_read(spark, tmp_path):
+    """Manifest + footer double pruning (round-6 directive): a
+    predicate-carrying snapshot read opens FEWER files end-to-end
+    with byte-identical results to full-scan-then-filter."""
+    from big_data_spark.io.snapshot import append_snapshot
+
+    t = str(tmp_path / "tbl")
+    # Four single-file generations over disjoint value ranges — the
+    # layout an append-only clustered ingest produces naturally.
+    for g in range(4):
+        df = spark.range(g * 100, (g + 1) * 100).selectExpr(
+            "id", "cast(id as double) as v"
+        )
+        append_snapshot(df.coalesce(1), t)
+    full = read_snapshot(spark, t)
+    pruned = read_snapshot(spark, t, predicate={"v": (150.0, 250.0)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.filter("v >= 150 and v <= 250").collect())
+    )
+    # Audit view: whole kept files, no residual row filter.
+    audit = read_snapshot(
+        spark, t, predicate={"v": (150.0, 250.0)}, residual=False
+    )
+    assert audit.count() == 200  # the two kept 100-row generations
+    # Predicate provably missing every file: empty result, real
+    # schema, zero data files scanned.
+    none = read_snapshot(spark, t, predicate={"v": (9e3, 9e9)})
+    assert none.count() == 0 and none.columns == ["id", "v"]
+    # Composes with time travel: as-of the second commit, only the
+    # first two generations are live — the [150, 250] band keeps one.
+    asof = read_snapshot(
+        spark, t, as_of=1, predicate={"v": (150.0, 250.0)}
+    )
+    assert len(asof.inputFiles()) == 1
+    assert asof.count() == 50  # 150..199
+
+
 def test_partial_write_refuses_incompatible_predecessor_layout(
     spark, tmp_path
 ):
