@@ -6,18 +6,19 @@ implemented operator from SURVEY.md §2 (see COVERAGE.md for the
 line-by-line map) plus the training-data-pipeline and lakehouse
 extensions (dedup, ANN, multimodal, text analysis, decontamination,
 MERGE INTO / CDC apply, the data-quality gate, streaming incl. a
-watermarked stream-stream interval join, range join) with DuckDB
-oracles. The registry holds 89 oracle-paired queries in total
-(round 6 added dedup_clusters — LSH pairs closed into canonical
-groups via connected components; pagerank_topn — frozen-iteration
-PageRank vs an unrolled-CTE oracle; shortest_paths — landmark
-BFS distances vs a recursive-CTE oracle; and community_lpa —
-deterministic synchronous label propagation); the 39 past the
-50-row driver cap are oracle-checked in pytest
-(tests/test_oracle.py) and by the full gate mirror
-(tools/gate_sim.py) at sf0.001/0.01/0.1, rotating into driver slots
-across rounds (COVERAGE.md "Round-1 note" and the rotation log in
-queries/__init__.py).
+watermarked stream-stream interval join, range join, SQL time
+travel over the engine's own snapshot tables) with DuckDB oracles.
+The registry holds 90 oracle-paired queries in total (round 7 added
+sql_snapshot_asof — one ANSI string over catalog-registered
+snapshot views, versioned and current, with the oracle re-deriving
+each version from the raw tables); the 40 past the 50-row driver
+cap are oracle-checked in pytest (tests/test_oracle.py) and by the
+full gate mirror (tools/gate_sim.py) at sf0.001/0.01/0.1, rotating
+into driver slots across rounds (COVERAGE.md "Round-1 note" and the
+rotation log in queries/__init__.py; round 7 rotated in the seven
+never-slotted rows shortest_paths/community_lpa/
+sql_portable_revenue/temporal_join/lm_perplexity/drift_psi/
+ann_recall plus sql_snapshot_asof).
 """
 
 from __future__ import annotations

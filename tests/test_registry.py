@@ -25,7 +25,7 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_driver_docstring_counts_match_registry():
     doc = entry_mod.__doc__
-    m = re.search(r"the (\d+) past the\s+50-row driver cap", doc)
+    m = re.search(r"the (\d+) past the\s+50-row\s+driver\s+cap", doc)
     assert m, "__spark_entry__ docstring must state the pytest-only count"
     assert int(m.group(1)) == len(QUERIES_ALL) - len(QUERIES)
     m = re.search(r"registry holds (\d+) oracle-paired queries", doc)
