@@ -50,6 +50,14 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "(streaming/neardup_ingest.py) instead of re-banding the "
         "corpus — the continuous-ingest deployment path",
     )
+    parser.add_argument(
+        "--semdedup-index",
+        default=None,
+        metavar="DIR",
+        help="use the incrementally maintained semantic-dedup index "
+        "at DIR (streaming/semdedup_ingest.py) instead of re-blocking "
+        "the embedding table",
+    )
     args = parser.parse_args(argv)
 
     owns_session = spark is None
@@ -62,6 +70,11 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             from big_data_spark.streaming.neardup_ingest import neardup_keep
 
             keep_df = neardup_keep(spark, args.neardup_index)
+        sem_df = None
+        if args.semdedup_index is not None:
+            from big_data_spark.streaming.semdedup_ingest import semdedup_keep
+
+            sem_df = semdedup_keep(spark, args.semdedup_index)
         _, report = prepare_corpus(
             spark,
             args.sf_dir,
@@ -70,6 +83,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             max_ppl=args.max_ppl,
             near_dedup=args.near_dedup,
             neardup_keep_df=keep_df,
+            semdedup_keep_df=sem_df,
         )
         funnel = {r.stage: r.n_docs for r in report.collect()}
         print(json.dumps({"funnel": funnel, "out_dir": args.out_dir}))

@@ -51,6 +51,7 @@ def prepare_corpus(
     max_ppl: float | None = None,
     near_dedup: bool = False,
     neardup_keep_df: DataFrame | None = None,
+    semdedup_keep_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(survivors, report): the prepared corpus (doc_id, lang,
     source, redacted text, n_tokens) and a per-stage funnel report
@@ -76,7 +77,14 @@ def prepare_corpus(
     maintained index (streaming/neardup_ingest.neardup_keep), so a
     continuously-ingesting deployment runs the pipeline without
     re-banding the corpus. Docs absent from the frame keep True
-    (they were filtered out before the stage ever saw them)."""
+    (they were filtered out before the stage ever saw them).
+    ``semdedup_keep_df`` does the same for the semantic stage with
+    the incremental frozen-IVF index
+    (streaming/semdedup_ingest.semdedup_keep; vec_id == doc_id).
+    Nuance: the batch stage drops on the kernel's threshold-minus-
+    margin candidates, the index on the exact re-scored threshold —
+    identical unless a pair's cosine lands inside the 1e-4 margin
+    band."""
     ensure_executor_package(spark)
     staged = _stage_through_exact(spark, sf_dir, max_ppl)
 
@@ -105,7 +113,14 @@ def prepare_corpus(
             "near_keep", F.col("_nd").isNull()
         ).drop("_nd")
     return _finish_corpus(
-        spark, sf_dir, staged, out_dir, budget_frac, max_ppl, near_dedup
+        spark,
+        sf_dir,
+        staged,
+        out_dir,
+        budget_frac,
+        max_ppl,
+        near_dedup,
+        semdedup_keep_df=semdedup_keep_df,
     )
 
 
@@ -250,29 +265,49 @@ def _finish_corpus(
     budget_frac: float,
     max_ppl: float | None,
     near_dedup: bool,
+    semdedup_keep_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Stages 5-6 (semantic dedup, temperature mix) + the funnel
     report over a staged frame that already carries the earlier
     stages' survival flags."""
     # --- stage 5: semantic dedup prune list (cell-blocked) --------
-    from big_data_spark.operators.ann import ivf_cell_from_dists, ivf_dists_expr
-    from big_data_spark.operators.ivf_centroids import IVF_CENTROIDS
-
-    emb = parallelize_small_scan(read_table(spark, sf_dir, "embeddings"))
-    assigned = truncate_lineage(
-        emb.select(
-            "vec_id", "embedding", ivf_dists_expr(IVF_CENTROIDS).alias("dists")
-        ).select(
-            "vec_id", "embedding", ivf_cell_from_dists("dists").alias("cell")
+    if semdedup_keep_df is not None:
+        # Precomputed (vec_id, sem_keep) from the incremental index
+        # (streaming/semdedup_ingest.semdedup_keep); vec_id is the
+        # documents' doc_id. Docs absent from the frame keep True.
+        staged = staged.join(
+            F.broadcast(
+                semdedup_keep_df.select(
+                    F.col("vec_id").alias("doc_id"), "sem_keep"
+                )
+            ),
+            "doc_id",
+            "left",
+        ).withColumn("sem_keep", F.coalesce("sem_keep", F.lit(True)))
+    else:
+        from big_data_spark.operators.ann import (
+            ivf_cell_from_dists,
+            ivf_dists_expr,
         )
-    )
-    cand = assigned.groupBy("cell").applyInPandas(
-        _pair_block_kernel, "id_a bigint, id_b bigint"
-    )
-    dropped = cand.select(F.col("id_b").alias("doc_id")).distinct()
-    staged = staged.join(
-        dropped.withColumn("sem_drop", F.lit(True)), "doc_id", "left"
-    ).withColumn("sem_keep", F.col("sem_drop").isNull()).drop("sem_drop")
+        from big_data_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+        emb = parallelize_small_scan(read_table(spark, sf_dir, "embeddings"))
+        assigned = truncate_lineage(
+            emb.select(
+                "vec_id",
+                "embedding",
+                ivf_dists_expr(IVF_CENTROIDS).alias("dists"),
+            ).select(
+                "vec_id", "embedding", ivf_cell_from_dists("dists").alias("cell")
+            )
+        )
+        cand = assigned.groupBy("cell").applyInPandas(
+            _pair_block_kernel, "id_a bigint, id_b bigint"
+        )
+        dropped = cand.select(F.col("id_b").alias("doc_id")).distinct()
+        staged = staged.join(
+            dropped.withColumn("sem_drop", F.lit(True)), "doc_id", "left"
+        ).withColumn("sem_keep", F.col("sem_drop").isNull()).drop("sem_drop")
 
     # --- stage 6: temperature mix over the deduped survivors ------
     # Ordered survival flags; the funnel report below is generated

@@ -119,6 +119,12 @@ _PYTEST_ONLY = (
     "join_left",  # J family: join_multiway + join_expr_key + join_self_theta stay
     "events_outliers",  # §2.5 events family: window_running_sum + events_sessionize + events_resample stay
     "case_buckets",  # §2.8 scalar family: map_roundtrip stays
+    # New round-7 rows past the cap (pytest-oracle gated, rotation
+    # candidates): the incremental near-dup and semantic-dedup
+    # ingests, each certified against its batch twin's oracle (same
+    # oracle text — incremental == batch end-state IS the contract).
+    "neardup_incremental",
+    "semdedup_incremental",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -676,6 +676,60 @@ ORDER BY doc_id
 """
 
 
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL ingest path certified cross-engine: build a
+    fresh near-dup index (streaming/neardup_ingest.py) by feeding the
+    documents table in three hash-interleaved batches — so later
+    batches bridge clusters rooted in earlier ones, exercising the
+    merge-event closure — then emit the resolved clusters in
+    dedup_clusters' exact output shape. The oracle is the SAME
+    recursive-CTE reachability closure over the batch pair set
+    (ORACLE_DEDUP_CLUSTERS): end-state equivalence of incremental and
+    batch dedup is the contract, so the two rows share one oracle
+    text by design.
+
+    Scale: each batch pays O(batch) shingle/band/verify work plus a
+    map-side probe of the stored band index; cluster merges append
+    re-rooting events instead of rewriting members (the full story in
+    streaming/neardup_ingest.py; per-batch flatness measured in
+    PERF.md round 7)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_spark.streaming.neardup_ingest import (
+        ingest_neardup_batch,
+        read_neardup_clusters,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"bds_ndinc_{tag}")
+    shutil.rmtree(idx, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    for b in range(3):
+        ingest_neardup_batch(
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == b),
+            idx,
+            b,
+        )
+    cl = read_neardup_clusters(spark, idx)
+    sizes = cl.groupBy("root").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cl.join(sizes, "root")
+        # dedup_clusters reports the PAIR GRAPH's nodes; a doc sits in
+        # a >=2 cluster iff it appears in some verified pair.
+        .filter(F.col("cluster_size") >= 2)
+        .select(
+            "doc_id",
+            F.col("root").alias("canonical_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("root")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------
 # SimHash fingerprints (deterministic, md5-bit-derived)
 # --------------------------------------------------------------------
@@ -1823,6 +1877,42 @@ FROM per ORDER BY doc_id
 # --------------------------------------------------------------------
 
 
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental SEMANTIC dedup path certified cross-engine:
+    feed the embeddings table into a fresh frozen-IVF index
+    (streaming/semdedup_ingest.py) in three hash-interleaved batches,
+    then read the aggregated prune list — q_dedup_semantic's exact
+    output shape, against q_dedup_semantic's own frozen-centroid SQL
+    oracle (incremental == batch end-state IS the contract, like
+    neardup_incremental).
+
+    Scale: per batch, cell assignment is O(batch); the rectangular
+    BLAS kernel compares new vectors against TOUCHED cells only
+    (|new| x |cell| work, cell-pruned semi-join against the stored
+    vector table); prune rows append — nothing is ever rewritten."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_spark.streaming.semdedup_ingest import (
+        ingest_semdedup_batch,
+        read_semdedup_prune,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"bds_sdinc_{tag}")
+    shutil.rmtree(idx, ignore_errors=True)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    for b in range(3):
+        ingest_semdedup_batch(
+            emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(3)) == b),
+            idx,
+            b,
+        )
+    return read_semdedup_prune(spark, idx)
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: block by LEARNED cluster (the
     frozen IVF coarse quantizer — no ground-truth label, unlike
@@ -2524,6 +2614,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "neardup_incremental": q_neardup_incremental,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -2536,6 +2627,7 @@ QUERIES = {
     "corpus_sample_mix": q_corpus_sample_mix,
     "quality_gopher": q_quality_gopher,
     "dedup_semantic": q_dedup_semantic,
+    "semdedup_incremental": q_semdedup_incremental,
     "pii_scrub": q_pii_scrub,
     "semantic_search": q_semantic_search,
     "bm25_search": q_bm25_search,
@@ -2556,6 +2648,9 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    # Same oracle text as dedup_clusters ON PURPOSE: incremental ==
+    # batch end-state is this row's contract.
+    "neardup_incremental": ORACLE_DEDUP_CLUSTERS,
     "simhash": ORACLE_SIMHASH,
     "embedding_topk": ORACLE_EMB_TOPK,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
@@ -2568,6 +2663,9 @@ ORACLE_SQL = {
     "corpus_sample_mix": ORACLE_CORPUS_SAMPLE_MIX,
     "quality_gopher": ORACLE_QUALITY_GOPHER,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
+    # Same oracle text as dedup_semantic ON PURPOSE: incremental ==
+    # batch end-state is this row's contract.
+    "semdedup_incremental": ORACLE_DEDUP_SEMANTIC,
     "pii_scrub": ORACLE_PII_SCRUB,
     "semantic_search": ORACLE_SEMANTIC_SEARCH,
     "bm25_search": ORACLE_BM25_SEARCH,

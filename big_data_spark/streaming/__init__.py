@@ -15,6 +15,12 @@ from big_data_spark.streaming.neardup_ingest import (
     read_neardup_clusters,
     run_neardup_ingest,
 )
+from big_data_spark.streaming.semdedup_ingest import (
+    ingest_semdedup_batch,
+    read_semdedup_prune,
+    run_semdedup_ingest,
+    semdedup_keep,
+)
 from big_data_spark.streaming.mv import (
     prune_mv_versions,
     read_mv,
@@ -63,4 +69,8 @@ __all__ = [
     "read_neardup_clusters",
     "neardup_keep",
     "run_neardup_ingest",
+    "ingest_semdedup_batch",
+    "read_semdedup_prune",
+    "semdedup_keep",
+    "run_semdedup_ingest",
 ]

@@ -152,6 +152,30 @@ def test_corpus_pipeline_parity(spark, tmp_path):
     )
 
 
+def test_index_compaction_preserves_resolution(spark, ingested):
+    """Standard lakehouse maintenance applies to the index unchanged:
+    compact_snapshot folds a table's append generations into one and
+    a subsequent batch keeps working — resolution identical."""
+    from big_data_spark.io.compact import compact_snapshot
+    from big_data_spark.io.snapshot import latest_manifest
+
+    idx, docs, _ = ingested
+    before = sorted(
+        map(tuple, read_neardup_clusters(spark, idx).collect())
+    )
+    for table in ("bands", "shingles"):
+        tdir = f"{idx}/{table}"
+        assert len(latest_manifest(spark, tdir)["entries"]) == 3
+        compact_snapshot(spark, tdir)
+        assert len(latest_manifest(spark, tdir)["entries"]) == 1
+    assert sorted(
+        map(tuple, read_neardup_clusters(spark, idx).collect())
+    ) == before
+    # A post-compaction batch (all duplicates) still probes correctly.
+    counts = ingest_neardup_batch(docs.limit(50), idx, 9)
+    assert counts["new_docs"] == 0
+
+
 def test_streaming_wrapper(spark, tmp_path):
     docs = _docs(spark).limit(200)
     src = str(tmp_path / "src")
