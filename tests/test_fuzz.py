@@ -288,3 +288,59 @@ def test_fuzz_star_components_match_pointer_doubling(edges):
     }
     assert star == native
     assert star[99] == 99
+
+
+_nd_docs = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab dog cat run sky"), min_size=5, max_size=40
+    ),
+    min_size=4,
+    max_size=40,
+)
+
+
+@given(
+    docs=_nd_docs,
+    splits=st.lists(st.integers(min_value=0, max_value=2), min_size=40, max_size=40),
+)
+@settings(max_examples=3, deadline=None)
+def test_fuzz_incremental_neardup_matches_batch_closure(docs, splits):
+    """Random texts, random batch assignment: the incrementally
+    ingested index resolves to EXACTLY the batch LSH + component
+    closure — the arrival-order-independence property the merge-event
+    log exists for."""
+    import shutil
+    import tempfile
+
+    from big_data_spark.operators.components import connected_components
+    from big_data_spark.queries.llm import minhash_lsh_pairs
+    from big_data_spark.streaming.neardup_ingest import (
+        ingest_neardup_batch,
+        read_neardup_clusters,
+    )
+
+    spark = _spark()
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df).select("doc_a", "doc_b")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    truth = {r["id"]: r["component"] for r in cc.collect()}
+    idx = tempfile.mkdtemp(prefix="fuzz_nd_")
+    try:
+        shutil.rmtree(idx, ignore_errors=True)
+        for b in range(3):
+            batch = [rows[i] for i in range(len(rows)) if splits[i % 40] == b]
+            if not batch:
+                continue
+            ingest_neardup_batch(
+                spark.createDataFrame(batch, "doc_id long, text string"),
+                idx,
+                b,
+            )
+        got = {
+            r["doc_id"]: r["root"]
+            for r in read_neardup_clusters(spark, idx).collect()
+        }
+        assert got == {i: truth.get(i, i) for i, _ in rows}
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
