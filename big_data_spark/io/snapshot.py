@@ -346,6 +346,29 @@ def clear_generation(
     return gdir
 
 
+def _generation_has_data(spark: SparkSession, gdir: str) -> bool:
+    """True if any data file (non-hidden, non-marker) exists anywhere
+    under the generation dir — driver-side metadata listing only."""
+    fs, hpath = hadoop_fs(spark, gdir)
+    if not fs.exists(hpath):
+        return False
+    stack = [hpath]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            name = st.getPath().getName()
+            # Spark's hidden-path rule: "." always hidden; "_" hidden
+            # unless it's a partition dir (contains "=", e.g. _bb=3).
+            if name.startswith(".") or (
+                name.startswith("_") and "=" not in name
+            ):
+                continue
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                return True
+    return False
+
+
 def write_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -386,6 +409,7 @@ def append_snapshot(
     table_dir: str,
     snapshot_id: int | None = None,
     replace: bool = False,
+    partition_by: str | None = None,
 ) -> int:
     """Append-only publish: write ``df`` as a fresh data generation
     and commit a manifest keeping EVERY predecessor entry plus the new
@@ -400,6 +424,14 @@ def append_snapshot(
     id, so recomputing a crashed batch converges. Refuses a
     hive-partitioned predecessor (mixing per-partition entries with
     whole-generation appends would double-count touched partitions).
+
+    ``partition_by`` lays each generation out hive-partitioned on one
+    column WITHOUT changing the manifest contract (the entry still
+    names the whole generation; the manifest's ``partition_col``
+    stays None because entries are not keyed by partition): readers
+    filtering on that column get partition pruning inside every
+    generation — the band-index probe pattern
+    (streaming/neardup_ingest.py).
     """
     spark = df.sparkSession
     if snapshot_id is None:
@@ -416,8 +448,19 @@ def append_snapshot(
     check_schema_evolution((prev or {}).get("schema"), fields)
     entries = dict(prev["entries"]) if prev else {}
     gdir = clear_generation(spark, table_dir, snapshot_id)
-    df.write.mode("error").parquet(gdir)
-    entries[f"b{snapshot_id}"] = f"{_DATA_DIR}/s={snapshot_id}"
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(gdir)
+    if _generation_has_data(spark, gdir):
+        entries[f"b{snapshot_id}"] = f"{_DATA_DIR}/s={snapshot_id}"
+    else:
+        # An empty df under partitionBy writes NO part files (dynamic
+        # partition dirs only materialize for existing rows); an entry
+        # pointing at that dir would poison every later read with
+        # UNABLE_TO_INFER_SCHEMA. Commit the manifest anyway — the id
+        # advances and replay converges — just without a new entry.
+        clear_generation(spark, table_dir, snapshot_id)
     commit_manifest(
         spark,
         table_dir,

@@ -66,6 +66,14 @@ from big_data_spark.io.snapshot import (
 from big_data_spark.lineage import truncate_lineage
 
 
+# Band rows carry a _bb = hash(band, bucket) % _N_BAND_PARTS column
+# and each generation is written hive-partitioned on it, so the
+# per-batch probe reads only the partitions holding the batch's own
+# band keys — the index scan shrinks toward O(batch) for small
+# batches instead of O(index).
+_N_BAND_PARTS = 32
+
+
 def _read_state(
     spark: SparkSession, index_dir: str, table: str, below: int | None
 ) -> DataFrame | None:
@@ -144,7 +152,15 @@ def ingest_neardup_batch(
             prior_clusters.select("doc_id"), "doc_id", "left_anti"
         )
     sh_new = truncate_lineage(minhash_shingles(new), eager=True)
-    bands_new = truncate_lineage(minhash_band_rows(sh_new), eager=True)
+    bands_new = truncate_lineage(
+        minhash_band_rows(sh_new).withColumn(
+            "_bb",
+            F.pmod(F.xxhash64("band", "bucket"), F.lit(_N_BAND_PARTS)).cast(
+                "int"
+            ),
+        ),
+        eager=True,
+    )
 
     a, b = bands_new.alias("a"), bands_new.alias("b")
     within = (
@@ -162,6 +178,16 @@ def ingest_neardup_batch(
     bands_old = _read_state(spark, index_dir, "bands", batch_id)
     sh_old = _read_state(spark, index_dir, "shingles", batch_id)
     if bands_old is not None:
+        # Partition-pruned probe: the batch's distinct _bb values are
+        # bounded driver metadata (<= _N_BAND_PARTS ints); the isNull
+        # arm keeps generations written before the _bb layout probing
+        # correctly (their rows read _bb as NULL).
+        bb_vals = [
+            r["_bb"] for r in bands_new.select("_bb").distinct().collect()
+        ]
+        bands_old = bands_old.filter(
+            F.col("_bb").isin(bb_vals) | F.col("_bb").isNull()
+        )
         n, o = bands_new.alias("n"), bands_old.alias("o")
         # Broadcast the BATCH side: the stored index is probed
         # map-side — the only corpus-sized touch in the whole batch.
@@ -259,8 +285,14 @@ def ingest_neardup_batch(
         append_snapshot(
             sh_new, f"{index_dir}/shingles", snapshot_id=batch_id, replace=True
         )
+        # One file per partition dir per batch (repartition on the
+        # layout key), not #tasks x #partitions tiny files.
         append_snapshot(
-            bands_new, f"{index_dir}/bands", snapshot_id=batch_id, replace=True
+            bands_new.repartition("_bb"),
+            f"{index_dir}/bands",
+            snapshot_id=batch_id,
+            replace=True,
+            partition_by="_bb",
         )
         append_snapshot(
             clusters_new,

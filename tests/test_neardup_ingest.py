@@ -74,16 +74,22 @@ def test_per_batch_writes_are_append_only(spark, ingested):
     (the structural half of 'per-batch cost tracks batch size')."""
     idx, docs, _ = ingested
     for table in ("shingles", "bands", "clusters"):
+        # bands generations are hive-partitioned on _bb — glob
+        # recursively so the layout change can't blind the check.
         gen0 = sorted(
             (p, os.path.getsize(p))
-            for p in glob.glob(f"{idx}/{table}/_data/s=0/*.parquet")
+            for p in glob.glob(
+                f"{idx}/{table}/_data/s=0/**/*.parquet", recursive=True
+            )
         )
         assert gen0, f"{table} batch-0 generation missing"
         # Ingest already ran batches 1 and 2; batch 0's files are
         # byte-identical (same paths, same sizes, untouched).
         now = sorted(
             (p, os.path.getsize(p))
-            for p in glob.glob(f"{idx}/{table}/_data/s=0/*.parquet")
+            for p in glob.glob(
+                f"{idx}/{table}/_data/s=0/**/*.parquet", recursive=True
+            )
         )
         assert now == gen0
 
@@ -150,6 +156,31 @@ def test_corpus_pipeline_parity(spark, tmp_path):
     assert sorted(map(tuple, inc_rep.collect())) == sorted(
         map(tuple, batch_rep.collect())
     )
+
+
+def test_band_probe_prunes_partitions(spark, ingested):
+    """The stored band index is laid out hive-partitioned on
+    _bb = hash(band, bucket) % 32; a probe filtered to a few _bb
+    values opens fewer files than the full index scan — the 'only
+    corpus-sized touch' shrinks with batch size."""
+    from big_data_spark.io.snapshot import read_snapshot
+    from pyspark.sql import functions as F2
+
+    bands = read_snapshot(spark, f"{ingested[0]}/bands")
+    # inputFiles() reports the pre-pruning listing; count the files a
+    # scan ACTUALLY reads instead.
+    read_files = (
+        lambda df: df.select(F2.input_file_name()).distinct().count()
+    )
+    full = read_files(bands)
+    pruned = read_files(bands.filter(F2.col("_bb").isin([0, 1])))
+    assert 0 < pruned < full
+    # Pruning is partition-level, not a row filter artifact: every
+    # kept file path carries one of the requested _bb values.
+    kept = bands.filter(F2.col("_bb").isin([0, 1])).select(
+        F2.input_file_name().alias("f")
+    ).distinct().collect()
+    assert all("/_bb=0/" in r["f"] or "/_bb=1/" in r["f"] for r in kept)
 
 
 def test_index_compaction_preserves_resolution(spark, ingested):

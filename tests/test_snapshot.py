@@ -413,3 +413,36 @@ def test_schema_evolution_partial_writes(spark, tmp_path):
     assert got == {(1, "a2", 7.0, 0), (2, "b", None, 1)}
     with pytest.raises(ValueError, match="additive"):
         write_snapshot_partial(_bucketed(spark, [(9, "z", 1)]), t, 2, "_kb", [1])
+
+
+def test_append_snapshot_partitioned_layout_and_empty_batch(spark, tmp_path):
+    """partition_by lays each generation out hive-partitioned (readers
+    filtering on that column prune dirs), and an EMPTY append — which
+    writes no part files under partitionBy — commits a manifest with
+    no new entry instead of poisoning later reads with an
+    unreadable generation."""
+    from big_data_spark.io.snapshot import append_snapshot
+
+    t = str(tmp_path / "part_append")
+    df = spark.range(40).withColumn("k", (F.col("id") % 4).cast("int"))
+    append_snapshot(df, t, snapshot_id=0, partition_by="k")
+    assert glob.glob(f"{t}/_data/s=0/k=*"), "generation not hive-partitioned"
+    # Empty batch: id advances, no entry, table still fully readable.
+    append_snapshot(
+        df.where(F.lit(False)), t, snapshot_id=1, partition_by="k"
+    )
+    assert snapshot_ids(spark, t) == [0, 1]
+    assert read_manifest(spark, t, 1)["entries"] == {"b0": "_data/s=0"}
+    back = read_snapshot(spark, t)
+    assert dict(back.dtypes)["k"] == "int"
+    assert sorted(r["id"] for r in back.collect()) == list(range(40))
+    # Next non-empty append lands normally on top.
+    append_snapshot(
+        spark.range(40, 50).withColumn("k", (F.col("id") % 4).cast("int")),
+        t,
+        snapshot_id=2,
+        partition_by="k",
+    )
+    assert sorted(
+        r["id"] for r in read_snapshot(spark, t).collect()
+    ) == list(range(50))
