@@ -276,6 +276,23 @@ def compact_snapshot(
         write_snapshot_partial(
             out, table_dir, next_id, pcol, list(man["entries"].keys())
         )
+    elif man.get("layout_by"):
+        # Generations are hive-partitioned on a layout column (e.g.
+        # the band index's _bb bucket, append_snapshot(partition_by=));
+        # preserve it so partition-pruned probes survive maintenance.
+        # One task per layout value -> one file per partition dir.
+        layout = man["layout_by"]
+        if cluster_by or zorder_by:
+            raise ValueError(
+                "cluster_by/zorder_by not supported for a layout-"
+                "partitioned snapshot — the layout column fixes it"
+            )
+        out = df.repartition(layout)
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        write_snapshot(
+            out, table_dir, snapshot_id=next_id, partition_by=layout
+        )
     else:
         out = _compaction_plan(
             df, n_out, cluster_by, sort_within, zorder_by, zorder_bits

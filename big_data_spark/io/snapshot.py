@@ -150,8 +150,14 @@ def commit_manifest(
     partition_col: str | None = None,
     replace: bool = False,
     schema_fields: list[dict] | None = None,
+    layout_by: str | None = None,
 ) -> None:
     """Atomically publish ``entries`` as snapshot ``snapshot_id``.
+
+    ``layout_by`` records a hive-partitioned GENERATION layout (set by
+    append_snapshot's ``partition_by``) — distinct from
+    ``partition_col``, which keys manifest ENTRIES. Maintenance
+    (compact_snapshot) reads it to preserve the layout on rewrite.
 
     Write-temp-then-rename: the manifest is never visible half
     written. Without ``replace`` an existing manifest for the id
@@ -169,6 +175,7 @@ def commit_manifest(
             "entries": entries,
             "partition_col": partition_col,
             "schema": schema_fields,
+            "layout_by": layout_by,
         },
         sort_keys=True,
     )
@@ -374,6 +381,7 @@ def write_snapshot(
     table_dir: str,
     snapshot_id: int | None = None,
     replace: bool = False,
+    partition_by: str | None = None,
 ) -> int:
     """Full-table publish: write ``df`` as a fresh data generation,
     then commit a manifest pointing only at it. Readers see the old
@@ -382,7 +390,8 @@ def write_snapshot(
 
     ``snapshot_id`` defaults to latest+1 (0 for a new table). Pass an
     explicit id + ``replace=True`` only from deterministic replay
-    loops (foreachBatch).
+    loops (foreachBatch). ``partition_by`` hive-partitions the
+    generation layout (same contract as append_snapshot's).
     """
     spark = df.sparkSession
     if snapshot_id is None:
@@ -392,14 +401,23 @@ def write_snapshot(
     prev = latest_manifest(spark, table_dir, below=snapshot_id)
     check_schema_evolution((prev or {}).get("schema"), fields)
     gdir = clear_generation(spark, table_dir, snapshot_id)
-    df.write.mode("error").parquet(gdir)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(gdir)
+    entries = (
+        {"": f"{_DATA_DIR}/s={snapshot_id}"}
+        if _generation_has_data(spark, gdir)
+        else {}
+    )
     commit_manifest(
         spark,
         table_dir,
         snapshot_id,
-        {"": f"{_DATA_DIR}/s={snapshot_id}"},
+        entries,
         replace=replace,
         schema_fields=fields,
+        layout_by=partition_by,
     )
     return snapshot_id
 
@@ -468,6 +486,9 @@ def append_snapshot(
         entries,
         replace=replace,
         schema_fields=fields,
+        # Carry the layout forward so a plain (or empty) append never
+        # erases the table's declared layout from maintenance's view.
+        layout_by=partition_by or (prev or {}).get("layout_by"),
     )
     return snapshot_id
 

@@ -199,6 +199,15 @@ def test_index_compaction_preserves_resolution(spark, ingested):
         assert len(latest_manifest(spark, tdir)["entries"]) == 3
         compact_snapshot(spark, tdir)
         assert len(latest_manifest(spark, tdir)["entries"]) == 1
+    # The manifest's layout_by makes compaction KEEP the bands table's
+    # _bb hive layout, so the partition-pruned probe survives
+    # maintenance (one file per partition dir).
+    comp_id = latest_manifest(spark, f"{idx}/bands")["snapshot_id"]
+    comp_dirs = glob.glob(f"{idx}/bands/_data/s={comp_id}/_bb=*")
+    assert comp_dirs, "compaction flattened the _bb layout"
+    assert all(
+        len(glob.glob(f"{d}/*.parquet")) == 1 for d in comp_dirs
+    )
     assert sorted(
         map(tuple, read_neardup_clusters(spark, idx).collect())
     ) == before
