@@ -274,7 +274,12 @@ def compact_snapshot(
         if sort_within:
             out = out.sortWithinPartitions(*sort_within)
         write_snapshot_partial(
-            out, table_dir, next_id, pcol, list(man["entries"].keys())
+            out,
+            table_dir,
+            next_id,
+            pcol,
+            list(man["entries"].keys()),
+            maintenance=True,
         )
     elif man.get("layout_by"):
         # Generations are hive-partitioned on a layout column (e.g.
@@ -291,13 +296,17 @@ def compact_snapshot(
         if sort_within:
             out = out.sortWithinPartitions(*sort_within)
         write_snapshot(
-            out, table_dir, snapshot_id=next_id, partition_by=layout
+            out,
+            table_dir,
+            snapshot_id=next_id,
+            partition_by=layout,
+            maintenance=True,
         )
     else:
         out = _compaction_plan(
             df, n_out, cluster_by, sort_within, zorder_by, zorder_bits
         )
-        write_snapshot(out, table_dir, snapshot_id=next_id)
+        write_snapshot(out, table_dir, snapshot_id=next_id, maintenance=True)
     return {**inv, "n_output_files": n_out, "snapshot_id": next_id}
 
 

@@ -151,6 +151,7 @@ def commit_manifest(
     replace: bool = False,
     schema_fields: list[dict] | None = None,
     layout_by: str | None = None,
+    maintenance: bool = False,
 ) -> None:
     """Atomically publish ``entries`` as snapshot ``snapshot_id``.
 
@@ -158,6 +159,11 @@ def commit_manifest(
     append_snapshot's ``partition_by``) — distinct from
     ``partition_col``, which keys manifest ENTRIES. Maintenance
     (compact_snapshot) reads it to preserve the layout on rewrite.
+
+    ``maintenance=True`` marks a commit that rewrites files WITHOUT
+    changing table content (compaction) — the change feed
+    (read_changes) skips such commits instead of reporting a spurious
+    full delete+insert.
 
     Write-temp-then-rename: the manifest is never visible half
     written. Without ``replace`` an existing manifest for the id
@@ -176,6 +182,7 @@ def commit_manifest(
             "partition_col": partition_col,
             "schema": schema_fields,
             "layout_by": layout_by,
+            "maintenance": maintenance,
         },
         sort_keys=True,
     )
@@ -337,6 +344,107 @@ def _owning_path(file_uri: str, paths: list[str]) -> str:
     raise ValueError(f"pruned file {file_uri!r} under no entry path")
 
 
+def read_changes(
+    spark: SparkSession,
+    table_dir: str,
+    after_id: int,
+    until_id: int | None = None,
+) -> DataFrame:
+    """Change feed between table versions: every row inserted or
+    deleted by the commits in ``(after_id, until_id]`` (``until_id``
+    defaults to the newest snapshot), tagged with ``_change_type``
+    ('insert' | 'delete') and ``_commit_id`` — the incremental-
+    consumption primitive (downstream sync, incremental MV feeds,
+    audit) a table format pairs with time travel.
+
+    Granularity is FILE-LEVEL, derived purely from manifest diffs
+    (bounded driver metadata; zero data reads beyond the changed
+    entries themselves):
+
+    - an appended generation's rows are inserts;
+    - a dropped entry's rows are deletes;
+    - a partial rewrite of partition k reports k's old rows as
+      deletes and its new rows as inserts (an in-place row update
+      therefore appears as delete+insert, like a table format
+      without row-level CDF enabled);
+    - maintenance commits (compact_snapshot) are SKIPPED — they
+      rewrite files without changing content, and reporting them
+      would fabricate a full delete+insert;
+    - replaying the feed onto a copy of version ``after_id``
+      (apply deletes, then inserts, per commit) reproduces version
+      ``until_id`` exactly (tested).
+
+    Retention: the feed reads OLD generations, so ``after_id`` must
+    still be within ``vacuum_snapshots``' kept window — expired
+    ranges raise on read like any other time travel.
+    """
+    ids = snapshot_ids(spark, table_dir)
+    if until_id is None:
+        until_id = ids[-1] if ids else -1
+    window = [i for i in ids if after_id < i <= until_id]
+    if after_id not in ids and after_id != -1:
+        raise ValueError(
+            f"snapshot {after_id} not found under {table_dir!r} "
+            f"(committed: {ids}) — expired by vacuum, or never existed; "
+            "pass after_id=-1 for 'since table creation'"
+        )
+    parts: list[DataFrame] = []
+    prev_entries: dict[str, str] = (
+        {}
+        if after_id == -1
+        else read_manifest(spark, table_dir, after_id)["entries"]
+    )
+    for sid in window:
+        man = read_manifest(spark, table_dir, sid)
+        cur = man["entries"]
+        if not man.get("maintenance"):
+            order = [f["name"] for f in man.get("schema") or []] or None
+            added = {
+                k: v for k, v in cur.items()
+                if v not in set(prev_entries.values())
+            }
+            removed = {
+                k: v for k, v in prev_entries.items()
+                if v not in set(cur.values())
+            }
+            for entries, kind in ((removed, "delete"), (added, "insert")):
+                if not entries:
+                    continue
+                df = read_entries(spark, table_dir, entries)
+                if order:
+                    # Present every commit in ITS committed schema,
+                    # padding pre-evolution generations with NULLs the
+                    # same way read_snapshot does.
+                    for name in order:
+                        if name not in df.columns:
+                            df = df.withColumn(name, F.lit(None))
+                    df = df.select(*order)
+                if "_change_type" in df.columns or "_commit_id" in df.columns:
+                    raise ValueError(
+                        "read_changes: table already has a _change_type/"
+                        "_commit_id column — rename it to read the feed"
+                    )
+                parts.append(
+                    df.withColumn("_change_type", F.lit(kind)).withColumn(
+                        "_commit_id", F.lit(sid).cast("int")
+                    )
+                )
+        prev_entries = cur
+    if not parts:
+        # No content changes in the window: empty feed with the
+        # table's current schema.
+        base = read_snapshot(spark, table_dir, as_of=until_id)
+        return (
+            base.withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_id", F.lit(0).cast("int"))
+            .where(F.lit(False))
+        )
+    out = parts[0]
+    for other in parts[1:]:
+        out = out.unionByName(other, allowMissingColumns=True)
+    return out
+
+
 def generation_dir(table_dir: str, snapshot_id: int) -> str:
     return f"{table_dir}/{_DATA_DIR}/s={snapshot_id}"
 
@@ -382,6 +490,7 @@ def write_snapshot(
     snapshot_id: int | None = None,
     replace: bool = False,
     partition_by: str | None = None,
+    maintenance: bool = False,
 ) -> int:
     """Full-table publish: write ``df`` as a fresh data generation,
     then commit a manifest pointing only at it. Readers see the old
@@ -418,6 +527,7 @@ def write_snapshot(
         replace=replace,
         schema_fields=fields,
         layout_by=partition_by,
+        maintenance=maintenance,
     )
     return snapshot_id
 
@@ -500,6 +610,7 @@ def write_snapshot_partial(
     partition_col: str,
     touched_keys: list,
     replace: bool = False,
+    maintenance: bool = False,
 ) -> None:
     """Partial publish for a partitioned table: ``df`` holds the NEW
     full contents of exactly the ``touched_keys`` partitions (its
@@ -573,6 +684,7 @@ def write_snapshot_partial(
         partition_col=partition_col,
         replace=replace,
         schema_fields=fields,
+        maintenance=maintenance,
     )
 
 

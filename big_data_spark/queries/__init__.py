@@ -125,6 +125,12 @@ _PYTEST_ONLY = (
     # oracle text — incremental == batch end-state IS the contract).
     "neardup_incremental",
     "semdedup_incremental",
+    # snapshot_changes (round 7): the change-feed read over snapshot
+    # tables — append/rewrite/partial diffs with compaction commits
+    # excluded; oracle re-derives every commit's change set from raw
+    # orders. Past the cap; sql_snapshot_asof holds the snapshot-table
+    # family's driver slot.
+    "snapshot_changes",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2453,6 +2453,91 @@ def q_sql_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SNAPSHOT_ASOF_SQL)
 
 
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed read over the engine's own table format
+    (io/snapshot.py read_changes): build a four-commit table from an
+    orders slice — v0 base write, v1 append, v2 COMPACTION
+    (maintenance — must contribute nothing to the feed), v3 full
+    rewrite (surcharge prices, drop finished orders) — then summarize
+    every insert/delete the feed reports per commit. The oracle
+    re-derives each commit's change set from the raw ``orders``
+    table, so a wrong manifest diff (missed delete, phantom insert,
+    compaction leaking into the feed) hash-mismatches immediately.
+
+    Scale: the feed is manifest-diff metadata plus ordinary pruned
+    parquet scans of only the CHANGED generations — cost tracks the
+    change set, never the table."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_spark.io.compact import compact_snapshot
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        read_changes,
+        write_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tdir = os.path.join(tempfile.gettempdir(), f"bds_feed_{tag}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        price.alias("o_totalprice"),
+    )
+    # Slice on orderkey modulo — non-empty at EVERY scale factor, so
+    # each commit's change set exists wherever the gate runs.
+    m = F.col("o_orderkey") % 4
+    write_snapshot(base.filter(m < 2), tdir, 0)
+    append_snapshot(base.filter(m == 2), tdir, 1)
+    compact_snapshot(spark, tdir)  # commit 2: content-preserving
+    v3 = base.filter(
+        (m < 3) & (F.col("o_orderstatus") != "F")
+    ).withColumn(
+        "o_totalprice",
+        (F.col("o_totalprice") + F.lit("10.00").cast("decimal(18,2)"))
+        .cast("decimal(18,2)"),
+    )
+    write_snapshot(v3, tdir, 3)
+    feed = read_changes(spark, tdir, after_id=0)
+    return (
+        feed.groupBy(
+            F.col("_commit_id").alias("commit_id"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_totalprice").cast("double").alias("total"),
+        )
+        .orderBy("commit_id", "change_type")
+    )
+
+
+ORACLE_SNAPSHOT_CHANGES = """
+SELECT commit_id, change_type, n_rows, total
+FROM (
+  SELECT CAST(1 AS INTEGER) AS commit_id, 'insert' AS change_type,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders WHERE o_orderkey % 4 = 2
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'delete', COUNT(*),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+  FROM orders WHERE o_orderkey % 4 < 3
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'insert', COUNT(*),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                  + CAST('10.00' AS DECIMAL(18,2))) AS DOUBLE)
+  FROM orders WHERE o_orderkey % 4 < 3 AND o_orderstatus <> 'F'
+) c
+ORDER BY commit_id, change_type
+"""
+
+
 LPA_ROUNDS = 4
 
 
@@ -2701,6 +2786,7 @@ QUERIES = {
     "community_lpa": q_community_lpa,
     "sql_portable_revenue": q_sql_portable_revenue,
     "sql_snapshot_asof": q_sql_snapshot_asof,
+    "snapshot_changes": q_snapshot_changes,
     "drift_psi": q_drift_psi,
     "cohort_retention": q_cohort_retention,
     "dq_report": q_dq_report,
@@ -2775,6 +2861,7 @@ FROM (
 ) v
 ORDER BY version, o_custkey
 """,
+    "snapshot_changes": ORACLE_SNAPSHOT_CHANGES,
     "drift_psi": ORACLE_DRIFT_PSI,
     "cohort_retention": ORACLE_COHORT,
     "dq_report": ORACLE_DQ_REPORT,

@@ -446,3 +446,122 @@ def test_append_snapshot_partitioned_layout_and_empty_batch(spark, tmp_path):
     assert sorted(
         r["id"] for r in read_snapshot(spark, t).collect()
     ) == list(range(50))
+
+
+def _feed_rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_read_changes_append_rewrite_partial_and_maintenance(
+    spark, tmp_path
+):
+    """The change feed derives inserts/deletes from manifest diffs:
+    appends are pure inserts, a full rewrite is delete-all +
+    insert-all, a partial write touches only its partitions, and a
+    compaction commit contributes NOTHING."""
+    from big_data_spark.io.compact import compact_snapshot
+    from big_data_spark.io.snapshot import append_snapshot, read_changes
+
+    t = str(tmp_path / "feed")
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    write_snapshot(df0, t, snapshot_id=0)
+    append_snapshot(
+        spark.createDataFrame([(3, "c")], "k int, v string"), t, 1
+    )
+    ch = read_changes(spark, t, after_id=0)
+    assert _feed_rows(ch) == {(3, "c", "insert", 1)}
+    # Since table creation: two insert commits, no deletes.
+    ch_all = read_changes(spark, t, after_id=-1)
+    assert _feed_rows(ch_all) == {
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+        (3, "c", "insert", 1),
+    }
+    # Maintenance commit: feed over it is empty.
+    compact_snapshot(spark, t)
+    assert read_changes(spark, t, after_id=1).count() == 0
+    # Full rewrite after compaction: file-level delete-all+insert-all.
+    write_snapshot(
+        spark.createDataFrame([(2, "b2")], "k int, v string"), t, 3
+    )
+    got = _feed_rows(read_changes(spark, t, after_id=2))
+    assert got == {
+        (1, "a", "delete", 3),
+        (2, "b", "delete", 3),
+        (3, "c", "delete", 3),
+        (2, "b2", "insert", 3),
+    }
+
+
+def test_read_changes_partial_write_touches_only_its_partitions(
+    spark, tmp_path
+):
+    from big_data_spark.io.snapshot import read_changes
+
+    t = str(tmp_path / "feed_part")
+    v0 = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1), (3, "c", 1)], "k int, v string, _kb int"
+    )
+    write_snapshot_partial(v0, t, 0, "_kb", [0, 1])
+    v1 = spark.createDataFrame([(2, "B", 1)], "k int, v string, _kb int")
+    write_snapshot_partial(v1, t, 1, "_kb", [1])
+    got = _feed_rows(read_changes(spark, t, after_id=0))
+    # Bucket 0 untouched (carried by reference) — absent from the feed.
+    assert got == {
+        (2, "b", 1, "delete", 1),
+        (3, "c", 1, "delete", 1),
+        (2, "B", 1, "insert", 1),
+    }
+
+
+def test_read_changes_replay_reproduces_version(spark, tmp_path):
+    """Applying the feed (deletes then inserts, per commit) on top of
+    version ``after_id`` reproduces version ``until_id`` — the
+    incremental-sync correctness contract."""
+    from big_data_spark.io.snapshot import append_snapshot, read_changes
+
+    t = str(tmp_path / "feed_replay")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "k int, v string"
+        ),
+        t,
+        0,
+    )
+    append_snapshot(
+        spark.createDataFrame([(6, "v6"), (7, "v7")], "k int, v string"), t, 1
+    )
+    write_snapshot(  # drop evens, uppercase survivors
+        spark.createDataFrame(
+            [(i, f"V{i}") for i in range(8) if i % 2], "k int, v string"
+        ),
+        t,
+        2,
+    )
+    state = _rows(read_snapshot(spark, t, as_of=0))
+    feed = read_changes(spark, t, after_id=0).collect()
+    for sid in sorted({r["_commit_id"] for r in feed}):
+        state -= {
+            (r["k"], r["v"])
+            for r in feed
+            if r["_commit_id"] == sid and r["_change_type"] == "delete"
+        }
+        state |= {
+            (r["k"], r["v"])
+            for r in feed
+            if r["_commit_id"] == sid and r["_change_type"] == "insert"
+        }
+    assert state == _rows(read_snapshot(spark, t))
+
+
+def test_read_changes_expired_after_id_raises(spark, tmp_path):
+    from big_data_spark.io.snapshot import read_changes
+
+    t = str(tmp_path / "feed_gone")
+    for i in range(4):
+        write_snapshot(
+            spark.createDataFrame([(i,)], "k int"), t, snapshot_id=i
+        )
+    vacuum_snapshots(spark, t, keep_last=2)
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        read_changes(spark, t, after_id=0)
