@@ -131,6 +131,10 @@ _PYTEST_ONLY = (
     # orders. Past the cap; sql_snapshot_asof holds the snapshot-table
     # family's driver slot.
     "snapshot_changes",
+    # point_lookup (round 7): exact-match file skipping through the
+    # per-file Bloom index (io/fileindex.py) — lossless vs the plain
+    # filtered read; same family slot as above.
+    "point_lookup",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2538,6 +2538,56 @@ ORDER BY commit_id, change_type
 """
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-match point lookup through the per-file Bloom index
+    (io/fileindex.py): publish an orders snapshot clustered on
+    o_orderkey across 32 files, build the Bloom file index, and
+    read ONE key back through ``read_snapshot_point`` — the scan
+    opens only the files whose Bloom matches (1 + false positives of
+    32; measured in tests/test_fileindex.py), never missing the key
+    (one-sided guarantee). An absent-key probe is unioned in to pin
+    the empty path. The probe key is the table's min orderkey —
+    derived from the data, so the row works at every scale factor.
+
+    Scale: the index build is one map-side-combinable JVM aggregate
+    per maintenance window; the probe broadcasts 5 hash positions
+    against the index and ships only matching file NAMES to the
+    driver — the planning metadata budget of a table-format reader."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_spark.io.fileindex import (
+        read_snapshot_point,
+        write_bloom_index,
+    )
+    from big_data_spark.io.snapshot import write_snapshot
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tdir = os.path.join(tempfile.gettempdir(), f"bds_point_{tag}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    write_snapshot(orders.repartition(32, "o_orderkey"), tdir)
+    write_bloom_index(spark, tdir, "o_orderkey")
+    kmin = orders.agg(F.min("o_orderkey")).first()[0]
+    hit = read_snapshot_point(spark, tdir, "o_orderkey", kmin)
+    miss = read_snapshot_point(spark, tdir, "o_orderkey", -1)
+    return hit.unionByName(miss).orderBy("o_orderkey")
+
+
+ORACLE_POINT_LOOKUP = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+ORDER BY o_orderkey
+"""
+
+
 LPA_ROUNDS = 4
 
 
@@ -2787,6 +2837,7 @@ QUERIES = {
     "sql_portable_revenue": q_sql_portable_revenue,
     "sql_snapshot_asof": q_sql_snapshot_asof,
     "snapshot_changes": q_snapshot_changes,
+    "point_lookup": q_point_lookup,
     "drift_psi": q_drift_psi,
     "cohort_retention": q_cohort_retention,
     "dq_report": q_dq_report,
@@ -2862,6 +2913,7 @@ FROM (
 ORDER BY version, o_custkey
 """,
     "snapshot_changes": ORACLE_SNAPSHOT_CHANGES,
+    "point_lookup": ORACLE_POINT_LOOKUP,
     "drift_psi": ORACLE_DRIFT_PSI,
     "cohort_retention": ORACLE_COHORT,
     "dq_report": ORACLE_DQ_REPORT,

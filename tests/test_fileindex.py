@@ -1,0 +1,120 @@
+"""Bloom file index (io/fileindex.py): point-lookup file skipping
+over snapshot tables with the no-false-negative guarantee."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_spark.io.fileindex import (
+    bloom_index_build,
+    read_snapshot_point,
+    write_bloom_index,
+)
+from big_data_spark.io.snapshot import (
+    append_snapshot,
+    read_snapshot,
+    write_snapshot,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _files_read(df):
+    return df.select(F.input_file_name()).distinct().count()
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """A 16-file snapshot table of (k string, v long) — keys are
+    'key-<n>', clustered so each key lives in ONE file."""
+    t = str(tmp_path / "pointtbl")
+    df = spark.range(4000).select(
+        F.concat(F.lit("key-"), (F.col("id") % 64).cast("string")).alias(
+            "k"
+        ),
+        F.col("id").alias("v"),
+    )
+    write_snapshot(df.repartition(16, "k"), t)
+    write_bloom_index(spark, t, "k")
+    return t
+
+
+def test_point_read_is_lossless_and_skips_files(spark, table):
+    plain = read_snapshot(spark, table).where(F.col("k") == "key-7")
+    point = read_snapshot_point(spark, table, "k", "key-7")
+    assert _rows(point) == _rows(plain)
+    assert _rows(point), "probe key must exist"
+    # Skipping is real: the key lives in 1 of 16 files; Bloom false
+    # positives may keep a few more, but far from all.
+    assert _files_read(
+        read_snapshot_point(spark, table, "k", "key-7", residual=False)
+    ) < 16
+
+
+def test_absent_key_yields_empty_with_schema(spark, table):
+    got = read_snapshot_point(spark, table, "k", "key-no-such")
+    assert got.columns == ["k", "v"]
+    assert got.count() == 0
+
+
+def test_entries_after_index_build_are_conservatively_read(
+    spark, table
+):
+    """An append AFTER the index build must still be visible — its
+    generation is read in full (no false negatives from staleness);
+    rebuilding the index restores skipping."""
+    extra = spark.createDataFrame(
+        [("key-7", 999999), ("key-new", 5)], "k string, v long"
+    )
+    append_snapshot(extra, table)
+    got = read_snapshot_point(spark, table, "k", "key-7")
+    assert ("key-7", 999999) in _rows(got)
+    assert _rows(got) == _rows(
+        read_snapshot(spark, table).where(F.col("k") == "key-7")
+    )
+    assert _rows(read_snapshot_point(spark, table, "k", "key-new")) == {
+        ("key-new", 5)
+    }
+    files_stale = _files_read(
+        read_snapshot_point(spark, table, "k", "key-7", residual=False)
+    )
+    write_bloom_index(spark, table, "k")
+    files_fresh = _files_read(
+        read_snapshot_point(spark, table, "k", "key-7", residual=False)
+    )
+    assert files_fresh <= files_stale
+    assert _rows(read_snapshot_point(spark, table, "k", "key-7")) == _rows(
+        read_snapshot(spark, table).where(F.col("k") == "key-7")
+    )
+
+
+def test_no_index_falls_back_to_plain_filter(spark, tmp_path):
+    t = str(tmp_path / "noidx")
+    write_snapshot(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"), t
+    )
+    assert _rows(read_snapshot_point(spark, t, "k", "b")) == {("b", 2)}
+
+
+def test_every_key_found_through_index(spark, table):
+    """No-false-negative sweep: every one of the 64 keys resolves to
+    exactly its full row set through the index."""
+    base = read_snapshot(spark, table)
+    expected = {
+        r["k"]: r["n"]
+        for r in base.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    for key in ("key-0", "key-13", "key-31", "key-63"):
+        assert (
+            read_snapshot_point(spark, table, "k", key).count()
+            == expected[key]
+        )
+
+
+def test_in_memory_source_raises(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="file-backed"):
+        bloom_index_build(df, "k")
