@@ -154,3 +154,81 @@ def refresh_aggregate(
         insert_condition=F.col(f"s.{count_col}") > F.lit(0),
         strict=True,
     )
+
+
+def sync_aggregate(
+    spark,
+    table_dir: str,
+    mv_dir: str,
+    keys: list[str],
+    measures: list[str],
+    count_col: str = "n_rows",
+) -> dict:
+    """Keep a grouped-aggregate materialized view of a SNAPSHOT TABLE
+    fresh from its change feed — the closed loop: base commits
+    (io/snapshot.py) -> read_changes -> refresh_aggregate -> MV
+    snapshot. Each call costs one feed read (only the CHANGED
+    generations) plus one merge of the per-key delta; the base table
+    is rescanned only at bootstrap.
+
+    The MV is itself a snapshot table whose snapshot ids MIRROR the
+    base commit they have applied through (bootstrap publishes the
+    full aggregate under the current base id; each sync publishes
+    under the base id it caught up to, ``replace=True`` so a crashed
+    sync's retry converges). Freshness is therefore readable from
+    ``snapshot_ids(mv_dir)[-1]`` and time travel over the MV gives
+    the aggregate as of any synced base version.
+
+    Compaction commits never reach the MV (the feed skips
+    maintenance); a full base rewrite flows through as delete-all +
+    insert-all, whose fold is exactly new-sum minus old-sum. Same
+    additive-aggregate scope as refresh_aggregate (sum/count and
+    derivatives; min/max need a rescan under deletes).
+    """
+    from big_data_spark.io.snapshot import (
+        read_changes,
+        read_snapshot,
+        snapshot_ids,
+        write_snapshot,
+    )
+
+    base_ids = snapshot_ids(spark, table_dir)
+    if not base_ids:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    until = base_ids[-1]
+    mv_ids = snapshot_ids(spark, mv_dir)
+    if not mv_ids:
+        base = read_snapshot(spark, table_dir, as_of=until)
+        mv0 = base.groupBy(*keys).agg(
+            *[F.sum(m).alias(m) for m in measures],
+            F.count(F.lit(1)).alias(count_col),
+        )
+        write_snapshot(mv0, mv_dir, snapshot_id=until, replace=True)
+        return {"bootstrapped": True, "applied_through": until, "from": None}
+    last = mv_ids[-1]
+    if last >= until:
+        return {"bootstrapped": False, "applied_through": last, "from": last}
+    feed = read_changes(spark, table_dir, after_id=last, until_id=until)
+    mv = read_snapshot(spark, mv_dir, as_of=last)
+    refreshed = refresh_aggregate(
+        mv,
+        feed,
+        keys,
+        measures,
+        op_col="_change_type",
+        delete_op="delete",
+        count_col=count_col,
+    )
+    # The merge's t.m + s.m widens decimal sums (28,2 -> 38,2 and so
+    # on); pin the MV's committed types so the snapshot schema stays
+    # stable across refreshes. Values that fit the bootstrap
+    # aggregate's type fit here too — the fold is the same sum.
+    mv_types = dict(mv.dtypes)
+    refreshed = refreshed.select(
+        *[
+            F.col(c).cast(mv_types[c]).alias(c) if c in mv_types else c
+            for c in refreshed.columns
+        ]
+    )
+    write_snapshot(refreshed, mv_dir, snapshot_id=until, replace=True)
+    return {"bootstrapped": False, "applied_through": until, "from": last}

@@ -161,3 +161,113 @@ def test_refresh_aggregate_pure_retraction_for_unseen_group_skipped(spark):
     batch = spark.createDataFrame([(9, 4.0, "D")], schema)
     out = refresh_aggregate(mv, batch, ["k"], ["v"], op_col="op")
     assert _mv_rows(out) == {(1, 1.0, 1)}
+
+
+def test_sync_aggregate_tracks_base_table_through_commit_kinds(
+    spark, tmp_path
+):
+    """The closed MV loop: bootstrap, append, multi-commit catch-up,
+    full rewrite, compaction no-op — after every sync the MV equals
+    the from-scratch aggregate of the current base, and the MV's
+    snapshot id mirrors the base commit it applied through."""
+    from big_data_spark.io.compact import compact_snapshot
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        read_snapshot,
+        snapshot_ids,
+        write_snapshot,
+    )
+    from big_data_spark.operators.incremental import sync_aggregate
+
+    t = str(tmp_path / "base")
+    mv = str(tmp_path / "mv")
+
+    def check():
+        got = {
+            tuple(r)
+            for r in read_snapshot(spark, mv)
+            .select("g", "amt", "n_rows")
+            .collect()
+        }
+        want = {
+            tuple(r)
+            for r in read_snapshot(spark, t)
+            .groupBy("g")
+            .agg(F.sum("amt").alias("amt"), F.count("*").alias("n_rows"))
+            .collect()
+        }
+        assert got == want
+        assert snapshot_ids(spark, mv)[-1] == snapshot_ids(spark, t)[-1]
+
+    write_snapshot(
+        spark.createDataFrame(
+            [("a", 10), ("a", 5), ("b", 7)], "g string, amt long"
+        ),
+        t,
+        0,
+    )
+    st = sync_aggregate(spark, t, mv, ["g"], ["amt"])
+    assert st["bootstrapped"] and st["applied_through"] == 0
+    check()
+    # Two appends, ONE catch-up sync spanning both commits.
+    append_snapshot(
+        spark.createDataFrame([("b", 3), ("c", 1)], "g string, amt long"),
+        t,
+        1,
+    )
+    append_snapshot(
+        spark.createDataFrame([("c", 4)], "g string, amt long"), t, 2
+    )
+    st = sync_aggregate(spark, t, mv, ["g"], ["amt"])
+    assert st == {"bootstrapped": False, "applied_through": 2, "from": 0}
+    check()
+    # Full rewrite: group a shrinks, b disappears, d appears.
+    write_snapshot(
+        spark.createDataFrame(
+            [("a", 2), ("c", 5), ("d", 9)], "g string, amt long"
+        ),
+        t,
+        3,
+    )
+    sync_aggregate(spark, t, mv, ["g"], ["amt"])
+    check()
+    # Compaction is maintenance: the sync advances the MV id but the
+    # feed is empty — contents unchanged.
+    compact_snapshot(spark, t)
+    before = {
+        tuple(r) for r in read_snapshot(spark, mv).collect()
+    }
+    st = sync_aggregate(spark, t, mv, ["g"], ["amt"])
+    assert st["applied_through"] == snapshot_ids(spark, t)[-1]
+    assert {tuple(r) for r in read_snapshot(spark, mv).collect()} == before
+    check()
+    # Fresh MV: sync is a no-op.
+    st = sync_aggregate(spark, t, mv, ["g"], ["amt"])
+    assert st["from"] == st["applied_through"]
+
+
+def test_sync_aggregate_decimal_measures_keep_schema(spark, tmp_path):
+    """DECIMAL sums widen through the merge's t.m + s.m fold
+    (28,2 -> 38,2); the sync pins the MV's committed types so the
+    snapshot schema-evolution guard never trips and values stay
+    exact."""
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+    from big_data_spark.operators.incremental import sync_aggregate
+
+    t = str(tmp_path / "decbase")
+    mv = str(tmp_path / "decmv")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "g string, amt string"
+    ).select("g", F.col("amt").cast("decimal(18,2)").alias("amt"))
+    write_snapshot(mk([("a", "10.50"), ("b", "0.25")]), t, 0)
+    sync_aggregate(spark, t, mv, ["g"], ["amt"])
+    append_snapshot(mk([("a", "0.01")]), t, 1)
+    sync_aggregate(spark, t, mv, ["g"], ["amt"])
+    out = read_snapshot(spark, mv)
+    assert dict(out.dtypes)["amt"] == "decimal(28,2)"
+    got = {(r["g"], str(r["amt"])) for r in out.collect()}
+    assert got == {("a", "10.51"), ("b", "0.25")}
