@@ -135,6 +135,11 @@ _PYTEST_ONLY = (
     # per-file Bloom index (io/fileindex.py) — lossless vs the plain
     # filtered read; same family slot as above.
     "point_lookup",
+    # pack_sequences (round 7): training-example packing by offset
+    # binning over a DISTRIBUTED global prefix sum
+    # (operators/prefix.py); oracle replays the policy with one SQL
+    # window.
+    "pack_sequences",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

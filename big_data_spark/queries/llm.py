@@ -2604,7 +2604,53 @@ GROUP BY source ORDER BY source
 """
 
 
+PACK_CAPACITY = 8192
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-example construction: pack documents end-to-end into
+    fixed-budget examples (PACK_CAPACITY chars here; token counts in
+    production) by OFFSET BINNING over a DISTRIBUTED global prefix
+    sum (operators/prefix.py — range partition, within-partition
+    window, driver-side offsets of one row per partition; never the
+    single-task global-window plan). Deterministic (doc_id order), so
+    the oracle replays the same policy with one SQL window.
+
+    Scale: the only global structure is the per-partition totals
+    list — bounded driver metadata; everything else is partitioned
+    window + one groupBy."""
+    from big_data_spark.operators.prefix import pack_sequences
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    packed = pack_sequences(docs, "n_chars", PACK_CAPACITY, ["doc_id"])
+    return packed.select(
+        "bin_id",
+        "n_docs",
+        "total_n_chars",
+        F.array_join(
+            F.transform("ids", lambda i: i.cast("string")), ","
+        ).alias("ids"),
+    )
+
+
+ORACLE_PACK = f"""
+WITH pref AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id) - n_chars AS excl
+  FROM documents
+)
+SELECT CAST(FLOOR(excl / {PACK_CAPACITY}) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_n_chars,
+       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+FROM pref
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "pack_sequences": q_pack_sequences,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
@@ -2674,4 +2720,5 @@ ORACLE_SQL = {
     "corpus_mix_temperature": ORACLE_CORPUS_MIX_TEMPERATURE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "dedup_segments": ORACLE_DEDUP_SEGMENTS,
+    "pack_sequences": ORACLE_PACK,
 }
