@@ -140,6 +140,10 @@ _PYTEST_ONLY = (
     # (operators/prefix.py); oracle replays the policy with one SQL
     # window.
     "pack_sequences",
+    # shard_summary (round 7): deterministic balanced training-shard
+    # export (io/shards.py) — round-robin over the md5-shuffled
+    # global numbering; oracle replays the policy via ROW_NUMBER.
+    "shard_summary",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

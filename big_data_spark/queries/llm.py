@@ -2649,8 +2649,54 @@ ORDER BY 1
 """
 
 
+N_EXPORT_SHARDS = 16
+
+
+def q_shard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export (io/shards.py): documents
+    dealt round-robin over their md5-pseudo-shuffled global row
+    number — globally shuffled, size-balanced to within one row,
+    bit-identical across re-runs. Reported per shard (count + id
+    checksum + char total); the oracle replays the identical policy
+    with ROW_NUMBER over md5 order, so a drifted assignment (hash
+    change, numbering gap, unbalanced deal) hash-mismatches.
+
+    Scale: one range-partitioned sort + the distributed prefix
+    numbering (operators/prefix.py) — no single-task window."""
+    from big_data_spark.io.shards import shard_assignments
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return (
+        shard_assignments(docs, "doc_id", N_EXPORT_SHARDS)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_SHARDS = f"""
+WITH numbered AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents
+)
+SELECT CAST((rn - 1) % {N_EXPORT_SHARDS} AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM numbered
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "pack_sequences": q_pack_sequences,
+    "shard_summary": q_shard_summary,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
@@ -2721,4 +2767,5 @@ ORACLE_SQL = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "dedup_segments": ORACLE_DEDUP_SEGMENTS,
     "pack_sequences": ORACLE_PACK,
+    "shard_summary": ORACLE_SHARDS,
 }
