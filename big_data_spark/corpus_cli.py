@@ -58,6 +58,15 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "at DIR (streaming/semdedup_ingest.py) instead of re-blocking "
         "the embedding table",
     )
+    parser.add_argument(
+        "--export-shards",
+        type=int,
+        default=None,
+        metavar="N",
+        help="additionally export the survivors as N deterministic "
+        "globally-shuffled size-balanced training shards under "
+        "<out_dir>_shards (io/shards.py)",
+    )
     args = parser.parse_args(argv)
 
     owns_session = spark is None
@@ -75,7 +84,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             from big_data_spark.streaming.semdedup_ingest import semdedup_keep
 
             sem_df = semdedup_keep(spark, args.semdedup_index)
-        _, report = prepare_corpus(
+        survivors, report = prepare_corpus(
             spark,
             args.sf_dir,
             out_dir=args.out_dir,
@@ -86,7 +95,17 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             semdedup_keep_df=sem_df,
         )
         funnel = {r.stage: r.n_docs for r in report.collect()}
-        print(json.dumps({"funnel": funnel, "out_dir": args.out_dir}))
+        out = {"funnel": funnel, "out_dir": args.out_dir}
+        if args.export_shards:
+            from big_data_spark.io.shards import write_training_shards
+
+            out["shards"] = write_training_shards(
+                survivors,
+                f"{args.out_dir}_shards",
+                "doc_id",
+                args.export_shards,
+            )
+        print(json.dumps(out))
         return funnel
     finally:
         if owns_session:

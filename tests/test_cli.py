@@ -54,3 +54,25 @@ def test_corpus_cli_writes_and_reports(spark, tmp_path, capsys):
     assert parsed["funnel"] == funnel and parsed["out_dir"] == out
     back = spark.read.parquet(out)
     assert back.count() == funnel["5_mixed"]
+
+
+def test_corpus_cli_exports_training_shards(spark, tmp_path, capsys):
+    import glob
+    import json
+
+    from big_data_spark.corpus_cli import main as corpus_main
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "corpus")
+    funnel = corpus_main(
+        [SF_SMOKE, out, "--export-shards", "4"], spark=spark
+    )
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["shards"]["n_shards"] == 4
+    assert parsed["shards"]["n_rows"] == funnel["5_mixed"]
+    assert parsed["shards"]["max_skew"] <= 1
+    assert len(glob.glob(f"{out}_shards/shard=*")) == 4
+    back = spark.read.parquet(f"{out}_shards")
+    assert back.count() == funnel["5_mixed"]
+    assert back.select("doc_id").distinct().count() == funnel["5_mixed"]
