@@ -52,9 +52,20 @@ def running_total(
     combinations); ties make the running value undefined between the
     tied rows, exactly as in SQL.
     """
-    ordered = df.repartitionByRange(
-        *([n_partitions] if n_partitions else []), *order_by
-    ).withColumn("_pid", F.spark_partition_id())
+    from big_data_spark.lineage import truncate_lineage
+
+    # MATERIALIZE the range partitioning before branching: the range
+    # partitioner SAMPLES its boundaries per execution, so without
+    # this the totals job and the final join's stream job can split
+    # the key space differently — offsets computed for one layout
+    # applied to another, silently wrong prefixes (caught by the
+    # sf0.1 A/B; invisible at toy sizes where the samples agree).
+    ordered = truncate_lineage(
+        df.repartitionByRange(
+            *([n_partitions] if n_partitions else []), *order_by
+        ).withColumn("_pid", F.spark_partition_id()),
+        eager=True,
+    )
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_by)
@@ -67,12 +78,26 @@ def running_total(
         .collect(),
         key=lambda r: r["_pid"],
     )
-    offsets, acc = [], 0
+    # Exclusive prefix of the per-partition totals, folded on the
+    # driver (ONE row per partition — bounded metadata). The offset
+    # column carries the window sum's own type: bigint for integral
+    # measures, double for floats, widened decimal for decimals — a
+    # fixed bigint would reject float measures.
+    import decimal
+
+    sum_type = dict(within.dtypes)["_within"]
+    zero = (
+        decimal.Decimal(0)
+        if sum_type.startswith("decimal")
+        else (0.0 if sum_type in ("double", "float") else 0)
+    )
+    offsets, acc = [], zero
     for r in totals:
         offsets.append((r["_pid"], acc))
-        acc += r["_tot"]
+        if r["_tot"] is not None:
+            acc += r["_tot"]
     spark = df.sparkSession
-    off = spark.createDataFrame(offsets, "_pid int, _off bigint")
+    off = spark.createDataFrame(offsets, f"_pid int, _off {sum_type}")
     return (
         within.join(F.broadcast(off), "_pid")
         .withColumn(out_col, (F.col("_off") + F.col("_within")))

@@ -85,3 +85,28 @@ def test_pack_capacity_validation(spark):
     docs = spark.createDataFrame([(1, 5)], "doc_id long, n long")
     with pytest.raises(ValueError, match="capacity"):
         pack_sequences(docs, "n", 0, ["doc_id"])
+
+
+def test_running_total_double_and_decimal_measures(spark):
+    """The offset column must carry the window sum's own type —
+    float and decimal measures, not just integers."""
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("double") / 3.0).alias("x"),
+    )
+    got = sorted(
+        (r["k"], r["running"])
+        for r in running_total(df, ["k"], "x", n_partitions=8).collect()
+    )
+    acc = 0.0
+    for i, (k, run) in enumerate(got):
+        acc += i / 3.0
+        assert abs(run - acc) < 1e-6 * max(1.0, acc)
+    dec = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("decimal(10,2)").alias("x"),
+    )
+    out = running_total(dec, ["k"], "x", n_partitions=4)
+    assert dict(out.dtypes)["running"].startswith("decimal")
+    last = out.orderBy(F.desc("k")).first()
+    assert int(last["running"]) == sum(range(100))
