@@ -144,6 +144,10 @@ _PYTEST_ONLY = (
     # export (io/shards.py) — round-robin over the md5-shuffled
     # global numbering; oracle replays the policy via ROW_NUMBER.
     "shard_summary",
+    # weighted_sample (round 7): exact-integer deterministic PPS
+    # sampling (operators/sampling.py) — no float on the keep path;
+    # oracle replays the HUGEINT gate.
+    "weighted_sample",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2694,9 +2694,51 @@ ORDER BY 1
 """
 
 
+PPS_EXPECTED_N = 200
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic probability-proportional-to-size sampling
+    (operators/sampling.py): keep each document with probability
+    min(1, n * n_chars / total_chars) — the weighted downsampler a
+    quality-aware corpus mix uses — decided in EXACT decimal/HUGEINT
+    integer arithmetic over the md5-uint32 gate, so membership is a
+    pure function of doc_id and both engines agree row for row (no
+    float anywhere on the keep path; the established float-contract
+    discipline, here made trivially safe). Audited per source with
+    exact counts/checksums."""
+    from big_data_spark.operators.sampling import pps_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    kept = pps_sample(docs, "doc_id", "n_chars", PPS_EXPECTED_N)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH tot AS (SELECT SUM(n_chars) AS w FROM documents)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM documents, tot
+WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT) * tot.w
+      < CAST(n_chars AS HUGEINT) * {PPS_EXPECTED_N} * 4294967296
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "pack_sequences": q_pack_sequences,
     "shard_summary": q_shard_summary,
+    "weighted_sample": q_weighted_sample,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
@@ -2768,4 +2810,5 @@ ORACLE_SQL = {
     "dedup_segments": ORACLE_DEDUP_SEGMENTS,
     "pack_sequences": ORACLE_PACK,
     "shard_summary": ORACLE_SHARDS,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
 }
