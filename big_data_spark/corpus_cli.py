@@ -99,8 +99,11 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         if args.export_shards:
             from big_data_spark.io.shards import write_training_shards
 
+            # Shard from the parquet prepare_corpus just wrote (same
+            # rows, already materialized) — re-using the lazy
+            # survivors plan would recompute the whole funnel.
             out["shards"] = write_training_shards(
-                survivors,
+                spark.read.parquet(args.out_dir),
                 f"{args.out_dir}_shards",
                 "doc_id",
                 args.export_shards,

@@ -302,6 +302,14 @@ def compact_snapshot(
             partition_by=layout,
             maintenance=True,
         )
+        # The layout fixes the file count (one per partition dir),
+        # not the size heuristic — report what was actually written
+        # so maintenance automation sizing follow-ups isn't misled.
+        from big_data_spark.io.snapshot import generation_dir
+
+        n_out = parquet_inventory(
+            spark, generation_dir(table_dir, next_id)
+        )["n_files"]
     else:
         out = _compaction_plan(
             df, n_out, cluster_by, sort_within, zorder_by, zorder_bits

@@ -106,7 +106,17 @@ def write_bloom_index(
 
 def _maybe_files(index: DataFrame, item_col: str, value) -> list[str]:
     """File URIs whose Bloom says 'maybe contains value' — never
-    misses a file that holds it (no false negatives)."""
+    misses a file that holds it (no false negatives).
+
+    This probes ONE value against EVERY key (file), the transposed
+    shape of operators/bloom.py bloom_might_contain (many items, each
+    against its own key) — there the filter side broadcasts; here the
+    k probe positions broadcast and the index streams. The position
+    derivation is shared (_probe_rows); only the bit test is local,
+    and tests/test_fileindex.py pins verdict parity against
+    bloom_might_contain so the two can't drift. m/k are read from the
+    filter itself, so a parameter mismatch is impossible by
+    construction."""
     spark = index.sparkSession
     row = index.select("m", "k", "item_type").first()
     if row is None:
@@ -162,9 +172,16 @@ def read_snapshot_point(
     index = read_snapshot(spark, ipath)
     covers = index.select("covers").first()["covers"]
     man = latest_manifest(spark, table_dir)
-    covered_vals = set(
-        read_manifest(spark, table_dir, covers)["entries"].values()
-    )
+    try:
+        covered_vals = set(
+            read_manifest(spark, table_dir, covers)["entries"].values()
+        )
+    except Exception:  # noqa: BLE001 — any unreadable covers manifest
+        # The covered manifest was expired by vacuum: nothing is
+        # provably covered any more, so degrade to the conservative
+        # full filtered read (staleness costs speed, never rows) —
+        # rebuild the index to restore skipping.
+        covered_vals = set()
     covered = {
         key: rel
         for key, rel in man["entries"].items()
@@ -175,7 +192,10 @@ def read_snapshot_point(
         for key, rel in man["entries"].items()
         if rel not in covered_vals
     }
-    maybe = {_bare(f) for f in _maybe_files(index, item_col, value)}
+    # _bare() normalizes ONLY for prefix comparison; I/O always uses
+    # the original URIs input_file_name reported, so hdfs://s3a://
+    # tables resolve against their own filesystem, not the default.
+    maybe = {_bare(f): f for f in _maybe_files(index, item_col, value)}
     parts: list[DataFrame] = []
     order = [f["name"] for f in man.get("schema") or []] or None
     # Group covered entries by GENERATION and read kept files with the
@@ -188,10 +208,10 @@ def read_snapshot_point(
         by_gen.setdefault(gen, []).append(rel)
     for gen, rels in sorted(by_gen.items()):
         kept = sorted(
-            f
-            for f in maybe
+            orig
+            for bare, orig in maybe.items()
             if any(
-                f.startswith(_bare(f"{table_dir}/{r}").rstrip("/") + "/")
+                bare.startswith(_bare(f"{table_dir}/{r}").rstrip("/") + "/")
                 for r in rels
             )
         )

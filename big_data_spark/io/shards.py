@@ -50,21 +50,28 @@ def write_training_shards(
     df: DataFrame, out_dir: str, key_col: str, n_shards: int
 ) -> dict:
     """Export ``df`` as ``n_shards`` deterministic shards under
-    ``out_dir/shard=<i>/`` (one file per shard, rows ordered by the
-    shuffle key inside each). Returns bounded bookkeeping
+    ``out_dir/shard=<i>/`` (one file per shard, rows in SHUFFLE-key
+    order inside each — a job streaming one shard sequentially sees
+    decorrelated data, not source order). Returns bounded bookkeeping
     {n_rows, n_shards, max_skew} where max_skew is the largest
     shard-size deviation from the mean (<= 1 row by construction)."""
     assigned = shard_assignments(df, key_col, n_shards)
     (
         assigned.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", key_col)
+        .sortWithinPartitions(
+            F.col("shard"), F.md5(F.col(key_col).cast("string"))
+        )
         .write.mode("error")
         .partitionBy("shard")
         .parquet(out_dir)
     )
     spark = df.sparkSession
+    # Explicit schema on the read-back: an EMPTY export writes no
+    # part files under partitionBy, and schema inference would raise
+    # after the write already succeeded.
     sizes = (
-        spark.read.parquet(out_dir)
+        spark.read.schema(assigned.schema)
+        .parquet(out_dir)
         .groupBy("shard")
         .count()
         .collect()

@@ -240,6 +240,15 @@ def read_snapshot(
     if man is None:
         raise ValueError(f"no committed snapshots under {table_dir!r}")
     order = [f["name"] for f in man.get("schema") or []] or None
+    if not man["entries"] and man.get("schema"):
+        # A legitimately EMPTY committed snapshot (e.g. a table whose
+        # first append was an empty batch, or fully emptied partial
+        # writes): readable as zero rows with the committed schema —
+        # the writer published it, so the reader must not refuse it.
+        ddl = ", ".join(
+            f"`{f['name']}` {f['type']}" for f in man["schema"]
+        )
+        return spark.createDataFrame([], ddl)
     return read_entries(
         spark,
         table_dir,
@@ -399,13 +408,15 @@ def read_changes(
         cur = man["entries"]
         if not man.get("maintenance"):
             order = [f["name"] for f in man.get("schema") or []] or None
+            prev_vals, cur_vals = (
+                set(prev_entries.values()),
+                set(cur.values()),
+            )
             added = {
-                k: v for k, v in cur.items()
-                if v not in set(prev_entries.values())
+                k: v for k, v in cur.items() if v not in prev_vals
             }
             removed = {
-                k: v for k, v in prev_entries.items()
-                if v not in set(cur.values())
+                k: v for k, v in prev_entries.items() if v not in cur_vals
             }
             for entries, kind in ((removed, "delete"), (added, "insert")):
                 if not entries:

@@ -120,9 +120,12 @@ def pack_sequences(
         raise ValueError(f"capacity must be >= 1, got {capacity}")
     id_col = id_col or order_by[0]
     pref = running_total(df, order_by, size_col, out_col="_run")
+    # Integer `div`, not FLOOR(x / cap): bigint/int division goes
+    # through a double, whose rounding can cross a bin boundary once
+    # cumulative sums exceed ~2^53 — the exact path costs nothing.
     binned = pref.withColumn(
         "bin_id",
-        F.floor((F.col("_run") - F.col(size_col)) / F.lit(capacity)),
+        F.expr(f"(_run - `{size_col}`) div {int(capacity)}"),
     )
     return (
         binned.groupBy("bin_id")

@@ -2639,7 +2639,7 @@ WITH pref AS (
          SUM(n_chars) OVER (ORDER BY doc_id) - n_chars AS excl
   FROM documents
 )
-SELECT CAST(FLOOR(excl / {PACK_CAPACITY}) AS BIGINT) AS bin_id,
+SELECT CAST(excl // {PACK_CAPACITY} AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_n_chars,
        STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids

@@ -118,3 +118,61 @@ def test_in_memory_source_raises(spark):
     df = spark.createDataFrame([("a", 1)], "k string, v long")
     with pytest.raises(ValueError, match="file-backed"):
         bloom_index_build(df, "k")
+
+
+def test_point_read_survives_expired_covers_manifest(spark, tmp_path):
+    """Vacuum can expire the manifest the index was built against;
+    the point read must then degrade to the conservative full
+    filtered read — staleness costs speed, never rows."""
+    from big_data_spark.io.snapshot import vacuum_snapshots
+
+    t = str(tmp_path / "expire")
+    df = spark.range(100).select(
+        F.concat(F.lit("k"), (F.col("id") % 8).cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    write_snapshot(df.repartition(8, "k"), t)
+    write_bloom_index(spark, t, "k")
+    for i in range(3):
+        append_snapshot(
+            spark.createDataFrame([(f"k{i}", 1000 + i)], "k string, v long"),
+            t,
+        )
+    vacuum_snapshots(spark, t, keep_last=2)
+    got = read_snapshot_point(spark, t, "k", "k1")
+    assert _rows(got) == _rows(
+        read_snapshot(spark, t).where(F.col("k") == "k1")
+    )
+
+
+def test_maybe_probe_agrees_with_bloom_might_contain(spark, tmp_path):
+    """The transposed one-value-many-files probe must return the
+    same verdicts as operators/bloom.py bloom_might_contain — pinned
+    so the two bit-test implementations can't drift."""
+    from big_data_spark.io.fileindex import _maybe_files, bloom_index_build
+    from big_data_spark.operators.bloom import bloom_might_contain
+
+    src = str(tmp_path / "src")
+    df = spark.range(400).select(
+        F.concat(F.lit("key-"), (F.col("id") % 16).cast("string")).alias(
+            "k"
+        ),
+        F.col("id").alias("v"),
+    )
+    df.repartition(8, "k").write.parquet(src)
+    back = spark.read.parquet(src)
+    idx = bloom_index_build(back, "k", m=4096, k=3).persist()
+    files = [r["file"] for r in idx.select("file").distinct().collect()]
+    for probe in ("key-3", "key-absent"):
+        maybe = set(_maybe_files(idx, "k", probe))
+        items = spark.createDataFrame(
+            [(f, probe) for f in files], "file string, k string"
+        )
+        ref = {
+            r["file"]
+            for r in bloom_might_contain(
+                idx.drop("item_type"), items, ["file"], "k", m=4096, k=3
+            ).collect()
+            if r["might_contain"]
+        }
+        assert maybe == ref

@@ -73,7 +73,7 @@ def test_pack_sequences_matches_sql_window_oracle(spark):
                  SUM(n) OVER (ORDER BY doc_id) - n AS excl
           FROM docs
         )
-        SELECT CAST(FLOOR(excl / 1024) AS BIGINT) AS bin_id,
+        SELECT CAST(excl // 1024 AS BIGINT) AS bin_id,
                COUNT(*) AS n_docs, SUM(n) AS total_n,
                LIST(doc_id ORDER BY doc_id) AS ids
         FROM pref GROUP BY 1 ORDER BY 1

@@ -351,14 +351,21 @@ def test_compact_snapshot_folds_partitioned_generations(spark, tmp_path):
         compact_snapshot(spark, t, zorder_by=["k", "v"])
 
 
-def test_read_fully_emptied_table_raises_clearly(spark, tmp_path):
+def test_read_fully_emptied_table_is_zero_rows_with_schema(
+    spark, tmp_path
+):
+    """Deleting every partition is a legitimate publish: the reader
+    returns zero rows with the committed schema (a raise here would
+    make the failure surface far from the write that emptied the
+    table); time travel still shows the pre-delete content."""
     t = str(tmp_path / "tbl")
     write_snapshot_partial(_bucketed(spark, [(1, "a", 0)]), t, 0, "_kb", [0])
     empty = spark.createDataFrame([], "k int, v string, _kb int")
     write_snapshot_partial(empty, t, 1, "_kb", [0])
-    with pytest.raises(ValueError, match="no live data"):
-        read_snapshot(spark, t)
+    got = read_snapshot(spark, t)
+    assert got.columns == ["k", "v", "_kb"] and got.count() == 0
     assert read_manifest(spark, t, 1)["entries"] == {}
+    assert _rows(read_snapshot(spark, t, as_of=0)) == {(1, "a", 0)}
 
 
 def test_schema_evolution_additive_and_guarded(spark, tmp_path):
@@ -565,3 +572,27 @@ def test_read_changes_expired_after_id_raises(spark, tmp_path):
     vacuum_snapshots(spark, t, keep_last=2)
     with pytest.raises(ValueError, match="expired by vacuum"):
         read_changes(spark, t, after_id=0)
+
+
+def test_empty_committed_snapshot_reads_as_zero_rows(spark, tmp_path):
+    """A writer that commits an empty table (empty first append, or
+    an empty partitioned full write) publishes entries={} with a
+    schema — readers must return zero rows with that schema, not
+    refuse a snapshot the writer legitimately published."""
+    from big_data_spark.io.snapshot import append_snapshot
+
+    t = str(tmp_path / "empty_first")
+    empty = spark.createDataFrame([], "k int, v string").withColumn(
+        "k", F.col("k")
+    )
+    append_snapshot(empty, t, snapshot_id=0, partition_by="k")
+    got = read_snapshot(spark, t)
+    assert got.columns == ["k", "v"] and got.count() == 0
+    # The table recovers normally once data lands.
+    append_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        t,
+        snapshot_id=1,
+        partition_by="k",
+    )
+    assert _rows(read_snapshot(spark, t)) == {(1, "a")}
