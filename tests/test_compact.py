@@ -175,3 +175,77 @@ def test_zorder_layout_narrows_per_file_spans(spark, tmp_path):
         # 4 z-range files over 2 uniform dims -> each dim span ~1/2;
         # assert the average is clearly below "no locality" (~1.0).
         assert sum(spans) / len(spans) < 0.8, (col, spans)
+
+
+def test_binpack_folds_only_the_small_tail(spark, tmp_path):
+    """Incremental maintenance: small generations fold into one, the
+    large generation is carried forward BY REFERENCE (byte-identical
+    files), contents unchanged, change feed silent, and the pass is
+    a no-op when fewer than two small generations exist."""
+    import glob as _glob
+    import os as _os
+
+    from big_data_spark.io.compact import binpack_snapshot
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        latest_manifest,
+        read_changes,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "binpack")
+    big = spark.range(20000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("v"),
+    )
+    append_snapshot(big, t, snapshot_id=0)
+    for i in range(1, 5):
+        append_snapshot(
+            spark.range(i * 100000, i * 100000 + 10).select(
+                F.col("id").alias("k"), F.lit("y").alias("v")
+            ),
+            t,
+            snapshot_id=i,
+        )
+    before = {tuple(r) for r in read_snapshot(spark, t).collect()}
+    big_files = sorted(
+        (p, _os.path.getsize(p))
+        for p in _glob.glob(f"{t}/_data/s=0/*.parquet")
+    )
+    st = binpack_snapshot(spark, t, small_bytes=100_000)
+    assert st["folded"] == 4 and st["kept"] == 1
+    man = latest_manifest(spark, t)
+    assert len(man["entries"]) == 2
+    assert "_data/s=0" in set(man["entries"].values())
+    assert sorted(
+        (p, _os.path.getsize(p))
+        for p in _glob.glob(f"{t}/_data/s=0/*.parquet")
+    ) == big_files
+    assert {tuple(r) for r in read_snapshot(spark, t).collect()} == before
+    # Maintenance commit: invisible to the change feed.
+    assert read_changes(spark, t, after_id=4).count() == 0
+    # Second pass: one small (the folded gen) + one big -> no-op.
+    st2 = binpack_snapshot(spark, t, small_bytes=100_000)
+    assert st2["folded"] == 0
+
+
+def test_binpack_preserves_bb_layout(spark, tmp_path):
+    import glob as _glob
+
+    from big_data_spark.io.compact import binpack_snapshot
+    from big_data_spark.io.snapshot import append_snapshot, read_snapshot
+
+    t = str(tmp_path / "binpack_layout")
+    for i in range(3):
+        df = spark.range(i * 50, i * 50 + 50).select(
+            F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("b")
+        )
+        append_snapshot(
+            df.repartition("b"), t, snapshot_id=i, partition_by="b"
+        )
+    st = binpack_snapshot(spark, t, small_bytes=1 << 20)
+    assert st["folded"] == 3
+    gdirs = _glob.glob(f"{t}/_data/s={st['snapshot_id']}/b=*")
+    assert gdirs, "binpack flattened the layout"
+    back = read_snapshot(spark, t)
+    assert back.count() == 150 and dict(back.dtypes)["b"] == "int"
