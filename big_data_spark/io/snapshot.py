@@ -456,6 +456,68 @@ def read_changes(
     return out
 
 
+def follow_changes(
+    spark: SparkSession, table_dir: str, cursor_dir: str
+):
+    """Incremental-consumer loop step over the change feed: read the
+    durable cursor under ``cursor_dir`` (last commit consumed; -1 =
+    since creation on first call), return ``(feed_df, commit)`` where
+    ``feed_df`` is ``read_changes(after_id=cursor, until_id=latest)``
+    and ``commit()`` atomically advances the cursor to that latest id
+    — call it only AFTER the consumer durably applied the feed, so a
+    crash between read and commit replays the same window
+    (at-least-once, the same contract as a streaming checkpoint).
+    Returns ``(None, None)`` when the table has no new commits.
+
+    The cursor is a one-line JSON published with the same
+    write-temp-then-rename commit as manifests — a torn cursor is
+    impossible, and the rename-refuses-existing race means two
+    concurrent consumers of one cursor_dir fail loudly rather than
+    double-advance silently.
+    """
+    ids = snapshot_ids(spark, table_dir)
+    if not ids:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    fs, cdir = hadoop_fs(spark, cursor_dir)
+    fs.mkdirs(cdir)
+    cursor = -1
+    cursor_file = f"{cursor_dir}/cursor.json"
+    _, cpath = hadoop_fs(spark, cursor_file)
+    if fs.exists(cpath):
+        stream = fs.open(cpath)
+        try:
+            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        cursor = json.loads(text)["last_commit"]
+    until = ids[-1]
+    if until <= cursor:
+        return None, None
+    feed = read_changes(spark, table_dir, after_id=cursor, until_id=until)
+
+    def commit() -> int:
+        body = json.dumps({"last_commit": until})
+        tmp = f"{cursor_dir}/.tmp-{uuid.uuid4().hex}"
+        _, tmp_path = hadoop_fs(spark, tmp)
+        out = fs.create(tmp_path, True)
+        try:
+            out.write(bytearray(body.encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(cpath):
+            fs.delete(cpath, False)
+        if not fs.rename(tmp_path, cpath):
+            fs.delete(tmp_path, False)
+            raise SnapshotConflict(
+                f"cursor under {cursor_dir!r} advanced concurrently"
+            )
+        return until
+
+    return feed, commit
+
+
 def generation_dir(table_dir: str, snapshot_id: int) -> str:
     return f"{table_dir}/{_DATA_DIR}/s={snapshot_id}"
 

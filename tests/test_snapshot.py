@@ -596,3 +596,67 @@ def test_empty_committed_snapshot_reads_as_zero_rows(spark, tmp_path):
         partition_by="k",
     )
     assert _rows(read_snapshot(spark, t)) == {(1, "a")}
+
+
+def test_follow_changes_cursor_loop(spark, tmp_path):
+    """The durable-cursor consumer loop: first call reads since
+    creation, commit() advances, an uncommitted read replays the
+    same window, and a fresh table state yields only the new
+    commits."""
+    from big_data_spark.io.snapshot import append_snapshot, follow_changes
+
+    t = str(tmp_path / "feed_follow")
+    cur = str(tmp_path / "cursor")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, v string"), t, 0
+    )
+    feed, commit = follow_changes(spark, t, cur)
+    assert {r["k"] for r in feed.collect()} == {1}
+    # Crash before commit: the same window replays.
+    feed2, commit2 = follow_changes(spark, t, cur)
+    assert {r["k"] for r in feed2.collect()} == {1}
+    assert commit2() == 0
+    # Fully consumed: nothing to do.
+    assert follow_changes(spark, t, cur) == (None, None)
+    append_snapshot(
+        spark.createDataFrame([(2, "b")], "k int, v string"), t, 1
+    )
+    feed3, commit3 = follow_changes(spark, t, cur)
+    rows = feed3.collect()
+    assert {(r["k"], r["_change_type"], r["_commit_id"]) for r in rows} == {
+        (2, "insert", 1)
+    }
+    assert commit3() == 1
+
+
+def test_read_changes_pads_pre_evolution_generations(spark, tmp_path):
+    """Additive schema evolution: the feed presents rows of
+    pre-evolution generations NULL-padded in the commit's schema."""
+    from big_data_spark.io.snapshot import append_snapshot, read_changes
+
+    t = str(tmp_path / "feed_evo")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, v string"), t, 0
+    )
+    append_snapshot(
+        spark.createDataFrame(
+            [(2, "b", 7.5)], "k int, v string, w double"
+        ),
+        t,
+        1,
+    )
+    # Rewrite drops row 1: its delete row (from a pre-evolution
+    # generation) must carry w = NULL, not fail the union.
+    write_snapshot(
+        spark.createDataFrame(
+            [(2, "b", 7.5)], "k int, v string, w double"
+        ),
+        t,
+        2,
+    )
+    got = _feed_rows(read_changes(spark, t, after_id=1))
+    assert got == {
+        (1, "a", None, "delete", 2),
+        (2, "b", 7.5, "delete", 2),
+        (2, "b", 7.5, "insert", 2),
+    }
