@@ -456,6 +456,126 @@ def read_changes(
     return out
 
 
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+) -> dict:
+    """SQL ``DELETE FROM table WHERE condition`` as copy-on-write over
+    the manifest: ONE scan counts matching rows per data generation
+    (grouped by ``input_file_name`` prefix — bounded driver metadata,
+    one row per generation); generations with NO matches carry
+    forward in the new manifest BY REFERENCE (zero data movement);
+    only generations holding matches are rewritten without the
+    matching rows. An emptied generation drops out of the manifest.
+
+    Commits as a NORMAL snapshot (not maintenance): the change feed
+    reports each rewritten generation's old rows as deletes and its
+    surviving rows as inserts — the file-level CDF granularity every
+    other writer here has. Old versions stay time-travelable until
+    vacuum. ``condition`` is a Column or SQL string. Returns
+    {deleted_rows, rewritten, carried, snapshot_id}.
+
+    Scale: cost is O(affected generations), so a clustered layout
+    (generation-per-time-window appends, z-ordered rewrites) makes a
+    selective DELETE touch few generations; the worst case equals a
+    full rewrite, the same as any copy-on-write format without
+    deletion vectors.
+    """
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    man = latest_manifest(spark, table_dir)
+    if man is None:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    entries = man["entries"]
+    # ONE scan: matching rows per entry. Every entry dir is a distinct
+    # path prefix, so mapping file -> entry is a prefix test.
+    by_entry_rel = sorted(set(entries.values()))
+    counts_rows = (
+        read_entries(spark, table_dir, entries)
+        .where(cond)
+        .select(F.input_file_name().alias("_f"))
+        .groupBy("_f")
+        .count()
+        .collect()
+    )
+    hit_rels: dict[str, int] = {}
+    for r in counts_rows:
+        rel = _owning_rel(r["_f"], table_dir, by_entry_rel)
+        hit_rels[rel] = hit_rels.get(rel, 0) + r["count"]
+    if not hit_rels:
+        return {
+            "deleted_rows": 0,
+            "rewritten": 0,
+            "carried": len(entries),
+            "snapshot_id": man["snapshot_id"],
+        }
+    next_id = snapshot_ids(spark, table_dir)[-1] + 1
+    affected = {k: v for k, v in entries.items() if v in hit_rels}
+    carried = {k: v for k, v in entries.items() if v not in hit_rels}
+    survivors = read_entries(spark, table_dir, affected).where(~cond)
+    order = [f["name"] for f in man.get("schema") or []] or None
+    if order:
+        for name in order:
+            if name not in survivors.columns:
+                survivors = survivors.withColumn(name, F.lit(None))
+        survivors = survivors.select(*order)
+    stats = {
+        "deleted_rows": int(sum(hit_rels.values())),
+        "rewritten": len(set(affected.values())),
+        "carried": len(carried),
+        "snapshot_id": next_id,
+    }
+    pcol = man.get("partition_col")
+    if pcol:
+        # Bucket-partitioned table: the affected entries ARE
+        # partitions — route through the partial writer so manifest
+        # keys reconcile per partition (and emptied partitions drop).
+        write_snapshot_partial(
+            survivors, table_dir, next_id, pcol, list(affected.keys())
+        )
+        return stats
+    layout = man.get("layout_by")
+    gdir = clear_generation(spark, table_dir, next_id)
+    writer = (
+        survivors.repartition(layout) if layout else survivors
+    ).write.mode("error")
+    if layout:
+        writer = writer.partitionBy(layout)
+    writer.parquet(gdir)
+    new_entries = dict(carried)
+    if _generation_has_data(spark, gdir):
+        new_entries[f"b{next_id}"] = f"{_DATA_DIR}/s={next_id}"
+    else:
+        clear_generation(spark, table_dir, next_id)
+    commit_manifest(
+        spark,
+        table_dir,
+        next_id,
+        new_entries,
+        schema_fields=man.get("schema"),
+        layout_by=layout,
+    )
+    return stats
+
+
+def _owning_rel(file_uri: str, table_dir: str, rels: list[str]) -> str:
+    """Map a scanned file URI to the manifest entry whose dir holds
+    it (scheme-insensitive, longest prefix wins — nested entry dirs
+    like _data/s=0 vs _data/s=0/_kb=1 resolve to the deeper one)."""
+    import re
+
+    norm = lambda p: re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", p)
+    bare = norm(file_uri)
+    best: str | None = None
+    for rel in rels:
+        pb = norm(f"{table_dir}/{rel}").rstrip("/") + "/"
+        if bare.startswith(pb) and (best is None or len(rel) > len(best)):
+            best = rel
+    if best is None:
+        raise ValueError(f"file {file_uri!r} under no manifest entry")
+    return best
+
+
 def follow_changes(
     spark: SparkSession, table_dir: str, cursor_dir: str
 ):

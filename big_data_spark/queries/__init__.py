@@ -148,6 +148,10 @@ _PYTEST_ONLY = (
     # sampling (operators/sampling.py) — no float on the keep path;
     # oracle replays the HUGEINT gate.
     "weighted_sample",
+    # snapshot_delete (round 7): copy-on-write DELETE over the table
+    # format, checked before/after via time travel; oracle re-derives
+    # both states from raw orders.
+    "snapshot_delete",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2588,6 +2588,83 @@ ORDER BY o_orderkey
 """
 
 
+def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE over the table format (io/snapshot.py
+    delete_where): build a four-generation orders table (one append
+    per orderkey-modulo slice), DELETE the finished orders of two
+    slices, and report the surviving table per order status alongside
+    the pre-delete version via time travel — the oracle re-derives
+    both states from raw ``orders``, so an under-deleted (stale
+    generation kept) or over-deleted (carried generation rewritten
+    wrong) table hash-mismatches.
+
+    Scale: one counting scan + a rewrite of ONLY the generations
+    holding matches; untouched generations carry by reference."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        delete_where,
+        read_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tdir = os.path.join(tempfile.gettempdir(), f"bds_del_{tag}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    m = F.col("o_orderkey") % 4
+    for g in range(4):
+        append_snapshot(base.filter(m == g), tdir, snapshot_id=g)
+    delete_where(
+        spark,
+        tdir,
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 4 < 2),
+    )
+    after = read_snapshot(spark, tdir)
+    before = read_snapshot(spark, tdir, as_of=3)
+    out = []
+    for name, df in (("after", after), ("before", before)):
+        out.append(
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_totalprice").cast("double").alias("total"),
+            )
+            .withColumn("state", F.lit(name))
+        )
+    return (
+        out[0]
+        .unionByName(out[1])
+        .select("state", "o_orderstatus", "n_orders", "total")
+        .orderBy("state", "o_orderstatus")
+    )
+
+
+ORACLE_SNAPSHOT_DELETE = """
+SELECT state, o_orderstatus, n_orders, total
+FROM (
+  SELECT 'after' AS state, o_orderstatus, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders
+  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 4 < 2)
+  GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 'before', o_orderstatus, COUNT(*),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+  FROM orders
+  GROUP BY o_orderstatus
+) s
+ORDER BY state, o_orderstatus
+"""
+
+
 LPA_ROUNDS = 4
 
 
@@ -2838,6 +2915,7 @@ QUERIES = {
     "sql_snapshot_asof": q_sql_snapshot_asof,
     "snapshot_changes": q_snapshot_changes,
     "point_lookup": q_point_lookup,
+    "snapshot_delete": q_snapshot_delete,
     "drift_psi": q_drift_psi,
     "cohort_retention": q_cohort_retention,
     "dq_report": q_dq_report,
@@ -2914,6 +2992,7 @@ ORDER BY version, o_custkey
 """,
     "snapshot_changes": ORACLE_SNAPSHOT_CHANGES,
     "point_lookup": ORACLE_POINT_LOOKUP,
+    "snapshot_delete": ORACLE_SNAPSHOT_DELETE,
     "drift_psi": ORACLE_DRIFT_PSI,
     "cohort_retention": ORACLE_COHORT,
     "dq_report": ORACLE_DQ_REPORT,

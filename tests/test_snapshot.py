@@ -660,3 +660,86 @@ def test_read_changes_pads_pre_evolution_generations(spark, tmp_path):
         (2, "b", 7.5, "delete", 2),
         (2, "b", 7.5, "insert", 2),
     }
+
+
+def test_delete_where_rewrites_only_affected_generations(
+    spark, tmp_path
+):
+    """Copy-on-write DELETE: untouched generations carry forward
+    byte-identical, matching generations are rewritten without the
+    rows, the feed reports the rewrite, time travel keeps the
+    pre-delete version, and a no-match delete is a no-op."""
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        delete_where,
+        read_changes,
+    )
+
+    t = str(tmp_path / "del")
+    for g in range(4):
+        append_snapshot(
+            spark.range(g * 100, (g + 1) * 100).selectExpr(
+                "id AS k", "cast(id as string) AS v"
+            ),
+            t,
+            snapshot_id=g,
+        )
+    gen1_files = sorted(
+        (p, os.path.getsize(p))
+        for p in glob.glob(f"{t}/_data/s=1/*.parquet")
+    )
+    st = delete_where(spark, t, "k >= 250 AND k < 320")
+    assert st == {
+        "deleted_rows": 70,
+        "rewritten": 2,
+        "carried": 2,
+        "snapshot_id": 4,
+    }
+    got = read_snapshot(spark, t)
+    assert got.count() == 330
+    assert got.where("k >= 250 AND k < 320").count() == 0
+    # Untouched generation: byte-identical, carried by reference.
+    assert sorted(
+        (p, os.path.getsize(p))
+        for p in glob.glob(f"{t}/_data/s=1/*.parquet")
+    ) == gen1_files
+    assert "_data/s=1" in set(latest_manifest(spark, t)["entries"].values())
+    # Pre-delete version intact; feed shows the rewrite as a real
+    # content change (NOT maintenance).
+    assert read_snapshot(spark, t, as_of=3).count() == 400
+    feed = read_changes(spark, t, after_id=3)
+    kinds = {
+        (r["_change_type"],): r
+        for r in feed.groupBy("_change_type").count().collect()
+    }
+    assert feed.where("_change_type = 'delete'").count() == 200
+    assert feed.where("_change_type = 'insert'").count() == 130
+    # No-match: no new snapshot.
+    st2 = delete_where(spark, t, "k > 100000")
+    assert st2["deleted_rows"] == 0 and st2["snapshot_id"] == 4
+
+
+def test_delete_where_on_bucketed_table_and_emptied_generation(
+    spark, tmp_path
+):
+    from big_data_spark.io.snapshot import delete_where
+
+    t = str(tmp_path / "del_part")
+    rows = [(i, f"v{i}", i % 3) for i in range(90)]
+    write_snapshot_partial(
+        spark.createDataFrame(rows, "k int, v string, _kb int"),
+        t,
+        0,
+        "_kb",
+        [0, 1, 2],
+    )
+    st = delete_where(spark, t, F.col("_kb") == 1)
+    assert st["deleted_rows"] == 30
+    got = read_snapshot(spark, t)
+    assert got.count() == 60 and got.where("_kb = 1").count() == 0
+    # The emptied partition dropped from the manifest entirely.
+    assert set(latest_manifest(spark, t)["entries"].keys()) == {"0", "2"}
+    # Delete everything that remains: table reads as empty w/ schema.
+    delete_where(spark, t, F.lit(True))
+    empty = read_snapshot(spark, t)
+    assert empty.count() == 0 and empty.columns == ["k", "v", "_kb"]
