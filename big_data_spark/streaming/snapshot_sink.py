@@ -1,0 +1,53 @@
+"""Structured-Streaming sink INTO the snapshot table format — the
+generic writer that turns any stream into an atomic, versioned,
+time-travelable table, closing the loop with the rest of the
+lakehouse: every micro-batch becomes one committed snapshot, so
+``read_changes``/``follow_changes`` see exactly one commit per
+batch, ``sync_aggregate`` keeps MVs fresh from it, and
+``binpack_snapshot`` folds the accreted per-batch generations on
+the standard maintenance cadence.
+
+Replay contract (identical to the CDC mirror's): the micro-batch id
+IS the snapshot id, committed with ``replace=True`` — a crashed or
+redelivered batch recomputes from the checkpointed offsets and
+replace-commits the same generation, so exactly-once lands on
+at-least-once delivery. One checkpoint per table_dir, forever: a
+FRESH checkpoint re-numbers batches from zero over different
+offsets, which would replace historical generations with different
+content — that is a rebuild, so point it at an empty table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from big_data_spark.io.snapshot import append_snapshot
+
+
+def snapshot_sink(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Start (and with ``available_now`` drain) a stream into the
+    snapshot table at ``table_dir``: one appended generation per
+    micro-batch, atomically committed. Returns the StreamingQuery
+    (already terminated under ``available_now``)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_snapshot(
+            batch_df,
+            table_dir,
+            snapshot_id=batch_id,
+            replace=True,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
