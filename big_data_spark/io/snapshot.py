@@ -482,6 +482,33 @@ def delete_where(
     full rewrite, the same as any copy-on-write format without
     deletion vectors.
     """
+    return _rewrite_where(spark, table_dir, condition, None)
+
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    set_exprs: dict[str, object],
+) -> dict:
+    """SQL ``UPDATE table SET col = expr, ... WHERE condition`` —
+    the copy-on-write sibling of :func:`delete_where` (same one-scan
+    affected-generation discovery, same carry-by-reference for
+    untouched generations, same change-feed/time-travel semantics;
+    ``deleted_rows`` in the returned stats counts UPDATED rows).
+    ``set_exprs`` maps existing column names to Columns or SQL
+    strings evaluated against the matching row; non-matching rows
+    pass through unchanged. New columns are refused — additive
+    schema evolution goes through append/write, not UPDATE."""
+    return _rewrite_where(spark, table_dir, condition, set_exprs)
+
+
+def _rewrite_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    set_exprs: dict[str, object] | None,
+) -> dict:
     cond = F.expr(condition) if isinstance(condition, str) else condition
     man = latest_manifest(spark, table_dir)
     if man is None:
@@ -512,7 +539,25 @@ def delete_where(
     next_id = snapshot_ids(spark, table_dir)[-1] + 1
     affected = {k: v for k, v in entries.items() if v in hit_rels}
     carried = {k: v for k, v in entries.items() if v not in hit_rels}
-    survivors = read_entries(spark, table_dir, affected).where(~cond)
+    base = read_entries(spark, table_dir, affected)
+    if set_exprs is None:
+        survivors = base.where(~cond)
+    else:
+        unknown = set(set_exprs) - set(base.columns)
+        if unknown:
+            raise ValueError(
+                f"update_where: unknown columns {sorted(unknown)} — "
+                "additive evolution goes through append/write"
+            )
+        survivors = base
+        for col, expr in set_exprs.items():
+            val = F.expr(expr) if isinstance(expr, str) else expr
+            survivors = survivors.withColumn(
+                col,
+                F.when(cond, val.cast(dict(base.dtypes)[col])).otherwise(
+                    F.col(col)
+                ),
+            )
     order = [f["name"] for f in man.get("schema") or []] or None
     if order:
         for name in order:

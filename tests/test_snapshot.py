@@ -743,3 +743,48 @@ def test_delete_where_on_bucketed_table_and_emptied_generation(
     delete_where(spark, t, F.lit(True))
     empty = read_snapshot(spark, t)
     assert empty.count() == 0 and empty.columns == ["k", "v", "_kb"]
+
+
+def test_update_where_rewrites_only_affected_generations(
+    spark, tmp_path
+):
+    """Copy-on-write UPDATE: matching rows transformed in place,
+    untouched generations byte-identical, unknown SET columns
+    refused."""
+    from big_data_spark.io.snapshot import append_snapshot, update_where
+
+    t = str(tmp_path / "upd")
+    for g in range(3):
+        append_snapshot(
+            spark.range(g * 100, (g + 1) * 100).selectExpr(
+                "id AS k", "cast(id as double) AS price"
+            ),
+            t,
+            snapshot_id=g,
+        )
+    gen0_files = sorted(
+        (p, os.path.getsize(p))
+        for p in glob.glob(f"{t}/_data/s=0/*.parquet")
+    )
+    st = update_where(
+        spark, t, "k >= 150 AND k < 180", {"price": "price * 2"}
+    )
+    assert st["deleted_rows"] == 30 and st["rewritten"] == 1
+    got = read_snapshot(spark, t)
+    assert got.count() == 300
+    assert (
+        got.where("k >= 150 AND k < 180")
+        .where(F.col("price") != F.col("k") * 2)
+        .count()
+        == 0
+    )
+    assert got.where("k < 150 AND price != k").count() == 0
+    assert sorted(
+        (p, os.path.getsize(p))
+        for p in glob.glob(f"{t}/_data/s=0/*.parquet")
+    ) == gen0_files
+    assert read_snapshot(spark, t, as_of=2).where(
+        "k = 160 AND price = 160.0"
+    ).count() == 1  # time travel keeps the pre-update row
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, t, "k = 1", {"nope": "1"})
