@@ -431,3 +431,87 @@ def binpack_snapshot(
         "kept": len(entries) - 1,
         "snapshot_id": next_id,
     }
+
+
+def maintain_table(
+    spark: SparkSession,
+    table_dir: str,
+    small_bytes: int = 32 << 20,
+    max_generations: int = 32,
+    keep_last: int = 8,
+) -> dict:
+    """The one-call maintenance pass (the OPTIMIZE job a scheduler
+    runs per table): in dependency order,
+
+    1. fold fragmentation — ``binpack_snapshot`` for append-style
+       tables (O(small tail)); full ``compact_snapshot`` for
+       bucket-partitioned tables once live generations exceed
+       ``max_generations``;
+    2. rebuild every Bloom file index under ``<table>/_index`` whose
+       ``covers`` lags the current snapshot (AFTER folding — a
+       rewrite changes file names, which is exactly when indexes go
+       stale);
+    3. ``vacuum_snapshots(keep_last)`` on the table and each index.
+
+    Returns a bounded action report; every step is atomic on its own,
+    so a crash mid-pass leaves a consistent table and the next pass
+    picks up where it stopped. Size ``keep_last`` by the RUNBOOK
+    retention contract (longest reader / feed-cursor lag).
+    """
+    from big_data_spark.io.fileindex import write_bloom_index
+    from big_data_spark.io.snapshot import (
+        latest_manifest,
+        read_snapshot,
+        snapshot_ids,
+        vacuum_snapshots,
+    )
+
+    man = latest_manifest(spark, table_dir)
+    if man is None:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    report: dict = {}
+    gens = {
+        rel.split("/")[1]
+        for rel in man["entries"].values()
+        if rel.startswith("_data/")
+    }
+    if man.get("partition_col") is not None:
+        if len(gens) > max_generations:
+            report["compacted"] = compact_snapshot(spark, table_dir)
+        else:
+            report["compacted"] = None
+    else:
+        report["binpacked"] = binpack_snapshot(
+            spark, table_dir, small_bytes=small_bytes
+        )
+    idx_root = f"{table_dir}/_index"
+    fs, ipath = hadoop_fs(spark, idx_root)
+    rebuilt = []
+    if fs.exists(ipath):
+        current = snapshot_ids(spark, table_dir)[-1]
+        for st in fs.listStatus(ipath):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("bloom__")):
+                continue
+            col = name[len("bloom__"):]
+            idx_dir = f"{idx_root}/{name}"
+            covers = (
+                read_snapshot(spark, idx_dir)
+                .select("covers")
+                .first()["covers"]
+            )
+            if covers < current:
+                write_bloom_index(spark, table_dir, col)
+                rebuilt.append(col)
+    report["indexes_rebuilt"] = rebuilt
+    report["vacuum"] = vacuum_snapshots(
+        spark, table_dir, keep_last=keep_last
+    )
+    if fs.exists(ipath):
+        for st in fs.listStatus(ipath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("bloom__"):
+                vacuum_snapshots(
+                    spark, f"{idx_root}/{name}", keep_last=2
+                )
+    return report

@@ -249,3 +249,55 @@ def test_binpack_preserves_bb_layout(spark, tmp_path):
     assert gdirs, "binpack flattened the layout"
     back = read_snapshot(spark, t)
     assert back.count() == 150 and dict(back.dtypes)["b"] == "int"
+
+
+def test_maintain_table_full_pass(spark, tmp_path):
+    """The one-call OPTIMIZE: binpack + stale-Bloom rebuild + vacuum
+    in dependency order; a fresh index is left alone on the next
+    pass and point reads skip again right after maintenance."""
+    from big_data_spark.io.compact import maintain_table
+    from big_data_spark.io.fileindex import (
+        read_snapshot_point,
+        write_bloom_index,
+    )
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        read_snapshot,
+        snapshot_ids,
+    )
+
+    t = str(tmp_path / "maint")
+    for g in range(5):
+        append_snapshot(
+            spark.range(g * 200, (g + 1) * 200).select(
+                F.concat(F.lit("key-"), (F.col("id") % 32).cast("string"))
+                .alias("k"),
+                F.col("id").alias("v"),
+            ),
+            t,
+            snapshot_id=g,
+        )
+    write_bloom_index(spark, t, "k")  # now stale the moment we fold
+    before = {tuple(r) for r in read_snapshot(spark, t).collect()}
+    rep = maintain_table(spark, t, small_bytes=1 << 20, keep_last=3)
+    assert rep["binpacked"]["folded"] == 5
+    assert rep["indexes_rebuilt"] == ["k"]
+    assert rep["vacuum"]["expired_manifests"]
+    assert {tuple(r) for r in read_snapshot(spark, t).collect()} == before
+    got = read_snapshot_point(spark, t, "k", "key-7")
+    want = read_snapshot(spark, t).where(F.col("k") == "key-7")
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+    files = (
+        read_snapshot_point(spark, t, "k", "key-7", residual=False)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert files <= 3  # skipping restored post-maintenance
+    # Second pass: nothing stale, nothing small enough to fold twice.
+    rep2 = maintain_table(spark, t, small_bytes=1 << 10, keep_last=3)
+    assert rep2["binpacked"]["folded"] == 0
+    assert rep2["indexes_rebuilt"] == []
+    assert snapshot_ids(spark, t)  # table intact
