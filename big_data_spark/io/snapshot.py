@@ -482,7 +482,9 @@ def delete_where(
     full rewrite, the same as any copy-on-write format without
     deletion vectors.
     """
-    return _rewrite_where(spark, table_dir, condition, None)
+    st = _rewrite_where(spark, table_dir, condition, None)
+    st["deleted_rows"] = st.pop("matched_rows")
+    return st
 
 
 def update_where(
@@ -495,12 +497,14 @@ def update_where(
     the copy-on-write sibling of :func:`delete_where` (same one-scan
     affected-generation discovery, same carry-by-reference for
     untouched generations, same change-feed/time-travel semantics;
-    ``deleted_rows`` in the returned stats counts UPDATED rows).
+    stats report ``updated_rows``).
     ``set_exprs`` maps existing column names to Columns or SQL
     strings evaluated against the matching row; non-matching rows
     pass through unchanged. New columns are refused — additive
     schema evolution goes through append/write, not UPDATE."""
-    return _rewrite_where(spark, table_dir, condition, set_exprs)
+    st = _rewrite_where(spark, table_dir, condition, set_exprs)
+    st["updated_rows"] = st.pop("matched_rows")
+    return st
 
 
 def _rewrite_where(
@@ -531,7 +535,7 @@ def _rewrite_where(
         hit_rels[rel] = hit_rels.get(rel, 0) + r["count"]
     if not hit_rels:
         return {
-            "deleted_rows": 0,
+            "matched_rows": 0,
             "rewritten": 0,
             "carried": len(entries),
             "snapshot_id": man["snapshot_id"],
@@ -565,7 +569,7 @@ def _rewrite_where(
                 survivors = survivors.withColumn(name, F.lit(None))
         survivors = survivors.select(*order)
     stats = {
-        "deleted_rows": int(sum(hit_rels.values())),
+        "matched_rows": int(sum(hit_rels.values())),
         "rewritten": len(set(affected.values())),
         "carried": len(carried),
         "snapshot_id": next_id,

@@ -769,7 +769,7 @@ def test_update_where_rewrites_only_affected_generations(
     st = update_where(
         spark, t, "k >= 150 AND k < 180", {"price": "price * 2"}
     )
-    assert st["deleted_rows"] == 30 and st["rewritten"] == 1
+    assert st["updated_rows"] == 30 and st["rewritten"] == 1
     got = read_snapshot(spark, t)
     assert got.count() == 300
     assert (
