@@ -52,6 +52,12 @@ HEADLINE = [
     "stream_hourly",
     "pagerank_topn",
     "dedup_clusters",
+    # Round 7: the lakehouse + training-export families earn
+    # headline slots (SQL time travel over the table format, Bloom
+    # point lookup, distributed-prefix sequence packing).
+    "sql_snapshot_asof",
+    "point_lookup",
+    "pack_sequences",
 ]
 
 
