@@ -52,11 +52,14 @@ HEADLINE = [
     "stream_hourly",
     "pagerank_topn",
     "dedup_clusters",
-    # Round 7: the lakehouse + training-export families earn
-    # headline slots (SQL time travel over the table format, Bloom
-    # point lookup, distributed-prefix sequence packing).
-    "sql_snapshot_asof",
-    "point_lookup",
+    # Round 7: the training-export family earns a headline slot.
+    # The snapshot-table rows (sql_snapshot_asof, point_lookup,
+    # snapshot_changes, snapshot_delete) stay OUT of the headline on
+    # purpose: their timed body is mostly building the versioned
+    # table + index inside the query, which their raw-parquet DuckDB
+    # oracles don't do — a wall-clock comparison would measure the
+    # harness, not the plan. Their cost evidence lives in PERF.md
+    # (write-amplification and skip-ratio A/Bs) instead.
     "pack_sequences",
 ]
 
