@@ -353,7 +353,6 @@ def binpack_snapshot(
 
     from big_data_spark.io.snapshot import (
         commit_manifest,
-        generation_dir,
         latest_manifest,
         read_entries,
         snapshot_ids,
@@ -384,19 +383,25 @@ def binpack_snapshot(
             "snapshot_id": man["snapshot_id"],
         }
     next_id = snapshot_ids(spark, table_dir)[-1] + 1
-    df = read_entries(spark, table_dir, small)
-    order = [f["name"] for f in man.get("schema") or []] or None
-    if order:
-        for name in order:
-            if name not in df.columns:
-                df = df.withColumn(name, F.lit(None))
-        df = df.select(*order)
+    # _pad_to_schema: TYPED null-pad to the committed schema — a
+    # small tail that entirely predates an added column must not
+    # produce a void column parquet refuses to write.
+    from big_data_spark.io.snapshot import (
+        _pad_to_schema,
+        clear_generation,
+    )
+
+    df = _pad_to_schema(
+        read_entries(spark, table_dir, small), man.get("schema")
+    )
     layout = man.get("layout_by")
     # write_snapshot would commit entries = {"": gen} (full table);
     # here the folded generation joins the carried-forward big ones,
     # so write the data through the generation layout and commit the
-    # merged manifest directly.
-    gdir = generation_dir(table_dir, next_id)
+    # merged manifest directly. clear_generation first: a prior
+    # crashed/raced attempt of this id would otherwise wedge every
+    # later pass on mode('error').
+    gdir = clear_generation(spark, table_dir, next_id)
     out = df.repartition(layout) if layout else df.coalesce(
         max(
             1,
@@ -495,13 +500,18 @@ def maintain_table(
                 continue
             col = name[len("bloom__"):]
             idx_dir = f"{idx_root}/{name}"
-            covers = (
+            row = (
                 read_snapshot(spark, idx_dir)
-                .select("covers")
-                .first()["covers"]
+                .select("covers", "m", "k")
+                .first()
             )
-            if covers < current:
-                write_bloom_index(spark, table_dir, col)
+            if row["covers"] < current:
+                # Rebuild with the index's OWN sizing — silently
+                # dropping a custom m/k to the defaults would degrade
+                # the false-positive rate after every maintenance.
+                write_bloom_index(
+                    spark, table_dir, col, m=row["m"], k=row["k"]
+                )
                 rebuilt.append(col)
     report["indexes_rebuilt"] = rebuilt
     report["vacuum"] = vacuum_snapshots(

@@ -35,8 +35,6 @@ the same budget as a table-format manifest cache.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,8 +48,11 @@ def bloom_index_path(table_dir: str, item_col: str) -> str:
 
 
 def _bare(uri: str) -> str:
-    """Scheme-insensitive path form: 'file:///tmp/x' == '/tmp/x'."""
-    return re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", uri)
+    """Scheme-insensitive path form — the shared snapshot-layer
+    normalizer (comparison only, never I/O)."""
+    from big_data_spark.io.snapshot import bare_path
+
+    return bare_path(uri)
 
 
 def bloom_index_build(

@@ -114,6 +114,28 @@ def _schema_fields(df: DataFrame) -> list[dict[str, str]]:
     ]
 
 
+def bare_path(uri: str) -> str:
+    """Scheme-insensitive path form ('file:///tmp/x' == '/tmp/x') —
+    for COMPARISON only; I/O always uses original URIs."""
+    import re
+
+    return re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", uri)
+
+
+def _pad_to_schema(
+    df: DataFrame, schema_fields: list[dict] | None
+) -> DataFrame:
+    """Present ``df`` in the committed schema: columns an older
+    generation lacks appear as TYPED nulls (an untyped F.lit(None)
+    is a void column parquet refuses to write), in committed order."""
+    if not schema_fields:
+        return df
+    for f in schema_fields:
+        if f["name"] not in df.columns:
+            df = df.withColumn(f["name"], F.lit(None).cast(f["type"]))
+    return df.select(*[f["name"] for f in schema_fields])
+
+
 def check_schema_evolution(
     prev_fields: list[dict] | None, new_fields: list[dict]
 ) -> None:
@@ -344,10 +366,10 @@ def read_entries(
 def _owning_path(file_uri: str, paths: list[str]) -> str:
     """Map a footer-sweep file URI back to the entry path that listed
     it (URI schemes may differ: the sweep returns ``file:/...`` for
-    local paths)."""
-    bare = file_uri.split(":", 1)[1] if ":" in file_uri else file_uri
+    local paths; bare_path is the one shared normalizer)."""
+    bare = bare_path(file_uri)
     for p in paths:
-        pb = p.split(":", 1)[1] if ":" in p else p
+        pb = bare_path(p)
         if bare.startswith(pb.rstrip("/") + "/") or bare == pb:
             return p
     raise ValueError(f"pruned file {file_uri!r} under no entry path")
@@ -518,20 +540,43 @@ def _rewrite_where(
     if man is None:
         raise ValueError(f"no committed snapshots under {table_dir!r}")
     entries = man["entries"]
-    # ONE scan: matching rows per entry. Every entry dir is a distinct
-    # path prefix, so mapping file -> entry is a prefix test.
+    pcol = man.get("partition_col")
+    if set_exprs is not None and pcol is not None and pcol in set_exprs:
+        raise ValueError(
+            f"update_where: SET on the partition column {pcol!r} moves "
+            "rows between partitions, which a touched-partition rewrite "
+            "cannot express — route key moves through delete + append "
+            "(or a full write_snapshot)."
+        )
+    # ONE scan counts matching rows per ENTRY: the owning dir is
+    # derived EXECUTOR-side from the file path (the _data/s=N[/p=v]
+    # shape every writer here produces), so the driver receives one
+    # row per generation/partition dir — bounded metadata even when a
+    # broad predicate matches rows in millions of files.
     by_entry_rel = sorted(set(entries.values()))
+    scan = _pad_to_schema(
+        read_entries(spark, table_dir, entries), man.get("schema")
+    )
     counts_rows = (
-        read_entries(spark, table_dir, entries)
-        .where(cond)
-        .select(F.input_file_name().alias("_f"))
-        .groupBy("_f")
+        scan.where(cond)
+        .select(
+            F.regexp_extract(
+                F.input_file_name(),
+                r"(_data/s=\d+(?:/[^/]*=[^/]*)?)/",
+                1,
+            ).alias("_d")
+        )
+        .groupBy("_d")
         .count()
         .collect()
     )
     hit_rels: dict[str, int] = {}
     for r in counts_rows:
-        rel = _owning_rel(r["_f"], table_dir, by_entry_rel)
+        rel = _owning_rel(
+            f"{table_dir}/{r['_d']}/x" if r["_d"] else r["_d"],
+            table_dir,
+            by_entry_rel,
+        )
         hit_rels[rel] = hit_rels.get(rel, 0) + r["count"]
     if not hit_rels:
         return {
@@ -543,9 +588,17 @@ def _rewrite_where(
     next_id = snapshot_ids(spark, table_dir)[-1] + 1
     affected = {k: v for k, v in entries.items() if v in hit_rels}
     carried = {k: v for k, v in entries.items() if v not in hit_rels}
-    base = read_entries(spark, table_dir, affected)
+    # Pad to the COMMITTED schema (typed) BEFORE evaluating the
+    # condition / SET exprs: affected generations may predate an
+    # additive column the predicate or assignment references.
+    base = _pad_to_schema(
+        read_entries(spark, table_dir, affected), man.get("schema")
+    )
     if set_exprs is None:
-        survivors = base.where(~cond)
+        # SQL DELETE three-valued logic: only rows where the
+        # predicate is TRUE are deleted; NULL-valued predicates keep
+        # their row (a bare ~cond would drop them too).
+        survivors = base.where(~F.coalesce(cond, F.lit(False)))
     else:
         unknown = set(set_exprs) - set(base.columns)
         if unknown:
@@ -562,19 +615,12 @@ def _rewrite_where(
                     F.col(col)
                 ),
             )
-    order = [f["name"] for f in man.get("schema") or []] or None
-    if order:
-        for name in order:
-            if name not in survivors.columns:
-                survivors = survivors.withColumn(name, F.lit(None))
-        survivors = survivors.select(*order)
     stats = {
         "matched_rows": int(sum(hit_rels.values())),
         "rewritten": len(set(affected.values())),
         "carried": len(carried),
         "snapshot_id": next_id,
     }
-    pcol = man.get("partition_col")
     if pcol:
         # Bucket-partitioned table: the affected entries ARE
         # partitions — route through the partial writer so manifest
@@ -609,15 +655,13 @@ def _rewrite_where(
 
 def _owning_rel(file_uri: str, table_dir: str, rels: list[str]) -> str:
     """Map a scanned file URI to the manifest entry whose dir holds
-    it (scheme-insensitive, longest prefix wins — nested entry dirs
+    it (scheme-insensitive via bare_path — the one normalizer, shared
+    with io/fileindex — longest prefix wins, so nested entry dirs
     like _data/s=0 vs _data/s=0/_kb=1 resolve to the deeper one)."""
-    import re
-
-    norm = lambda p: re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", p)
-    bare = norm(file_uri)
+    bare = bare_path(file_uri)
     best: str | None = None
     for rel in rels:
-        pb = norm(f"{table_dir}/{rel}").rstrip("/") + "/"
+        pb = bare_path(f"{table_dir}/{rel}").rstrip("/") + "/"
         if bare.startswith(pb) and (best is None or len(rel) > len(best)):
             best = rel
     if best is None:
@@ -638,29 +682,26 @@ def follow_changes(
     (at-least-once, the same contract as a streaming checkpoint).
     Returns ``(None, None)`` when the table has no new commits.
 
-    The cursor is a one-line JSON published with the same
-    write-temp-then-rename commit as manifests — a torn cursor is
-    impossible, and the rename-refuses-existing race means two
-    concurrent consumers of one cursor_dir fail loudly rather than
-    double-advance silently.
+    The cursor is MONOTONIC by construction: each commit publishes an
+    immutable ``cursor-<id>.json`` (write-temp-then-rename; rename
+    refuses an existing destination, so re-publishing the same id is
+    a detected no-op) and readers take the MAXIMUM published id —
+    a slow consumer instance can therefore never regress the cursor
+    below a faster one's commit; its stale window re-applies, which
+    the at-least-once contract already requires consumers to
+    tolerate.
     """
     ids = snapshot_ids(spark, table_dir)
     if not ids:
         raise ValueError(f"no committed snapshots under {table_dir!r}")
     fs, cdir = hadoop_fs(spark, cursor_dir)
     fs.mkdirs(cdir)
-    cursor = -1
-    cursor_file = f"{cursor_dir}/cursor.json"
-    _, cpath = hadoop_fs(spark, cursor_file)
-    if fs.exists(cpath):
-        stream = fs.open(cpath)
-        try:
-            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-        cursor = json.loads(text)["last_commit"]
+    committed = []
+    for st in fs.listStatus(cdir):
+        name = st.getPath().getName()
+        if name.startswith("cursor-") and name.endswith(".json"):
+            committed.append(int(name[len("cursor-") : -len(".json")]))
+    cursor = max(committed) if committed else -1
     until = ids[-1]
     if until <= cursor:
         return None, None
@@ -675,13 +716,13 @@ def follow_changes(
             out.write(bytearray(body.encode("utf-8")))
         finally:
             out.close()
-        if fs.exists(cpath):
-            fs.delete(cpath, False)
+        _, cpath = hadoop_fs(
+            spark, f"{cursor_dir}/cursor-{until:012d}.json"
+        )
         if not fs.rename(tmp_path, cpath):
+            # Another instance already committed this exact window —
+            # idempotent; the cursor is where we wanted it.
             fs.delete(tmp_path, False)
-            raise SnapshotConflict(
-                f"cursor under {cursor_dir!r} advanced concurrently"
-            )
         return until
 
     return feed, commit

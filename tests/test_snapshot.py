@@ -788,3 +788,106 @@ def test_update_where_rewrites_only_affected_generations(
     ).count() == 1  # time travel keeps the pre-update row
     with pytest.raises(ValueError, match="unknown columns"):
         update_where(spark, t, "k = 1", {"nope": "1"})
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE three-valued logic: rows where the predicate is
+    NULL survive (a bare ~cond would silently drop them), and the
+    reported count matches what actually left the table."""
+    from big_data_spark.io.snapshot import delete_where
+
+    t = str(tmp_path / "del_null")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "x"), (2, None), (3, "y"), (4, None)],
+            "k int, v string",
+        ),
+        t,
+    )
+    st = delete_where(spark, t, "v = 'x'")
+    assert st["deleted_rows"] == 1
+    got = _rows(read_snapshot(spark, t))
+    assert got == {(2, None), (3, "y"), (4, None)}
+
+
+def test_update_where_refuses_partition_column_set(spark, tmp_path):
+    """SET on the bucket partition column would move rows between
+    partitions, which a touched-partition rewrite cannot express —
+    it must be refused, not silently clobber a carried partition."""
+    from big_data_spark.io.snapshot import update_where
+
+    t = str(tmp_path / "upd_pcol")
+    write_snapshot_partial(
+        _bucketed(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 2)]),
+        t,
+        0,
+        "_kb",
+        [0, 1, 2],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        update_where(spark, t, "k = 1", {"_kb": "2"})
+    # Table untouched.
+    assert _rows(read_snapshot(spark, t)) == {
+        (1, "a", 0),
+        (2, "b", 1),
+        (3, "c", 2),
+    }
+
+
+def test_dml_on_evolved_table_pads_old_generations(spark, tmp_path):
+    """DELETE/UPDATE referencing an additively-added column must work
+    when the affected generations predate it (typed NULL pad, not a
+    void column parquet refuses)."""
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        delete_where,
+        update_where,
+    )
+
+    t = str(tmp_path / "dml_evo")
+    append_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        t,
+        0,
+    )
+    append_snapshot(
+        spark.createDataFrame(
+            [(3, "c", 9.0)], "k int, v string, w double"
+        ),
+        t,
+        1,
+    )
+    # Predicate on the NEW column matching only OLD-generation rows.
+    st = delete_where(spark, t, "w IS NULL AND k = 1")
+    assert st["deleted_rows"] == 1
+    assert _rows(read_snapshot(spark, t)) == {
+        (2, "b", None),
+        (3, "c", 9.0),
+    }
+    # UPDATE SET on the new column over an old-generation row.
+    st = update_where(spark, t, "k = 2", {"w": "1.5"})
+    assert st["updated_rows"] == 1
+    assert _rows(read_snapshot(spark, t)) == {
+        (2, "b", 1.5),
+        (3, "c", 9.0),
+    }
+
+
+def test_follow_changes_cursor_is_monotonic_under_races(
+    spark, tmp_path
+):
+    """A slow consumer instance committing an older window must not
+    regress the cursor below a faster instance's commit."""
+    from big_data_spark.io.snapshot import append_snapshot, follow_changes
+
+    t = str(tmp_path / "feed_mono")
+    cur = str(tmp_path / "cursor_mono")
+    write_snapshot(
+        spark.createDataFrame([(1,)], "k int"), t, 0
+    )
+    feed_old, commit_old = follow_changes(spark, t, cur)  # window (,0]
+    append_snapshot(spark.createDataFrame([(2,)], "k int"), t, 1)
+    feed_new, commit_new = follow_changes(spark, t, cur)  # window (,1]
+    assert commit_new() == 1
+    commit_old()  # stale instance commits AFTER — must not regress
+    assert follow_changes(spark, t, cur) == (None, None)
