@@ -728,6 +728,47 @@ def follow_changes(
     return feed, commit
 
 
+def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for a snapshot table: one row per committed
+    snapshot — (snapshot_id, n_entries, n_generations, maintenance,
+    partition_col, layout_by, n_columns, added_columns) — from
+    manifest metadata alone (no data reads). ``added_columns`` names
+    the columns this commit introduced over its predecessor: the
+    audit view of the additive-evolution contract."""
+    ids = snapshot_ids(spark, table_dir)
+    if not ids:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    rows = []
+    prev_cols: set[str] = set()
+    for sid in ids:
+        man = read_manifest(spark, table_dir, sid)
+        cols = [f["name"] for f in man.get("schema") or []]
+        gens = {
+            rel.split("/")[1]
+            for rel in man["entries"].values()
+            if rel.startswith(f"{_DATA_DIR}/")
+        }
+        rows.append(
+            (
+                sid,
+                len(man["entries"]),
+                len(gens),
+                bool(man.get("maintenance")),
+                man.get("partition_col"),
+                man.get("layout_by"),
+                len(cols),
+                sorted(set(cols) - prev_cols) if prev_cols else [],
+            )
+        )
+        prev_cols |= set(cols)
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id int, n_entries int, n_generations int, "
+        "maintenance boolean, partition_col string, layout_by string, "
+        "n_columns int, added_columns array<string>",
+    )
+
+
 def generation_dir(table_dir: str, snapshot_id: int) -> str:
     return f"{table_dir}/{_DATA_DIR}/s={snapshot_id}"
 

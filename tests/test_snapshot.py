@@ -891,3 +891,28 @@ def test_follow_changes_cursor_is_monotonic_under_races(
     assert commit_new() == 1
     commit_old()  # stale instance commits AFTER — must not regress
     assert follow_changes(spark, t, cur) == (None, None)
+
+
+def test_table_history_reports_commits(spark, tmp_path):
+    from big_data_spark.io.compact import compact_snapshot
+    from big_data_spark.io.snapshot import append_snapshot, table_history
+
+    t = str(tmp_path / "hist")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, v string"), t, 0
+    )
+    append_snapshot(
+        spark.createDataFrame(
+            [(2, "b", 1.5)], "k int, v string, w double"
+        ),
+        t,
+        1,
+    )
+    compact_snapshot(spark, t)
+    h = {r["snapshot_id"]: r for r in table_history(spark, t).collect()}
+    assert set(h) == {0, 1, 2}
+    assert h[0]["n_generations"] == 1 and not h[0]["maintenance"]
+    assert h[1]["n_generations"] == 2
+    assert h[1]["added_columns"] == ["w"]
+    assert h[2]["maintenance"] and h[2]["n_generations"] == 1
+    assert h[2]["added_columns"] == []
