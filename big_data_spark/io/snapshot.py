@@ -723,6 +723,14 @@ def follow_changes(
             # Another instance already committed this exact window —
             # idempotent; the cursor is where we wanted it.
             fs.delete(tmp_path, False)
+        # Prune superseded cursor files (keep a short trail): readers
+        # take the max, so removing older ids never regresses.
+        stale = sorted(committed)[:-3]
+        for sid in stale:
+            _, sp = hadoop_fs(
+                spark, f"{cursor_dir}/cursor-{sid:012d}.json"
+            )
+            fs.delete(sp, False)
         return until
 
     return feed, commit

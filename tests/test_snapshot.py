@@ -916,3 +916,23 @@ def test_table_history_reports_commits(spark, tmp_path):
     assert h[1]["added_columns"] == ["w"]
     assert h[2]["maintenance"] and h[2]["n_generations"] == 1
     assert h[2]["added_columns"] == []
+
+
+def test_follow_changes_prunes_superseded_cursor_files(spark, tmp_path):
+    import glob as _glob
+
+    from big_data_spark.io.snapshot import append_snapshot, follow_changes
+
+    t = str(tmp_path / "feed_prune")
+    cur = str(tmp_path / "cursor_prune")
+    for i in range(7):
+        append_snapshot(
+            spark.createDataFrame([(i,)], "k int"), t, snapshot_id=i
+        )
+        feed, commit = follow_changes(spark, t, cur)
+        assert {r["k"] for r in feed.collect()} == {i}
+        commit()
+    files = sorted(_glob.glob(f"{cur}/cursor-*.json"))
+    assert len(files) <= 4  # short trail only
+    assert files[-1].endswith("cursor-000000000006.json")
+    assert follow_changes(spark, t, cur) == (None, None)
