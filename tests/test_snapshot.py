@@ -936,3 +936,23 @@ def test_follow_changes_prunes_superseded_cursor_files(spark, tmp_path):
     assert len(files) <= 4  # short trail only
     assert files[-1].endswith("cursor-000000000006.json")
     assert follow_changes(spark, t, cur) == (None, None)
+
+
+def test_constraint_gated_commit_composes(spark, tmp_path):
+    """Table constraints = assert_suite between transform and
+    commit: a failing batch raises BEFORE any manifest lands (the
+    table stays on its previous snapshot), a passing batch commits
+    normally — no new machinery, the DQ gate composes with the
+    atomic writer."""
+    from big_data_spark.io.snapshot import append_snapshot
+    from big_data_spark.operators.dq import assert_suite, in_range, not_null
+
+    t = str(tmp_path / "gated")
+    suite = [not_null("k"), in_range("v", 0, 100)]
+    good = spark.createDataFrame([(1, 50), (2, 99)], "k int, v int")
+    write_snapshot(assert_suite(good, suite), t)
+    bad = spark.createDataFrame([(3, 500), (None, 10)], "k int, v int")
+    with pytest.raises(ValueError, match="data-quality gate failed"):
+        append_snapshot(assert_suite(bad, suite), t)
+    assert snapshot_ids(spark, t) == [0]
+    assert _rows(read_snapshot(spark, t)) == {(1, 50), (2, 99)}
