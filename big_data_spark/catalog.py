@@ -57,17 +57,29 @@ def register_snapshot_views(
     tables — the engine's own table format, io/snapshot.py — were
     reachable only programmatically). Registers:
 
-    - ``name``        -> the table's newest committed snapshot;
-    - ``name_v{N}``   -> every committed snapshot id N (time travel:
-      the ANSI-spellable stand-in for ``FOR VERSION AS OF n``, which
-      plain ``spark.sql`` cannot parse for a non-catalog format).
+    - ``name``          -> the table's newest committed snapshot;
+    - ``name_v{N}``     -> every committed snapshot id N (time
+      travel: the ANSI-spellable stand-in for ``FOR VERSION AS OF
+      n``, which plain ``spark.sql`` cannot parse for a non-catalog
+      format);
+    - ``name_history``  -> the commit log (table_history: one row
+      per snapshot with generation counts, maintenance flag, added
+      columns) — ``DESCRIBE HISTORY`` as a queryable view;
+    - ``name_changes``  -> the full change feed since table creation
+      (read_changes after_id=-1), so ``WHERE _commit_id > n`` is the
+      SQL spelling of an incremental read.
 
     Views are plain reads through ``read_snapshot``, so manifest
     resolution, basePath partition typing, additive-schema union and
     canonical column order all apply to SQL users identically.
     Re-registration replaces the views (call again after new
     commits). Returns the registered names, latest first."""
-    from big_data_spark.io.snapshot import read_snapshot, snapshot_ids
+    from big_data_spark.io.snapshot import (
+        read_changes,
+        read_snapshot,
+        snapshot_ids,
+        table_history,
+    )
 
     ids = snapshot_ids(spark, table_dir)
     if not ids:
@@ -80,4 +92,12 @@ def register_snapshot_views(
             vname
         )
         names.append(vname)
+    table_history(spark, table_dir).createOrReplaceTempView(
+        f"{name}_history"
+    )
+    names.append(f"{name}_history")
+    read_changes(spark, table_dir, after_id=-1).createOrReplaceTempView(
+        f"{name}_changes"
+    )
+    names.append(f"{name}_changes")
     return names

@@ -956,3 +956,33 @@ def test_constraint_gated_commit_composes(spark, tmp_path):
         append_snapshot(assert_suite(bad, suite), t)
     assert snapshot_ids(spark, t) == [0]
     assert _rows(read_snapshot(spark, t)) == {(1, 50), (2, 99)}
+
+
+def test_sql_views_cover_history_and_changes(spark, tmp_path):
+    """One SQL string can read the table, any version, its commit
+    log, and its change feed — the whole lakehouse surface through
+    the catalog door."""
+    from big_data_spark.catalog import register_snapshot_views
+    from big_data_spark.io.snapshot import append_snapshot
+
+    t = str(tmp_path / "sqlviews")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, v string"), t, 0
+    )
+    append_snapshot(
+        spark.createDataFrame([(2, "b")], "k int, v string"), t, 1
+    )
+    names = register_snapshot_views(spark, t, "st")
+    assert {"st", "st_v0", "st_v1", "st_history", "st_changes"} <= set(
+        names
+    )
+    assert spark.sql("SELECT COUNT(*) n FROM st").first()["n"] == 2
+    assert spark.sql("SELECT COUNT(*) n FROM st_v0").first()["n"] == 1
+    h = spark.sql(
+        "SELECT snapshot_id, maintenance FROM st_history ORDER BY 1"
+    ).collect()
+    assert [r["snapshot_id"] for r in h] == [0, 1]
+    ch = spark.sql(
+        "SELECT k, _change_type FROM st_changes WHERE _commit_id > 0"
+    ).collect()
+    assert {(r["k"], r["_change_type"]) for r in ch} == {(2, "insert")}
