@@ -243,7 +243,6 @@ def compact_snapshot(
     from big_data_spark.io.snapshot import (
         latest_manifest,
         read_snapshot,
-        snapshot_ids,
         write_snapshot,
         write_snapshot_partial,
     )
@@ -261,8 +260,16 @@ def compact_snapshot(
     n_out = max(
         1, math.ceil(inv["total_bytes"] * size_ratio / target_file_bytes)
     )
-    df = read_snapshot(spark, table_dir)
-    next_id = snapshot_ids(spark, table_dir)[-1] + 1
+    # Read the data AS OF the manifest we carry forward, and derive
+    # next_id from that SAME manifest — a commit landing during the
+    # (long) rewrite then collides on the id and raises
+    # SnapshotConflict instead of being silently dropped (lost-update
+    # race; one version, inventory + data + touched keys).
+    df = read_snapshot(spark, table_dir, as_of=man["snapshot_id"])
+    next_id = man["snapshot_id"] + 1
+    from big_data_spark.io.snapshot import _claim_check
+
+    _claim_check(spark, table_dir, next_id)
     pcol = man.get("partition_col")
     if pcol:
         if cluster_by or zorder_by:
@@ -355,7 +362,6 @@ def binpack_snapshot(
         commit_manifest,
         latest_manifest,
         read_entries,
-        snapshot_ids,
     )
 
     man = latest_manifest(spark, table_dir)
@@ -382,7 +388,13 @@ def binpack_snapshot(
             "kept": len(man["entries"]),
             "snapshot_id": man["snapshot_id"],
         }
-    next_id = snapshot_ids(spark, table_dir)[-1] + 1
+    # Same-manifest id derivation as _rewrite_where/compact_snapshot:
+    # an intervening commit collides -> SnapshotConflict, never a
+    # silent drop of its entries from the folded manifest.
+    next_id = man["snapshot_id"] + 1
+    from big_data_spark.io.snapshot import _claim_check
+
+    _claim_check(spark, table_dir, next_id)
     # _pad_to_schema: TYPED null-pad to the committed schema — a
     # small tail that entirely predates an added column must not
     # produce a void column parquet refuses to write.
@@ -505,6 +517,13 @@ def maintain_table(
                 .select("covers", "m", "k")
                 .first()
             )
+            if row is None:
+                # EMPTY committed index (built over an empty table):
+                # its sizing is unrecoverable — rebuild with defaults
+                # so the index becomes useful once the table has data.
+                write_bloom_index(spark, table_dir, col)
+                rebuilt.append(col)
+                continue
             if row["covers"] < current:
                 # Rebuild with the index's OWN sizing — silently
                 # dropping a custom m/k to the defaults would degrade

@@ -171,7 +171,15 @@ def read_snapshot_point(
             F.col(item_col) == F.lit(value)
         )
     index = read_snapshot(spark, ipath)
-    covers = index.select("covers").first()["covers"]
+    covers_row = index.select("covers").first()
+    if covers_row is None:
+        # An EMPTY committed index (built while the base table was
+        # empty) covers nothing: degrade to the conservative plain
+        # filtered read rather than raising on None.
+        return read_snapshot(spark, table_dir).where(
+            F.col(item_col) == F.lit(value)
+        )
+    covers = covers_row["covers"]
     man = latest_manifest(spark, table_dir)
     try:
         covered_vals = set(
@@ -230,10 +238,12 @@ def read_snapshot_point(
     for other in parts[1:]:
         df = df.unionByName(other, allowMissingColumns=True)
     if order:
-        for name in order:
-            if name not in df.columns:
-                df = df.withColumn(name, F.lit(None))
-        df = df.select(*order)
+        # TYPED null-pad to the committed schema (an untyped
+        # F.lit(None) is a void column) — same contract as
+        # read_snapshot / read_changes.
+        from big_data_spark.io.snapshot import _pad_to_schema
+
+        df = _pad_to_schema(df, man.get("schema"))
     if residual:
         df = df.where(F.col(item_col) == F.lit(value))
     return df

@@ -64,6 +64,21 @@ def _manifest_path(table_dir: str, snapshot_id: int) -> str:
     return f"{table_dir}/{_MANIFEST_DIR}/manifest-{snapshot_id:012d}.json"
 
 
+def _claim_check(spark: SparkSession, table_dir: str, snapshot_id: int):
+    """Fail fast BEFORE touching the generation dir when
+    ``snapshot_id`` is already committed — ``clear_generation`` would
+    otherwise delete a racing committer's PUBLISHED data on the way
+    to a commit that was going to conflict anyway. This narrows (does
+    not eliminate) the claim window; ``commit_manifest``'s atomic
+    rename stays the final arbiter."""
+    fs, p = hadoop_fs(spark, _manifest_path(table_dir, snapshot_id))
+    if fs.exists(p):
+        raise SnapshotConflict(
+            f"snapshot {snapshot_id} already committed under "
+            f"{table_dir!r} — re-read the table and retry"
+        )
+
+
 def snapshot_ids(spark: SparkSession, table_dir: str) -> list[int]:
     """Committed snapshot ids, ascending (directory listing of the
     manifest dir — bounded metadata, no data scan)."""
@@ -446,12 +461,13 @@ def read_changes(
                 df = read_entries(spark, table_dir, entries)
                 if order:
                     # Present every commit in ITS committed schema,
-                    # padding pre-evolution generations with NULLs the
-                    # same way read_snapshot does.
-                    for name in order:
-                        if name not in df.columns:
-                            df = df.withColumn(name, F.lit(None))
-                    df = df.select(*order)
+                    # padding pre-evolution generations with TYPED
+                    # nulls the same way read_snapshot does (an
+                    # untyped F.lit(None) is a void column parquet
+                    # refuses to write — a feed window consisting
+                    # only of pre-evolution deletes must still be
+                    # writable/arithmetic-safe downstream).
+                    df = _pad_to_schema(df, man.get("schema"))
                 if "_change_type" in df.columns or "_commit_id" in df.columns:
                     raise ValueError(
                         "read_changes: table already has a _change_type/"
@@ -585,7 +601,14 @@ def _rewrite_where(
             "carried": len(entries),
             "snapshot_id": man["snapshot_id"],
         }
-    next_id = snapshot_ids(spark, table_dir)[-1] + 1
+    # next_id derives from the SAME manifest whose entries are carried
+    # forward — never from a fresh snapshot_ids() listing. A commit
+    # landing between our manifest read and our commit then collides
+    # on the id and surfaces as SnapshotConflict (retryable), instead
+    # of being silently dropped from the new manifest and later
+    # vacuumed away (lost update).
+    next_id = man["snapshot_id"] + 1
+    _claim_check(spark, table_dir, next_id)
     affected = {k: v for k, v in entries.items() if v in hit_rels}
     carried = {k: v for k, v in entries.items() if v not in hit_rels}
     # Pad to the COMMITTED schema (typed) BEFORE evaluating the

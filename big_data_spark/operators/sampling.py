@@ -62,13 +62,35 @@ def pps_sample(
         raise ValueError(f"expected_n must be >= 1, got {expected_n}")
     w = F.col(weight_col).cast("decimal(38,0)")
     total = df.agg(F.sum(w).alias("_W"))
+    # Overflow guard: both gate products must stay inside
+    # decimal(38,0) — u32 * W < 2^32 * W and w * n * 2^32 <= W * n *
+    # 2^32, so W <= (10^38 - 1) / (n * 2^32) bounds them BOTH (n >=
+    # 1). Past 38 digits Spark's allowPrecisionLoss yields NULL and
+    # the filter would silently drop rows — wrong sample membership;
+    # raise loudly instead (JVM-side, no extra pass: the guard rides
+    # the same broadcast 1-row total).
+    w_bound = (10**38 - 1) // (max(expected_n, 1) << 32)
+    overflow_msg = (
+        f"pps_sample: sum({weight_col}) exceeds {w_bound} — the "
+        f"decimal(38,0) keep gate would overflow to NULL for "
+        f"expected_n={expected_n}; rescale the weights"
+    )
+    keep_expr = (
+        _u32(key_col).cast("decimal(38,0)") * F.col("_W")
+        < w * F.lit(expected_n) * F.lit(_U32_SPACE)
+    )
     gated = (
         df.crossJoin(F.broadcast(total))
         .withColumn(
             "_keep",
-            (
-                _u32(key_col).cast("decimal(38,0)") * F.col("_W")
-                < w * F.lit(expected_n) * F.lit(_U32_SPACE)
+            F.when(
+                F.col("_W") <= F.lit(str(w_bound)).cast("decimal(38,0)"),
+                keep_expr,
+            ).otherwise(
+                F.expr(
+                    "cast(assert_true(false, "
+                    f"{overflow_msg!r}) as boolean)"
+                )
             ),
         )
         .filter(F.col("_keep"))

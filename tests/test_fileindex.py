@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from big_data_spark.io.fileindex import (
     bloom_index_build,
+    bloom_index_path,
     read_snapshot_point,
     write_bloom_index,
 )
@@ -176,3 +177,64 @@ def test_maybe_probe_agrees_with_bloom_might_contain(spark, tmp_path):
             if r["might_contain"]
         }
         assert maybe == ref
+
+
+def test_empty_committed_index_degrades_to_plain_read(spark, tmp_path):
+    """A Bloom index built while the base table was empty is an EMPTY
+    committed snapshot: the point read must degrade to the plain
+    filtered path, not raise on a None first() row."""
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "empty_idx")
+    schema = "k string, v int"
+    write_snapshot(spark.createDataFrame([], schema), t, 0)
+    # Index over the empty table: zero rows, committed.
+    write_snapshot(
+        spark.createDataFrame(
+            [], "file string, word int, bits long, m int, k int, "
+            "item_type string, covers int"
+        ),
+        bloom_index_path(t, "k"),
+        0,
+    )
+    append_snapshot(
+        spark.createDataFrame([("a", 1), ("b", 2)], schema), t, 1
+    )
+    got = read_snapshot_point(spark, t, "k", "a").collect()
+    assert [(r["k"], r["v"]) for r in got] == [("a", 1)]
+
+
+def test_maintain_table_rebuilds_empty_index_with_defaults(
+    spark, tmp_path
+):
+    from big_data_spark.io.compact import maintain_table
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "empty_idx_maint")
+    write_snapshot(
+        spark.createDataFrame([("a", 1)], "k string, v int"), t, 0
+    )
+    write_snapshot(
+        spark.createDataFrame(
+            [], "file string, word int, bits long, m int, k int, "
+            "item_type string, covers int"
+        ),
+        bloom_index_path(t, "k"),
+        0,
+    )
+    append_snapshot(
+        spark.createDataFrame([("b", 2)], "k string, v int"), t, 1
+    )
+    report = maintain_table(spark, t)
+    assert "k" in report["indexes_rebuilt"]
+    idx = read_snapshot(spark, bloom_index_path(t, "k"))
+    assert idx.select("covers").first() is not None
+    got = read_snapshot_point(spark, t, "k", "b").collect()
+    assert [(r["k"], r["v"]) for r in got] == [("b", 2)]

@@ -67,3 +67,28 @@ def test_pps_zero_weight_never_kept_and_huge_weight_always(spark):
 def test_pps_validation(spark):
     with pytest.raises(ValueError, match="expected_n"):
         pps_sample(_docs(spark, 10), "doc_id", "w", 0)
+
+
+def test_pps_overflow_guard_raises_loudly(spark):
+    """Weights whose decimal(38,0) gate products would overflow past
+    38 digits raise instead of silently dropping rows (overflow ->
+    NULL -> filter drop would bias the sample membership)."""
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.lit("1" + "0" * 30).cast("decimal(38,0)").alias("w"),
+    )
+    big = pps_sample(df, "k", "w", expected_n=10**6)
+    with pytest.raises(SparkRuntimeException, match="pps_sample"):
+        big.count()
+    # Same shape under the bound: no raise, sane membership.
+    ok = pps_sample(
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit(100).alias("w")
+        ),
+        "k",
+        "w",
+        expected_n=5,
+    )
+    assert ok.count() <= 10
