@@ -260,8 +260,9 @@ def chunked_new_vs_members(
         new_df.join(F.broadcast(counts), cell_col)
         .withColumn(
             "_chunk",
-            F.explode(F.expr("sequence(0, _n_chunks - 1)")).cast("int"),
+            F.explode(F.expr("sequence(0, _n_chunks - 1)")),
         )
+        .withColumn("_chunk", F.col("_chunk").cast("int"))
         .withColumn("_new", F.lit(True))
         .select(cell_col, "vec_id", "embedding", "_chunk", "_new")
     )

@@ -37,9 +37,9 @@ from big_data_spark.queries.llm import (
     MIX_TEMP_BUDGET_FRAC,
     NEARDUP_COSINE,
     _HASH_SPACE,
-    _pair_block_kernel,
     _tokens,
 )
+from big_data_spark.operators.blockpairs import chunked_pair_candidates
 from big_data_spark.session import ensure_executor_package
 
 
@@ -301,9 +301,7 @@ def _finish_corpus(
                 "vec_id", "embedding", ivf_cell_from_dists("dists").alias("cell")
             )
         )
-        cand = assigned.groupBy("cell").applyInPandas(
-            _pair_block_kernel, "id_a bigint, id_b bigint"
-        )
+        cand = chunked_pair_candidates(assigned, ["cell"])
         dropped = cand.select(F.col("id_b").alias("doc_id")).distinct()
         staged = staged.join(
             dropped.withColumn("sem_drop", F.lit(True)), "doc_id", "left"
