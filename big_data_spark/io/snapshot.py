@@ -54,6 +54,13 @@ from big_data_spark.io.compact import hadoop_fs
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "_data"
+_DELETES_DIR = "_deletes"
+
+
+def _bare_expr(col):
+    """Column-level twin of bare_path: scheme-insensitive file path
+    for joining delete-vector positions against scan metadata."""
+    return F.regexp_replace(col, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
 
 class SnapshotConflict(Exception):
@@ -189,8 +196,19 @@ def commit_manifest(
     schema_fields: list[dict] | None = None,
     layout_by: str | None = None,
     maintenance: bool = False,
+    deletes: list[str] | None = None,
 ) -> None:
     """Atomically publish ``entries`` as snapshot ``snapshot_id``.
+
+    ``deletes`` lists live DELETE-VECTOR dirs (relative paths under
+    ``_deletes/``): small parquet files of (file_path, row_index)
+    positions that merge-on-read DELETEs published instead of
+    rewriting data (Iceberg v2-style position deletes). Readers
+    anti-join them out; maintenance (fold_deletes / compaction)
+    rewrites them away. Rows referencing data files no kept manifest
+    lists are INERT (their anti-join never matches), which is what
+    lets copy-on-write rewrites and bin-packs carry the list forward
+    verbatim without O(deletes) rewrites.
 
     ``layout_by`` records a hive-partitioned GENERATION layout (set by
     append_snapshot's ``partition_by``) — distinct from
@@ -220,6 +238,7 @@ def commit_manifest(
             "schema": schema_fields,
             "layout_by": layout_by,
             "maintenance": maintenance,
+            "deletes": sorted(deletes or []),
         },
         sort_keys=True,
     )
@@ -293,6 +312,19 @@ def read_snapshot(
         column_order=order,
         predicate=predicate,
         residual=residual,
+        deletes=man.get("deletes"),
+    )
+
+
+def read_delete_positions(
+    spark: SparkSession, table_dir: str, deletes: list[str]
+) -> DataFrame:
+    """(file_path, row_index) union of the live delete vectors, with
+    file_path in scheme-insensitive form — the anti-join side of a
+    merge-on-read scan. Small by contract (positions, not rows)."""
+    df = spark.read.parquet(*[f"{table_dir}/{d}" for d in sorted(set(deletes))])
+    return df.select(
+        _bare_expr(F.col("file_path")).alias("file_path"), "row_index"
     )
 
 
@@ -303,12 +335,21 @@ def read_entries(
     column_order: list[str] | None = None,
     predicate: dict[str, tuple[float | None, float | None]] | None = None,
     residual: bool = True,
+    deletes: list[str] | None = None,
+    with_positions: bool = False,
 ) -> DataFrame:
+    """``deletes`` applies merge-on-read delete vectors: every scan
+    also projects the parquet ``_metadata`` (file_path, row_index)
+    pair, and the union anti-joins the (broadcast) position set out —
+    deleted rows never reach the caller. ``with_positions=True``
+    keeps the ``_dv_path`` / ``_dv_pos`` columns on the result (the
+    MOR writer and the change feed need them); default drops them."""
     if not entries:
         raise ValueError(
             f"snapshot has no live data under {table_dir!r} "
             "(fully emptied table) — handle the empty case upstream"
         )
+    want_meta = bool(deletes) or with_positions
     by_gen: dict[str, list[str]] = {}
     for rel in entries.values():
         parts = rel.split("/")
@@ -346,12 +387,20 @@ def read_entries(
             if not paths:
                 continue  # every file of this generation pruned away
         if kept_by_dir is None and len(rels) == 1 and rels[0] == gen:
-            dfs.append(spark.read.parquet(*paths))
+            part = spark.read.parquet(*paths)
         else:
-            dfs.append(
-                spark.read.option("basePath", f"{table_dir}/{gen}")
-                .parquet(*paths)
+            part = spark.read.option(
+                "basePath", f"{table_dir}/{gen}"
+            ).parquet(*paths)
+        if want_meta:
+            # _metadata must be projected AT SCAN level (it is a
+            # hidden per-file source column, not join-survivable).
+            part = part.select(
+                "*",
+                F.col("_metadata.file_path").alias("_dv_path"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
             )
+        dfs.append(part)
     if not dfs:
         # Every live file provably misses the predicate: empty result
         # with the real schema (and no data IO).
@@ -367,10 +416,23 @@ def read_entries(
         # (check_schema_evolution) guarantees the surviving columns
         # agree in type, so the union can never silently coerce.
         df = df.unionByName(other, allowMissingColumns=True)
+    if deletes:
+        pos = read_delete_positions(spark, table_dir, deletes)
+        df = df.join(
+            F.broadcast(pos),
+            (_bare_expr(F.col("_dv_path")) == pos["file_path"])
+            & (F.col("_dv_pos") == pos["row_index"]),
+            "left_anti",
+        )
     if column_order:
         # Canonical column order = the snapshot's committed schema
         # (generation iteration order is an implementation detail).
-        df = df.select(*column_order)
+        keep = list(column_order) + (
+            ["_dv_path", "_dv_pos"] if with_positions else []
+        )
+        df = df.select(*keep)
+    elif want_meta and not with_positions:
+        df = df.drop("_dv_path", "_dv_pos")
     if predicate and residual:
         from big_data_spark.io.stats import range_predicate
 
@@ -435,14 +497,17 @@ def read_changes(
             "pass after_id=-1 for 'since table creation'"
         )
     parts: list[DataFrame] = []
-    prev_entries: dict[str, str] = (
-        {}
-        if after_id == -1
-        else read_manifest(spark, table_dir, after_id)["entries"]
-    )
+    if after_id == -1:
+        prev_entries: dict[str, str] = {}
+        prev_deletes: list[str] = []
+    else:
+        prev_man = read_manifest(spark, table_dir, after_id)
+        prev_entries = prev_man["entries"]
+        prev_deletes = prev_man.get("deletes") or []
     for sid in window:
         man = read_manifest(spark, table_dir, sid)
         cur = man["entries"]
+        cur_deletes = man.get("deletes") or []
         if not man.get("maintenance"):
             order = [f["name"] for f in man.get("schema") or []] or None
             prev_vals, cur_vals = (
@@ -455,10 +520,38 @@ def read_changes(
             removed = {
                 k: v for k, v in prev_entries.items() if v not in cur_vals
             }
-            for entries, kind in ((removed, "delete"), (added, "insert")):
+            # Merge-on-read DELETE commits change no entries; their
+            # change set is the rows the NEW delete vectors mask —
+            # read the positions, join back to the data, emit as
+            # deletes (row-level CDF for the MOR path).
+            new_dv = [d for d in cur_deletes if d not in set(prev_deletes)]
+            if new_dv:
+                pos = read_delete_positions(spark, table_dir, new_dv)
+                rows = read_entries(
+                    spark, table_dir, cur, with_positions=True
+                )
+                dv_rows = rows.join(
+                    F.broadcast(pos),
+                    (_bare_expr(F.col("_dv_path")) == pos["file_path"])
+                    & (F.col("_dv_pos") == pos["row_index"]),
+                ).drop("_dv_path", "_dv_pos", "file_path", "row_index")
+                if order:
+                    dv_rows = _pad_to_schema(dv_rows, man.get("schema"))
+                parts.append(
+                    dv_rows.withColumn(
+                        "_change_type", F.lit("delete")
+                    ).withColumn("_commit_id", F.lit(sid).cast("int"))
+                )
+            for entries, kind, dv in (
+                (removed, "delete", prev_deletes),
+                (added, "insert", cur_deletes),
+            ):
                 if not entries:
                     continue
-                df = read_entries(spark, table_dir, entries)
+                # Apply the masking delete vectors of the side's OWN
+                # version: removed rows were visible under the PREV
+                # manifest's deletes, added rows under the CURRENT's.
+                df = read_entries(spark, table_dir, entries, deletes=dv or None)
                 if order:
                     # Present every commit in ITS committed schema,
                     # padding pre-evolution generations with TYPED
@@ -479,6 +572,7 @@ def read_changes(
                     )
                 )
         prev_entries = cur
+        prev_deletes = cur_deletes
     if not parts:
         # No content changes in the window: empty feed with the
         # table's current schema.
@@ -498,6 +592,7 @@ def delete_where(
     spark: SparkSession,
     table_dir: str,
     condition,
+    mode: str = "cow",
 ) -> dict:
     """SQL ``DELETE FROM table WHERE condition`` as copy-on-write over
     the manifest: ONE scan counts matching rows per data generation
@@ -519,10 +614,102 @@ def delete_where(
     selective DELETE touch few generations; the worst case equals a
     full rewrite, the same as any copy-on-write format without
     deletion vectors.
+
+    ``mode="mor"`` (merge-on-read) writes a POSITION DELETE VECTOR
+    instead of rewriting data: one scan records the (file, row_index)
+    of matching rows under ``_deletes/d=<id>`` and the commit carries
+    every data entry forward by reference — write cost is O(matches),
+    the hot-update regime where copy-on-write's rewrite amplification
+    dominates (the r7 write-amp A/B measures exactly that term).
+    Readers anti-join the (broadcast, tiny) position set out;
+    ``fold_deletes`` / compaction / ``maintain_table`` rewrite the
+    vectors away. Same change-feed semantics: the feed reports the
+    deleted rows at the delete commit.
     """
+    if mode == "mor":
+        return _delete_mor(spark, table_dir, condition)
+    if mode != "cow":
+        raise ValueError(f"mode must be 'cow'|'mor', got {mode!r}")
     st = _rewrite_where(spark, table_dir, condition, None)
     st["deleted_rows"] = st.pop("matched_rows")
     return st
+
+
+def _delete_mor(spark: SparkSession, table_dir: str, condition) -> dict:
+    """Merge-on-read DELETE: publish matched row POSITIONS, carry all
+    data entries (and prior delete vectors) forward."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    man = latest_manifest(spark, table_dir)
+    if man is None:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    if not man["entries"]:
+        return {
+            "deleted_rows": 0,
+            "delete_vectors": 0,
+            "carried": 0,
+            "snapshot_id": man["snapshot_id"],
+        }
+    next_id = man["snapshot_id"] + 1
+    _claim_check(spark, table_dir, next_id)
+    hints = _usable_hints(condition, man)
+    scan = read_entries(
+        spark,
+        table_dir,
+        man["entries"],
+        predicate=hints,
+        deletes=man.get("deletes"),
+        with_positions=True,
+    )
+    if man.get("schema"):
+        # Pad to the committed schema (the predicate may reference a
+        # post-evolution column old generations lack), keeping the
+        # position columns alongside.
+        scan = _pad_to_schema(
+            scan,
+            man["schema"]
+            + [
+                {"name": "_dv_path", "type": "string"},
+                {"name": "_dv_pos", "type": "bigint"},
+            ],
+        )
+    # SQL DELETE 3VL: only predicate-TRUE rows are marked deleted.
+    positions = scan.where(F.coalesce(cond, F.lit(False))).select(
+        F.col("_dv_path").alias("file_path"),
+        F.col("_dv_pos").alias("row_index"),
+    )
+    ddir = f"{table_dir}/{_DELETES_DIR}/d={next_id}"
+    fs, dpath = hadoop_fs(spark, ddir)
+    if fs.exists(dpath):
+        fs.delete(dpath, True)  # crashed prior attempt of this id
+    positions.coalesce(1).write.mode("error").parquet(ddir)
+    n = spark.read.parquet(ddir).count()
+    if n == 0:
+        fs.delete(dpath, True)
+        return {
+            "deleted_rows": 0,
+            "delete_vectors": len(man.get("deletes") or []),
+            "carried": len(man["entries"]),
+            "snapshot_id": man["snapshot_id"],
+        }
+    new_deletes = sorted(
+        set(man.get("deletes") or []) | {f"{_DELETES_DIR}/d={next_id}"}
+    )
+    commit_manifest(
+        spark,
+        table_dir,
+        next_id,
+        dict(man["entries"]),
+        partition_col=man.get("partition_col"),
+        schema_fields=man.get("schema"),
+        layout_by=man.get("layout_by"),
+        deletes=new_deletes,
+    )
+    return {
+        "deleted_rows": int(n),
+        "delete_vectors": len(new_deletes),
+        "carried": len(man["entries"]),
+        "snapshot_id": next_id,
+    }
 
 
 def update_where(
@@ -543,6 +730,95 @@ def update_where(
     st = _rewrite_where(spark, table_dir, condition, set_exprs)
     st["updated_rows"] = st.pop("matched_rows")
     return st
+
+
+def _strip_parens(term: str) -> str:
+    """Remove a BALANCED outer paren pair (only when the first '('
+    really closes at the last char — '(a) = (b)' stays intact)."""
+    term = term.strip()
+    while term.startswith("(") and term.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(term):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(term) - 1:
+                    return term
+        term = term[1:-1].strip()
+    return term
+
+
+def _range_hints(
+    cond: str,
+) -> dict[str, tuple[float | None, float | None]] | None:
+    """Numeric range bounds PROVABLY IMPLIED by a conjunctive SQL
+    condition string — the bridge that lets DML compose with footer
+    data skipping. Only plain ``col (>=|>|<=|<|=) number`` and
+    ``col BETWEEN a AND b`` conjuncts contribute; every other term
+    is skipped, which stays sound (pruning by a SUBSET of conjuncts
+    keeps a superset of the matching files). Any top-level OR / NOT
+    disables hinting entirely (None). Strict bounds use the closed
+    interval — conservative at file level, exact after the
+    condition's own row filter."""
+    import re as _re
+
+    if _re.search(r"\bOR\b|\bNOT\b", cond, _re.IGNORECASE):
+        return None
+    bounds: dict[str, list[float | None]] = {}
+
+    def _fold(col: str, lo: float | None, hi: float | None) -> None:
+        cur = bounds.setdefault(col, [None, None])
+        if lo is not None:
+            cur[0] = lo if cur[0] is None else max(cur[0], lo)
+        if hi is not None:
+            cur[1] = hi if cur[1] is None else min(cur[1], hi)
+
+    num = r"(-?\d+(?:\.\d+)?)"
+    # Shield BETWEEN's inner AND from the conjunction split.
+    shielded = _re.sub(
+        rf"(\bBETWEEN\b\s*{num})\s+AND\b",
+        r"\1 __BTWN__",
+        cond,
+        flags=_re.IGNORECASE,
+    )
+    for raw in _re.split(r"\bAND\b", shielded, flags=_re.IGNORECASE):
+        term = _strip_parens(raw.replace("__BTWN__", "AND"))
+        m = _re.match(rf"^`?(\w+)`?\s*(>=|<=|==|=|<|>)\s*{num}$", term)
+        if m:
+            col, op, val = m.group(1), m.group(2), float(m.group(3))
+            if op in (">=", ">"):
+                _fold(col, val, None)
+            elif op in ("<=", "<"):
+                _fold(col, None, val)
+            else:
+                _fold(col, val, val)
+            continue
+        m = _re.match(
+            rf"^`?(\w+)`?\s+BETWEEN\s+{num}\s+AND\s+{num}$",
+            term,
+            _re.IGNORECASE,
+        )
+        if m:
+            _fold(m.group(1), float(m.group(2)), float(m.group(3)))
+    return bounds and {
+        c: (lo, hi) for c, (lo, hi) in bounds.items()
+    } or None
+
+
+def _usable_hints(condition, man: dict):
+    """Range hints restricted to columns footer statistics can
+    actually prune on: hive partition/layout columns live in dir
+    names, not file footers — hinting them would make the footer
+    sweep raise 'column not in file schema'."""
+    if not isinstance(condition, str):
+        return None
+    hints = _range_hints(condition)
+    if not hints:
+        return None
+    skip = {man.get("partition_col"), man.get("layout_by")} - {None}
+    hints = {c: b for c, b in hints.items() if c not in skip}
+    return hints or None
 
 
 def _rewrite_where(
@@ -569,15 +845,45 @@ def _rewrite_where(
     # shape every writer here produces), so the driver receives one
     # row per generation/partition dir — bounded metadata even when a
     # broad predicate matches rows in millions of files.
+    #
+    # Footer data skipping composes in: range bounds provably implied
+    # by a STRING condition (a conjunct subset — always sound) route
+    # the counting scan through the same prune_files_multi path as
+    # read_snapshot(predicate=), so a selective DELETE on a clustered
+    # layout opens only the files whose min/max can hold matches.
+    # The survivors read below stays UNPRUNED — it must keep the
+    # non-matching rows of affected generations.
+    hints = _usable_hints(condition, man)
     by_entry_rel = sorted(set(entries.values()))
-    scan = _pad_to_schema(
-        read_entries(spark, table_dir, entries), man.get("schema")
+    dv = man.get("deletes") or None
+    scan = read_entries(
+        spark,
+        table_dir,
+        entries,
+        predicate=hints,
+        deletes=dv,
+        with_positions=bool(dv),
     )
+    if man.get("schema"):
+        pad_fields = list(man["schema"]) + (
+            [
+                {"name": "_dv_path", "type": "string"},
+                {"name": "_dv_pos", "type": "bigint"},
+            ]
+            if dv
+            else []
+        )
+        scan = _pad_to_schema(scan, pad_fields)
+    # File attribution: input_file_name() is only reliable on a pure
+    # scan pipeline; under merge-on-read the anti-join sits between
+    # the scan and this projection, so use the scan-level _dv_path
+    # column instead.
+    file_col = F.col("_dv_path") if dv else F.input_file_name()
     counts_rows = (
         scan.where(cond)
         .select(
             F.regexp_extract(
-                F.input_file_name(),
+                file_col,
                 r"(_data/s=\d+(?:/[^/]*=[^/]*)?)/",
                 1,
             ).alias("_d")
@@ -613,9 +919,12 @@ def _rewrite_where(
     carried = {k: v for k, v in entries.items() if v not in hit_rels}
     # Pad to the COMMITTED schema (typed) BEFORE evaluating the
     # condition / SET exprs: affected generations may predate an
-    # additive column the predicate or assignment references.
+    # additive column the predicate or assignment references. Deletes
+    # apply here too — already-MOR-deleted rows must not resurrect
+    # into the rewritten generation.
     base = _pad_to_schema(
-        read_entries(spark, table_dir, affected), man.get("schema")
+        read_entries(spark, table_dir, affected, deletes=dv),
+        man.get("schema"),
     )
     if set_exprs is None:
         # SQL DELETE three-valued logic: only rows where the
@@ -649,7 +958,12 @@ def _rewrite_where(
         # partitions — route through the partial writer so manifest
         # keys reconcile per partition (and emptied partitions drop).
         write_snapshot_partial(
-            survivors, table_dir, next_id, pcol, list(affected.keys())
+            survivors,
+            table_dir,
+            next_id,
+            pcol,
+            list(affected.keys()),
+            deletes=dv,
         )
         return stats
     layout = man.get("layout_by")
@@ -672,6 +986,109 @@ def _rewrite_where(
         new_entries,
         schema_fields=man.get("schema"),
         layout_by=layout,
+        # Carried verbatim: rows referencing the rewritten (dropped)
+        # generations are inert; rows for carried generations still
+        # mask. fold_deletes / maintenance clears the list.
+        deletes=dv,
+    )
+    return stats
+
+
+def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
+    """Maintenance: materialize the merge-on-read delete vectors —
+    rewrite ONLY the generations that still have live masked rows
+    (O(affected), like a selective COW delete), carry the rest by
+    reference, and commit with an EMPTY delete list. Content is
+    unchanged (the masks were already applied at read), so the commit
+    is maintenance=True and invisible to the change feed; the freed
+    vector dirs fall to vacuum once their manifests expire."""
+    man = latest_manifest(spark, table_dir)
+    if man is None:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    dv = man.get("deletes") or []
+    if not dv:
+        return {"folded_vectors": 0, "rewritten": 0, "snapshot_id": man["snapshot_id"]}
+    next_id = man["snapshot_id"] + 1
+    _claim_check(spark, table_dir, next_id)
+    entries = man["entries"]
+    # Which LIVE generations do the vectors still mask? Executor-side
+    # dir extraction over the (small) position set; the driver sees
+    # distinct dirs only.
+    hit_dirs = {
+        r["_g"]
+        for r in read_delete_positions(spark, table_dir, dv)
+        .select(
+            F.regexp_extract(
+                "file_path", r"(_data/s=\d+(?:/[^/]*=[^/]*)?)/", 1
+            ).alias("_g")
+        )
+        .distinct()
+        .collect()
+        if r["_g"]
+    }
+    affected = {
+        k: rel
+        for k, rel in entries.items()
+        if any(g == rel or g.startswith(rel + "/") for g in hit_dirs)
+    }
+    stats = {
+        "folded_vectors": len(dv),
+        "rewritten": len(set(affected.values())),
+        "carried": len(entries) - len(affected),
+        "snapshot_id": next_id,
+    }
+    if not affected:
+        # Every vector row references dropped generations (inert):
+        # metadata-only commit clears the list.
+        commit_manifest(
+            spark,
+            table_dir,
+            next_id,
+            dict(entries),
+            partition_col=man.get("partition_col"),
+            schema_fields=man.get("schema"),
+            layout_by=man.get("layout_by"),
+            maintenance=True,
+        )
+        return stats
+    base = _pad_to_schema(
+        read_entries(spark, table_dir, affected, deletes=dv),
+        man.get("schema"),
+    )
+    pcol = man.get("partition_col")
+    if pcol:
+        write_snapshot_partial(
+            base,
+            table_dir,
+            next_id,
+            pcol,
+            list(affected.keys()),
+            maintenance=True,
+        )
+        return stats
+    layout = man.get("layout_by")
+    gdir = clear_generation(spark, table_dir, next_id)
+    writer = (base.repartition(layout) if layout else base).write.mode(
+        "error"
+    )
+    if layout:
+        writer = writer.partitionBy(layout)
+    writer.parquet(gdir)
+    new_entries = {
+        k: v for k, v in entries.items() if v not in set(affected.values())
+    }
+    if _generation_has_data(spark, gdir):
+        new_entries[f"b{next_id}"] = f"{_DATA_DIR}/s={next_id}"
+    else:
+        clear_generation(spark, table_dir, next_id)
+    commit_manifest(
+        spark,
+        table_dir,
+        next_id,
+        new_entries,
+        schema_fields=man.get("schema"),
+        layout_by=layout,
+        maintenance=True,
     )
     return stats
 
@@ -954,8 +1371,110 @@ def append_snapshot(
         # Carry the layout forward so a plain (or empty) append never
         # erases the table's declared layout from maintenance's view.
         layout_by=partition_by or (prev or {}).get("layout_by"),
+        # Appends never touch existing rows: prior delete vectors
+        # keep masking exactly the rows they masked.
+        deletes=(prev or {}).get("deletes"),
     )
     return snapshot_id
+
+
+def append_with_retry(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: str | None = None,
+    attempts: int = 5,
+) -> int:
+    """Multi-writer append: commit with RETRY-AND-REBASE instead of
+    append_snapshot's first-committer-wins failure (round-7 verdict
+    gap #4 — two independent appenders couldn't both land without
+    caller-side logic).
+
+    The data is written ONCE to a private ``_staging/<uuid>`` dir (no
+    contention), then each attempt claims the next id by atomically
+    RENAMING the staged dir to ``_data/s=<id>`` — rename refuses an
+    existing destination, so two retry-writers can never interleave
+    into one generation dir — and commits a manifest rebased on the
+    freshest predecessor. Losing a race at either step (dir claim or
+    manifest rename) rebases and retries with the data untouched: a
+    retry costs a directory rename, never a data rewrite.
+
+    Concurrency contract (RUNBOOK): concurrent appenders on one table
+    should ALL use this helper. Plain ``append_snapshot`` writes
+    straight into ``_data/s=<id>`` and stays the single-writer /
+    deterministic-replay path — mixing it with concurrent retry
+    appenders can collide inside a generation dir before any commit.
+    A crashed writer's staged dir is invisible to readers and falls
+    to ``vacuum_snapshots`` (staging is unreferenced by manifests).
+    """
+    spark = df.sparkSession
+    fields = _schema_fields(df)
+    staging = f"{table_dir}/_staging/{uuid.uuid4().hex}"
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(staging)
+    has_data = _generation_has_data(spark, staging)
+    fs, staging_path = hadoop_fs(spark, staging)
+    _, data_root = hadoop_fs(spark, f"{table_dir}/{_DATA_DIR}")
+    fs.mkdirs(data_root)  # rename needs the parent to exist
+    last_err: Exception | None = None
+    for _ in range(attempts):
+        prev = latest_manifest(spark, table_dir)
+        if prev is not None and prev.get("partition_col") is not None:
+            raise ValueError(
+                "append_with_retry on a table partitioned on "
+                f"{prev['partition_col']!r} — appends are "
+                "whole-generation entries; use write_snapshot_partial."
+            )
+        check_schema_evolution((prev or {}).get("schema"), fields)
+        sid = (prev["snapshot_id"] + 1) if prev else 0
+        entries = dict(prev["entries"]) if prev else {}
+        if has_data:
+            _, dest_path = hadoop_fs(spark, generation_dir(table_dir, sid))
+            if fs.exists(dest_path) or not fs.rename(
+                staging_path, dest_path
+            ):
+                # Another writer holds this id's dir (in-flight or a
+                # crash orphan). If its manifest lands, the next loop
+                # rebases past it; an orphan exhausts the budget and
+                # raises with the blocking dir named.
+                last_err = SnapshotConflict(
+                    f"generation dir s={sid} under {table_dir!r} is "
+                    "held by another writer (or a crash orphan — "
+                    "vacuum reclaims it once newer snapshots commit)"
+                )
+                continue
+            entries[f"b{sid}"] = f"{_DATA_DIR}/s={sid}"
+        try:
+            commit_manifest(
+                spark,
+                table_dir,
+                sid,
+                entries,
+                schema_fields=fields,
+                layout_by=partition_by or (prev or {}).get("layout_by"),
+                deletes=(prev or {}).get("deletes"),
+            )
+            if not has_data:
+                fs.delete(staging_path, True)
+            return sid
+        except SnapshotConflict as exc:
+            last_err = exc
+            if has_data:
+                # A non-staging committer (DML, compaction) took the
+                # manifest id after our dir claim: move the data back
+                # to staging and rebase — the loser's generation must
+                # not sit under a committed id it doesn't belong to.
+                if not fs.rename(dest_path, staging_path):
+                    raise SnapshotConflict(
+                        f"lost commit race for snapshot {sid} AND the "
+                        f"rename-back of {generation_dir(table_dir, sid)!r} "
+                        "failed — manual cleanup required"
+                    ) from exc
+    raise SnapshotConflict(
+        f"append_with_retry exhausted {attempts} attempts under "
+        f"{table_dir!r}: {last_err}"
+    )
 
 
 def write_snapshot_partial(
@@ -966,6 +1485,7 @@ def write_snapshot_partial(
     touched_keys: list,
     replace: bool = False,
     maintenance: bool = False,
+    deletes: list[str] | None = None,
 ) -> None:
     """Partial publish for a partitioned table: ``df`` holds the NEW
     full contents of exactly the ``touched_keys`` partitions (its
@@ -1040,27 +1560,37 @@ def write_snapshot_partial(
         replace=replace,
         schema_fields=fields,
         maintenance=maintenance,
+        deletes=deletes,
     )
 
 
 def vacuum_snapshots(
-    spark: SparkSession, table_dir: str, keep_last: int = 2
+    spark: SparkSession,
+    table_dir: str,
+    keep_last: int = 2,
+    staging_ttl_hours: float = 24.0,
 ) -> dict:
     """Expire all but the newest ``keep_last`` manifests and delete
     data generations no kept manifest references. ``keep_last >= 2``
     so a replayed batch can still read its predecessor; larger values
-    keep time travel."""
+    keep time travel. ``_staging`` dirs (append_with_retry) older
+    than ``staging_ttl_hours`` are crash residue and reclaimed; the
+    TTL protects live writers mid-stage."""
     if keep_last < 2:
         raise ValueError("keep_last must be >= 2 (replay reads n-1)")
     ids = snapshot_ids(spark, table_dir)
     expired, kept = ids[:-keep_last], ids[-keep_last:]
     newest = ids[-1] if ids else -1
     live_gens = set()
+    live_deletes = set()
     for sid in kept:
-        for rel in read_manifest(spark, table_dir, sid)["entries"].values():
+        man = read_manifest(spark, table_dir, sid)
+        for rel in man["entries"].values():
             parts = rel.split("/")
             if parts[0] == _DATA_DIR:
                 live_gens.add(parts[1])
+        for rel in man.get("deletes") or []:
+            live_deletes.add(rel.split("/")[1])
     fs, _ = hadoop_fs(spark, table_dir)
     for sid in expired:
         _, mp = hadoop_fs(spark, _manifest_path(table_dir, sid))
@@ -1090,7 +1620,37 @@ def vacuum_snapshots(
                 continue
             fs.delete(st.getPath(), True)
             removed.append(name)
+    removed_dv = []
+    vdir = f"{table_dir}/{_DELETES_DIR}"
+    fs, vpath = hadoop_fs(spark, vdir)
+    if fs.exists(vpath):
+        for st in fs.listStatus(vpath):
+            name = st.getPath().getName()
+            if not st.isDirectory() or name in live_deletes:
+                continue
+            try:
+                dv_id = int(name.split("=", 1)[1])
+            except (IndexError, ValueError):
+                dv_id = None
+            # Same in-flight-writer guard as data generations.
+            if dv_id is not None and dv_id > newest:
+                continue
+            fs.delete(st.getPath(), True)
+            removed_dv.append(name)
+    removed_staging = []
+    sdir = f"{table_dir}/_staging"
+    fs, spath = hadoop_fs(spark, sdir)
+    if fs.exists(spath):
+        import time as _time
+
+        cutoff = (_time.time() - staging_ttl_hours * 3600) * 1000
+        for st in fs.listStatus(spath):
+            if st.isDirectory() and st.getModificationTime() < cutoff:
+                fs.delete(st.getPath(), True)
+                removed_staging.append(st.getPath().getName())
     return {
         "expired_manifests": expired,
         "removed_generations": removed,
+        "removed_delete_vectors": removed_dv,
+        "removed_staging": removed_staging,
     }

@@ -986,3 +986,83 @@ def test_sql_views_cover_history_and_changes(spark, tmp_path):
         "SELECT k, _change_type FROM st_changes WHERE _commit_id > 0"
     ).collect()
     assert {(r["k"], r["_change_type"]) for r in ch} == {(2, "insert")}
+
+
+def test_range_hints_parser():
+    """_range_hints: sound bounds from conjunctive SQL text; OR/NOT
+    or unparseable terms degrade safely (subset of conjuncts or
+    None), never a wrong bound."""
+    from big_data_spark.io.snapshot import _range_hints
+
+    assert _range_hints("k >= 250 AND k < 320") == {"k": (250.0, 320.0)}
+    assert _range_hints("(k >= 2) AND (v <= 7.5)") == {
+        "k": (2.0, None),
+        "v": (None, 7.5),
+    }
+    assert _range_hints("k BETWEEN 5 AND 9 AND status = 'X'") == {
+        "k": (5.0, 9.0)
+    }
+    assert _range_hints("k = 42") == {"k": (42.0, 42.0)}
+    # Tighter of two bounds on one column wins.
+    assert _range_hints("k >= 10 AND k >= 20 AND k <= 90 AND k <= 80") == {
+        "k": (20.0, 80.0)
+    }
+    # OR / NOT disable hinting wholesale.
+    assert _range_hints("k >= 250 OR k < 10") is None
+    assert _range_hints("NOT (k >= 250)") is None
+    # Pure non-range conditions contribute nothing.
+    assert _range_hints("status = 'X'") is None
+    assert _range_hints("upper(who) = 'A'") is None
+
+
+def test_delete_where_prunes_files_with_identical_result(
+    spark, tmp_path, monkeypatch
+):
+    """Directive: the DML counting scan composes with footer data
+    skipping — a range DELETE on a clustered layout consults the
+    pruner and opens FEWER files, while the committed result matches
+    the unpruned path row for row."""
+    import big_data_spark.io.snapshot as snap
+    import big_data_spark.io.stats as stats_mod
+    from big_data_spark.io.snapshot import append_snapshot, delete_where
+
+    def build(tag):
+        t = str(tmp_path / tag)
+        for g in range(4):  # one tight k-range per generation
+            append_snapshot(
+                spark.range(g * 100, (g + 1) * 100).selectExpr(
+                    "id AS k", "cast(id as string) AS v"
+                ),
+                t,
+                snapshot_id=g,
+            )
+        return t
+
+    decisions = []
+    real = stats_mod.prune_files_multi
+
+    def spy(spark_, paths, ranges):
+        out = real(spark_, paths, ranges)
+        rows = out.select("file", "keep").distinct().collect()
+        decisions.append(rows)
+        return out
+
+    monkeypatch.setattr(stats_mod, "prune_files_multi", spy)
+    t_pruned = build("prune_on")
+    st1 = delete_where(spark, t_pruned, "k >= 250 AND k < 320")
+    monkeypatch.undo()
+
+    assert decisions, "counting scan must consult the pruner"
+    kept = sum(1 for r in decisions[0] if r["keep"])
+    total = len(decisions[0])
+    assert kept < total, "a clustered range DELETE must skip files"
+
+    # Hints off -> identical table state and stats.
+    monkeypatch.setattr(snap, "_range_hints", lambda cond: None)
+    t_plain = build("prune_off")
+    st2 = delete_where(spark, t_plain, "k >= 250 AND k < 320")
+    monkeypatch.undo()
+    assert {k: v for k, v in st1.items()} == {k: v for k, v in st2.items()}
+    a = sorted(map(tuple, read_snapshot(spark, t_pruned).collect()))
+    b = sorted(map(tuple, read_snapshot(spark, t_plain).collect()))
+    assert a == b and len(a) == 330
