@@ -403,8 +403,15 @@ def binpack_snapshot(
         clear_generation,
     )
 
+    # Merge-on-read vectors apply to the folded data; the list is
+    # carried VERBATIM in the commit — rows referencing the folded
+    # (now dropped) generations become inert, rows for kept
+    # generations keep masking (fold_deletes clears the list).
     df = _pad_to_schema(
-        read_entries(spark, table_dir, small), man.get("schema")
+        read_entries(
+            spark, table_dir, small, deletes=man.get("deletes") or None
+        ),
+        man.get("schema"),
     )
     layout = man.get("layout_by")
     # write_snapshot would commit entries = {"": gen} (full table);
@@ -442,6 +449,7 @@ def binpack_snapshot(
         schema_fields=man.get("schema"),
         layout_by=layout,
         maintenance=True,
+        deletes=man.get("deletes"),
     )
     return {
         "folded": len(small),
@@ -492,6 +500,12 @@ def maintain_table(
         for rel in man["entries"].values()
         if rel.startswith("_data/")
     }
+    # Materialize merge-on-read delete vectors FIRST: the rewrite
+    # passes below then see a mask-free table, and the Bloom index
+    # rebuild cannot index masked rows.
+    from big_data_spark.io.snapshot import fold_deletes
+
+    report["deletes_folded"] = fold_deletes(spark, table_dir)
     if man.get("partition_col") is not None:
         if len(gens) > max_generations:
             report["compacted"] = compact_snapshot(spark, table_dir)

@@ -215,6 +215,7 @@ def read_snapshot_point(
         parts_ = rel.split("/")
         gen = "/".join(parts_[:2]) if parts_[0] == "_data" else rel
         by_gen.setdefault(gen, []).append(rel)
+    dv = man.get("deletes") or None
     for gen, rels in sorted(by_gen.items()):
         kept = sorted(
             orig
@@ -225,18 +226,42 @@ def read_snapshot_point(
             )
         )
         if kept:
-            parts.append(
-                spark.read.option(
-                    "basePath", f"{table_dir}/{gen}"
-                ).parquet(*kept)
-            )
+            part = spark.read.option(
+                "basePath", f"{table_dir}/{gen}"
+            ).parquet(*kept)
+            if dv:
+                part = part.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_dv_path"),
+                    F.col("_metadata.row_index").alias("_dv_pos"),
+                )
+            parts.append(part)
     if uncovered:
-        parts.append(read_entries(spark, table_dir, uncovered))
+        parts.append(
+            read_entries(
+                spark, table_dir, uncovered, with_positions=bool(dv)
+            )
+        )
     if not parts:
         return read_snapshot(spark, table_dir).where(F.lit(False))
     df = parts[0]
     for other in parts[1:]:
         df = df.unionByName(other, allowMissingColumns=True)
+    if dv:
+        # Merge-on-read masks apply to point reads too — a deleted
+        # row must not resurrect through the Bloom path.
+        from big_data_spark.io.snapshot import (
+            _bare_expr,
+            read_delete_positions,
+        )
+
+        pos = read_delete_positions(spark, table_dir, dv)
+        df = df.join(
+            F.broadcast(pos),
+            (_bare_expr(F.col("_dv_path")) == pos["file_path"])
+            & (F.col("_dv_pos") == pos["row_index"]),
+            "left_anti",
+        ).drop("_dv_path", "_dv_pos")
     if order:
         # TYPED null-pad to the committed schema (an untyped
         # F.lit(None) is a void column) — same contract as
