@@ -409,7 +409,12 @@ def binpack_snapshot(
     # generations keep masking (fold_deletes clears the list).
     df = _pad_to_schema(
         read_entries(
-            spark, table_dir, small, deletes=man.get("deletes") or None
+            spark,
+            table_dir,
+            small,
+            deletes=man.get("deletes") or None,
+            schema_fields=man.get("schema"),
+            renames=man.get("renames"),
         ),
         man.get("schema"),
     )
@@ -450,6 +455,7 @@ def binpack_snapshot(
         layout_by=layout,
         maintenance=True,
         deletes=man.get("deletes"),
+        renames=man.get("renames"),
     )
     return {
         "folded": len(small),

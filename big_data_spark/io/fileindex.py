@@ -235,11 +235,22 @@ def read_snapshot_point(
                     F.col("_metadata.file_path").alias("_dv_path"),
                     F.col("_metadata.row_index").alias("_dv_pos"),
                 )
+            if man.get("schema") or man.get("renames"):
+                from big_data_spark.io.snapshot import _normalize_scan
+
+                part = _normalize_scan(
+                    part, man.get("schema"), man.get("renames")
+                )
             parts.append(part)
     if uncovered:
         parts.append(
             read_entries(
-                spark, table_dir, uncovered, with_positions=bool(dv)
+                spark,
+                table_dir,
+                uncovered,
+                with_positions=bool(dv),
+                schema_fields=man.get("schema"),
+                renames=man.get("renames"),
             )
         )
     if not parts:
