@@ -414,7 +414,7 @@ def binpack_snapshot(
             small,
             deletes=man.get("deletes") or None,
             schema_fields=man.get("schema"),
-            renames=man.get("renames"),
+            rename_log=man.get("rename_log"),
         ),
         man.get("schema"),
     )
@@ -455,7 +455,7 @@ def binpack_snapshot(
         layout_by=layout,
         maintenance=True,
         deletes=man.get("deletes"),
-        renames=man.get("renames"),
+        rename_log=man.get("rename_log"),
     )
     return {
         "folded": len(small),

@@ -235,11 +235,17 @@ def read_snapshot_point(
                     F.col("_metadata.file_path").alias("_dv_path"),
                     F.col("_metadata.row_index").alias("_dv_pos"),
                 )
-            if man.get("schema") or man.get("renames"):
-                from big_data_spark.io.snapshot import _normalize_scan
+            if man.get("schema") or man.get("rename_log"):
+                from big_data_spark.io.snapshot import (
+                    _gen_id_of,
+                    _normalize_scan,
+                )
 
                 part = _normalize_scan(
-                    part, man.get("schema"), man.get("renames")
+                    part,
+                    man.get("schema"),
+                    man.get("rename_log"),
+                    _gen_id_of(gen),
                 )
             parts.append(part)
     if uncovered:
@@ -250,7 +256,7 @@ def read_snapshot_point(
                 uncovered,
                 with_positions=bool(dv),
                 schema_fields=man.get("schema"),
-                renames=man.get("renames"),
+                rename_log=man.get("rename_log"),
             )
         )
     if not parts:

@@ -158,29 +158,59 @@ def _pad_to_schema(
     return df.select(*[f["name"] for f in schema_fields])
 
 
+def _gen_id_of(gen_rel: str) -> int | None:
+    """Snapshot id a generation dir was committed at, parsed from its
+    ``_data/s=<id>[...]`` relative path — None for paths outside the
+    generation layout (legacy entries; treated as predating every
+    evolution event)."""
+    parts = gen_rel.split("/")
+    if len(parts) >= 2 and parts[0] == _DATA_DIR and parts[1].startswith("s="):
+        try:
+            return int(parts[1][2:])
+        except ValueError:
+            return None
+    return None
+
+
 def _normalize_scan(
     df: DataFrame,
     schema_fields: list[dict] | None,
-    renames: dict[str, list[str]] | None,
+    rename_log: list | None,
+    gen_id: int | None = None,
 ) -> DataFrame:
     """Present ONE generation's physical columns in the committed
-    logical schema: map former physical names onto their current
-    name (manifest ``renames`` log — applied only when the current
-    name is absent, so a later column reusing a former name never
-    collides) and cast to the committed type (evolve_schema admits
-    only lossless widenings, so the cast cannot truncate)."""
+    logical schema by REPLAYING the manifest's evolution event log
+    (``rename_log``: ordered ``[commit_id, kind, old, new]`` rows,
+    kind 'rename' | 'drop') — only events committed AFTER this
+    generation was written (``commit_id > gen_id``) apply, which
+    resolves every name exactly: a later column reusing a former
+    physical name, swaps across evolve calls, and drop-then-re-add
+    (the old physical column is dropped by its event, never
+    resurrected into the re-added column). Each rename was validated
+    collision-free against the then-current schema at its commit, so
+    sequential replay in commit order can never collide. Types then
+    cast to the committed schema (evolve_schema admits only lossless
+    widenings, so the cast cannot truncate). ``gen_id=None`` (a
+    non-generation entry path) replays the full log — such entries
+    can only predate evolution."""
     if not schema_fields:
         return df
-    cols = set(df.columns)
-    for f in schema_fields:
-        name = f["name"]
-        if name not in cols:
-            for former in reversed((renames or {}).get(name, [])):
-                if former in cols:
-                    df = df.withColumnRenamed(former, name)
-                    cols.add(name)
-                    cols.discard(former)
-                    break
+    for ev in rename_log or []:
+        cid, kind, old, new = ev[0], ev[1], ev[2], ev[3]
+        if gen_id is not None and cid <= gen_id:
+            continue
+        if old not in df.columns:
+            continue
+        if kind == "rename":
+            if new in df.columns:
+                raise ValueError(
+                    f"rename replay collision: generation (id={gen_id}) "
+                    f"carries both {old!r} and {new!r} at event "
+                    f"commit {cid} — manifest log corrupt"
+                )
+            df = df.withColumnRenamed(old, new)
+        elif kind == "drop":
+            df = df.drop(old)
     dtypes = dict(df.dtypes)
     for f in schema_fields:
         if f["name"] in dtypes and dtypes[f["name"]] != f["type"]:
@@ -209,12 +239,15 @@ def evolve_schema(
     (round-7 verdict gap #5: check_schema_evolution admits adds
     only): rename columns, drop columns, and widen integer/float
     types without touching a single data file. The manifest carries
-    a ``renames`` log (current name -> former physical names);
-    readers map old generations' physical columns through it and
-    cast to the committed type, so a table evolved N times still
-    reads every generation correctly. Entries, delete vectors and
-    layout carry forward untouched; time travel to pre-evolution
-    versions sees the old schema.
+    a VERSIONED event log (``rename_log``: ordered
+    ``[commit_id, 'rename'|'drop', old, new]`` rows); readers replay
+    onto each generation exactly the events committed after it was
+    written and cast to the committed type, so a table evolved N
+    times — including name swaps and a column re-using a former
+    name — still reads every generation correctly. Entries, delete
+    vectors and layout carry forward untouched; time travel to
+    pre-evolution versions sees the old schema (each manifest carries
+    only the events committed up to it).
 
     Refused loudly: evolving the partition/layout column (its values
     live in directory names), renaming onto an existing column,
@@ -230,9 +263,8 @@ def evolve_schema(
             f"table under {table_dir!r} has no committed schema to evolve"
         )
     fields = [dict(f) for f in man["schema"]]
-    rmap = {
-        k: list(v) for k, v in (man.get("renames") or {}).items()
-    }
+    log = [list(ev) for ev in (man.get("rename_log") or [])]
+    next_id = man["snapshot_id"] + 1
     protected = {man.get("partition_col"), man.get("layout_by")} - {None}
     by_name = {f["name"]: f for f in fields}
 
@@ -242,7 +274,7 @@ def evolve_schema(
         if col not in by_name:
             raise ValueError(f"drop: unknown column {col!r}")
         fields.remove(by_name.pop(col))
-        rmap.pop(col, None)
+        log.append([next_id, "drop", col, None])
     for old, new in (renames or {}).items():
         if old in protected:
             raise ValueError(
@@ -255,7 +287,7 @@ def evolve_schema(
         f = by_name.pop(old)
         f["name"] = new
         by_name[new] = f
-        rmap[new] = rmap.pop(old, []) + [old]
+        log.append([next_id, "rename", old, new])
     for col, new_type in (widens or {}).items():
         if col in protected:
             raise ValueError(f"cannot widen partition/layout column {col!r}")
@@ -268,7 +300,6 @@ def evolve_schema(
                 f"(allowed: {sorted(_WIDEN_OK.get(cur, set()))})"
             )
         by_name[col]["type"] = new_type
-    next_id = man["snapshot_id"] + 1
     _claim_check(spark, table_dir, next_id)
     commit_manifest(
         spark,
@@ -279,7 +310,7 @@ def evolve_schema(
         schema_fields=fields,
         layout_by=man.get("layout_by"),
         deletes=man.get("deletes"),
-        renames=rmap,
+        rename_log=log,
     )
     return next_id
 
@@ -323,16 +354,16 @@ def commit_manifest(
     layout_by: str | None = None,
     maintenance: bool = False,
     deletes: list[str] | None = None,
-    renames: dict[str, list[str]] | None = None,
+    rename_log: list | None = None,
 ) -> None:
     """Atomically publish ``entries`` as snapshot ``snapshot_id``.
 
-    ``renames`` is the column-rename log (current logical name ->
-    former physical names, oldest first) that lets readers map
-    generations written before an ``evolve_schema`` rename; carried
-    forward by every writer that keeps old generations live, cleared
-    by full rewrites (the new generation is written in current
-    names).
+    ``rename_log`` is the ordered schema-evolution event log
+    (``[commit_id, 'rename'|'drop', old, new]`` rows) that lets
+    readers replay onto each generation exactly the events committed
+    after it was written; carried forward by every writer that keeps
+    old generations live, cleared by full rewrites (the new
+    generation is written in current names).
 
     ``deletes`` lists live DELETE-VECTOR dirs (relative paths under
     ``_deletes/``): small parquet files of (file_path, row_index)
@@ -373,7 +404,7 @@ def commit_manifest(
             "layout_by": layout_by,
             "maintenance": maintenance,
             "deletes": sorted(deletes or []),
-            "renames": renames or {},
+            "rename_log": rename_log or [],
         },
         sort_keys=True,
     )
@@ -449,7 +480,7 @@ def read_snapshot(
         residual=residual,
         deletes=man.get("deletes"),
         schema_fields=man.get("schema"),
-        renames=man.get("renames"),
+        rename_log=man.get("rename_log"),
     )
 
 
@@ -475,12 +506,13 @@ def read_entries(
     deletes: list[str] | None = None,
     with_positions: bool = False,
     schema_fields: list[dict] | None = None,
-    renames: dict[str, list[str]] | None = None,
+    rename_log: list | None = None,
 ) -> DataFrame:
-    """``schema_fields`` + ``renames`` normalize each generation's
-    physical columns into the committed logical schema (rename-map
-    lookup, widening cast) BEFORE the union — the evolve_schema read
-    path. ``deletes`` applies merge-on-read delete vectors: every scan
+    """``schema_fields`` + ``rename_log`` normalize each generation's
+    physical columns into the committed logical schema (evolution
+    event replay keyed on the generation's own commit id, widening
+    cast) BEFORE the union — the evolve_schema read path.
+    ``deletes`` applies merge-on-read delete vectors: every scan
     also projects the parquet ``_metadata`` (file_path, row_index)
     pair, and the union anti-joins the (broadcast) position set out —
     deleted rows never reach the caller. ``with_positions=True``
@@ -508,7 +540,18 @@ def read_entries(
             {f"{table_dir}/{r}" for rels in by_gen.values() for r in rels}
         )
         decisions = (
-            prune_files_multi(spark, all_paths, predicate)
+            # missing_ok + the rename log: a hinted column may be
+            # absent from pre-evolution files (added later) or live
+            # there under a former physical name — the sweep resolves
+            # names per file and treats truly-missing columns as
+            # unprunable instead of raising.
+            prune_files_multi(
+                spark,
+                all_paths,
+                predicate,
+                rename_log=rename_log,
+                missing_ok=True,
+            )
             .select("file", "keep")
             .distinct()
             .collect()
@@ -542,8 +585,10 @@ def read_entries(
                 F.col("_metadata.file_path").alias("_dv_path"),
                 F.col("_metadata.row_index").alias("_dv_pos"),
             )
-        if schema_fields or renames:
-            part = _normalize_scan(part, schema_fields, renames)
+        if schema_fields or rename_log:
+            part = _normalize_scan(
+                part, schema_fields, rename_log, _gen_id_of(gen)
+            )
         dfs.append(part)
     if not dfs:
         # Every live file provably misses the predicate: empty result
@@ -677,7 +722,7 @@ def read_changes(
                     cur,
                     with_positions=True,
                     schema_fields=man.get("schema"),
-                    renames=man.get("renames"),
+                    rename_log=man.get("rename_log"),
                 )
                 dv_rows = rows.join(
                     F.broadcast(pos),
@@ -706,7 +751,7 @@ def read_changes(
                     entries,
                     deletes=dv or None,
                     schema_fields=man.get("schema"),
-                    renames=man.get("renames"),
+                    rename_log=man.get("rename_log"),
                 )
                 if order:
                     # Present every commit in ITS committed schema,
@@ -816,7 +861,7 @@ def _delete_mor(spark: SparkSession, table_dir: str, condition) -> dict:
         deletes=man.get("deletes"),
         with_positions=True,
         schema_fields=man.get("schema"),
-        renames=man.get("renames"),
+        rename_log=man.get("rename_log"),
     )
     if man.get("schema"):
         # Pad to the committed schema (the predicate may reference a
@@ -861,7 +906,7 @@ def _delete_mor(spark: SparkSession, table_dir: str, condition) -> dict:
         schema_fields=man.get("schema"),
         layout_by=man.get("layout_by"),
         deletes=new_deletes,
-        renames=man.get("renames"),
+        rename_log=man.get("rename_log"),
     )
     return {
         "deleted_rows": int(n),
@@ -1023,7 +1068,7 @@ def _rewrite_where(
         deletes=dv,
         with_positions=bool(dv),
         schema_fields=man.get("schema"),
-        renames=man.get("renames"),
+        rename_log=man.get("rename_log"),
     )
     if man.get("schema"):
         pad_fields = list(man["schema"]) + (
@@ -1090,7 +1135,7 @@ def _rewrite_where(
             affected,
             deletes=dv,
             schema_fields=man.get("schema"),
-            renames=man.get("renames"),
+            rename_log=man.get("rename_log"),
         ),
         man.get("schema"),
     )
@@ -1132,7 +1177,7 @@ def _rewrite_where(
             pcol,
             list(affected.keys()),
             deletes=dv,
-            renames=man.get("renames"),
+            rename_log=man.get("rename_log"),
         )
         return stats
     layout = man.get("layout_by")
@@ -1159,7 +1204,7 @@ def _rewrite_where(
         # generations are inert; rows for carried generations still
         # mask. fold_deletes / maintenance clears the list.
         deletes=dv,
-        renames=man.get("renames"),
+        rename_log=man.get("rename_log"),
     )
     return stats
 
@@ -1219,7 +1264,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
             schema_fields=man.get("schema"),
             layout_by=man.get("layout_by"),
             maintenance=True,
-            renames=man.get("renames"),
+            rename_log=man.get("rename_log"),
         )
         return stats
     base = _pad_to_schema(
@@ -1229,7 +1274,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
             affected,
             deletes=dv,
             schema_fields=man.get("schema"),
-            renames=man.get("renames"),
+            rename_log=man.get("rename_log"),
         ),
         man.get("schema"),
     )
@@ -1242,7 +1287,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
             pcol,
             list(affected.keys()),
             maintenance=True,
-            renames=man.get("renames"),
+            rename_log=man.get("rename_log"),
         )
         return stats
     layout = man.get("layout_by")
@@ -1268,7 +1313,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
         schema_fields=man.get("schema"),
         layout_by=layout,
         maintenance=True,
-        renames=man.get("renames"),
+        rename_log=man.get("rename_log"),
     )
     return stats
 
@@ -1555,7 +1600,7 @@ def append_snapshot(
         # keep masking exactly the rows they masked, and the rename
         # log keeps mapping pre-evolution generations.
         deletes=(prev or {}).get("deletes"),
-        renames=(prev or {}).get("renames"),
+        rename_log=(prev or {}).get("rename_log"),
     )
     return snapshot_id
 
@@ -1636,7 +1681,7 @@ def append_with_retry(
                 schema_fields=fields,
                 layout_by=partition_by or (prev or {}).get("layout_by"),
                 deletes=(prev or {}).get("deletes"),
-                renames=(prev or {}).get("renames"),
+                rename_log=(prev or {}).get("rename_log"),
             )
             if not has_data:
                 fs.delete(staging_path, True)
@@ -1669,7 +1714,7 @@ def write_snapshot_partial(
     replace: bool = False,
     maintenance: bool = False,
     deletes: list[str] | None = None,
-    renames: dict[str, list[str]] | None = None,
+    rename_log: list | None = None,
 ) -> None:
     """Partial publish for a partitioned table: ``df`` holds the NEW
     full contents of exactly the ``touched_keys`` partitions (its
@@ -1745,7 +1790,7 @@ def write_snapshot_partial(
         schema_fields=fields,
         maintenance=maintenance,
         deletes=deletes,
-        renames=renames,
+        rename_log=rename_log,
     )
 
 

@@ -43,13 +43,58 @@ _STATS_SCHEMA = StructType(
 )
 
 
+def _physical_name(
+    logical: str, rename_log: list | None, gen_id: int | None
+) -> str | None:
+    """The physical column name ``logical`` had when a file of
+    generation ``gen_id`` was written, walking the snapshot-table
+    evolution event log BACKWARD through the events committed after
+    that generation (rename events map new->old; hitting a 'drop' of
+    the walked name means the column was re-added later, so it does
+    not exist in this file at all -> None). Values are untouched by
+    renames, so the old physical column's footer stats remain valid
+    for the logical column."""
+    name = logical
+    for ev in reversed(rename_log or []):
+        cid, kind, old, new = ev[0], ev[1], ev[2], ev[3]
+        if gen_id is not None and cid <= gen_id:
+            break  # log is commit-ordered; earlier events don't apply
+        if kind == "rename" and new == name:
+            name = old
+        elif kind == "drop" and old == name:
+            return None
+    return name
+
+
+def _file_gen_id(path: str) -> int | None:
+    """Snapshot-generation id encoded in a data file's path
+    (``.../_data/s=<id>/...``) — None outside that layout."""
+    import re
+
+    m = re.search(r"/_data/s=(\d+)(?:/|$)", path)
+    return int(m.group(1)) if m else None
+
+
 def parquet_column_stats(
-    spark: SparkSession, path: str | list[str], columns: list[str]
+    spark: SparkSession,
+    path: str | list[str],
+    columns: list[str],
+    rename_log: list | None = None,
+    missing_ok: bool = False,
 ) -> DataFrame:
     """(file, row_group, column, n_rows, n_nulls, min, max) for every
     row group of every data file under ``path`` (one directory, or a
     list of directories/files — the multi-generation snapshot case) —
-    footers only, no data pages read."""
+    footers only, no data pages read.
+
+    ``rename_log`` (a snapshot table's evolution event log) resolves
+    each requested LOGICAL column to the physical name it carries in
+    each file (keyed on the file's ``_data/s=<id>`` generation id);
+    the output ``column`` stays the logical name. ``missing_ok=True``
+    emits a no-stats row (null min/max -> unprunable downstream)
+    instead of raising when a file lacks the column — the snapshot
+    DML / predicate path, where pre-evolution files legitimately miss
+    later-added columns."""
     jvm = spark._jvm
     files: list[str] = []
     for p in [path] if isinstance(path, str) else path:
@@ -67,6 +112,8 @@ def parquet_column_stats(
     paths = spark.createDataFrame([(f,) for f in files], "file string")
     cols = list(columns)
 
+    log = [list(ev) for ev in rename_log or []]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re
 
@@ -77,19 +124,38 @@ def parquet_column_stats(
             for f in pdf["file"]:
                 # Hadoop returns file:/x or file:///x for local paths.
                 local = re.sub(r"^file:(//)?", "", f)
+                gen_id = _file_gen_id(f)
                 meta = pq.ParquetFile(local).metadata
                 name_to_idx = {
                     meta.schema.column(i).name: i
                     for i in range(meta.num_columns)
                 }
+                phys = {
+                    c: _physical_name(c, log, gen_id) if log else c
+                    for c in cols
+                }
                 for rg in range(meta.num_row_groups):
                     group = meta.row_group(rg)
                     for c in cols:
-                        if c not in name_to_idx:
-                            raise ValueError(
-                                f"{local}: column {c!r} not in file schema"
-                            )
-                        col = group.column(name_to_idx[c])
+                        p = phys[c]
+                        if p is None or p not in name_to_idx:
+                            if not missing_ok:
+                                raise ValueError(
+                                    f"{local}: column {c!r} not in "
+                                    "file schema"
+                                )
+                            # no-stats row: the column is absent from
+                            # this (pre-evolution) file — unprunable,
+                            # never a false drop.
+                            out["file"].append(f)
+                            out["row_group"].append(rg)
+                            out["column"].append(c)
+                            out["n_rows"].append(group.num_rows)
+                            out["n_nulls"].append(None)
+                            out["min_value"].append(None)
+                            out["max_value"].append(None)
+                            continue
+                        col = group.column(name_to_idx[p])
                         stats = col.statistics
                         out["file"].append(f)
                         out["row_group"].append(rg)
@@ -144,6 +210,8 @@ def prune_files_multi(
     spark: SparkSession,
     path: str | list[str],
     ranges: dict[str, tuple[float | None, float | None]],
+    rename_log: list | None = None,
+    missing_ok: bool = False,
 ) -> DataFrame:
     """Metadata-only data skipping over a CONJUNCTION of numeric
     range predicates ``lo_c <= c <= hi_c`` — the case Z-order layouts
@@ -164,7 +232,9 @@ def prune_files_multi(
     ):
         raise ValueError("prune_files needs at least one bounded range")
     cols = list(ranges)
-    stats = parquet_column_stats(spark, path, cols)
+    stats = parquet_column_stats(
+        spark, path, cols, rename_log=rename_log, missing_ok=missing_ok
+    )
     per_file_col = (
         stats.withColumn("mn", F.col("min_value").cast("double"))
         .withColumn("mx", F.col("max_value").cast("double"))

@@ -1041,8 +1041,8 @@ def test_delete_where_prunes_files_with_identical_result(
     decisions = []
     real = stats_mod.prune_files_multi
 
-    def spy(spark_, paths, ranges):
-        out = real(spark_, paths, ranges)
+    def spy(spark_, paths, ranges, **kw):
+        out = real(spark_, paths, ranges, **kw)
         rows = out.select("file", "keep").distinct().collect()
         decisions.append(rows)
         return out
