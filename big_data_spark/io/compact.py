@@ -287,6 +287,7 @@ def compact_snapshot(
             pcol,
             list(man["entries"].keys()),
             maintenance=True,
+            claim=True,
         )
     elif man.get("layout_by"):
         # Generations are hive-partitioned on a layout column (e.g.
@@ -308,6 +309,7 @@ def compact_snapshot(
             snapshot_id=next_id,
             partition_by=layout,
             maintenance=True,
+            claim=True,
         )
         # The layout fixes the file count (one per partition dir),
         # not the size heuristic — report what was actually written
@@ -321,7 +323,9 @@ def compact_snapshot(
         out = _compaction_plan(
             df, n_out, cluster_by, sort_within, zorder_by, zorder_bits
         )
-        write_snapshot(out, table_dir, snapshot_id=next_id, maintenance=True)
+        write_snapshot(
+            out, table_dir, snapshot_id=next_id, maintenance=True, claim=True
+        )
     return {**inv, "n_output_files": n_out, "snapshot_id": next_id}
 
 
@@ -399,8 +403,10 @@ def binpack_snapshot(
     # small tail that entirely predates an added column must not
     # produce a void column parquet refuses to write.
     from big_data_spark.io.snapshot import (
+        SnapshotConflict,
         _pad_to_schema,
-        clear_generation,
+        _stage_and_claim,
+        _unclaim,
     )
 
     # Merge-on-read vectors apply to the folded data; the list is
@@ -422,10 +428,10 @@ def binpack_snapshot(
     # write_snapshot would commit entries = {"": gen} (full table);
     # here the folded generation joins the carried-forward big ones,
     # so write the data through the generation layout and commit the
-    # merged manifest directly. clear_generation first: a prior
-    # crashed/raced attempt of this id would otherwise wedge every
-    # later pass on mode('error').
-    gdir = clear_generation(spark, table_dir, next_id)
+    # merged manifest directly — staged to _staging and CLAIMED by
+    # one atomic rename (never delete-then-write: a concurrent
+    # retry-appender holding this id's dir must conflict, not lose
+    # its data).
     out = df.repartition(layout) if layout else df.coalesce(
         max(
             1,
@@ -438,25 +444,34 @@ def binpack_snapshot(
             + 1,
         )
     )
-    writer = out.write.mode("error")
-    if layout:
-        writer = writer.partitionBy(layout)
-    writer.parquet(gdir)
+
+    def _write(to: str) -> None:
+        writer = out.write.mode("error")
+        if layout:
+            writer = writer.partitionBy(layout)
+        writer.parquet(to)
+
+    gdir = _stage_and_claim(spark, table_dir, next_id, _write)
     entries = {
         key: rel for key, rel in man["entries"].items() if key not in small
     }
-    entries[f"b{next_id}"] = f"_data/s={next_id}"
-    commit_manifest(
-        spark,
-        table_dir,
-        next_id,
-        entries,
-        schema_fields=man.get("schema"),
-        layout_by=layout,
-        maintenance=True,
-        deletes=man.get("deletes"),
-        rename_log=man.get("rename_log"),
-    )
+    if gdir is not None:
+        entries[f"b{next_id}"] = f"_data/s={next_id}"
+    try:
+        commit_manifest(
+            spark,
+            table_dir,
+            next_id,
+            entries,
+            schema_fields=man.get("schema"),
+            layout_by=layout,
+            maintenance=True,
+            deletes=man.get("deletes"),
+            rename_log=man.get("rename_log"),
+        )
+    except SnapshotConflict:
+        _unclaim(spark, gdir)
+        raise
     return {
         "folded": len(small),
         "kept": len(entries) - 1,

@@ -880,14 +880,24 @@ def _delete_mor(spark: SparkSession, table_dir: str, condition) -> dict:
         F.col("_dv_path").alias("file_path"),
         F.col("_dv_pos").alias("row_index"),
     )
-    ddir = f"{table_dir}/{_DELETES_DIR}/d={next_id}"
-    fs, dpath = hadoop_fs(spark, ddir)
-    if fs.exists(dpath):
-        fs.delete(dpath, True)  # crashed prior attempt of this id
-    positions.coalesce(1).write.mode("error").parquet(ddir)
-    n = spark.read.parquet(ddir).count()
+    # Stage the vector, then CLAIM _deletes/d=<id> by atomic rename —
+    # two racing MOR writers at the same next_id would otherwise
+    # interleave on the vector dir (A writes, B delete-rewrites, A's
+    # manifest wins pointing at B's positions: wrong rows deleted).
+    ddir = _stage_and_claim(
+        spark,
+        table_dir,
+        next_id,
+        lambda to: positions.coalesce(1).write.mode("error").parquet(to),
+        dest_rel=f"{_DELETES_DIR}/d={next_id}",
+    )
+    if ddir is None:
+        n = 0
+    else:
+        n = spark.read.parquet(ddir).count()
+        if n == 0:
+            _unclaim(spark, ddir)
     if n == 0:
-        fs.delete(dpath, True)
         return {
             "deleted_rows": 0,
             "delete_vectors": len(man.get("deletes") or []),
@@ -897,17 +907,21 @@ def _delete_mor(spark: SparkSession, table_dir: str, condition) -> dict:
     new_deletes = sorted(
         set(man.get("deletes") or []) | {f"{_DELETES_DIR}/d={next_id}"}
     )
-    commit_manifest(
-        spark,
-        table_dir,
-        next_id,
-        dict(man["entries"]),
-        partition_col=man.get("partition_col"),
-        schema_fields=man.get("schema"),
-        layout_by=man.get("layout_by"),
-        deletes=new_deletes,
-        rename_log=man.get("rename_log"),
-    )
+    try:
+        commit_manifest(
+            spark,
+            table_dir,
+            next_id,
+            dict(man["entries"]),
+            partition_col=man.get("partition_col"),
+            schema_fields=man.get("schema"),
+            layout_by=man.get("layout_by"),
+            deletes=new_deletes,
+            rename_log=man.get("rename_log"),
+        )
+    except SnapshotConflict:
+        _unclaim(spark, ddir)
+        raise
     return {
         "deleted_rows": int(n),
         "delete_vectors": len(new_deletes),
@@ -1178,34 +1192,44 @@ def _rewrite_where(
             list(affected.keys()),
             deletes=dv,
             rename_log=man.get("rename_log"),
+            claim=True,
         )
         return stats
     layout = man.get("layout_by")
-    gdir = clear_generation(spark, table_dir, next_id)
-    writer = (
-        survivors.repartition(layout) if layout else survivors
-    ).write.mode("error")
-    if layout:
-        writer = writer.partitionBy(layout)
-    writer.parquet(gdir)
+
+    def _write(to: str) -> None:
+        writer = (
+            survivors.repartition(layout) if layout else survivors
+        ).write.mode("error")
+        if layout:
+            writer = writer.partitionBy(layout)
+        writer.parquet(to)
+
+    # Staged-rename dir claim, never delete-then-write: a concurrent
+    # retry-appender holding _data/s=<next_id> surfaces as a
+    # retryable SnapshotConflict instead of losing its claimed data.
+    gdir = _stage_and_claim(spark, table_dir, next_id, _write)
     new_entries = dict(carried)
-    if _generation_has_data(spark, gdir):
+    if gdir is not None:
         new_entries[f"b{next_id}"] = f"{_DATA_DIR}/s={next_id}"
-    else:
-        clear_generation(spark, table_dir, next_id)
-    commit_manifest(
-        spark,
-        table_dir,
-        next_id,
-        new_entries,
-        schema_fields=man.get("schema"),
-        layout_by=layout,
-        # Carried verbatim: rows referencing the rewritten (dropped)
-        # generations are inert; rows for carried generations still
-        # mask. fold_deletes / maintenance clears the list.
-        deletes=dv,
-        rename_log=man.get("rename_log"),
-    )
+    try:
+        commit_manifest(
+            spark,
+            table_dir,
+            next_id,
+            new_entries,
+            schema_fields=man.get("schema"),
+            layout_by=layout,
+            # Carried verbatim: rows referencing the rewritten
+            # (dropped) generations are inert; rows for carried
+            # generations still mask. fold_deletes / maintenance
+            # clears the list.
+            deletes=dv,
+            rename_log=man.get("rename_log"),
+        )
+    except SnapshotConflict:
+        _unclaim(spark, gdir)
+        raise
     return stats
 
 
@@ -1288,33 +1312,39 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
             list(affected.keys()),
             maintenance=True,
             rename_log=man.get("rename_log"),
+            claim=True,
         )
         return stats
     layout = man.get("layout_by")
-    gdir = clear_generation(spark, table_dir, next_id)
-    writer = (base.repartition(layout) if layout else base).write.mode(
-        "error"
-    )
-    if layout:
-        writer = writer.partitionBy(layout)
-    writer.parquet(gdir)
+
+    def _write(to: str) -> None:
+        writer = (base.repartition(layout) if layout else base).write.mode(
+            "error"
+        )
+        if layout:
+            writer = writer.partitionBy(layout)
+        writer.parquet(to)
+
+    gdir = _stage_and_claim(spark, table_dir, next_id, _write)
     new_entries = {
         k: v for k, v in entries.items() if v not in set(affected.values())
     }
-    if _generation_has_data(spark, gdir):
+    if gdir is not None:
         new_entries[f"b{next_id}"] = f"{_DATA_DIR}/s={next_id}"
-    else:
-        clear_generation(spark, table_dir, next_id)
-    commit_manifest(
-        spark,
-        table_dir,
-        next_id,
-        new_entries,
-        schema_fields=man.get("schema"),
-        layout_by=layout,
-        maintenance=True,
-        rename_log=man.get("rename_log"),
-    )
+    try:
+        commit_manifest(
+            spark,
+            table_dir,
+            next_id,
+            new_entries,
+            schema_fields=man.get("schema"),
+            layout_by=layout,
+            maintenance=True,
+            rename_log=man.get("rename_log"),
+        )
+    except SnapshotConflict:
+        _unclaim(spark, gdir)
+        raise
     return stats
 
 
@@ -1481,6 +1511,62 @@ def _generation_has_data(spark: SparkSession, gdir: str) -> bool:
     return False
 
 
+def _stage_and_claim(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int,
+    write_fn,
+    dest_rel: str | None = None,
+) -> str | None:
+    """Write a new data generation CONTENTION-FREE to a private
+    ``_staging`` dir, then CLAIM its destination (``_data/s=<id>``,
+    or ``dest_rel``) with ONE atomic rename — the same dir-claim
+    protocol append_with_retry uses. The rewrite paths (DML,
+    fold_deletes, bin-pack) previously used clear_generation's
+    delete-then-write, which could delete a concurrent retry-
+    appender's claimed-but-uncommitted dir and leave the appender's
+    committed manifest pointing at foreign data (round-8 advice,
+    medium). Returns the claimed dir, or None when the staged write
+    produced no data files (staging removed, nothing claimed). An
+    existing destination raises SnapshotConflict: an in-flight writer
+    holds it, or a crashed claimant left it — vacuum_snapshots
+    reclaims such orphans after its staging TTL."""
+    staging = f"{table_dir}/_staging/{uuid.uuid4().hex}"
+    write_fn(staging)
+    fs, staging_path = hadoop_fs(spark, staging)
+    if not _generation_has_data(spark, staging):
+        fs.delete(staging_path, True)
+        return None
+    dest = (
+        f"{table_dir}/{dest_rel}"
+        if dest_rel
+        else generation_dir(table_dir, snapshot_id)
+    )
+    _, parent = hadoop_fs(spark, dest.rsplit("/", 1)[0])
+    fs.mkdirs(parent)  # rename needs the parent to exist
+    _, dest_path = hadoop_fs(spark, dest)
+    if fs.exists(dest_path) or not fs.rename(staging_path, dest_path):
+        fs.delete(staging_path, True)
+        raise SnapshotConflict(
+            f"{dest_rel or f'generation dir s={snapshot_id}'} under "
+            f"{table_dir!r} is held by another writer (or a crash "
+            "orphan — vacuum reclaims it after the staging TTL)"
+        )
+    return dest
+
+
+def _unclaim(spark: SparkSession, dest: str | None) -> None:
+    """Drop a dir claimed by _stage_and_claim after losing the
+    manifest race — the data is ours and uncommitted, so deleting it
+    can never orphan a committed entry (the race winner never wrote
+    into a dir we hold)."""
+    if dest is None:
+        return
+    fs, p = hadoop_fs(spark, dest)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def write_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -1488,6 +1574,7 @@ def write_snapshot(
     replace: bool = False,
     partition_by: str | None = None,
     maintenance: bool = False,
+    claim: bool = False,
 ) -> int:
     """Full-table publish: write ``df`` as a fresh data generation,
     then commit a manifest pointing only at it. Readers see the old
@@ -1498,6 +1585,13 @@ def write_snapshot(
     explicit id + ``replace=True`` only from deterministic replay
     loops (foreachBatch). ``partition_by`` hive-partitions the
     generation layout (same contract as append_snapshot's).
+
+    ``claim=True`` routes the write through the staged-rename dir
+    claim (_stage_and_claim) instead of clear_generation — required
+    of any writer that may run CONCURRENTLY with append_with_retry
+    (maintenance/compaction); the default delete-then-write path is
+    for single-writer / deterministic-replay callers, which need a
+    crashed same-id attempt overwritten, not refused.
     """
     spark = df.sparkSession
     if snapshot_id is None:
@@ -1506,26 +1600,36 @@ def write_snapshot(
     fields = _schema_fields(df)
     prev = latest_manifest(spark, table_dir, below=snapshot_id)
     check_schema_evolution((prev or {}).get("schema"), fields)
-    gdir = clear_generation(spark, table_dir, snapshot_id)
-    writer = df.write.mode("error")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
-    writer.parquet(gdir)
-    entries = (
-        {"": f"{_DATA_DIR}/s={snapshot_id}"}
-        if _generation_has_data(spark, gdir)
-        else {}
-    )
-    commit_manifest(
-        spark,
-        table_dir,
-        snapshot_id,
-        entries,
-        replace=replace,
-        schema_fields=fields,
-        layout_by=partition_by,
-        maintenance=maintenance,
-    )
+
+    def _write(to: str) -> None:
+        writer = df.write.mode("error")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(to)
+
+    if claim:
+        gdir = _stage_and_claim(spark, table_dir, snapshot_id, _write)
+        has = gdir is not None
+    else:
+        gdir = clear_generation(spark, table_dir, snapshot_id)
+        _write(gdir)
+        has = _generation_has_data(spark, gdir)
+    entries = {"": f"{_DATA_DIR}/s={snapshot_id}"} if has else {}
+    try:
+        commit_manifest(
+            spark,
+            table_dir,
+            snapshot_id,
+            entries,
+            replace=replace,
+            schema_fields=fields,
+            layout_by=partition_by,
+            maintenance=maintenance,
+        )
+    except SnapshotConflict:
+        if claim:
+            _unclaim(spark, gdir if has else None)
+        raise
     return snapshot_id
 
 
@@ -1715,6 +1819,7 @@ def write_snapshot_partial(
     maintenance: bool = False,
     deletes: list[str] | None = None,
     rename_log: list | None = None,
+    claim: bool = False,
 ) -> None:
     """Partial publish for a partitioned table: ``df`` holds the NEW
     full contents of exactly the ``touched_keys`` partitions (its
@@ -1757,9 +1862,19 @@ def write_snapshot_partial(
             "which cannot round-trip through the manifest keys)"
         )
     entries = dict(prev["entries"]) if prev else {}
-    gdir = clear_generation(spark, table_dir, snapshot_id)
-    df.write.mode("error").partitionBy(partition_col).parquet(gdir)
-    fs, gpath = hadoop_fs(spark, gdir)
+    if claim:
+        gdir = _stage_and_claim(
+            spark,
+            table_dir,
+            snapshot_id,
+            lambda to: df.write.mode("error")
+            .partitionBy(partition_col)
+            .parquet(to),
+        )
+    else:
+        gdir = clear_generation(spark, table_dir, snapshot_id)
+        df.write.mode("error").partitionBy(partition_col).parquet(gdir)
+    fs, gpath = hadoop_fs(spark, gdir or table_dir)
     # Written dir names are hive-ESCAPED (%, /, ':', '=', ... become
     # %XX); manifest entry keys are the RAW partition values, so the
     # reconcile below (pop str(key) / insert written key) stays
@@ -1769,29 +1884,35 @@ def write_snapshot_partial(
         .ExternalCatalogUtils.unescapePathName
     )
     written: dict[str, str] = {}
-    for st in fs.listStatus(gpath):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith(f"{partition_col}="):
-            escaped = name.split("=", 1)[1]
-            written[unescape(escaped)] = escaped
+    if gdir is not None:
+        for st in fs.listStatus(gpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(f"{partition_col}="):
+                escaped = name.split("=", 1)[1]
+                written[unescape(escaped)] = escaped
     for key in touched_keys:
         entries.pop(str(key), None)
     for key, escaped in written.items():
         entries[key] = posixpath.join(
             _DATA_DIR, f"s={snapshot_id}", f"{partition_col}={escaped}"
         )
-    commit_manifest(
-        spark,
-        table_dir,
-        snapshot_id,
-        entries,
-        partition_col=partition_col,
-        replace=replace,
-        schema_fields=fields,
-        maintenance=maintenance,
-        deletes=deletes,
-        rename_log=rename_log,
-    )
+    try:
+        commit_manifest(
+            spark,
+            table_dir,
+            snapshot_id,
+            entries,
+            partition_col=partition_col,
+            replace=replace,
+            schema_fields=fields,
+            maintenance=maintenance,
+            deletes=deletes,
+            rename_log=rename_log,
+        )
+    except SnapshotConflict:
+        if claim:
+            _unclaim(spark, gdir)
+        raise
 
 
 def vacuum_snapshots(
@@ -1825,6 +1946,9 @@ def vacuum_snapshots(
     for sid in expired:
         _, mp = hadoop_fs(spark, _manifest_path(table_dir, sid))
         fs.delete(mp, False)
+    import time as _time
+
+    stale_cutoff = (_time.time() - staging_ttl_hours * 3600) * 1000
     removed = []
     ddir = f"{table_dir}/{_DATA_DIR}"
     fs, dpath = hadoop_fs(spark, ddir)
@@ -1839,14 +1963,21 @@ def vacuum_snapshots(
             # CDC-mirror batch). Deleting it would either make the
             # writer commit a manifest pointing at vanished data or
             # silently shrink a partial write's manifest. Leave such
-            # dirs alone — if the writer crashed, its own replay (or a
-            # later vacuum, once newer snapshots commit past it)
-            # reclaims them.
+            # dirs alone — UNLESS older than the staging TTL: a live
+            # claimant's claim->commit window is seconds, so a stale
+            # above-newest dir is a crashed _stage_and_claim /
+            # append_with_retry claimant whose id would otherwise
+            # block every future committer forever (next_id keeps
+            # resolving to it).
             try:
                 gen_id = int(name.split("=", 1)[1])
             except (IndexError, ValueError):
                 gen_id = None
-            if gen_id is not None and gen_id > newest:
+            if (
+                gen_id is not None
+                and gen_id > newest
+                and st.getModificationTime() >= stale_cutoff
+            ):
                 continue
             fs.delete(st.getPath(), True)
             removed.append(name)
@@ -1862,8 +1993,13 @@ def vacuum_snapshots(
                 dv_id = int(name.split("=", 1)[1])
             except (IndexError, ValueError):
                 dv_id = None
-            # Same in-flight-writer guard as data generations.
-            if dv_id is not None and dv_id > newest:
+            # Same in-flight-writer guard (and stale-claim TTL) as
+            # data generations.
+            if (
+                dv_id is not None
+                and dv_id > newest
+                and st.getModificationTime() >= stale_cutoff
+            ):
                 continue
             fs.delete(st.getPath(), True)
             removed_dv.append(name)
@@ -1871,11 +2007,8 @@ def vacuum_snapshots(
     sdir = f"{table_dir}/_staging"
     fs, spath = hadoop_fs(spark, sdir)
     if fs.exists(spath):
-        import time as _time
-
-        cutoff = (_time.time() - staging_ttl_hours * 3600) * 1000
         for st in fs.listStatus(spath):
-            if st.isDirectory() and st.getModificationTime() < cutoff:
+            if st.isDirectory() and st.getModificationTime() < stale_cutoff:
                 fs.delete(st.getPath(), True)
                 removed_staging.append(st.getPath().getName())
     return {

@@ -231,3 +231,158 @@ def test_vacuum_reclaims_stale_staging_only(spark, tmp_path):
     assert rep["removed_staging"] == []  # fresh: protected by TTL
     rep = vacuum_snapshots(spark, t, keep_last=2, staging_ttl_hours=0)
     assert rep["removed_staging"] == ["deadbeef"]
+
+
+def _claimed_dir(spark, t, sid, rows=1):
+    """Simulate a retry-appender that CLAIMED _data/s=<sid> (staged
+    rename done) but has not committed its manifest yet."""
+    from big_data_spark.io.snapshot import generation_dir
+
+    spark.range(rows).selectExpr(
+        "id + 9000 AS k", "'claimed' AS v"
+    ).write.parquet(generation_dir(t, sid))
+
+
+def test_dml_respects_appender_dir_claim(spark, tmp_path):
+    """Round-8 ADVICE medium: _rewrite_where used delete-then-write
+    (clear_generation) on _data/s=<next_id>, destroying a concurrent
+    retry-appender's claimed-but-uncommitted data; if the appender
+    then won the manifest race, its committed entry pointed at the
+    DML's survivor rows. The DML must CONFLICT and leave the claimed
+    dir byte-identical."""
+    import glob
+    import os
+
+    t = str(tmp_path / "claim_dml")
+    append_snapshot(
+        spark.range(100).selectExpr("id AS k", "cast(id as string) AS v"),
+        t,
+        snapshot_id=0,
+    )
+    _claimed_dir(spark, t, 1)
+    files_before = sorted(
+        (p, os.path.getsize(p))
+        for p in glob.glob(f"{t}/_data/s=1/*.parquet")
+    )
+    with pytest.raises(SnapshotConflict, match="held by another writer"):
+        snap.delete_where(spark, t, "k < 50")
+    assert (
+        sorted(
+            (p, os.path.getsize(p))
+            for p in glob.glob(f"{t}/_data/s=1/*.parquet")
+        )
+        == files_before
+    ), "the appender's claimed data must survive byte-identical"
+    # Table unchanged; the appender can still commit its manifest.
+    assert read_snapshot(spark, t).count() == 100
+
+
+def test_fold_and_binpack_respect_dir_claim(spark, tmp_path):
+    from big_data_spark.io.compact import binpack_snapshot
+
+    t = str(tmp_path / "claim_fold")
+    for g in range(2):
+        append_snapshot(
+            spark.range(g * 10, (g + 1) * 10).selectExpr(
+                "id AS k", "cast(id as string) AS v"
+            ),
+            t,
+            snapshot_id=g,
+        )
+    snap.delete_where(spark, t, "k = 3", mode="mor")  # -> snapshot 2
+    _claimed_dir(spark, t, 3)
+    with pytest.raises(SnapshotConflict, match="held by another writer"):
+        snap.fold_deletes(spark, t)
+    with pytest.raises(SnapshotConflict, match="held by another writer"):
+        binpack_snapshot(spark, t, small_bytes=1 << 30)
+    assert read_snapshot(spark, t).count() == 19
+
+
+def test_mor_vector_dir_claim(spark, tmp_path):
+    """Two MOR writers racing at the same next_id must not interleave
+    on _deletes/d=<id>: the second claimant conflicts instead of
+    silently replacing the first's positions."""
+    t = str(tmp_path / "claim_mor")
+    append_snapshot(
+        spark.range(100).selectExpr("id AS k", "cast(id as string) AS v"),
+        t,
+        snapshot_id=0,
+    )
+    # First writer's vector dir already claimed (uncommitted).
+    spark.createDataFrame(
+        [("x", 0)], "file_path string, row_index long"
+    ).write.parquet(f"{t}/_deletes/d=1")
+    with pytest.raises(SnapshotConflict, match="held by another writer"):
+        snap.delete_where(spark, t, "k < 5", mode="mor")
+    assert read_snapshot(spark, t).count() == 100
+
+
+def test_dml_loser_leaves_no_orphan_generation(spark, tmp_path, monkeypatch):
+    """When the DML claims its dir but loses the MANIFEST race, it
+    must unclaim (delete its own staged generation) so the id isn't
+    wedged for every later committer."""
+    from big_data_spark.io.snapshot import commit_manifest, hadoop_fs
+
+    t = str(tmp_path / "loser")
+    append_snapshot(
+        spark.range(100).selectExpr("id AS k", "cast(id as string) AS v"),
+        t,
+        snapshot_id=0,
+    )
+    real_commit = snap.commit_manifest
+    state = {"raced": False}
+
+    def race_then_commit(spark_, table_dir, sid, entries, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # Interloper (e.g. evolve_schema, metadata-only) takes the
+            # id first — carrying the PREDECESSOR's entries, never a
+            # dir it doesn't hold.
+            real_commit(
+                spark_,
+                table_dir,
+                sid,
+                dict(read_manifest(spark_, table_dir, sid - 1)["entries"]),
+                **kw,
+            )
+        return real_commit(spark_, table_dir, sid, entries, **kw)
+
+    monkeypatch.setattr(snap, "commit_manifest", race_then_commit)
+    with pytest.raises(SnapshotConflict):
+        snap.delete_where(spark, t, "k < 50")
+    monkeypatch.undo()
+    fs, p = hadoop_fs(spark, f"{t}/_data/s=1")
+    assert not fs.exists(p), "losing DML must unclaim its generation"
+    # A retry now lands cleanly at the next id.
+    st = snap.delete_where(spark, t, "k < 50")
+    assert st["deleted_rows"] == 50
+    assert read_snapshot(spark, t).count() == 50
+
+
+def test_vacuum_reclaims_stale_claim_orphans(spark, tmp_path):
+    """A crashed claimant's above-newest generation/vector dir blocks
+    every future committer (next_id keeps resolving to it); vacuum
+    reclaims it once it is older than the staging TTL, while a FRESH
+    claim (live writer) is left alone."""
+    from big_data_spark.io.snapshot import vacuum_snapshots
+
+    t = str(tmp_path / "stale_claims")
+    for g in range(2):
+        append_snapshot(
+            spark.range(10).selectExpr("id AS k"), t, snapshot_id=g
+        )
+    _claimed_dir(spark, t, 2)
+    spark.createDataFrame(
+        [("x", 0)], "file_path string, row_index long"
+    ).write.parquet(f"{t}/_deletes/d=2")
+    # Fresh claims survive a default-TTL vacuum.
+    res = vacuum_snapshots(spark, t, keep_last=2)
+    assert res["removed_generations"] == []
+    assert res["removed_delete_vectors"] == []
+    # Past the TTL they are crash residue and get reclaimed.
+    res = vacuum_snapshots(spark, t, keep_last=2, staging_ttl_hours=0.0)
+    assert res["removed_generations"] == ["s=2"]
+    assert res["removed_delete_vectors"] == ["d=2"]
+    # The id is usable again.
+    st = snap.delete_where(spark, t, "k < 5")
+    assert st["snapshot_id"] == 2
