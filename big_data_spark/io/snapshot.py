@@ -716,10 +716,40 @@ def read_changes(
             new_dv = [d for d in cur_deletes if d not in set(prev_deletes)]
             if new_dv:
                 pos = read_delete_positions(spark, table_dir, new_dv)
+                # The vectors NAME the files holding the deleted rows;
+                # read only the touched generations' entries instead
+                # of the whole table — O(masked generations), not
+                # O(table), per MOR commit in the window (round-8
+                # advice). Executor-side dir extraction over the
+                # (small-by-contract) position set.
+                hit_dirs = {
+                    r["_g"]
+                    for r in pos.select(
+                        F.regexp_extract(
+                            "file_path",
+                            r"(_data/s=\d+(?:/[^/]*=[^/]*)?)/",
+                            1,
+                        ).alias("_g")
+                    )
+                    .distinct()
+                    .collect()
+                    if r["_g"]
+                }
+                touched = {
+                    k: rel
+                    for k, rel in cur.items()
+                    if any(
+                        g == rel or g.startswith(rel + "/")
+                        for g in hit_dirs
+                    )
+                }
+            else:
+                touched = {}
+            if new_dv and touched:
                 rows = read_entries(
                     spark,
                     table_dir,
-                    cur,
+                    touched,
                     with_positions=True,
                     schema_fields=man.get("schema"),
                     rename_log=man.get("rename_log"),

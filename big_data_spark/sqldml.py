@@ -21,6 +21,15 @@ Supported statements (one per call; case-insensitive keywords):
      [WHEN MATCHED [AND <pred>] THEN DELETE]
      [WHEN MATCHED [AND <pred>] THEN UPDATE SET * | col = expr[, ...]]
      [WHEN NOT MATCHED [AND <pred>] THEN INSERT *]``
+- ``INSERT INTO <table> [(col, ...)] VALUES (...)[, ...]`` and
+  ``INSERT INTO <table> [(col, ...)] SELECT ...`` — the row source
+  (VALUES / SELECT) is parsed by Spark's OWN parser, mapped
+  positionally onto the column list (or the full committed schema),
+  cast to the committed types, unlisted columns typed-NULL-padded,
+  and appended through the multi-writer retry path.
+- ``ALTER TABLE <table> RENAME COLUMN <old> TO <new>`` /
+  ``DROP COLUMN <col>`` / ``ALTER COLUMN <col> TYPE <type>`` — the
+  SQL spelling of ``evolve_schema`` (metadata-only commit).
 
 ``<table>`` resolves through the caller's name -> table_dir mapping
 (SnapshotCatalog keeps it); MERGE's ``<view>`` is any registered
@@ -63,9 +72,24 @@ _WHEN_RE = re.compile(
 )
 
 
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?"
+    r"((?:VALUES|SELECT|WITH|TABLE)\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+(?:"
+    r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
+    r"|DROP\s+COLUMN\s+(\w+)"
+    r"|ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w()]+)"
+    r")\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 def is_dml(statement: str) -> bool:
-    head = statement.lstrip()[:10].upper()
-    return head.startswith(("DELETE", "UPDATE", "MERGE"))
+    head = statement.lstrip()[:12].upper()
+    return head.startswith(("DELETE", "UPDATE", "MERGE", "INSERT", "ALTER"))
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -155,11 +179,107 @@ def execute_dml(
     m = _MERGE_RE.match(statement)
     if m:
         return _execute_merge(spark, m, tables)
+    m = _INSERT_RE.match(statement)
+    if m:
+        return _execute_insert(spark, m, tables)
+    m = _ALTER_RE.match(statement)
+    if m:
+        return _execute_alter(spark, m, tables)
     raise ValueError(
         "unsupported DML statement — the dispatcher accepts "
-        "DELETE FROM ... WHERE, UPDATE ... SET ... WHERE, and the "
-        f"documented MERGE INTO subset; got: {statement.strip()[:120]!r}"
+        "DELETE FROM ... WHERE, UPDATE ... SET ... WHERE, "
+        "INSERT INTO ... VALUES/SELECT, ALTER TABLE "
+        "RENAME/DROP/ALTER COLUMN, and the documented MERGE INTO "
+        f"subset; got: {statement.strip()[:120]!r}"
     )
+
+
+def _execute_insert(
+    spark: SparkSession, m: re.Match, tables: dict[str, str]
+) -> dict:
+    from big_data_spark.io.snapshot import (
+        append_with_retry,
+        latest_manifest,
+    )
+
+    table_name, col_text, body = m.group(1), m.group(2), m.group(3)
+    table_dir = _resolve(table_name, tables)
+    man = latest_manifest(spark, table_dir)
+    if man is None or not man.get("schema"):
+        raise ValueError(
+            f"INSERT target {table_name!r} has no committed schema"
+        )
+    schema = man["schema"]
+    by_name = {f["name"]: f for f in schema}
+    targets = (
+        [c.strip() for c in col_text.split(",")]
+        if col_text
+        else [f["name"] for f in schema]
+    )
+    unknown = [c for c in targets if c not in by_name]
+    if unknown:
+        raise ValueError(
+            f"INSERT column(s) {unknown} not in {table_name!r}'s "
+            f"schema {[f['name'] for f in schema]}"
+        )
+    # Spark's own parser produces the row source (VALUES is a valid
+    # standalone query); its output maps POSITIONALLY onto the
+    # target column list, standard SQL semantics.
+    src = spark.sql(body)
+    if len(src.columns) != len(targets):
+        raise ValueError(
+            f"INSERT supplies {len(src.columns)} column(s) for "
+            f"{len(targets)} target(s) {targets}"
+        )
+    row = src.toDF(*targets)  # positional rename, collision-free
+    # Cast to committed types; unlisted columns appear as typed
+    # NULLs; committed column order.
+    cols = [
+        (
+            F.col(f["name"]).cast(f["type"])
+            if f["name"] in targets
+            else F.lit(None).cast(f["type"])
+        ).alias(f["name"])
+        for f in schema
+    ]
+    sid = append_with_retry(row.select(*cols), table_dir)
+    return {
+        "statement_type": "INSERT",
+        "table": table_name,
+        "inserted_rows": src.count(),
+        "snapshot_id": sid,
+    }
+
+
+def _execute_alter(
+    spark: SparkSession, m: re.Match, tables: dict[str, str]
+) -> dict:
+    from big_data_spark.io.snapshot import evolve_schema
+
+    table_name = m.group(1)
+    table_dir = _resolve(table_name, tables)
+    rename_old, rename_new, drop_col, widen_col, widen_type = m.group(
+        2, 3, 4, 5, 6
+    )
+    if rename_old:
+        sid = evolve_schema(
+            spark, table_dir, renames={rename_old: rename_new}
+        )
+        op = f"RENAME {rename_old} -> {rename_new}"
+    elif drop_col:
+        sid = evolve_schema(spark, table_dir, drops=[drop_col])
+        op = f"DROP {drop_col}"
+    else:
+        sid = evolve_schema(
+            spark, table_dir, widens={widen_col: widen_type.lower()}
+        )
+        op = f"ALTER {widen_col} TYPE {widen_type.lower()}"
+    return {
+        "statement_type": "ALTER",
+        "table": table_name,
+        "operation": op,
+        "snapshot_id": sid,
+    }
 
 
 def _resolve(name: str, tables: dict[str, str]) -> str:
@@ -198,12 +318,32 @@ def _execute_merge(
         )
     kwargs: dict = {"insert": False}
 
+    if t_alias == s_alias:
+        raise ValueError(
+            f"MERGE target and source share the alias {t_alias!r} — "
+            "column references would be ambiguous"
+        )
+    alias_map = {t_alias: "t", s_alias: "s"}
+
     def _alias_expr(text: str):
         # merge_into exposes the joined row under t./s. aliases; map
-        # the statement's aliases onto them with a word-boundary
-        # rewrite so custom alias names work.
-        rewritten = re.sub(rf"\b{t_alias}\.", "t.", text)
-        rewritten = re.sub(rf"\b{s_alias}\.", "s.", rewritten)
+        # the statement's aliases onto them in ONE pass (a sequential
+        # rewrite corrupts swapped aliases: 'AS s ... AS t' would
+        # first turn s.->t. and then rewrite ALL t. — original and
+        # just-produced — to s., binding everything to one side;
+        # round-8 advice). Single-quoted literals are skipped so an
+        # alias-looking word inside a string survives verbatim.
+        def _sub(m2: re.Match) -> str:
+            if m2.group(0).startswith("'"):
+                return m2.group(0)  # string literal, untouched
+            return alias_map[m2.group(1)] + "."
+
+        rewritten = re.sub(
+            rf"'(?:[^']|'')*'|\b({re.escape(t_alias)}|"
+            rf"{re.escape(s_alias)})\.",
+            _sub,
+            text,
+        )
         return F.expr(rewritten)
 
     saw_update = False

@@ -147,3 +147,95 @@ def test_lazy_registration_and_as_of(spark, tmp_path):
         spark.sql("SELECT count(*) AS n FROM lazy_t_v0").first()["n"] == 10
     )
     assert as_of(spark, t, 1).count() == 20
+
+
+def test_sql_merge_swapped_aliases_route_correctly(spark, cat):
+    """Round-8 advice (low): sequential alias rewriting corrupted
+    statements whose aliases are the canonical names SWAPPED
+    ('AS s ... AS t'): s.->t. then ALL t.->s. bound every reference
+    to the source side. The single-pass rewrite must route each
+    side correctly."""
+    c, t = cat
+    spark.createDataFrame(
+        [(2, 5.0), (9, 1.0)], "k int, delta double"
+    ).createOrReplaceTempView("swap_src")
+    c.sql(
+        "MERGE INTO orders_t s USING swap_src t ON s.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET total = s.total + t.delta"
+    )
+    got = {r["k"]: r["total"] for r in read_snapshot(spark, t).collect()}
+    # s.total is the TARGET's 200.0 (not the source's delta).
+    assert got[2] == 205.0 and got[1] == 100.0
+
+
+def test_sql_merge_alias_inside_string_literal_survives(spark, cat):
+    c, t = cat
+    spark.createDataFrame(
+        [(1, 0.0)], "k int, delta double"
+    ).createOrReplaceTempView("lit_src")
+    c.sql(
+        "MERGE INTO orders_t tgt USING lit_src src ON tgt.k = src.k "
+        "WHEN MATCHED THEN UPDATE SET who = 'tgt. stays'"
+    )
+    got = {r["k"]: r["who"] for r in read_snapshot(spark, t).collect()}
+    assert got[1] == "tgt. stays" and got[2] == "b"
+
+
+def test_sql_merge_identical_aliases_refused(spark, cat):
+    c, t = cat
+    spark.createDataFrame(
+        [(1, 0.0)], "k int, delta double"
+    ).createOrReplaceTempView("same_src")
+    with pytest.raises(ValueError, match="share the alias"):
+        c.sql(
+            "MERGE INTO orders_t x USING same_src x ON x.k = x.k "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_sql_insert_values_and_select(spark, cat):
+    c, t = cat
+    st = c.sql("INSERT INTO orders_t VALUES (5, 'O', 500.0, 'e'), (6, 'F', 600.0, 'f')")
+    assert st["statement_type"] == "INSERT" and st["inserted_rows"] == 2
+    got = read_snapshot(spark, t)
+    assert got.count() == 6
+    assert {r["k"] for r in got.collect()} == {1, 2, 3, 4, 5, 6}
+    # Column-list form: unlisted columns arrive as typed NULLs,
+    # values cast to the committed types (int literal -> double).
+    c.sql("INSERT INTO orders_t (k, total) VALUES (7, 700)")
+    row = read_snapshot(spark, t).where("k = 7").first()
+    assert row["total"] == 700.0 and row["status"] is None
+    # INSERT ... SELECT through Spark's own parser.
+    spark.createDataFrame(
+        [(8, "O", 800.0, "h")], "a int, b string, c double, d string"
+    ).createOrReplaceTempView("ins_src")
+    c.sql("INSERT INTO orders_t SELECT a, b, c, d FROM ins_src")
+    assert read_snapshot(spark, t).count() == 8
+    # The registered view refreshed (catalog round-trip).
+    assert c.sql("SELECT count(*) AS n FROM orders_t").first()["n"] == 8
+
+
+def test_sql_insert_errors(spark, cat):
+    c, t = cat
+    with pytest.raises(ValueError, match="not in"):
+        c.sql("INSERT INTO orders_t (nope) VALUES (1)")
+    with pytest.raises(ValueError, match="supplies 1 column"):
+        c.sql("INSERT INTO orders_t VALUES (1)")
+    assert read_snapshot(spark, t).count() == 4
+
+
+def test_sql_alter_rename_drop_widen(spark, cat):
+    c, t = cat
+    st = c.sql("ALTER TABLE orders_t RENAME COLUMN who TO owner")
+    assert st["statement_type"] == "ALTER"
+    assert "owner" in read_snapshot(spark, t).columns
+    c.sql("ALTER TABLE orders_t DROP COLUMN owner")
+    assert "owner" not in read_snapshot(spark, t).columns
+    c.sql("ALTER TABLE orders_t ALTER COLUMN k TYPE bigint")
+    got = read_snapshot(spark, t)
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert got.count() == 4
+    # Registered view sees the evolved schema.
+    assert "owner" not in c.sql("SELECT * FROM orders_t").columns
+    with pytest.raises(ValueError, match="lossless"):
+        c.sql("ALTER TABLE orders_t ALTER COLUMN status TYPE bigint")
