@@ -168,10 +168,10 @@ class SnapshotCatalog:
         return as_of(self.spark, self.tables[name], version, name=name)
 
     def sql(self, statement: str):
-        from big_data_spark.sqldml import execute_dml, is_dml
+        from big_data_spark.sqldml import route_statement
 
-        if is_dml(statement):
-            st = execute_dml(self.spark, statement, self.tables)
+        st = route_statement(self.spark, statement, self.tables)
+        if st is not None:
             self.refresh(st["table"])
             return st
         return self.spark.sql(statement)

@@ -474,7 +474,10 @@ def binpack_snapshot(
         raise
     return {
         "folded": len(small),
-        "kept": len(entries) - 1,
+        # entries holds the carried generations plus b{next_id} only
+        # when the fold actually wrote data (an all-rows-MOR-deleted
+        # tail stages nothing).
+        "kept": len(entries) - (1 if gdir is not None else 0),
         "snapshot_id": next_id,
     }
 

@@ -158,18 +158,17 @@ def _pad_to_schema(
     return df.select(*[f["name"] for f in schema_fields])
 
 
-def _gen_id_of(gen_rel: str) -> int | None:
-    """Snapshot id a generation dir was committed at, parsed from its
-    ``_data/s=<id>[...]`` relative path — None for paths outside the
-    generation layout (legacy entries; treated as predating every
-    evolution event)."""
-    parts = gen_rel.split("/")
-    if len(parts) >= 2 and parts[0] == _DATA_DIR and parts[1].startswith("s="):
-        try:
-            return int(parts[1][2:])
-        except ValueError:
-            return None
-    return None
+def _gen_id_of(path: str) -> int | None:
+    """Snapshot id a generation was committed at, parsed from the
+    ``_data/s=<id>`` segment of a path — accepts both manifest-
+    relative entry paths and full file URIs (the ONE parser of this
+    layout, shared with io/stats.py's footer-sweep kernel). None for
+    paths outside the generation layout (legacy entries; treated as
+    predating every evolution event)."""
+    import re
+
+    m = re.search(rf"(?:^|/){_DATA_DIR}/s=(\d+)(?:/|$)", path)
+    return int(m.group(1)) if m else None
 
 
 def _normalize_scan(
@@ -619,6 +618,25 @@ def read_entries(
             (_bare_expr(F.col("_dv_path")) == pos["file_path"])
             & (F.col("_dv_pos") == pos["row_index"]),
             "left_anti",
+        )
+    if schema_fields:
+        # Typed-NULL-pad committed columns the SURVIVING generations
+        # all lack — footer pruning can drop every generation that
+        # physically carries a later-added column, and the residual
+        # filter / column_order select below must still resolve it
+        # (an all-NULL column correctly fails the range predicate:
+        # same rows as full-scan-then-filter).
+        df = _pad_to_schema(
+            df,
+            list(schema_fields)
+            + (
+                [
+                    {"name": "_dv_path", "type": "string"},
+                    {"name": "_dv_pos", "type": "bigint"},
+                ]
+                if want_meta
+                else []
+            ),
         )
     if column_order:
         # Canonical column order = the snapshot's committed schema
@@ -1986,6 +2004,20 @@ def vacuum_snapshots(
     import time as _time
 
     stale_cutoff = (_time.time() - staging_ttl_hours * 3600) * 1000
+
+    def _job_in_flight(dir_path) -> bool:
+        # A DIRECT (claim=False) writer's df.write job keeps a
+        # _temporary subdir inside the generation for the job's whole
+        # duration — which can exceed any TTL. Never reclaim such a
+        # dir regardless of age; the TTL applies only to COMPLETE
+        # dirs (a claimant's renamed data, or a direct write whose
+        # job finished but whose manifest never landed — both crash
+        # residue once stale).
+        _, tmp = hadoop_fs(
+            spark, f"{dir_path.toString()}/_temporary"
+        )
+        return fs.exists(tmp)
+
     removed = []
     ddir = f"{table_dir}/{_DATA_DIR}"
     fs, dpath = hadoop_fs(spark, ddir)
@@ -2010,12 +2042,12 @@ def vacuum_snapshots(
                 gen_id = int(name.split("=", 1)[1])
             except (IndexError, ValueError):
                 gen_id = None
-            if (
-                gen_id is not None
-                and gen_id > newest
-                and st.getModificationTime() >= stale_cutoff
-            ):
-                continue
+            if gen_id is not None and gen_id > newest:
+                if (
+                    st.getModificationTime() >= stale_cutoff
+                    or _job_in_flight(st.getPath())
+                ):
+                    continue
             fs.delete(st.getPath(), True)
             removed.append(name)
     removed_dv = []
@@ -2032,12 +2064,12 @@ def vacuum_snapshots(
                 dv_id = None
             # Same in-flight-writer guard (and stale-claim TTL) as
             # data generations.
-            if (
-                dv_id is not None
-                and dv_id > newest
-                and st.getModificationTime() >= stale_cutoff
-            ):
-                continue
+            if dv_id is not None and dv_id > newest:
+                if (
+                    st.getModificationTime() >= stale_cutoff
+                    or _job_in_flight(st.getPath())
+                ):
+                    continue
             fs.delete(st.getPath(), True)
             removed_dv.append(name)
     removed_staging = []

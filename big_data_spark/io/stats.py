@@ -67,12 +67,15 @@ def _physical_name(
 
 
 def _file_gen_id(path: str) -> int | None:
-    """Snapshot-generation id encoded in a data file's path
-    (``.../_data/s=<id>/...``) — None outside that layout."""
-    import re
+    """Snapshot-generation id of a data file — delegates to the ONE
+    parser of the ``_data/s=<id>`` layout (io/snapshot.py), so the
+    evolution replay and the footer-sweep name resolution can never
+    key generations differently. Function-level import: snapshot
+    imports this module lazily, and the kernel closure must stay
+    import-light for executors."""
+    from big_data_spark.io.snapshot import _gen_id_of
 
-    m = re.search(r"/_data/s=(\d+)(?:/|$)", path)
-    return int(m.group(1)) if m else None
+    return _gen_id_of(path)
 
 
 def parquet_column_stats(

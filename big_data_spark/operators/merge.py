@@ -224,11 +224,29 @@ def merge_snapshot(
     (streaming/cdc_mirror.py), whose per-snapshot write cost scales
     with the change set. Returns the committed snapshot id.
     """
-    from big_data_spark.io.snapshot import read_snapshot, write_snapshot
+    from big_data_spark.io.snapshot import (
+        latest_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
 
-    target = read_snapshot(spark, table_dir)
+    # Read AS OF the manifest the id derives from (a commit landing
+    # during the merge collides on the id -> SnapshotConflict instead
+    # of its rows silently missing from the merged rewrite), and
+    # publish through the staged-rename dir claim so a concurrent
+    # retry-appender's claimed generation is never overwritten —
+    # the SQL door routes MERGE statements here, so this path must
+    # honor the same multi-writer contract as DML/compaction.
+    man = latest_manifest(spark, table_dir)
+    as_of = man["snapshot_id"] if man else None
+    target = read_snapshot(spark, table_dir, as_of=as_of)
     merged = merge_into(target, source, keys, **merge_kwargs)
-    return write_snapshot(merged, table_dir)
+    return write_snapshot(
+        merged,
+        table_dir,
+        snapshot_id=(as_of + 1) if man else None,
+        claim=True,
+    )
 
 
 def touched_partitions(

@@ -92,6 +92,28 @@ def is_dml(statement: str) -> bool:
     return head.startswith(("DELETE", "UPDATE", "MERGE", "INSERT", "ALTER"))
 
 
+def route_statement(
+    spark: SparkSession, statement: str, tables: dict[str, str]
+):
+    """The catalog's dispatch: ``execute_dml``'s result when the
+    statement is snapshot-table DML this module handles, else None —
+    meaning PASS THROUGH to plain ``spark.sql``. DELETE/UPDATE/MERGE
+    are always claimed (plain spark.sql cannot run them for this
+    format, so strict errors beat silent misroutes); INSERT and ALTER
+    shapes OUTSIDE the subset — qualified names, INSERT OVERWRITE,
+    ALTER VIEW, targets not registered as snapshot tables — worked
+    through spark.sql before round 9 added the statements and must
+    keep working."""
+    head = statement.lstrip()[:12].upper()
+    if head.startswith(("DELETE", "UPDATE", "MERGE")):
+        return execute_dml(spark, statement, tables)
+    if head.startswith(("INSERT", "ALTER")):
+        m = _INSERT_RE.match(statement) or _ALTER_RE.match(statement)
+        if m and m.group(1) in tables:
+            return execute_dml(spark, statement, tables)
+    return None
+
+
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` outside parentheses and string literals —
     enough to separate SET assignments whose expressions contain
@@ -243,10 +265,18 @@ def _execute_insert(
         for f in schema
     ]
     sid = append_with_retry(row.select(*cols), table_dir)
+    # Report what actually LANDED: a parquet metadata count of the
+    # committed generation — never a re-execution of the row source
+    # (a non-deterministic SELECT would report rows it didn't write).
+    from big_data_spark.io.snapshot import generation_dir, hadoop_fs
+
+    gdir = generation_dir(table_dir, sid)
+    fs, gp = hadoop_fs(spark, gdir)
+    n = spark.read.parquet(gdir).count() if fs.exists(gp) else 0
     return {
         "statement_type": "INSERT",
         "table": table_name,
-        "inserted_rows": src.count(),
+        "inserted_rows": int(n),
         "snapshot_id": sid,
     }
 
@@ -331,16 +361,18 @@ def _execute_merge(
         # rewrite corrupts swapped aliases: 'AS s ... AS t' would
         # first turn s.->t. and then rewrite ALL t. — original and
         # just-produced — to s., binding everything to one side;
-        # round-8 advice). Single-quoted literals are skipped so an
-        # alias-looking word inside a string survives verbatim.
+        # round-8 advice). String literals are skipped — both
+        # single-quoted and double-quoted (Spark's ANSI-off default
+        # reads "..." as a string) — so an alias-looking word inside
+        # one survives verbatim.
         def _sub(m2: re.Match) -> str:
-            if m2.group(0).startswith("'"):
+            if m2.group(0)[0] in "'\"":
                 return m2.group(0)  # string literal, untouched
             return alias_map[m2.group(1)] + "."
 
         rewritten = re.sub(
-            rf"'(?:[^']|'')*'|\b({re.escape(t_alias)}|"
-            rf"{re.escape(s_alias)})\.",
+            rf"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|"
+            rf"\b({re.escape(t_alias)}|{re.escape(s_alias)})\.",
             _sub,
             text,
         )

@@ -386,3 +386,46 @@ def test_vacuum_reclaims_stale_claim_orphans(spark, tmp_path):
     # The id is usable again.
     st = snap.delete_where(spark, t, "k < 5")
     assert st["snapshot_id"] == 2
+
+
+def test_merge_snapshot_respects_dir_claim_and_reads_as_of(
+    spark, tmp_path
+):
+    """Code-review round 9: SQL MERGE routes through merge_snapshot,
+    which used the delete-then-write publish — it must conflict on a
+    claimed generation dir instead of overwriting it, and derive its
+    id from the manifest it read."""
+    from big_data_spark.operators.merge import merge_snapshot
+
+    t = str(tmp_path / "claim_merge")
+    append_snapshot(
+        spark.range(10).selectExpr("id AS k", "cast(id as string) AS v"),
+        t,
+        snapshot_id=0,
+    )
+    _claimed_dir(spark, t, 1)
+    src = spark.createDataFrame([(1, "upd")], "k long, v string")
+    with pytest.raises(SnapshotConflict, match="held by another writer"):
+        merge_snapshot(spark, t, src, ["k"])
+    assert read_snapshot(spark, t).count() == 10
+
+
+def test_vacuum_spares_inflight_direct_write(spark, tmp_path):
+    """The stale-claim TTL must never reclaim a generation dir whose
+    df.write job is still running (its _temporary subdir exists) —
+    a direct writer's window is the job duration, not seconds."""
+    import os
+
+    from big_data_spark.io.snapshot import vacuum_snapshots
+
+    t = str(tmp_path / "inflight")
+    for g in range(2):
+        append_snapshot(
+            spark.range(5).selectExpr("id AS k"), t, snapshot_id=g
+        )
+    # Simulate a long direct write in progress: the generation dir
+    # exists with only Spark's _temporary work area inside.
+    os.makedirs(f"{t}/_data/s=2/_temporary/0")
+    res = vacuum_snapshots(spark, t, keep_last=2, staging_ttl_hours=0.0)
+    assert res["removed_generations"] == []
+    assert os.path.isdir(f"{t}/_data/s=2/_temporary")

@@ -364,3 +364,31 @@ def test_predicate_pruned_to_empty_keeps_evolved_schema(spark, tmp_path):
     # is exactly filter-equivalent.
     kept = read_snapshot(spark, t, predicate={"amount": (15.0, None)})
     assert {r["k"] for r in kept.collect()} == set(range(15, 20))
+
+
+def test_dml_hint_pruning_away_all_column_carriers(spark, tmp_path):
+    """Code-review round 9 (reproduced): when footer pruning drops
+    EVERY generation that physically carries the hinted column, the
+    survivors' union lacks it and the residual filter crashed with
+    UNRESOLVED_COLUMN. Must return matched=0 / the filtered rows
+    instead — exactly full-scan-then-filter semantics."""
+    t = str(tmp_path / "allpruned")
+    _build2(spark, t)
+    append_snapshot(
+        spark.range(20, 30).selectExpr(
+            "id AS k",
+            "cast(id as string) AS v",
+            "cast(id as int) AS amt",
+            "cast(id * 2 as int) AS extra",
+        ),
+        t,
+        snapshot_id=2,
+    )
+    # extra ranges over [40, 58]; the predicate misses it entirely,
+    # so gen 2 is pruned and only column-less gens survive.
+    st = delete_where(spark, t, "extra >= 100 AND extra <= 200")
+    assert st["deleted_rows"] == 0
+    assert read_snapshot(spark, t).count() == 30
+    got = read_snapshot(spark, t, predicate={"extra": (100.0, 200.0)})
+    assert got.count() == 0
+    assert got.columns == ["k", "v", "amt", "extra"]

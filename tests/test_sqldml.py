@@ -239,3 +239,50 @@ def test_sql_alter_rename_drop_widen(spark, cat):
     assert "owner" not in c.sql("SELECT * FROM orders_t").columns
     with pytest.raises(ValueError, match="lossless"):
         c.sql("ALTER TABLE orders_t ALTER COLUMN status TYPE bigint")
+
+
+def test_sql_merge_double_quoted_literal_survives(spark, cat):
+    c, t = cat
+    spark.createDataFrame(
+        [(1, 0.0)], "k int, delta double"
+    ).createOrReplaceTempView("dq_src")
+    c.sql(
+        "MERGE INTO orders_t tgt USING dq_src src ON tgt.k = src.k "
+        'WHEN MATCHED THEN UPDATE SET who = "src. stays"'
+    )
+    got = {r["k"]: r["who"] for r in read_snapshot(spark, t).collect()}
+    assert got[1] == "src. stays"
+
+
+def test_sql_insert_alter_outside_subset_pass_through(spark, cat):
+    """Code-review round 9: INSERT/ALTER shapes the dispatcher does
+    not handle (catalog-qualified names, unregistered targets, ALTER
+    VIEW) must keep flowing to plain spark.sql as before."""
+    c, t = cat
+    spark.createDataFrame([(1, "x")], "a int, b string").createOrReplaceTempView(
+        "plain_v"
+    )
+    # ALTER VIEW is valid Spark SQL and not a snapshot-table ALTER.
+    c.sql("ALTER VIEW plain_v AS SELECT 2 AS a, 'y' AS b")
+    assert spark.table("plain_v").first()["a"] == 2
+    # INSERT into an unregistered (non-snapshot) target passes
+    # through; Spark itself rejects inserting into a temp view, and
+    # that error (not the dispatcher's) must surface.
+    import pyspark.sql.utils as _u
+
+    with pytest.raises(Exception) as ei:
+        c.sql("INSERT INTO plain_v VALUES (3, 'z')")
+    assert "unsupported DML statement" not in str(ei.value)
+
+
+def test_sql_insert_reports_landed_rows_once(spark, cat):
+    """inserted_rows comes from the committed generation's parquet
+    metadata, not a re-execution of the row source."""
+    c, t = cat
+    spark.createDataFrame(
+        [(10, "O", 1.0, "x"), (11, "F", 2.0, "y")],
+        "a int, b string, c double, d string",
+    ).createOrReplaceTempView("cnt_src")
+    st = c.sql("INSERT INTO orders_t SELECT a, b, c, d FROM cnt_src")
+    assert st["inserted_rows"] == 2
+    assert read_snapshot(spark, t).count() == 6
