@@ -129,6 +129,117 @@ def latest_manifest(
     return read_manifest(spark, table_dir, ids[-1])
 
 
+_TAGS_DIR = "_tags"
+
+
+def tag_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    tag: str,
+    snapshot_id: int | None = None,
+    replace: bool = False,
+) -> int:
+    """Pin a NAME to a snapshot id (Iceberg-style tag): readers can
+    `read_snapshot(tag=...)` it, and ``vacuum_snapshots`` keeps a
+    tagged version's manifest + data alive past the keep_last window
+    — the retention handle for audits, eval-set freezes, and
+    release baselines ("train v3 read exactly THIS"). Defaults to
+    the newest snapshot. Write-temp-then-rename under ``_tags/``:
+    first writer wins unless ``replace=True`` (moving a tag is an
+    explicit act). Returns the pinned id."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", tag):
+        raise ValueError(
+            f"tag {tag!r} must be 1-64 chars of [A-Za-z0-9._-] "
+            "starting alphanumeric"
+        )
+    ids = snapshot_ids(spark, table_dir)
+    if not ids:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    sid = ids[-1] if snapshot_id is None else snapshot_id
+    if sid not in ids:
+        raise ValueError(
+            f"snapshot {sid} not found under {table_dir!r} "
+            f"(committed: {ids})"
+        )
+    tdir = f"{table_dir}/{_TAGS_DIR}"
+    fs, tpath = hadoop_fs(spark, tdir)
+    fs.mkdirs(tpath)
+    tmp = f"{tdir}/.tmp-{uuid.uuid4().hex}"
+    _, tmp_path = hadoop_fs(spark, tmp)
+    out = fs.create(tmp_path, True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"tag": tag, "snapshot_id": sid}, sort_keys=True
+                ).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
+    _, final = hadoop_fs(spark, f"{tdir}/{tag}.json")
+    if replace and fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp_path, final):
+        fs.delete(tmp_path, False)
+        raise SnapshotConflict(
+            f"tag {tag!r} already exists under {table_dir!r} — "
+            "pass replace=True to move it"
+        )
+    return sid
+
+
+def delete_tag(spark: SparkSession, table_dir: str, tag: str) -> None:
+    fs, p = hadoop_fs(spark, f"{table_dir}/{_TAGS_DIR}/{tag}.json")
+    if not fs.exists(p):
+        raise ValueError(f"tag {tag!r} not found under {table_dir!r}")
+    fs.delete(p, False)
+
+
+def list_tags(spark: SparkSession, table_dir: str) -> dict[str, int]:
+    """tag -> pinned snapshot id (directory listing, no data reads)."""
+    fs, p = hadoop_fs(spark, f"{table_dir}/{_TAGS_DIR}")
+    if not fs.exists(p):
+        return {}
+    out: dict[str, int] = {}
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not name.endswith(".json") or name.startswith("."):
+            continue
+        stream = fs.open(st.getPath())
+        try:
+            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        body = json.loads(text)
+        out[body["tag"]] = int(body["snapshot_id"])
+    return out
+
+
+def resolve_as_of_ts(
+    spark: SparkSession, table_dir: str, ts_ms: int
+) -> int:
+    """The newest snapshot id committed at or before ``ts_ms``
+    (epoch millis) — timestamp time travel. Manifests written before
+    timestamps existed sort as 0 (always eligible)."""
+    ids = snapshot_ids(spark, table_dir)
+    best: int | None = None
+    for sid in ids:
+        man = read_manifest(spark, table_dir, sid)
+        if int(man.get("committed_at_ms") or 0) <= ts_ms:
+            best = sid
+    if best is None:
+        raise ValueError(
+            f"no snapshot under {table_dir!r} committed at or before "
+            f"ts {ts_ms} (oldest kept may have been vacuumed)"
+        )
+    return best
+
+
 def _schema_fields(df: DataFrame) -> list[dict[str, str]]:
     return [
         {"name": f.name, "type": f.dataType.simpleString()}
@@ -394,6 +505,8 @@ def commit_manifest(
     snapshot's committed schema so readers can present one canonical
     column order across mixed-schema generations.
     """
+    import time as _time
+
     body = json.dumps(
         {
             "snapshot_id": snapshot_id,
@@ -404,6 +517,11 @@ def commit_manifest(
             "maintenance": maintenance,
             "deletes": sorted(deletes or []),
             "rename_log": rename_log or [],
+            # Commit wall time — the key timestamp time travel
+            # (`as_of_ts`) and retention policies resolve against.
+            # Not part of any content hash; a deterministic replay of
+            # the same inputs converges on content, not on this.
+            "committed_at_ms": int(_time.time() * 1000),
         },
         sort_keys=True,
     )
@@ -434,9 +552,13 @@ def read_snapshot(
     as_of: int | None = None,
     predicate: dict[str, tuple[float | None, float | None]] | None = None,
     residual: bool = True,
+    as_of_ts: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """The table as of its newest snapshot (or ``as_of`` a specific
-    id / strictly ``below`` an id, for time travel and replays).
+    id / strictly ``below`` an id / ``as_of_ts`` an epoch-millis
+    commit timestamp / ``tag`` a pinned name — one selector at most;
+    time travel and replays).
 
     One parquet scan per live data GENERATION (entries pointing into
     the same ``_data/s=<id>`` dir share a scan with ``basePath`` set,
@@ -454,6 +576,21 @@ def read_snapshot(
     ``read_snapshot(...).filter(pred)`` (lossless; proven in
     tests/test_snapshot.py); ``residual=False`` is the audit view.
     """
+    if sum(x is not None for x in (as_of, below, as_of_ts, tag)) > 1:
+        raise ValueError(
+            "read_snapshot takes at most ONE of as_of / below / "
+            "as_of_ts / tag"
+        )
+    if tag is not None:
+        tags = list_tags(spark, table_dir)
+        if tag not in tags:
+            raise ValueError(
+                f"tag {tag!r} not found under {table_dir!r} "
+                f"(tags: {sorted(tags)})"
+            )
+        as_of = tags[tag]
+    elif as_of_ts is not None:
+        as_of = resolve_as_of_ts(spark, table_dir, as_of_ts)
     if as_of is not None:
         man = read_manifest(spark, table_dir, as_of)
     else:
@@ -1516,6 +1653,9 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
                 man.get("layout_by"),
                 len(cols),
                 sorted(set(cols) - prev_cols) if prev_cols else [],
+                int(man["committed_at_ms"])
+                if man.get("committed_at_ms")
+                else None,
             )
         )
         prev_cols |= set(cols)
@@ -1523,7 +1663,8 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
         rows,
         "snapshot_id int, n_entries int, n_generations int, "
         "maintenance boolean, partition_col string, layout_by string, "
-        "n_columns int, added_columns array<string>",
+        "n_columns int, added_columns array<string>, "
+        "committed_at_ms long",
     )
 
 
@@ -1985,7 +2126,12 @@ def vacuum_snapshots(
     if keep_last < 2:
         raise ValueError("keep_last must be >= 2 (replay reads n-1)")
     ids = snapshot_ids(spark, table_dir)
-    expired, kept = ids[:-keep_last], ids[-keep_last:]
+    # Tagged snapshots are PINNED: their manifests stay readable and
+    # their generations/vectors stay live past the keep_last window —
+    # delete_tag releases them to the next vacuum.
+    tagged = set(list_tags(spark, table_dir).values())
+    expired = [i for i in ids[:-keep_last] if i not in tagged]
+    kept = [i for i in ids if i in set(ids[-keep_last:]) | tagged]
     newest = ids[-1] if ids else -1
     live_gens = set()
     live_deletes = set()

@@ -138,6 +138,11 @@ _PYTEST_ONLY = (
     "merge_upsert",  # lakehouse writes: sql_dml (statement MERGE routes through the same merge_snapshot) + cdc_apply + snapshot_delete stay
     "media_byte_stats",  # multimodal: media_frame_sample stays (same mapInPandas kernel family)
     "community_lpa",  # graph family: pagerank_topn + triangle_count + shortest_paths + dedup_clusters (CC) stay
+    # New round-9 row past the cap (pytest-oracle gated, rotation
+    # candidate): snapshot tags + timestamp time travel, oracle
+    # re-deriving the pinned/timestamped/current states from raw
+    # orders.
+    "snapshot_tag_travel",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2740,6 +2740,82 @@ ORDER BY status
 """
 
 
+def q_snapshot_tag_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot tags + timestamp time travel (round 9): build a
+    three-generation orders table, TAG version 1, append more, then
+    read the table back through BOTH selectors — the pinned tag and
+    as_of_ts at version 1's commit timestamp — alongside the current
+    version. The oracle re-derives each state from raw ``orders``,
+    so a tag resolving to the wrong manifest (or a timestamp
+    resolving across the wrong commit boundary) hash-mismatches.
+
+    Scale: tags are one JSON file each; as_of_ts is a manifest-
+    metadata walk — no data reads beyond the chosen version."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        read_manifest,
+        read_snapshot,
+        tag_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tdir = os.path.join(tempfile.gettempdir(), f"bds_tag_{tag}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    m = F.col("o_orderkey") % 3
+    for g in range(3):
+        append_snapshot(base.filter(m == g), tdir, snapshot_id=g)
+    tag_snapshot(spark, tdir, "freeze", snapshot_id=1)
+    ts1 = read_manifest(spark, tdir, 1)["committed_at_ms"]
+    out = []
+    for name, df in (
+        ("tagged", read_snapshot(spark, tdir, tag="freeze")),
+        ("as_of_ts", read_snapshot(spark, tdir, as_of_ts=ts1)),
+        ("current", read_snapshot(spark, tdir)),
+    ):
+        out.append(
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_totalprice").cast("double").alias("total"),
+            )
+            .withColumn("state", F.lit(name))
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "state", "o_orderstatus", "n_orders", "total"
+    ).orderBy("state", "o_orderstatus")
+
+
+ORACLE_SNAPSHOT_TAG_TRAVEL = """
+SELECT state, o_orderstatus, n_orders, total
+FROM (
+  SELECT s.state, o_orderstatus, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders, (VALUES ('tagged'), ('as_of_ts')) AS s(state)
+  WHERE o_orderkey % 3 < 2
+  GROUP BY s.state, o_orderstatus
+  UNION ALL
+  SELECT 'current', o_orderstatus, COUNT(*),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+  FROM orders
+  GROUP BY o_orderstatus
+) t
+ORDER BY state, o_orderstatus
+"""
+
+
 def q_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-additive schema evolution on the read path (evolve_schema
     + the rename_log replay): two generations written in the ORIGINAL
@@ -3059,6 +3135,7 @@ QUERIES = {
     "point_lookup": q_point_lookup,
     "snapshot_delete": q_snapshot_delete,
     "sql_dml": q_sql_dml,
+    "snapshot_tag_travel": q_snapshot_tag_travel,
     "evolved_read": q_evolved_read,
     "drift_psi": q_drift_psi,
     "cohort_retention": q_cohort_retention,
@@ -3138,6 +3215,7 @@ ORDER BY version, o_custkey
     "point_lookup": ORACLE_POINT_LOOKUP,
     "snapshot_delete": ORACLE_SNAPSHOT_DELETE,
     "sql_dml": ORACLE_SQL_DML,
+    "snapshot_tag_travel": ORACLE_SNAPSHOT_TAG_TRAVEL,
     "evolved_read": ORACLE_EVOLVED_READ,
     "drift_psi": ORACLE_DRIFT_PSI,
     "cohort_retention": ORACLE_COHORT,

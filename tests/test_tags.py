@@ -1,0 +1,110 @@
+"""Snapshot tags + timestamp time travel (round 9): named pins a
+reader can resolve, vacuum retention that keeps tagged versions
+alive past keep_last, and as_of_ts resolution from the manifests'
+commit timestamps."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from big_data_spark.io.snapshot import (
+    SnapshotConflict,
+    append_snapshot,
+    delete_tag,
+    list_tags,
+    read_manifest,
+    read_snapshot,
+    resolve_as_of_ts,
+    table_history,
+    tag_snapshot,
+    vacuum_snapshots,
+)
+
+
+def _build(spark, t, gens=5):
+    for g in range(gens):
+        append_snapshot(
+            spark.range(g * 10, (g + 1) * 10).selectExpr("id AS k"),
+            t,
+            snapshot_id=g,
+        )
+
+
+def test_tag_read_and_listing(spark, tmp_path):
+    t = str(tmp_path / "tags")
+    _build(spark, t)
+    assert tag_snapshot(spark, t, "eval-v1", snapshot_id=2) == 2
+    assert tag_snapshot(spark, t, "latest-release") == 4  # defaults newest
+    assert list_tags(spark, t) == {"eval-v1": 2, "latest-release": 4}
+    assert read_snapshot(spark, t, tag="eval-v1").count() == 30
+    assert read_snapshot(spark, t, tag="latest-release").count() == 50
+    with pytest.raises(ValueError, match="not found"):
+        read_snapshot(spark, t, tag="nope")
+    with pytest.raises(SnapshotConflict, match="already exists"):
+        tag_snapshot(spark, t, "eval-v1", snapshot_id=3)
+    assert tag_snapshot(spark, t, "eval-v1", snapshot_id=3, replace=True) == 3
+    with pytest.raises(ValueError, match="must be"):
+        tag_snapshot(spark, t, "../escape")
+    with pytest.raises(ValueError, match="not found"):
+        tag_snapshot(spark, t, "ok", snapshot_id=99)
+
+
+def test_tagged_snapshot_survives_vacuum(spark, tmp_path):
+    t = str(tmp_path / "pinned")
+    _build(spark, t)
+    tag_snapshot(spark, t, "frozen", snapshot_id=1)
+    res = vacuum_snapshots(spark, t, keep_last=2)
+    # 0 and 2 expire; 1 is pinned, 3-4 kept by the window.
+    assert res["expired_manifests"] == [0, 2]
+    assert read_snapshot(spark, t, tag="frozen").count() == 20
+    # Generation s=0 stays live because tagged manifest 1 references
+    # it (append lineage: manifest 1 carries b0 + b1).
+    assert "s=0" not in res["removed_generations"]
+    # Releasing the tag releases the data to the next vacuum.
+    delete_tag(spark, t, "frozen")
+    res = vacuum_snapshots(spark, t, keep_last=2)
+    assert 1 in res["expired_manifests"]
+    with pytest.raises(Exception):
+        read_snapshot(spark, t, as_of=1).count()
+
+
+def test_as_of_ts_resolution(spark, tmp_path):
+    t = str(tmp_path / "ts")
+    _build(spark, t, gens=3)
+    hist = {
+        r["snapshot_id"]: r["committed_at_ms"]
+        for r in table_history(spark, t).collect()
+    }
+    assert all(hist[i] is not None for i in range(3))
+    assert hist[0] <= hist[1] <= hist[2]
+    assert resolve_as_of_ts(spark, t, hist[1]) == 1
+    assert resolve_as_of_ts(spark, t, hist[2] + 10_000) == 2
+    assert read_snapshot(spark, t, as_of_ts=hist[1]).count() == 20
+    with pytest.raises(ValueError, match="at or before"):
+        resolve_as_of_ts(spark, t, hist[0] - 10_000)
+    with pytest.raises(ValueError, match="at most ONE"):
+        read_snapshot(spark, t, as_of=1, tag="x")
+
+
+def test_pre_timestamp_manifests_resolve_as_epoch_zero(spark, tmp_path):
+    """Manifests written before committed_at_ms existed must stay
+    readable and always eligible for as_of_ts."""
+    import json
+
+    t = str(tmp_path / "legacy")
+    _build(spark, t, gens=2)
+    mp = f"{t}/_manifests/manifest-{0:012d}.json"
+    man = json.load(open(mp))
+    man.pop("committed_at_ms", None)
+    json.dump(man, open(mp, "w"), sort_keys=True)
+    # The Hadoop local FS keeps a checksum sidecar; rewriting the
+    # file out-of-band invalidates it.
+    crc = f"{t}/_manifests/.manifest-{0:012d}.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    hist = table_history(spark, t)
+    row0 = hist.where("snapshot_id = 0").first()
+    assert row0["committed_at_ms"] is None
+    assert resolve_as_of_ts(spark, t, 1) == 0
