@@ -171,6 +171,8 @@ class SnapshotCatalog:
         from big_data_spark.sqldml import route_statement
 
         st = route_statement(self.spark, statement, self.tables)
+        if isinstance(st, DataFrame):
+            return st  # DESCRIBE HISTORY — a read, nothing to refresh
         if st is not None:
             self.refresh(st["table"])
             return st

@@ -220,6 +220,39 @@ def list_tags(spark: SparkSession, table_dir: str) -> dict[str, int]:
     return out
 
 
+def rollback_snapshot(
+    spark: SparkSession, table_dir: str, to_id: int
+) -> int:
+    """Restore the table to version ``to_id`` AS A NEW COMMIT
+    (Delta RESTORE / Iceberg rollback): the new manifest carries the
+    old version's entries, schema, delete vectors and evolution log,
+    so content, names and types all revert — while history stays
+    intact (the undone commits remain time-travelable until vacuum).
+    The change feed reports the rollback faithfully: rows the undone
+    commits added show as deletes, rows they removed show as
+    re-inserts. Fails loudly when ``to_id`` is expired (its manifest
+    is gone) — tag versions you may need to restore. Metadata-only:
+    zero data movement."""
+    man = read_manifest(spark, table_dir, to_id)
+    latest = latest_manifest(spark, table_dir)
+    if latest["snapshot_id"] == to_id:
+        return to_id  # already there — no empty commit
+    next_id = latest["snapshot_id"] + 1
+    _claim_check(spark, table_dir, next_id)
+    commit_manifest(
+        spark,
+        table_dir,
+        next_id,
+        dict(man["entries"]),
+        partition_col=man.get("partition_col"),
+        schema_fields=man.get("schema"),
+        layout_by=man.get("layout_by"),
+        deletes=man.get("deletes"),
+        rename_log=man.get("rename_log"),
+    )
+    return next_id
+
+
 def resolve_as_of_ts(
     spark: SparkSession, table_dir: str, ts_ms: int
 ) -> int:

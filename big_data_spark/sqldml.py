@@ -92,18 +92,36 @@ def is_dml(statement: str) -> bool:
     return head.startswith(("DELETE", "UPDATE", "MERGE", "INSERT", "ALTER"))
 
 
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 def route_statement(
     spark: SparkSession, statement: str, tables: dict[str, str]
 ):
     """The catalog's dispatch: ``execute_dml``'s result when the
-    statement is snapshot-table DML this module handles, else None —
-    meaning PASS THROUGH to plain ``spark.sql``. DELETE/UPDATE/MERGE
-    are always claimed (plain spark.sql cannot run them for this
-    format, so strict errors beat silent misroutes); INSERT and ALTER
-    shapes OUTSIDE the subset — qualified names, INSERT OVERWRITE,
-    ALTER VIEW, targets not registered as snapshot tables — worked
-    through spark.sql before round 9 added the statements and must
-    keep working."""
+    statement is snapshot-table DML this module handles, a DataFrame
+    for DESCRIBE HISTORY, a stats dict for the maintenance
+    statements (OPTIMIZE / VACUUM [RETAIN n SNAPSHOTS] /
+    RESTORE TABLE ... TO VERSION AS OF n), else None — meaning PASS
+    THROUGH to plain ``spark.sql``. DELETE/UPDATE/MERGE are always
+    claimed (plain spark.sql cannot run them for this format, so
+    strict errors beat silent misroutes); INSERT and ALTER shapes
+    OUTSIDE the subset — qualified names, INSERT OVERWRITE, ALTER
+    VIEW, targets not registered as snapshot tables — worked through
+    spark.sql before round 9 added the statements and must keep
+    working."""
     head = statement.lstrip()[:12].upper()
     if head.startswith(("DELETE", "UPDATE", "MERGE")):
         return execute_dml(spark, statement, tables)
@@ -111,6 +129,39 @@ def route_statement(
         m = _INSERT_RE.match(statement) or _ALTER_RE.match(statement)
         if m and m.group(1) in tables:
             return execute_dml(spark, statement, tables)
+        return None
+    m = _HISTORY_RE.match(statement)
+    if m and m.group(1) in tables:
+        from big_data_spark.io.snapshot import table_history
+
+        return table_history(spark, tables[m.group(1)])
+    m = _OPTIMIZE_RE.match(statement)
+    if m and m.group(1) in tables:
+        from big_data_spark.io.compact import maintain_table
+
+        st = maintain_table(spark, tables[m.group(1)])
+        return {"statement_type": "OPTIMIZE", "table": m.group(1), **st}
+    m = _VACUUM_RE.match(statement)
+    if m and m.group(1) in tables:
+        from big_data_spark.io.snapshot import vacuum_snapshots
+
+        st = vacuum_snapshots(
+            spark,
+            tables[m.group(1)],
+            keep_last=int(m.group(2)) if m.group(2) else 2,
+        )
+        return {"statement_type": "VACUUM", "table": m.group(1), **st}
+    m = _RESTORE_RE.match(statement)
+    if m:
+        from big_data_spark.io.snapshot import rollback_snapshot
+
+        table_dir = _resolve(m.group(1), tables)
+        sid = rollback_snapshot(spark, table_dir, int(m.group(2)))
+        return {
+            "statement_type": "RESTORE",
+            "table": m.group(1),
+            "snapshot_id": sid,
+        }
     return None
 
 

@@ -108,3 +108,69 @@ def test_pre_timestamp_manifests_resolve_as_epoch_zero(spark, tmp_path):
     row0 = hist.where("snapshot_id = 0").first()
     assert row0["committed_at_ms"] is None
     assert resolve_as_of_ts(spark, t, 1) == 0
+
+
+def test_rollback_snapshot_restores_content_and_schema(spark, tmp_path):
+    from big_data_spark.io.snapshot import (
+        delete_where,
+        evolve_schema,
+        read_changes,
+        rollback_snapshot,
+    )
+
+    t = str(tmp_path / "rb")
+    _build(spark, t, gens=2)  # ids 0,1: 20 rows of k
+    evolve_schema(spark, t, renames={"k": "key"})  # id 2
+    delete_where(spark, t, "key < 5")  # id 3
+    assert read_snapshot(spark, t).count() == 15
+    sid = rollback_snapshot(spark, t, 1)
+    assert sid == 4
+    got = read_snapshot(spark, t)
+    assert got.columns == ["k"] and got.count() == 20
+    # History intact: the undone versions stay time-travelable.
+    assert read_snapshot(spark, t, as_of=3).count() == 15
+    # The feed reports the rollback: the DELETE's survivors
+    # generation drops (delete) and the restored generations return
+    # (insert) — replay semantics hold.
+    feed = read_changes(spark, t, after_id=3)
+    kinds = {r["_change_type"] for r in feed.collect()}
+    assert kinds == {"insert", "delete"}
+    # No-op rollback commits nothing.
+    assert rollback_snapshot(spark, t, 4) == 4
+    # Rolling back to an expired version fails loudly.
+    with pytest.raises(Exception):
+        rollback_snapshot(spark, t, 99)
+
+
+def test_sql_maintenance_statements(spark, tmp_path):
+    from big_data_spark.catalog import SnapshotCatalog
+    from big_data_spark.io.snapshot import delete_where
+
+    t = str(tmp_path / "maint")
+    _build(spark, t, gens=4)
+    c = SnapshotCatalog(spark, versions="lazy")
+    c.register("mt", t)
+    hist = c.sql("DESCRIBE HISTORY mt")
+    assert hist.count() == 4
+    assert "committed_at_ms" in hist.columns
+    st = c.sql("OPTIMIZE mt")
+    assert st["statement_type"] == "OPTIMIZE"
+    st = c.sql("VACUUM mt RETAIN 3 SNAPSHOTS")
+    assert st["statement_type"] == "VACUUM"
+    assert read_snapshot(spark, t).count() == 40
+    pre_delete = max(
+        r["snapshot_id"]
+        for r in c.sql("DESCRIBE HISTORY mt").collect()
+    )
+    c.sql("DELETE FROM mt WHERE k < 10")
+    assert c.sql("SELECT count(*) AS n FROM mt").first()["n"] == 30
+    before = c.sql("DESCRIBE HISTORY mt").count()
+    st = c.sql(f"RESTORE TABLE mt TO VERSION AS OF {pre_delete}")
+    assert st["statement_type"] == "RESTORE"
+    assert c.sql("SELECT count(*) AS n FROM mt").first()["n"] == 40
+    assert c.sql("DESCRIBE HISTORY mt").count() == before + 1
+    # Unregistered targets pass through to spark.sql errors, not
+    # dispatcher errors.
+    with pytest.raises(Exception) as ei:
+        c.sql("DESCRIBE HISTORY nosuch")
+    assert "unsupported DML" not in str(ei.value)
