@@ -143,6 +143,10 @@ _PYTEST_ONLY = (
     # re-deriving the pinned/timestamped/current states from raw
     # orders.
     "snapshot_tag_travel",
+    # doc_chunks (round 9): sliding-window document chunking with
+    # overlap — JVM HOF windows, one posexplode; oracle replays the
+    # policy with range/list_slice.
+    "doc_chunks",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2469,6 +2469,82 @@ ORDER BY pmi DESC, a, b LIMIT {PMI_TOPK}
 """
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the long-document splitter
+    a training pipeline runs before packing: fixed CHUNK_TOKENS-token
+    windows advancing by CHUNK_TOKENS - CHUNK_OVERLAP, so adjacent
+    chunks share exactly CHUNK_OVERLAP tokens of context (the
+    standard overlap trick that keeps boundary sentences learnable).
+    One chunk per short doc; the last window may run short rather
+    than re-reading beyond the doc.
+
+    Plan: pure JVM higher-order functions — split once, a
+    transform(sequence(...)) builds every window as an array slice,
+    ONE posexplode emits (doc_id, chunk_id) rows; no Python, no
+    shuffle before the final order. At 100 TB this is a narrow map
+    whose output is bounded by total tokens / stride.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    k = (
+        F.when(F.size("toks") <= CHUNK_TOKENS, F.lit(1))
+        .otherwise(
+            F.ceil(
+                (F.size("toks") - F.lit(CHUNK_TOKENS))
+                / F.lit(_CHUNK_STRIDE)
+            )
+            + 1
+        )
+        .cast("int")
+    )
+    chunks = toks.withColumn("k", k).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, k - 1), i -> "
+                f"slice(toks, i * {_CHUNK_STRIDE} + 1, {CHUNK_TOKENS}))"
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+ORACLE_DOC_CHUNKS = f"""
+WITH arrs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), numbered AS (
+  SELECT doc_id, toks,
+         unnest(range(0,
+           CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                ELSE CAST(ceil((len(toks) - {CHUNK_TOKENS})
+                          / {_CHUNK_STRIDE}.0) AS BIGINT) + 1 END)) AS i
+  FROM arrs
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                           i * {_CHUNK_STRIDE} + {CHUNK_TOKENS}))
+            AS INT) AS n_tokens,
+       md5(array_to_string(
+           list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                      i * {_CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '))
+         AS chunk_md5
+FROM numbered
+ORDER BY doc_id, chunk_id
+"""
+
+
 SEG_TOKENS = 3
 
 
@@ -2784,6 +2860,7 @@ QUERIES = {
     "corpus_mix_temperature": q_corpus_mix_temperature,
     "stratified_sample": q_stratified_sample,
     "dedup_segments": q_dedup_segments,
+    "doc_chunks": q_doc_chunks,
 }
 
 ORACLE_SQL = {
@@ -2822,6 +2899,7 @@ ORACLE_SQL = {
     "corpus_mix_temperature": ORACLE_CORPUS_MIX_TEMPERATURE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "dedup_segments": ORACLE_DEDUP_SEGMENTS,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
     "pack_sequences": ORACLE_PACK,
     "shard_summary": ORACLE_SHARDS,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
