@@ -188,6 +188,18 @@ def tag_snapshot(
             f"tag {tag!r} already exists under {table_dir!r} — "
             "pass replace=True to move it"
         )
+    # Pin-vs-vacuum race check: a vacuum running between the id
+    # validation above and the rename landing may have expired the
+    # target (the tag wasn't visible to its list_tags yet). Verify
+    # the pinned manifest still exists AFTER the pin is visible —
+    # turning a silently-dangling tag into a loud error.
+    _, mp = hadoop_fs(spark, _manifest_path(table_dir, sid))
+    if not fs.exists(mp):
+        fs.delete(final, False)
+        raise SnapshotConflict(
+            f"snapshot {sid} was vacuumed while tagging {tag!r} — "
+            "re-tag from a currently kept version"
+        )
     return sid
 
 
@@ -540,6 +552,18 @@ def commit_manifest(
     """
     import time as _time
 
+    # Commit wall time — the key timestamp time travel (`as_of_ts`)
+    # and retention policies resolve against; CLAMPED to strictly
+    # above the predecessor's (Delta/Iceberg do the same), so the
+    # per-table timestamp sequence stays monotone under clock skew
+    # between multi-writer drivers and as_of_ts can never resolve a
+    # version that includes later-stamped commits. Not part of any
+    # content hash; a deterministic replay converges on content, not
+    # on this.
+    ts = int(_time.time() * 1000)
+    prev_for_ts = latest_manifest(spark, table_dir, below=snapshot_id)
+    if prev_for_ts is not None:
+        ts = max(ts, int(prev_for_ts.get("committed_at_ms") or 0) + 1)
     body = json.dumps(
         {
             "snapshot_id": snapshot_id,
@@ -550,11 +574,7 @@ def commit_manifest(
             "maintenance": maintenance,
             "deletes": sorted(deletes or []),
             "rename_log": rename_log or [],
-            # Commit wall time — the key timestamp time travel
-            # (`as_of_ts`) and retention policies resolve against.
-            # Not part of any content hash; a deterministic replay of
-            # the same inputs converges on content, not on this.
-            "committed_at_ms": int(_time.time() * 1000),
+            "committed_at_ms": ts,
         },
         sort_keys=True,
     )
@@ -615,13 +635,22 @@ def read_snapshot(
             "as_of_ts / tag"
         )
     if tag is not None:
-        tags = list_tags(spark, table_dir)
-        if tag not in tags:
+        # O(1): read the single tag file, not a listing of every tag
+        # (the listing only feeds the not-found error message).
+        fs, tp = hadoop_fs(spark, f"{table_dir}/{_TAGS_DIR}/{tag}.json")
+        if not fs.exists(tp):
             raise ValueError(
                 f"tag {tag!r} not found under {table_dir!r} "
-                f"(tags: {sorted(tags)})"
+                f"(tags: {sorted(list_tags(spark, table_dir))})"
             )
-        as_of = tags[tag]
+        stream = fs.open(tp)
+        try:
+            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        as_of = int(json.loads(text)["snapshot_id"])
     elif as_of_ts is not None:
         as_of = resolve_as_of_ts(spark, table_dir, as_of_ts)
     if as_of is not None:
@@ -882,18 +911,69 @@ def read_changes(
         )
     parts: list[DataFrame] = []
     if after_id == -1:
+        prev_man: dict | None = None
         prev_entries: dict[str, str] = {}
         prev_deletes: list[str] = []
     else:
         prev_man = read_manifest(spark, table_dir, after_id)
         prev_entries = prev_man["entries"]
         prev_deletes = prev_man.get("deletes") or []
+
+    def _vector_rows(vecs, entries_map, schema, rlog, masked_by):
+        """Rows the position vectors in ``vecs`` name, read from the
+        LIVE entries of ``entries_map`` (touched generations only —
+        the vectors name their files, so this is O(masked
+        generations), not O(table); round-8 advice), minus rows still
+        masked by ``masked_by``. None when every position is inert
+        (its files are no longer live)."""
+        pos = read_delete_positions(spark, table_dir, vecs)
+        hit_dirs = {
+            r["_g"]
+            for r in pos.select(
+                F.regexp_extract(
+                    "file_path",
+                    r"(_data/s=\d+(?:/[^/]*=[^/]*)?)/",
+                    1,
+                ).alias("_g")
+            )
+            .distinct()
+            .collect()
+            if r["_g"]
+        }
+        touched = {
+            k: rel
+            for k, rel in entries_map.items()
+            if any(g == rel or g.startswith(rel + "/") for g in hit_dirs)
+        }
+        if not touched:
+            return None
+        rows = read_entries(
+            spark,
+            table_dir,
+            touched,
+            deletes=masked_by or None,
+            with_positions=True,
+            schema_fields=schema,
+            rename_log=rlog,
+        )
+        out = rows.join(
+            F.broadcast(pos),
+            (_bare_expr(F.col("_dv_path")) == pos["file_path"])
+            & (F.col("_dv_pos") == pos["row_index"]),
+        ).drop("_dv_path", "_dv_pos", "file_path", "row_index")
+        return _pad_to_schema(out, schema) if schema else out
+
     for sid in window:
         man = read_manifest(spark, table_dir, sid)
         cur = man["entries"]
         cur_deletes = man.get("deletes") or []
         if not man.get("maintenance"):
-            order = [f["name"] for f in man.get("schema") or []] or None
+            # DELETE-kind rows present in the schema they were LAST
+            # VISIBLE under (the predecessor's); INSERT-kind rows in
+            # the committing version's own schema — a rollback across
+            # an evolution must not NULL-pad the rows it reports.
+            prev_schema = prev_man.get("schema") if prev_man else None
+            prev_rlog = prev_man.get("rename_log") if prev_man else None
             prev_vals, cur_vals = (
                 set(prev_entries.values()),
                 set(cur.values()),
@@ -906,64 +986,52 @@ def read_changes(
             }
             # Merge-on-read DELETE commits change no entries; their
             # change set is the rows the NEW delete vectors mask —
-            # read the positions, join back to the data, emit as
-            # deletes (row-level CDF for the MOR path).
+            # emitted as deletes. Vectors REMOVED by a non-maintenance
+            # commit (rollback_snapshot undoing a MOR delete) UNMASK
+            # their rows — emitted as inserts, minus rows a remaining
+            # vector still masks, so feed replay reproduces the
+            # target version (fold_deletes also clears vectors, but
+            # commits maintenance=True and is skipped: content
+            # unchanged).
             new_dv = [d for d in cur_deletes if d not in set(prev_deletes)]
-            if new_dv:
-                pos = read_delete_positions(spark, table_dir, new_dv)
-                # The vectors NAME the files holding the deleted rows;
-                # read only the touched generations' entries instead
-                # of the whole table — O(masked generations), not
-                # O(table), per MOR commit in the window (round-8
-                # advice). Executor-side dir extraction over the
-                # (small-by-contract) position set.
-                hit_dirs = {
-                    r["_g"]
-                    for r in pos.select(
-                        F.regexp_extract(
-                            "file_path",
-                            r"(_data/s=\d+(?:/[^/]*=[^/]*)?)/",
-                            1,
-                        ).alias("_g")
-                    )
-                    .distinct()
-                    .collect()
-                    if r["_g"]
-                }
-                touched = {
-                    k: rel
-                    for k, rel in cur.items()
-                    if any(
-                        g == rel or g.startswith(rel + "/")
-                        for g in hit_dirs
-                    )
-                }
-            else:
-                touched = {}
-            if new_dv and touched:
-                rows = read_entries(
-                    spark,
-                    table_dir,
-                    touched,
-                    with_positions=True,
-                    schema_fields=man.get("schema"),
-                    rename_log=man.get("rename_log"),
-                )
-                dv_rows = rows.join(
-                    F.broadcast(pos),
-                    (_bare_expr(F.col("_dv_path")) == pos["file_path"])
-                    & (F.col("_dv_pos") == pos["row_index"]),
-                ).drop("_dv_path", "_dv_pos", "file_path", "row_index")
-                if order:
-                    dv_rows = _pad_to_schema(dv_rows, man.get("schema"))
+            dropped_dv = [
+                d for d in prev_deletes if d not in set(cur_deletes)
+            ]
+            for vecs, kind, schema, rlog, masked_by in (
+                (new_dv, "delete", prev_schema, prev_rlog, prev_deletes),
+                (
+                    dropped_dv,
+                    "insert",
+                    man.get("schema"),
+                    man.get("rename_log"),
+                    cur_deletes,
+                ),
+            ):
+                if not vecs:
+                    continue
+                dv_rows = _vector_rows(vecs, cur, schema, rlog, masked_by)
+                if dv_rows is None:
+                    continue
                 parts.append(
                     dv_rows.withColumn(
-                        "_change_type", F.lit("delete")
+                        "_change_type", F.lit(kind)
                     ).withColumn("_commit_id", F.lit(sid).cast("int"))
                 )
-            for entries, kind, dv in (
-                (removed, "delete", prev_deletes),
-                (added, "insert", cur_deletes),
+            for entries, kind, dv, schema, rlog in (
+                (
+                    removed,
+                    "delete",
+                    prev_deletes,
+                    prev_schema,
+                    prev_rlog,
+                ),
+                (
+                    added,
+                    "insert",
+                    cur_deletes,
+                    man.get("schema"),
+                    man.get("rename_log"),
+                ),
             ):
                 if not entries:
                     continue
@@ -975,18 +1043,18 @@ def read_changes(
                     table_dir,
                     entries,
                     deletes=dv or None,
-                    schema_fields=man.get("schema"),
-                    rename_log=man.get("rename_log"),
+                    schema_fields=schema,
+                    rename_log=rlog,
                 )
-                if order:
-                    # Present every commit in ITS committed schema,
+                if schema:
+                    # Present each side in ITS version's schema,
                     # padding pre-evolution generations with TYPED
                     # nulls the same way read_snapshot does (an
                     # untyped F.lit(None) is a void column parquet
                     # refuses to write — a feed window consisting
                     # only of pre-evolution deletes must still be
                     # writable/arithmetic-safe downstream).
-                    df = _pad_to_schema(df, man.get("schema"))
+                    df = _pad_to_schema(df, schema)
                 if "_change_type" in df.columns or "_commit_id" in df.columns:
                     raise ValueError(
                         "read_changes: table already has a _change_type/"
@@ -999,6 +1067,7 @@ def read_changes(
                 )
         prev_entries = cur
         prev_deletes = cur_deletes
+        prev_man = man
     if not parts:
         # No content changes in the window: empty feed with the
         # table's current schema.

@@ -152,11 +152,10 @@ def route_statement(
         )
         return {"statement_type": "VACUUM", "table": m.group(1), **st}
     m = _RESTORE_RE.match(statement)
-    if m:
+    if m and m.group(1) in tables:
         from big_data_spark.io.snapshot import rollback_snapshot
 
-        table_dir = _resolve(m.group(1), tables)
-        sid = rollback_snapshot(spark, table_dir, int(m.group(2)))
+        sid = rollback_snapshot(spark, tables[m.group(1)], int(m.group(2)))
         return {
             "statement_type": "RESTORE",
             "table": m.group(1),

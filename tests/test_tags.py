@@ -174,3 +174,70 @@ def test_sql_maintenance_statements(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         c.sql("DESCRIBE HISTORY nosuch")
     assert "unsupported DML" not in str(ei.value)
+
+
+def test_rollback_of_mor_delete_reports_reinserts(spark, tmp_path):
+    """Code-review round 9: a rollback that UNDOES a merge-on-read
+    delete removes vectors without touching entries — the feed must
+    report the un-masked rows as inserts (replaying the feed onto the
+    pre-rollback version must reproduce the restored one)."""
+    from big_data_spark.io.snapshot import delete_where, read_changes, rollback_snapshot
+
+    t = str(tmp_path / "rbmor")
+    _build(spark, t, gens=2)  # ids 0,1: k in [0, 20)
+    st = delete_where(spark, t, "k >= 15", mode="mor")  # id 2, 5 rows
+    assert st["deleted_rows"] == 5
+    sid = rollback_snapshot(spark, t, 1)  # id 3: masks drop
+    assert read_snapshot(spark, t).count() == 20
+    feed = read_changes(spark, t, after_id=2, until_id=sid)
+    rows = feed.collect()
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert sorted(r["k"] for r in rows) == [15, 16, 17, 18, 19]
+
+
+def test_rollback_across_evolution_feed_keeps_values(spark, tmp_path):
+    """Code-review round 9: the feed must present DELETE-kind rows in
+    the schema they were last visible under — a rollback regressing a
+    rename must not NULL-pad the removed generation's rows."""
+    from big_data_spark.io.snapshot import (
+        delete_where,
+        evolve_schema,
+        read_changes,
+        rollback_snapshot,
+    )
+
+    t = str(tmp_path / "rbevo")
+    _build(spark, t, gens=1)  # id 0: k in [0, 10)
+    evolve_schema(spark, t, renames={"k": "key"})  # id 1
+    delete_where(spark, t, "key < 3")  # id 2: rewrites into s=2 (col 'key')
+    sid = rollback_snapshot(spark, t, 0)  # id 3: schema back to 'k'
+    assert read_snapshot(spark, t).columns == ["k"]
+    feed = read_changes(spark, t, after_id=2, until_id=sid)
+    dels = feed.where("_change_type = 'delete'").collect()
+    ins = feed.where("_change_type = 'insert'").collect()
+    # Deleted rows (the s=2 survivors, 7 rows) carry their VALUES in
+    # the pre-rollback schema ('key'), not typed NULLs.
+    assert sorted(r["key"] for r in dels) == list(range(3, 10))
+    assert all(r["key"] is not None for r in dels)
+    # Re-inserted rows are the restored generation in schema 'k'.
+    assert sorted(r["k"] for r in ins) == list(range(10))
+
+
+def test_committed_at_ms_strictly_monotone(spark, tmp_path):
+    from big_data_spark.io.snapshot import read_manifest
+
+    t = str(tmp_path / "mono")
+    _build(spark, t, gens=4)
+    ts = [
+        read_manifest(spark, t, i)["committed_at_ms"] for i in range(4)
+    ]
+    assert ts == sorted(ts) and len(set(ts)) == 4, ts
+
+
+def test_restore_unregistered_passes_through(spark, tmp_path):
+    from big_data_spark.catalog import SnapshotCatalog
+
+    c = SnapshotCatalog(spark)
+    with pytest.raises(Exception) as ei:
+        c.sql("RESTORE TABLE nosuch TO VERSION AS OF 1")
+    assert "unknown snapshot table" not in str(ei.value)
