@@ -232,6 +232,157 @@ def list_tags(spark: SparkSession, table_dir: str) -> dict[str, int]:
     return out
 
 
+def stage_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: str | None = None,
+) -> str:
+    """WRITE-AUDIT-PUBLISH step 1: write ``df`` to a private
+    ``_staging/<token>`` dir — invisible to every reader (staging is
+    unreferenced by manifests) and schema-checked against the table
+    NOW so an incompatible batch fails before any audit work.
+    Returns the token; ``read_staged`` audits it (dq_report /
+    assert_suite / ad-hoc queries), then ``publish_staged`` makes it
+    visible as one atomic commit or ``abandon_staged`` discards it.
+    A crashed audit leaves only staging residue for vacuum's TTL."""
+    spark = df.sparkSession
+    prev = latest_manifest(spark, table_dir)
+    if prev is not None and prev.get("partition_col") is not None:
+        raise ValueError(
+            "stage_snapshot on a table partitioned on "
+            f"{prev['partition_col']!r} — staged publishes are "
+            "whole-generation entries; use write_snapshot_partial."
+        )
+    check_schema_evolution((prev or {}).get("schema"), _schema_fields(df))
+    token = uuid.uuid4().hex
+    staging = f"{table_dir}/_staging/{token}"
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(staging)
+    return token
+
+
+def read_staged(
+    spark: SparkSession, table_dir: str, token: str
+) -> DataFrame:
+    """The staged batch, for auditing BEFORE it becomes visible —
+    pair with dq assert_suite / profile_table. Reads the raw staged
+    files; the batch is by construction in the current schema
+    (stage_snapshot checked it)."""
+    staging = f"{table_dir}/_staging/{token}"
+    fs, p = hadoop_fs(spark, staging)
+    if not fs.exists(p):
+        raise ValueError(
+            f"no staged batch {token!r} under {table_dir!r} — "
+            "published, abandoned, or vacuumed"
+        )
+    return spark.read.parquet(staging)
+
+
+def publish_staged(
+    spark: SparkSession,
+    table_dir: str,
+    token: str,
+    mode: str = "append",
+    attempts: int = 5,
+) -> int:
+    """WRITE-AUDIT-PUBLISH step 3: make the audited staged batch
+    visible as ONE atomic commit — ``mode="append"`` keeps every
+    prior entry (the ingest shape), ``mode="replace"`` publishes the
+    batch as the table's full new content. Claim-and-rebase like
+    append_with_retry: each attempt renames the staged dir to
+    ``_data/s=<id>`` and commits a manifest rebased on the freshest
+    predecessor; losing either race re-stages and retries — a retry
+    costs a directory rename, never a data rewrite, and the audited
+    BYTES are exactly the published bytes (never recomputed)."""
+    if mode not in ("append", "replace"):
+        raise ValueError(f"mode must be append|replace, got {mode!r}")
+    staging = f"{table_dir}/_staging/{token}"
+    fs, staging_path = hadoop_fs(spark, staging)
+    if not fs.exists(staging_path):
+        raise ValueError(
+            f"no staged batch {token!r} under {table_dir!r} — "
+            "published, abandoned, or vacuumed"
+        )
+    fields = _schema_fields(spark.read.parquet(staging))
+    has_data = _generation_has_data(spark, staging)
+    _, data_root = hadoop_fs(spark, f"{table_dir}/{_DATA_DIR}")
+    fs.mkdirs(data_root)
+    last_err: Exception | None = None
+    for _ in range(attempts):
+        prev = latest_manifest(spark, table_dir)
+        if prev is not None and prev.get("partition_col") is not None:
+            raise ValueError(
+                "publish_staged on a partitioned table — use "
+                "write_snapshot_partial."
+            )
+        check_schema_evolution((prev or {}).get("schema"), fields)
+        sid = (prev["snapshot_id"] + 1) if prev else 0
+        entries = (
+            dict(prev["entries"]) if (prev and mode == "append") else {}
+        )
+        dest_rel = f"{_DATA_DIR}/s={sid}"
+        if has_data:
+            _, dest_path = hadoop_fs(spark, generation_dir(table_dir, sid))
+            if fs.exists(dest_path) or not fs.rename(
+                staging_path, dest_path
+            ):
+                last_err = SnapshotConflict(
+                    f"generation dir s={sid} under {table_dir!r} is "
+                    "held by another writer (or a crash orphan — "
+                    "vacuum reclaims it after the staging TTL)"
+                )
+                continue
+            entries["" if mode == "replace" else f"b{sid}"] = dest_rel
+        try:
+            commit_manifest(
+                spark,
+                table_dir,
+                sid,
+                entries,
+                schema_fields=fields,
+                layout_by=(prev or {}).get("layout_by"),
+                # Appends never touch existing rows: prior masks and
+                # the rename log stay valid. A replace publishes a
+                # fresh table: nothing old to mask or map.
+                deletes=(prev or {}).get("deletes")
+                if mode == "append"
+                else None,
+                rename_log=(prev or {}).get("rename_log")
+                if mode == "append"
+                else None,
+            )
+            if not has_data:
+                fs.delete(staging_path, True)
+            return sid
+        except SnapshotConflict as exc:
+            last_err = exc
+            if has_data and not fs.rename(dest_path, staging_path):
+                raise SnapshotConflict(
+                    f"lost commit race for snapshot {sid} AND the "
+                    "rename-back of the staged batch failed — manual "
+                    "cleanup required"
+                ) from exc
+    raise SnapshotConflict(
+        f"publish_staged exhausted {attempts} attempts under "
+        f"{table_dir!r}: {last_err}"
+    )
+
+
+def abandon_staged(
+    spark: SparkSession, table_dir: str, token: str
+) -> None:
+    """Discard a staged batch that failed its audit — explicit and
+    immediate (vacuum's staging TTL is the crash backstop)."""
+    fs, p = hadoop_fs(spark, f"{table_dir}/_staging/{token}")
+    if not fs.exists(p):
+        raise ValueError(
+            f"no staged batch {token!r} under {table_dir!r}"
+        )
+    fs.delete(p, True)
+
+
 def rollback_snapshot(
     spark: SparkSession, table_dir: str, to_id: int
 ) -> int:
