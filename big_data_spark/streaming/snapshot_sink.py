@@ -29,13 +29,25 @@ def snapshot_sink(
     table_dir: str,
     checkpoint: str,
     available_now: bool = True,
+    checks: list | None = None,
 ):
     """Start (and with ``available_now`` drain) a stream into the
     snapshot table at ``table_dir``: one appended generation per
     micro-batch, atomically committed. Returns the StreamingQuery
-    (already terminated under ``available_now``)."""
+    (already terminated under ``available_now``).
+
+    ``checks`` (dq Check list) is the streaming write-audit gate:
+    each micro-batch runs the suite BEFORE its commit, so a failing
+    batch stops the stream loudly with NOTHING landed — the batch
+    recomputes from the checkpointed offsets on restart (after the
+    upstream fix), never a half-published bad version. The audit
+    cost is the suite's one aggregation per batch."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if checks:
+            from big_data_spark.operators.dq import assert_suite
+
+            assert_suite(batch_df, checks)
         append_snapshot(
             batch_df,
             table_dir,

@@ -91,3 +91,31 @@ def test_stream_to_feed_to_incremental_mv_loop(spark, tmp_path):
     assert feed.count() == 4 and commit() is not None
     sync_aggregate(spark, t, mv, ["g"], ["amt"])
     check()
+
+
+def test_streaming_write_audit_gate(spark, tmp_path):
+    """checks= is the streaming WAP gate: a failing micro-batch stops
+    the stream with NOTHING landed; the fixed rerun picks up from the
+    checkpointed offsets and publishes every batch."""
+    import pytest
+
+    from big_data_spark.operators.dq import in_range, not_null
+
+    src = _src(spark, tmp_path)
+    t = str(tmp_path / "gated")
+    cp = str(tmp_path / "gated_cp")
+    stream = (
+        spark.readStream.schema("k long, g string, amt long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # amt ranges over [1, 10]; a cap of 5 fails every batch.
+    with pytest.raises(Exception, match="in_range"):
+        snapshot_sink(stream, t, cp, checks=[in_range("amt", 1, 5)])
+    assert snapshot_ids(spark, t) == []
+    # With a passing suite the SAME checkpoint drains fully.
+    snapshot_sink(
+        stream, t, cp, checks=[not_null("k"), in_range("amt", 1, 10)]
+    )
+    assert len(snapshot_ids(spark, t)) == 3
+    assert read_snapshot(spark, t).count() == 30
