@@ -59,6 +59,22 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "the embedding table",
     )
     parser.add_argument(
+        "--chunk-tokens",
+        type=int,
+        default=None,
+        metavar="N",
+        help="explode surviving docs into sliding N-token windows "
+        "(overlap via --chunk-overlap) before writing - the "
+        "pre-packing splitter for long documents",
+    )
+    parser.add_argument(
+        "--chunk-overlap",
+        type=int,
+        default=16,
+        metavar="K",
+        help="tokens shared by adjacent chunks (default 16)",
+    )
+    parser.add_argument(
         "--export-shards",
         type=int,
         default=None,
@@ -93,6 +109,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             near_dedup=args.near_dedup,
             neardup_keep_df=keep_df,
             semdedup_keep_df=sem_df,
+            chunk_tokens=args.chunk_tokens,
+            chunk_overlap=args.chunk_overlap,
         )
         funnel = {r.stage: r.n_docs for r in report.collect()}
         out = {"funnel": funnel, "out_dir": args.out_dir}

@@ -52,6 +52,8 @@ def prepare_corpus(
     near_dedup: bool = False,
     neardup_keep_df: DataFrame | None = None,
     semdedup_keep_df: DataFrame | None = None,
+    chunk_tokens: int | None = None,
+    chunk_overlap: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
     """(survivors, report): the prepared corpus (doc_id, lang,
     source, redacted text, n_tokens) and a per-stage funnel report
@@ -121,6 +123,8 @@ def prepare_corpus(
         max_ppl,
         near_dedup,
         semdedup_keep_df=semdedup_keep_df,
+        chunk_tokens=chunk_tokens,
+        chunk_overlap=chunk_overlap,
     )
 
 
@@ -266,6 +270,8 @@ def _finish_corpus(
     max_ppl: float | None,
     near_dedup: bool,
     semdedup_keep_df: DataFrame | None = None,
+    chunk_tokens: int | None = None,
+    chunk_overlap: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
     """Stages 5-6 (semantic dedup, temperature mix) + the funnel
     report over a staged frame that already carries the earlier
@@ -356,6 +362,54 @@ def _finish_corpus(
     survivors = staged.filter("mix_keep").select(
         "doc_id", "lang", "source", F.col("redacted").alias("text"), "n_tokens"
     )
+    if chunk_tokens is not None:
+        # Final transform: sliding-window chunking of the surviving
+        # (already redacted/deduped/mixed) docs — the long-document
+        # splitter before sequence packing; same policy as
+        # queries/llm.q_doc_chunks (one chunk per short doc, windows
+        # of chunk_tokens advancing by chunk_tokens - chunk_overlap).
+        # Pure JVM HOFs + one posexplode: a narrow map, the funnel
+        # report stays doc-grained above it.
+        stride = chunk_tokens - chunk_overlap
+        if stride <= 0:
+            raise ValueError(
+                f"chunk_overlap ({chunk_overlap}) must be smaller "
+                f"than chunk_tokens ({chunk_tokens})"
+            )
+        k = (
+            F.when(F.size("_toks") <= chunk_tokens, F.lit(1))
+            .otherwise(
+                F.ceil(
+                    (F.size("_toks") - F.lit(chunk_tokens))
+                    / F.lit(stride)
+                )
+                + 1
+            )
+            .cast("int")
+        )
+        survivors = (
+            survivors.withColumn("_toks", F.split(F.col("text"), " "))
+            .withColumn("_k", k)
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(0, _k - 1), i -> "
+                        f"slice(_toks, i * {stride} + 1, {chunk_tokens}))"
+                    )
+                ).alias("chunk_id", "_chunk"),
+            )
+            .select(
+                "doc_id",
+                F.col("chunk_id").cast("int").alias("chunk_id"),
+                "lang",
+                "source",
+                F.array_join("_chunk", " ").alias("text"),
+                F.size("_chunk").alias("n_tokens"),
+            )
+        )
     agg_exprs = [F.count(F.lit(1)).alias("0_input")]
     names = ["0_input"]
     cum = F.lit(True)

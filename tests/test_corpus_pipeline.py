@@ -103,3 +103,33 @@ def test_optional_perplexity_and_near_dedup_stages(spark):
     )
     left = minhash_lsh_pairs(surv_docs).count()
     assert left == 0
+
+
+def test_prepare_corpus_chunked_output(spark):
+    """chunk_tokens= explodes survivors into sliding windows (the
+    pre-packing splitter): every chunk fits the budget, short docs
+    stay whole, adjacent chunks of a doc overlap by chunk_overlap
+    tokens, and the doc set matches the unchunked run exactly."""
+    from big_data_spark.pipeline.corpus import prepare_corpus
+
+    sf = "/root/testdata/sf0.001"
+    plain, _ = prepare_corpus(spark, sf)
+    chunked, _ = prepare_corpus(spark, sf, chunk_tokens=32, chunk_overlap=8)
+    rows = chunked.collect()
+    assert all(r["n_tokens"] <= 32 for r in rows)
+    plain_rows = {r["doc_id"]: r for r in plain.collect()}
+    assert {r["doc_id"] for r in rows} == set(plain_rows)
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        toks = plain_rows[doc_id]["text"].split(" ")
+        if len(toks) <= 32:
+            assert len(chunks) == 1
+            assert chunks[0]["text"] == plain_rows[doc_id]["text"]
+            continue
+        # Window i covers toks[i*24 : i*24+32]: adjacent windows
+        # share 8 tokens; the union in order reproduces the doc.
+        for i, c in enumerate(chunks):
+            assert c["text"].split(" ") == toks[i * 24 : i * 24 + 32]
