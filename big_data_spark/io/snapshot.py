@@ -1234,11 +1234,27 @@ def read_changes(
     return out
 
 
+def _retry_conflicts(fn, attempts: int):
+    """Run ``fn`` (a full-recompute DML attempt: every input derives
+    from a fresh latest_manifest) up to ``attempts`` times, retrying
+    on SnapshotConflict — the rebase loop a concurrent committer
+    forces. Each retry recomputes against the NEW table state, so
+    the result is always a serializable outcome."""
+    last = None
+    for _ in range(attempts):
+        try:
+            return fn()
+        except SnapshotConflict as exc:
+            last = exc
+    raise last
+
+
 def delete_where(
     spark: SparkSession,
     table_dir: str,
     condition,
     mode: str = "cow",
+    attempts: int = 1,
 ) -> dict:
     """SQL ``DELETE FROM table WHERE condition`` as copy-on-write over
     the manifest: ONE scan counts matching rows per data generation
@@ -1273,10 +1289,15 @@ def delete_where(
     deleted rows at the delete commit.
     """
     if mode == "mor":
-        return _delete_mor(spark, table_dir, condition)
+        return _retry_conflicts(
+            lambda: _delete_mor(spark, table_dir, condition), attempts
+        )
     if mode != "cow":
         raise ValueError(f"mode must be 'cow'|'mor', got {mode!r}")
-    st = _rewrite_where(spark, table_dir, condition, None)
+    st = _retry_conflicts(
+        lambda: _rewrite_where(spark, table_dir, condition, None),
+        attempts,
+    )
     st["deleted_rows"] = st.pop("matched_rows")
     return st
 
@@ -1380,6 +1401,7 @@ def update_where(
     table_dir: str,
     condition,
     set_exprs: dict[str, object],
+    attempts: int = 1,
 ) -> dict:
     """SQL ``UPDATE table SET col = expr, ... WHERE condition`` —
     the copy-on-write sibling of :func:`delete_where` (same one-scan
@@ -1389,8 +1411,13 @@ def update_where(
     ``set_exprs`` maps existing column names to Columns or SQL
     strings evaluated against the matching row; non-matching rows
     pass through unchanged. New columns are refused — additive
-    schema evolution goes through append/write, not UPDATE."""
-    st = _rewrite_where(spark, table_dir, condition, set_exprs)
+    schema evolution goes through append/write, not UPDATE.
+    ``attempts`` > 1 rebase-retries on SnapshotConflict (each attempt
+    recomputes from the fresh manifest)."""
+    st = _retry_conflicts(
+        lambda: _rewrite_where(spark, table_dir, condition, set_exprs),
+        attempts,
+    )
     st["updated_rows"] = st.pop("matched_rows")
     return st
 

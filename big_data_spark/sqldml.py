@@ -237,7 +237,7 @@ def execute_dml(
         from big_data_spark.io.snapshot import delete_where
 
         table_dir = _resolve(m.group(1), tables)
-        st = delete_where(spark, table_dir, m.group(2))
+        st = delete_where(spark, table_dir, m.group(2), attempts=3)
         return {"statement_type": "DELETE", "table": m.group(1), **st}
     m = _UPDATE_RE.match(statement)
     if m:
@@ -245,7 +245,11 @@ def execute_dml(
 
         table_dir = _resolve(m.group(1), tables)
         st = update_where(
-            spark, table_dir, m.group(3), _parse_assignments(m.group(2))
+            spark,
+            table_dir,
+            m.group(3),
+            _parse_assignments(m.group(2)),
+            attempts=3,
         )
         return {"statement_type": "UPDATE", "table": m.group(1), **st}
     m = _MERGE_RE.match(statement)

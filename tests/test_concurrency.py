@@ -429,3 +429,119 @@ def test_vacuum_spares_inflight_direct_write(spark, tmp_path):
     res = vacuum_snapshots(spark, t, keep_last=2, staging_ttl_hours=0.0)
     assert res["removed_generations"] == []
     assert os.path.isdir(f"{t}/_data/s=2/_temporary")
+
+
+def test_mixed_writers_stress(spark, tmp_path):
+    """Appenders, a DML writer and a maintenance folder all racing
+    one table under the round-9 claim protocol: every append lands
+    exactly once, the DELETE lands exactly once, maintenance never
+    loses or duplicates a row — whatever the interleaving (losers
+    surface SnapshotConflict and retry, never corrupt)."""
+    import threading
+
+    from big_data_spark.io.compact import binpack_snapshot
+    from big_data_spark.io.snapshot import append_with_retry
+
+    t = str(tmp_path / "mixed")
+    append_snapshot(
+        spark.range(0, 100).selectExpr("id AS k"), t, snapshot_id=0
+    )
+    errors: list = []
+    done = threading.Event()
+
+    def appender(lo):
+        try:
+            for b in range(4):
+                append_with_retry(
+                    spark.range(
+                        lo + b * 100, lo + b * 100 + 50
+                    ).selectExpr("id AS k"),
+                    t,
+                    attempts=20,
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("append", exc))
+
+    def deleter():
+        try:
+            while True:
+                try:
+                    st = snap.delete_where(spark, t, "k >= 0 AND k < 50")
+                    assert st["deleted_rows"] in (0, 50)
+                    if st["deleted_rows"] == 50:
+                        return
+                except SnapshotConflict:
+                    continue
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("delete", exc))
+
+    def folder():
+        try:
+            while not done.is_set():
+                try:
+                    binpack_snapshot(spark, t, small_bytes=1 << 30)
+                except SnapshotConflict:
+                    continue
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("fold", exc))
+
+    threads = [
+        threading.Thread(target=appender, args=(1000,)),
+        threading.Thread(target=appender, args=(10000,)),
+        threading.Thread(target=deleter),
+        threading.Thread(target=folder),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads[:3]:
+        th.join()
+    done.set()
+    threads[3].join()
+    assert not errors, errors
+    got = read_snapshot(spark, t)
+    # 50 surviving base rows + 2 appenders x 4 batches x 50 rows.
+    assert got.count() == 50 + 2 * 4 * 50
+    assert got.where("k < 50").count() == 0
+    assert got.where("k >= 50 AND k < 100").count() == 50
+    for lo in (1000, 10000):
+        for b in range(4):
+            assert (
+                got.where(
+                    f"k >= {lo + b * 100} AND k < {lo + b * 100 + 50}"
+                ).count()
+                == 50
+            ), f"append batch {lo}+{b} lost or duplicated"
+
+
+def test_dml_attempts_rebase_retries(spark, tmp_path, monkeypatch):
+    """delete_where(attempts=N) rebase-retries on SnapshotConflict —
+    each attempt recomputes from the fresh manifest, so the retry
+    succeeds against the interloper's state."""
+    t = str(tmp_path / "dml_retry")
+    append_snapshot(
+        spark.range(100).selectExpr("id AS k"), t, snapshot_id=0
+    )
+    real = snap._rewrite_where
+    state = {"n": 0}
+
+    def flaky(*a, **kw):
+        state["n"] += 1
+        if state["n"] == 1:
+            # Interloper lands between the read and the commit.
+            append_snapshot(
+                spark.range(100, 110).selectExpr("id AS k"), t
+            )
+            raise SnapshotConflict("simulated race")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(snap, "_rewrite_where", flaky)
+    st = snap.delete_where(spark, t, "k < 10", attempts=3)
+    monkeypatch.undo()
+    assert st["deleted_rows"] == 10 and state["n"] == 2
+    assert read_snapshot(spark, t).count() == 100
+    # attempts=1 (default) surfaces the conflict unchanged.
+    state["n"] = 0
+    monkeypatch.setattr(snap, "_rewrite_where", flaky)
+    with pytest.raises(SnapshotConflict):
+        snap.delete_where(spark, t, "k >= 200")
+    monkeypatch.undo()
