@@ -468,6 +468,7 @@ def binpack_snapshot(
             maintenance=True,
             deletes=man.get("deletes"),
             rename_log=man.get("rename_log"),
+            prev_man=man,
         )
     except SnapshotConflict:
         _unclaim(spark, gdir)

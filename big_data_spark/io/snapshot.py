@@ -100,10 +100,10 @@ def snapshot_ids(spark: SparkSession, table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def read_manifest(
-    spark: SparkSession, table_dir: str, snapshot_id: int
-) -> dict:
-    fs, hpath = hadoop_fs(spark, _manifest_path(table_dir, snapshot_id))
+def _read_json(spark: SparkSession, path: str) -> dict:
+    """One small JSON file off the Hadoop FS — the shared reader for
+    manifests, tag pins, and cursors-style metadata."""
+    fs, hpath = hadoop_fs(spark, path)
     stream = fs.open(hpath)
     try:
         text = spark._jvm.org.apache.commons.io.IOUtils.toString(
@@ -112,6 +112,12 @@ def read_manifest(
     finally:
         stream.close()
     return json.loads(text)
+
+
+def read_manifest(
+    spark: SparkSession, table_dir: str, snapshot_id: int
+) -> dict:
+    return _read_json(spark, _manifest_path(table_dir, snapshot_id))
 
 
 def latest_manifest(
@@ -191,8 +197,13 @@ def tag_snapshot(
     # Pin-vs-vacuum race check: a vacuum running between the id
     # validation above and the rename landing may have expired the
     # target (the tag wasn't visible to its list_tags yet). Verify
-    # the pinned manifest still exists AFTER the pin is visible —
-    # turning a silently-dangling tag into a loud error.
+    # the pinned manifest still exists AFTER the pin is visible.
+    # This NARROWS the race to the check-vs-delete instant (like
+    # _claim_check) rather than closing it — without a lock, a
+    # vacuum that read the manifest list before the pin landed can
+    # still delete it just after this check passes. Operationally:
+    # don't run vacuum concurrently with tagging of near-expiry
+    # versions; tag first, vacuum after.
     _, mp = hadoop_fs(spark, _manifest_path(table_dir, sid))
     if not fs.exists(mp):
         fs.delete(final, False)
@@ -220,14 +231,7 @@ def list_tags(spark: SparkSession, table_dir: str) -> dict[str, int]:
         name = st.getPath().getName()
         if not name.endswith(".json") or name.startswith("."):
             continue
-        stream = fs.open(st.getPath())
-        try:
-            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-        body = json.loads(text)
+        body = _read_json(spark, st.getPath().toString())
         out[body["tag"]] = int(body["snapshot_id"])
     return out
 
@@ -280,6 +284,87 @@ def read_staged(
     return spark.read.parquet(staging)
 
 
+def _claim_commit_loop(
+    spark: SparkSession,
+    table_dir: str,
+    staging: str,
+    fields: list[dict],
+    attempts: int,
+    build,
+    origin: str,
+) -> int:
+    """THE staged-data publish loop shared by append_with_retry and
+    publish_staged: each attempt rebases on the freshest manifest,
+    claims ``_data/s=<id>`` by ONE atomic rename of the staged dir,
+    and commits; losing either race (dir claim or manifest rename)
+    renames the data back to staging and retries — a retry costs a
+    directory rename, never a data rewrite. ``build(prev)`` returns
+    ``(entries_without_new, entry_key, commit_kwargs)``: the carried
+    entries, the key the claimed generation publishes under ('' for
+    a whole-table replace), and the extra commit_manifest kwargs."""
+    fs, staging_path = hadoop_fs(spark, staging)
+    has_data = _generation_has_data(spark, staging)
+    _, data_root = hadoop_fs(spark, f"{table_dir}/{_DATA_DIR}")
+    fs.mkdirs(data_root)
+    last_err: Exception | None = None
+    for _ in range(attempts):
+        prev = latest_manifest(spark, table_dir)
+        if prev is not None and prev.get("partition_col") is not None:
+            raise ValueError(
+                f"{origin} on a table partitioned on "
+                f"{prev['partition_col']!r} — staged publishes are "
+                "whole-generation entries; use write_snapshot_partial."
+            )
+        check_schema_evolution((prev or {}).get("schema"), fields)
+        sid = (prev["snapshot_id"] + 1) if prev else 0
+        entries, entry_key, kwargs = build(prev)
+        if has_data:
+            _, dest_path = hadoop_fs(spark, generation_dir(table_dir, sid))
+            if fs.exists(dest_path) or not fs.rename(
+                staging_path, dest_path
+            ):
+                # Another writer holds this id's dir (in-flight or a
+                # crash orphan). If its manifest lands, the next loop
+                # rebases past it; an orphan exhausts the budget and
+                # raises with the blocking dir named.
+                last_err = SnapshotConflict(
+                    f"generation dir s={sid} under {table_dir!r} is "
+                    "held by another writer (or a crash orphan — "
+                    "vacuum reclaims it after the staging TTL)"
+                )
+                continue
+            key = entry_key if entry_key is not None else f"b{sid}"
+            entries[key] = f"{_DATA_DIR}/s={sid}"
+        try:
+            commit_manifest(
+                spark,
+                table_dir,
+                sid,
+                entries,
+                schema_fields=fields,
+                prev_man=prev,
+                **kwargs,
+            )
+            if not has_data:
+                fs.delete(staging_path, True)
+            return sid
+        except SnapshotConflict as exc:
+            last_err = exc
+            if has_data and not fs.rename(dest_path, staging_path):
+                # A non-staging committer took the manifest id after
+                # our dir claim; the loser's generation must not sit
+                # under a committed id it doesn't belong to.
+                raise SnapshotConflict(
+                    f"lost commit race for snapshot {sid} AND the "
+                    f"rename-back of {generation_dir(table_dir, sid)!r} "
+                    "failed — manual cleanup required"
+                ) from exc
+    raise SnapshotConflict(
+        f"{origin} exhausted {attempts} attempts under "
+        f"{table_dir!r}: {last_err}"
+    )
+
+
 def publish_staged(
     spark: SparkSession,
     table_dir: str,
@@ -306,67 +391,48 @@ def publish_staged(
             "published, abandoned, or vacuumed"
         )
     fields = _schema_fields(spark.read.parquet(staging))
-    has_data = _generation_has_data(spark, staging)
-    _, data_root = hadoop_fs(spark, f"{table_dir}/{_DATA_DIR}")
-    fs.mkdirs(data_root)
-    last_err: Exception | None = None
-    for _ in range(attempts):
-        prev = latest_manifest(spark, table_dir)
-        if prev is not None and prev.get("partition_col") is not None:
-            raise ValueError(
-                "publish_staged on a partitioned table — use "
-                "write_snapshot_partial."
-            )
-        check_schema_evolution((prev or {}).get("schema"), fields)
-        sid = (prev["snapshot_id"] + 1) if prev else 0
+    # The staged batch's own hive layout (stage_snapshot's
+    # partition_by materializes as one level of col=val dirs):
+    # committed as layout_by so maintenance preserves it and DML
+    # hint-skipping knows the column lives in dir names.
+    layout: str | None = None
+    layout_cols = {
+        st.getPath().getName().split("=", 1)[0]
+        for st in fs.listStatus(staging_path)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    }
+    if len(layout_cols) == 1:
+        layout = next(iter(layout_cols))
+
+    def build(prev):
         entries = (
             dict(prev["entries"]) if (prev and mode == "append") else {}
         )
-        dest_rel = f"{_DATA_DIR}/s={sid}"
-        if has_data:
-            _, dest_path = hadoop_fs(spark, generation_dir(table_dir, sid))
-            if fs.exists(dest_path) or not fs.rename(
-                staging_path, dest_path
-            ):
-                last_err = SnapshotConflict(
-                    f"generation dir s={sid} under {table_dir!r} is "
-                    "held by another writer (or a crash orphan — "
-                    "vacuum reclaims it after the staging TTL)"
-                )
-                continue
-            entries["" if mode == "replace" else f"b{sid}"] = dest_rel
-        try:
-            commit_manifest(
-                spark,
-                table_dir,
-                sid,
-                entries,
-                schema_fields=fields,
-                layout_by=(prev or {}).get("layout_by"),
-                # Appends never touch existing rows: prior masks and
-                # the rename log stay valid. A replace publishes a
-                # fresh table: nothing old to mask or map.
-                deletes=(prev or {}).get("deletes")
+        # The staged batch's own layout wins; in append mode an
+        # unpartitioned batch keeps the table's declared layout (same
+        # contract as append_snapshot); a replace never inherits a
+        # stale one. Appends never touch existing rows: prior masks
+        # and the rename log stay valid; a replace publishes a fresh
+        # table with nothing old to mask or map.
+        kwargs = {
+            "layout_by": layout
+            or (
+                (prev or {}).get("layout_by")
                 if mode == "append"
-                else None,
-                rename_log=(prev or {}).get("rename_log")
-                if mode == "append"
-                else None,
-            )
-            if not has_data:
-                fs.delete(staging_path, True)
-            return sid
-        except SnapshotConflict as exc:
-            last_err = exc
-            if has_data and not fs.rename(dest_path, staging_path):
-                raise SnapshotConflict(
-                    f"lost commit race for snapshot {sid} AND the "
-                    "rename-back of the staged batch failed — manual "
-                    "cleanup required"
-                ) from exc
-    raise SnapshotConflict(
-        f"publish_staged exhausted {attempts} attempts under "
-        f"{table_dir!r}: {last_err}"
+                else None
+            ),
+            "deletes": (prev or {}).get("deletes")
+            if mode == "append"
+            else None,
+            "rename_log": (prev or {}).get("rename_log")
+            if mode == "append"
+            else None,
+        }
+        return entries, ("" if mode == "replace" else None), kwargs
+
+    return _claim_commit_loop(
+        spark, table_dir, staging, fields, attempts, build,
+        "publish_staged",
     )
 
 
@@ -412,6 +478,7 @@ def rollback_snapshot(
         layout_by=man.get("layout_by"),
         deletes=man.get("deletes"),
         rename_log=man.get("rename_log"),
+        prev_man=latest,
     )
     return next_id
 
@@ -617,6 +684,7 @@ def evolve_schema(
         layout_by=man.get("layout_by"),
         deletes=man.get("deletes"),
         rename_log=log,
+        prev_man=man,
     )
     return next_id
 
@@ -661,8 +729,14 @@ def commit_manifest(
     maintenance: bool = False,
     deletes: list[str] | None = None,
     rename_log: list | None = None,
+    prev_man: dict | None = None,
 ) -> None:
     """Atomically publish ``entries`` as snapshot ``snapshot_id``.
+
+    ``prev_man``: the predecessor manifest when the caller already
+    holds it — spares the timestamp clamp below its own
+    latest_manifest read (one listStatus + one JSON read per commit
+    on an object store; the retry loops pay it per attempt).
 
     ``rename_log`` is the ordered schema-evolution event log
     (``[commit_id, 'rename'|'drop', old, new]`` rows) that lets
@@ -712,7 +786,11 @@ def commit_manifest(
     # content hash; a deterministic replay converges on content, not
     # on this.
     ts = int(_time.time() * 1000)
-    prev_for_ts = latest_manifest(spark, table_dir, below=snapshot_id)
+    prev_for_ts = (
+        prev_man
+        if prev_man is not None
+        else latest_manifest(spark, table_dir, below=snapshot_id)
+    )
     if prev_for_ts is not None:
         ts = max(ts, int(prev_for_ts.get("committed_at_ms") or 0) + 1)
     body = json.dumps(
@@ -788,20 +866,16 @@ def read_snapshot(
     if tag is not None:
         # O(1): read the single tag file, not a listing of every tag
         # (the listing only feeds the not-found error message).
-        fs, tp = hadoop_fs(spark, f"{table_dir}/{_TAGS_DIR}/{tag}.json")
-        if not fs.exists(tp):
+        try:
+            pin = _read_json(
+                spark, f"{table_dir}/{_TAGS_DIR}/{tag}.json"
+            )
+        except Exception as exc:  # missing OR deleted mid-read
             raise ValueError(
                 f"tag {tag!r} not found under {table_dir!r} "
                 f"(tags: {sorted(list_tags(spark, table_dir))})"
-            )
-        stream = fs.open(tp)
-        try:
-            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-        as_of = int(json.loads(text)["snapshot_id"])
+            ) from exc
+        as_of = int(pin["snapshot_id"])
     elif as_of_ts is not None:
         as_of = resolve_as_of_ts(spark, table_dir, as_of_ts)
     if as_of is not None:
@@ -1148,6 +1222,18 @@ def read_changes(
             dropped_dv = [
                 d for d in prev_deletes if d not in set(cur_deletes)
             ]
+            # Vector-side rows count only for entries live in BOTH
+            # versions: a vector row whose file is cur-only is
+            # covered by the entry-diff insert side (with cur's masks
+            # applied), and one whose file is prev-only by the delete
+            # side — reading them here would emit phantom changes
+            # for rows invisible on one side of the commit (e.g. a
+            # rollback restoring a pre-fold vector over entries the
+            # fold replaced: the vector's files are no longer the
+            # live ones).
+            both = {
+                k: v for k, v in cur.items() if v in prev_vals
+            }
             for vecs, kind, schema, rlog, masked_by in (
                 (new_dv, "delete", prev_schema, prev_rlog, prev_deletes),
                 (
@@ -1158,9 +1244,9 @@ def read_changes(
                     cur_deletes,
                 ),
             ):
-                if not vecs:
+                if not vecs or not both:
                     continue
-                dv_rows = _vector_rows(vecs, cur, schema, rlog, masked_by)
+                dv_rows = _vector_rows(vecs, both, schema, rlog, masked_by)
                 if dv_rows is None:
                     continue
                 parts.append(
@@ -1240,13 +1326,18 @@ def _retry_conflicts(fn, attempts: int):
     on SnapshotConflict — the rebase loop a concurrent committer
     forces. Each retry recomputes against the NEW table state, so
     the result is always a serializable outcome."""
-    last = None
-    for _ in range(attempts):
+    if attempts < 1:
+        raise ValueError(f"attempts must be >= 1, got {attempts}")
+    for i in range(attempts):
         try:
             return fn()
         except SnapshotConflict as exc:
-            last = exc
-    raise last
+            if i == attempts - 1:
+                if attempts == 1:
+                    raise  # default: surface the conflict unchanged
+                raise SnapshotConflict(
+                    f"DML exhausted {attempts} rebase attempts: {exc}"
+                ) from exc
 
 
 def delete_where(
@@ -1384,6 +1475,7 @@ def _delete_mor(spark: SparkSession, table_dir: str, condition) -> dict:
             layout_by=man.get("layout_by"),
             deletes=new_deletes,
             rename_log=man.get("rename_log"),
+            prev_man=man,
         )
     except SnapshotConflict:
         _unclaim(spark, ddir)
@@ -1698,6 +1790,7 @@ def _rewrite_where(
             # clears the list.
             deletes=dv,
             rename_log=man.get("rename_log"),
+            prev_man=man,
         )
     except SnapshotConflict:
         _unclaim(spark, gdir)
@@ -1761,6 +1854,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
             layout_by=man.get("layout_by"),
             maintenance=True,
             rename_log=man.get("rename_log"),
+            prev_man=man,
         )
         return stats
     base = _pad_to_schema(
@@ -1813,6 +1907,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
             layout_by=layout,
             maintenance=True,
             rename_log=man.get("rename_log"),
+            prev_man=man,
         )
     except SnapshotConflict:
         _unclaim(spark, gdir)
@@ -2101,6 +2196,7 @@ def write_snapshot(
             schema_fields=fields,
             layout_by=partition_by,
             maintenance=maintenance,
+            prev_man=prev,
         )
     except SnapshotConflict:
         if claim:
@@ -2181,6 +2277,7 @@ def append_snapshot(
         # log keeps mapping pre-evolution generations.
         deletes=(prev or {}).get("deletes"),
         rename_log=(prev or {}).get("rename_log"),
+        prev_man=prev,
     )
     return snapshot_id
 
@@ -2220,68 +2317,19 @@ def append_with_retry(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(staging)
-    has_data = _generation_has_data(spark, staging)
-    fs, staging_path = hadoop_fs(spark, staging)
-    _, data_root = hadoop_fs(spark, f"{table_dir}/{_DATA_DIR}")
-    fs.mkdirs(data_root)  # rename needs the parent to exist
-    last_err: Exception | None = None
-    for _ in range(attempts):
-        prev = latest_manifest(spark, table_dir)
-        if prev is not None and prev.get("partition_col") is not None:
-            raise ValueError(
-                "append_with_retry on a table partitioned on "
-                f"{prev['partition_col']!r} — appends are "
-                "whole-generation entries; use write_snapshot_partial."
-            )
-        check_schema_evolution((prev or {}).get("schema"), fields)
-        sid = (prev["snapshot_id"] + 1) if prev else 0
+
+    def build(prev):
         entries = dict(prev["entries"]) if prev else {}
-        if has_data:
-            _, dest_path = hadoop_fs(spark, generation_dir(table_dir, sid))
-            if fs.exists(dest_path) or not fs.rename(
-                staging_path, dest_path
-            ):
-                # Another writer holds this id's dir (in-flight or a
-                # crash orphan). If its manifest lands, the next loop
-                # rebases past it; an orphan exhausts the budget and
-                # raises with the blocking dir named.
-                last_err = SnapshotConflict(
-                    f"generation dir s={sid} under {table_dir!r} is "
-                    "held by another writer (or a crash orphan — "
-                    "vacuum reclaims it once newer snapshots commit)"
-                )
-                continue
-            entries[f"b{sid}"] = f"{_DATA_DIR}/s={sid}"
-        try:
-            commit_manifest(
-                spark,
-                table_dir,
-                sid,
-                entries,
-                schema_fields=fields,
-                layout_by=partition_by or (prev or {}).get("layout_by"),
-                deletes=(prev or {}).get("deletes"),
-                rename_log=(prev or {}).get("rename_log"),
-            )
-            if not has_data:
-                fs.delete(staging_path, True)
-            return sid
-        except SnapshotConflict as exc:
-            last_err = exc
-            if has_data:
-                # A non-staging committer (DML, compaction) took the
-                # manifest id after our dir claim: move the data back
-                # to staging and rebase — the loser's generation must
-                # not sit under a committed id it doesn't belong to.
-                if not fs.rename(dest_path, staging_path):
-                    raise SnapshotConflict(
-                        f"lost commit race for snapshot {sid} AND the "
-                        f"rename-back of {generation_dir(table_dir, sid)!r} "
-                        "failed — manual cleanup required"
-                    ) from exc
-    raise SnapshotConflict(
-        f"append_with_retry exhausted {attempts} attempts under "
-        f"{table_dir!r}: {last_err}"
+        kwargs = {
+            "layout_by": partition_by or (prev or {}).get("layout_by"),
+            "deletes": (prev or {}).get("deletes"),
+            "rename_log": (prev or {}).get("rename_log"),
+        }
+        return entries, None, kwargs
+
+    return _claim_commit_loop(
+        spark, table_dir, staging, fields, attempts, build,
+        "append_with_retry",
     )
 
 
@@ -2384,6 +2432,7 @@ def write_snapshot_partial(
             maintenance=maintenance,
             deletes=deletes,
             rename_log=rename_log,
+            prev_man=prev,
         )
     except SnapshotConflict:
         if claim:

@@ -370,45 +370,21 @@ def _finish_corpus(
         # of chunk_tokens advancing by chunk_tokens - chunk_overlap).
         # Pure JVM HOFs + one posexplode: a narrow map, the funnel
         # report stays doc-grained above it.
-        stride = chunk_tokens - chunk_overlap
-        if stride <= 0:
-            raise ValueError(
-                f"chunk_overlap ({chunk_overlap}) must be smaller "
-                f"than chunk_tokens ({chunk_tokens})"
-            )
-        k = (
-            F.when(F.size("_toks") <= chunk_tokens, F.lit(1))
-            .otherwise(
-                F.ceil(
-                    (F.size("_toks") - F.lit(chunk_tokens))
-                    / F.lit(stride)
-                )
-                + 1
-            )
-            .cast("int")
-        )
-        survivors = (
-            survivors.withColumn("_toks", F.split(F.col("text"), " "))
-            .withColumn("_k", k)
-            .select(
-                "doc_id",
-                "lang",
-                "source",
-                F.posexplode(
-                    F.expr(
-                        f"transform(sequence(0, _k - 1), i -> "
-                        f"slice(_toks, i * {stride} + 1, {chunk_tokens}))"
-                    )
-                ).alias("chunk_id", "_chunk"),
-            )
-            .select(
-                "doc_id",
-                F.col("chunk_id").cast("int").alias("chunk_id"),
-                "lang",
-                "source",
-                F.array_join("_chunk", " ").alias("text"),
-                F.size("_chunk").alias("n_tokens"),
-            )
+        from big_data_spark.queries.llm import chunk_explode
+
+        survivors = chunk_explode(
+            survivors.withColumn("_toks", F.split(F.col("text"), " ")),
+            "_toks",
+            chunk_tokens,
+            chunk_overlap,
+            ["doc_id", "lang", "source"],
+        ).select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            "lang",
+            "source",
+            F.array_join("_chunk", " ").alias("text"),
+            F.size("_chunk").alias("n_tokens"),
         )
     agg_exprs = [F.count(F.lit(1)).alias("0_input")]
     names = ["0_input"]

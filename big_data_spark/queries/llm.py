@@ -2474,6 +2474,48 @@ CHUNK_OVERLAP = 16
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 
+def chunk_explode(
+    df: DataFrame,
+    toks_col: str,
+    chunk_tokens: int,
+    overlap: int,
+    carry_cols: list[str],
+) -> DataFrame:
+    """THE sliding-window chunking policy, shared by q_doc_chunks
+    and pipeline/corpus.prepare_corpus(chunk_tokens=) so the window
+    math can never diverge from the DuckDB-oracle-pinned form:
+    fixed ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens - overlap`` (adjacent chunks share ``overlap``
+    tokens), one chunk per short doc, the last window runs short.
+    Returns (carry_cols..., chunk_id int, _chunk array<string>) via
+    pure JVM HOFs + ONE posexplode — a narrow map."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than "
+            f"chunk_tokens ({chunk_tokens})"
+        )
+    k = (
+        F.when(F.size(toks_col) <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.ceil(
+                (F.size(toks_col) - F.lit(chunk_tokens)) / F.lit(stride)
+            )
+            + 1
+        )
+        .cast("int")
+    )
+    return df.withColumn("_k", k).select(
+        *carry_cols,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, _k - 1), i -> "
+                f"slice({toks_col}, i * {stride} + 1, {chunk_tokens}))"
+            )
+        ).alias("chunk_id", "_chunk"),
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking — the long-document splitter
     a training pipeline runs before packing: fixed CHUNK_TOKENS-token
@@ -2493,31 +2535,14 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
-    k = (
-        F.when(F.size("toks") <= CHUNK_TOKENS, F.lit(1))
-        .otherwise(
-            F.ceil(
-                (F.size("toks") - F.lit(CHUNK_TOKENS))
-                / F.lit(_CHUNK_STRIDE)
-            )
-            + 1
-        )
-        .cast("int")
-    )
-    chunks = toks.withColumn("k", k).select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, k - 1), i -> "
-                f"slice(toks, i * {_CHUNK_STRIDE} + 1, {CHUNK_TOKENS}))"
-            )
-        ).alias("chunk_id", "chunk"),
+    chunks = chunk_explode(
+        toks, "toks", CHUNK_TOKENS, CHUNK_OVERLAP, ["doc_id"]
     )
     return chunks.select(
         "doc_id",
         F.col("chunk_id").cast("int").alias("chunk_id"),
-        F.size("chunk").alias("n_tokens"),
-        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+        F.size("_chunk").alias("n_tokens"),
+        F.md5(F.array_join("_chunk", " ")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
 
 

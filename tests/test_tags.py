@@ -241,3 +241,35 @@ def test_restore_unregistered_passes_through(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         c.sql("RESTORE TABLE nosuch TO VERSION AS OF 1")
     assert "unknown snapshot table" not in str(ei.value)
+
+
+def test_rollback_across_fold_emits_no_phantom_deletes(spark, tmp_path):
+    """Code-review round 9: rollback restoring a pre-fold vector over
+    entries the fold replaced must not emit vector-side rows against
+    the NEW entries — rows invisible on one side of the commit would
+    otherwise appear as phantom deletes and break feed replay."""
+    from big_data_spark.io.snapshot import (
+        delete_where,
+        fold_deletes,
+        read_changes,
+        rollback_snapshot,
+    )
+
+    t = str(tmp_path / "rbfold")
+    _build(spark, t, gens=2)  # ids 0,1: k in [0, 20)
+    delete_where(spark, t, "k = 7", mode="mor")  # id 2: vector masks 1 row
+    fold_deletes(spark, t)  # id 3 (maintenance): rewrites, clears masks
+    sid = rollback_snapshot(spark, t, 2)  # id 4: pre-fold entries + vector
+    assert read_snapshot(spark, t).count() == 19
+    feed = read_changes(spark, t, after_id=3, until_id=sid)
+    dels = feed.where("_change_type = 'delete'").collect()
+    ins = feed.where("_change_type = 'insert'").collect()
+    # Content unchanged (fold was maintenance): the rollback swaps
+    # the folded generation (9 physical rows: 0..9 minus the
+    # materialized 7) for the restored masked one (same 9 visible
+    # rows); the untouched generation s=1 carries on both sides.
+    # Crucially NO extra vector-side delete of the already-masked
+    # row against the new entries.
+    assert len(dels) == 9 and len(ins) == 9
+    assert sorted(r["k"] for r in dels) == sorted(r["k"] for r in ins)
+    assert 7 not in {r["k"] for r in ins}

@@ -111,3 +111,32 @@ def test_wap_publish_rebases_past_interloper(spark, tmp_path):
     sid = publish_staged(spark, t, token)
     assert sid == 2
     assert read_snapshot(spark, t).count() == 130
+
+
+def test_wap_publish_records_staged_layout(spark, tmp_path):
+    """Code-review round 9: a hive-partitioned staged batch must
+    commit its layout_by — otherwise DML range hints on the layout
+    column crash the footer sweep (the column lives in dir names)
+    and maintenance silently rewrites the table unpartitioned."""
+    from big_data_spark.io.snapshot import delete_where, latest_manifest
+
+    t = str(tmp_path / "wap_layout")
+    token = stage_snapshot(
+        spark.range(100).selectExpr(
+            "id AS k", "cast(id % 4 as int) AS g"
+        ),
+        t,
+        partition_by="g",
+    )
+    publish_staged(spark, t, token)
+    man = latest_manifest(spark, t)
+    assert man["layout_by"] == "g"
+    # The crash case: a range hint on the layout column must be
+    # skipped (dir-name column), not swept.
+    st = delete_where(spark, t, "g >= 2 AND g <= 2")
+    assert st["deleted_rows"] == 25
+    assert read_snapshot(spark, t).count() == 75
+    # A replace with an unpartitioned batch clears the layout.
+    token = stage_snapshot(spark.range(5).selectExpr("id AS k", "cast(0 as int) AS g"), t)
+    publish_staged(spark, t, token, mode="replace")
+    assert latest_manifest(spark, t)["layout_by"] is None
