@@ -408,19 +408,32 @@ def publish_staged(
         entries = (
             dict(prev["entries"]) if (prev and mode == "append") else {}
         )
-        # The staged batch's own layout wins; in append mode an
-        # unpartitioned batch keeps the table's declared layout (same
-        # contract as append_snapshot); a replace never inherits a
-        # stale one. Appends never touch existing rows: prior masks
-        # and the rename log stay valid; a replace publishes a fresh
-        # table with nothing old to mask or map.
+        # In append mode an unpartitioned batch keeps the table's
+        # declared layout (same contract as append_snapshot); a
+        # DIFFERENT staged layout is REFUSED — one layout_by cannot
+        # represent a mixed-layout table, and silently replacing the
+        # declared column would un-skip DML range hints on the old
+        # layout column (which lives only in dir names) and crash
+        # the footer sweep. A replace never inherits a stale layout.
+        # Appends never touch existing rows: prior masks and the
+        # rename log stay valid; a replace publishes a fresh table
+        # with nothing old to mask or map.
+        prev_layout = (prev or {}).get("layout_by")
+        if (
+            mode == "append"
+            and layout is not None
+            and prev_layout is not None
+            and layout != prev_layout
+        ):
+            raise ValueError(
+                f"staged batch is partitioned on {layout!r} but the "
+                f"table's declared layout is {prev_layout!r} — a "
+                "mixed-layout append is unrepresentable; re-stage "
+                "with the table's layout or publish mode='replace'."
+            )
         kwargs = {
             "layout_by": layout
-            or (
-                (prev or {}).get("layout_by")
-                if mode == "append"
-                else None
-            ),
+            or (prev_layout if mode == "append" else None),
             "deletes": (prev or {}).get("deletes")
             if mode == "append"
             else None,
@@ -866,11 +879,18 @@ def read_snapshot(
     if tag is not None:
         # O(1): read the single tag file, not a listing of every tag
         # (the listing only feeds the not-found error message).
+        tag_path = f"{table_dir}/{_TAGS_DIR}/{tag}.json"
         try:
-            pin = _read_json(
-                spark, f"{table_dir}/{_TAGS_DIR}/{tag}.json"
-            )
-        except Exception as exc:  # missing OR deleted mid-read
+            pin = _read_json(spark, tag_path)
+        except Exception as exc:
+            # Only a genuinely MISSING pin (never created, or deleted
+            # mid-read) becomes the friendly not-found; a transient
+            # I/O failure on an existing file must propagate, or a
+            # caller treating not-found as permanent falls back to
+            # the wrong version on an infra blip.
+            fs_, tp_ = hadoop_fs(spark, tag_path)
+            if fs_.exists(tp_):
+                raise
             raise ValueError(
                 f"tag {tag!r} not found under {table_dir!r} "
                 f"(tags: {sorted(list_tags(spark, table_dir))})"
@@ -2138,6 +2158,28 @@ def _unclaim(spark: SparkSession, dest: str | None) -> None:
         fs.delete(p, True)
 
 
+def _check_layout_compatible(
+    new_layout: str | None, prev_layout: str | None, origin: str
+) -> None:
+    """Refuse an APPEND whose hive layout differs from the table's
+    declared one: a single layout_by cannot represent a mixed-layout
+    table, and silently replacing the declared column would un-skip
+    DML range hints on the old layout column (whose values live only
+    in dir names) and crash the footer sweep. Full rewrites
+    (write_snapshot / compact) re-declare the layout on purpose."""
+    if (
+        new_layout is not None
+        and prev_layout is not None
+        and new_layout != prev_layout
+    ):
+        raise ValueError(
+            f"{origin}: batch partitioned on {new_layout!r} but the "
+            f"table's declared layout is {prev_layout!r} — a "
+            "mixed-layout append is unrepresentable; use the "
+            "table's layout or re-layout with a full rewrite."
+        )
+
+
 def write_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -2247,6 +2289,9 @@ def append_snapshot(
         )
     fields = _schema_fields(df)
     check_schema_evolution((prev or {}).get("schema"), fields)
+    _check_layout_compatible(
+        partition_by, (prev or {}).get("layout_by"), "append_snapshot"
+    )
     entries = dict(prev["entries"]) if prev else {}
     gdir = clear_generation(spark, table_dir, snapshot_id)
     writer = df.write.mode("error")
@@ -2320,6 +2365,9 @@ def append_with_retry(
 
     def build(prev):
         entries = dict(prev["entries"]) if prev else {}
+        _check_layout_compatible(
+            partition_by, (prev or {}).get("layout_by"), "append_with_retry"
+        )
         kwargs = {
             "layout_by": partition_by or (prev or {}).get("layout_by"),
             "deletes": (prev or {}).get("deletes"),

@@ -140,3 +140,32 @@ def test_wap_publish_records_staged_layout(spark, tmp_path):
     token = stage_snapshot(spark.range(5).selectExpr("id AS k", "cast(0 as int) AS g"), t)
     publish_staged(spark, t, token, mode="replace")
     assert latest_manifest(spark, t)["layout_by"] is None
+
+
+def test_mixed_layout_append_refused(spark, tmp_path):
+    """A single layout_by cannot represent a mixed-layout table:
+    appending a batch partitioned on a DIFFERENT column than the
+    declared layout is refused across every append path."""
+    from big_data_spark.io.snapshot import append_with_retry
+
+    t = str(tmp_path / "mixlay")
+    base_expr = [
+        "cast(id as int) AS k",
+        "cast(id % 2 as int) AS h",
+        "cast(id % 3 as int) AS g",
+    ]
+    token = stage_snapshot(
+        spark.range(20).selectExpr(*base_expr), t, partition_by="h"
+    )
+    publish_staged(spark, t, token)
+    bad = spark.range(20, 40).selectExpr(*base_expr)
+    token = stage_snapshot(bad, t, partition_by="g")
+    with pytest.raises(ValueError, match="mixed-layout"):
+        publish_staged(spark, t, token)
+    with pytest.raises(ValueError, match="mixed-layout"):
+        append_with_retry(bad, t, partition_by="g")
+    with pytest.raises(ValueError, match="mixed-layout"):
+        append_snapshot(bad, t, partition_by="g")
+    # Same-layout and unpartitioned appends still land.
+    append_with_retry(bad, t, partition_by="h")
+    assert read_snapshot(spark, t).count() == 40
