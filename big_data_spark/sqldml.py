@@ -81,7 +81,11 @@ _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+(?:"
     r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
     r"|DROP\s+COLUMN\s+(\w+)"
-    r"|ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w()]+)"
+    # The type token admits parameterized types — decimal(18,2),
+    # decimal(18, 2) — so they reach evolve_schema's loud
+    # 'not a lossless widening' validation instead of silently
+    # falling through to plain spark.sql (round-10 advice).
+    r"|ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+(?:\s*\([^)]*\))?)"
     r")\s*;?\s*$",
     re.IGNORECASE,
 )

@@ -47,7 +47,24 @@ def snapshot_sink(
         if checks:
             from big_data_spark.operators.dq import assert_suite
 
-            assert_suite(batch_df, checks)
+            # The audit and the append are TWO Spark actions over the
+            # same plan; persist pins the batch between them so a
+            # non-deterministic source or transform cannot pass the
+            # audit yet commit different rows — keeping this sink the
+            # true streaming twin of the batch WAP's audited-bytes-
+            # are-published-bytes guarantee (round-10 advice).
+            batch_df.persist()
+            try:
+                assert_suite(batch_df, checks)
+                append_snapshot(
+                    batch_df,
+                    table_dir,
+                    snapshot_id=batch_id,
+                    replace=True,
+                )
+            finally:
+                batch_df.unpersist()
+            return
         append_snapshot(
             batch_df,
             table_dir,
