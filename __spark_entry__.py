@@ -8,7 +8,7 @@ extensions (dedup, ANN, multimodal, text analysis, decontamination,
 MERGE INTO / CDC apply, the data-quality gate, streaming incl. a
 watermarked stream-stream interval join, range join, SQL time
 travel over the engine's own snapshot tables) with DuckDB oracles.
-The registry holds 102 oracle-paired queries in total (round 9
+The registry holds 103 oracle-paired queries in total (round 10
 added snapshot_tag_travel — tag-pinned + timestamp time travel
 over snapshot tables — and sql_dml — DELETE/UPDATE/INSERT statement strings driven
 through SnapshotCatalog.sql with the oracle re-deriving the final
@@ -26,7 +26,7 @@ packing over a distributed global prefix sum, and shard_summary,
 deterministic balanced training-shard export, and
 weighted_sample, exact-integer deterministic PPS sampling — and
 snapshot_delete, copy-on-write DELETE over the table format);
-the 52 past the 50-row driver cap are oracle-checked in pytest (tests/test_oracle.py) and by the
+the 53 past the 50-row driver cap are oracle-checked in pytest (tests/test_oracle.py) and by the
 full gate mirror (tools/gate_sim.py) at sf0.001/0.01/0.1, rotating
 into driver slots across rounds (COVERAGE.md "Round-1 note" and the
 rotation log in queries/__init__.py; round 7 rotated in the seven

@@ -147,6 +147,10 @@ _PYTEST_ONLY = (
     # overlap — JVM HOF windows, one posexplode; oracle replays the
     # policy with range/list_slice.
     "doc_chunks",
+    # snapshot_update_cdf (round 10): row-level pre/post-image change
+    # feed for UPDATE commits; oracle re-derives the exact row-level
+    # change set from raw orders.
+    "snapshot_update_cdf",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

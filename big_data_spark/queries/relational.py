@@ -2665,6 +2665,75 @@ ORDER BY state, o_orderstatus
 """
 
 
+def q_snapshot_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed for an UPDATE (io/snapshot.py
+    update_where(row_cdf=True), round-10): build a four-generation
+    orders table, UPDATE the pending orders of one modulo slice with
+    a pre/post-image sidecar, and return the feed's
+    update_preimage/update_postimage rows — the oracle re-derives the
+    exact row-level change set from raw ``orders``, so a feed that
+    leaked carried rows (file-level grain), dropped a matched row, or
+    mis-evaluated the post-image on updated inputs hash-mismatches.
+
+    Scale: the sidecar is O(matched rows) written once by the update
+    commit; the feed read is one bounded parquet scan of it — never a
+    re-diff of the rewritten generations."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        read_changes,
+        update_where,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tdir = os.path.join(tempfile.gettempdir(), f"bds_ucdf_{tag}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    m = F.col("o_orderkey") % 4
+    for g in range(4):
+        append_snapshot(base.filter(m == g), tdir, snapshot_id=g)
+    update_where(
+        spark,
+        tdir,
+        "o_orderstatus = 'P' AND o_orderkey % 4 = 1",
+        {"o_totalprice": "o_totalprice * 2"},
+        row_cdf=True,
+    )
+    return (
+        read_changes(spark, tdir, after_id=3)
+        .select(
+            "_change_type",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        .orderBy("_change_type", "o_orderkey")
+    )
+
+
+ORACLE_SNAPSHOT_UPDATE_CDF = """
+SELECT _change_type, o_orderkey, price
+FROM (
+  SELECT 'update_preimage' AS _change_type, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+  FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 4 = 1
+  UNION ALL
+  SELECT 'update_postimage', o_orderkey,
+         CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                   AS DECIMAL(18,2)) AS DOUBLE)
+  FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 4 = 1
+) c
+ORDER BY _change_type, o_orderkey
+"""
+
+
 def q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL DML door end-to-end (sqldml.py + SnapshotCatalog.sql):
     build a four-generation orders table, then drive DELETE, UPDATE
@@ -3134,6 +3203,7 @@ QUERIES = {
     "snapshot_changes": q_snapshot_changes,
     "point_lookup": q_point_lookup,
     "snapshot_delete": q_snapshot_delete,
+    "snapshot_update_cdf": q_snapshot_update_cdf,
     "sql_dml": q_sql_dml,
     "snapshot_tag_travel": q_snapshot_tag_travel,
     "evolved_read": q_evolved_read,
@@ -3214,6 +3284,7 @@ ORDER BY version, o_custkey
     "snapshot_changes": ORACLE_SNAPSHOT_CHANGES,
     "point_lookup": ORACLE_POINT_LOOKUP,
     "snapshot_delete": ORACLE_SNAPSHOT_DELETE,
+    "snapshot_update_cdf": ORACLE_SNAPSHOT_UPDATE_CDF,
     "sql_dml": ORACLE_SQL_DML,
     "snapshot_tag_travel": ORACLE_SNAPSHOT_TAG_TRAVEL,
     "evolved_read": ORACLE_EVOLVED_READ,
