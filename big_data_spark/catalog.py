@@ -168,7 +168,10 @@ class SnapshotCatalog:
         return as_of(self.spark, self.tables[name], version, name=name)
 
     def sql(self, statement: str):
-        from big_data_spark.sqldml import route_statement
+        from big_data_spark.sqldml import (
+            rewrite_time_travel,
+            route_statement,
+        )
 
         st = route_statement(self.spark, statement, self.tables)
         if isinstance(st, DataFrame):
@@ -176,4 +179,9 @@ class SnapshotCatalog:
         if st is not None:
             self.refresh(st["table"])
             return st
-        return self.spark.sql(statement)
+        # SELECT-side time travel: 't VERSION AS OF n|tag' and
+        # 't TIMESTAMP AS OF ts' rewrite to just-registered version
+        # views before Spark parses the statement.
+        return self.spark.sql(
+            rewrite_time_travel(self.spark, statement, self.tables)
+        )

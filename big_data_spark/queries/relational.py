@@ -2393,17 +2393,21 @@ def q_sql_portable_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, PORTABLE_REVENUE_SQL)
 
 
-# One ANSI string over the lakehouse views registered by
-# catalog.register_snapshot_views: the v0 view is the time-travel
-# read, the unsuffixed view the current table. Revenue aggregates in
-# exact DECIMAL and casts once at the end, so both engines emit
-# bit-identical doubles.
+# One ANSI-shaped string over the SnapshotCatalog SQL door: VERSION
+# AS OF / TIMESTAMP AS OF fragments (round 10 — rewritten to version
+# views through the manifest layer before Spark parses), plus the
+# unsuffixed current view. Revenue aggregates in exact DECIMAL and
+# casts once at the end, so both engines emit bit-identical doubles.
 SNAPSHOT_ASOF_SQL = """
 SELECT version, o_custkey, n_orders, revenue
 FROM (
   SELECT 'v0' AS version, o_custkey, COUNT(*) AS n_orders,
          CAST(SUM(o_totalprice) AS DOUBLE) AS revenue
-  FROM snap_orders_v0 GROUP BY o_custkey
+  FROM snap_orders VERSION AS OF 0 GROUP BY o_custkey
+  UNION ALL
+  SELECT 'ts0' AS version, o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(o_totalprice) AS DOUBLE) AS revenue
+  FROM snap_orders TIMESTAMP AS OF '{ts0}' GROUP BY o_custkey
   UNION ALL
   SELECT 'latest' AS version, o_custkey, COUNT(*) AS n_orders,
          CAST(SUM(o_totalprice) AS DOUBLE) AS revenue
@@ -2418,21 +2422,26 @@ def q_sql_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-version snapshot table from an orders slice (v0 = the base
     slice; v1 = surcharge every price by 10.00 and drop finished
     orders — a full atomic rewrite), register it through
-    catalog.register_snapshot_views, and answer ONE ANSI string that
-    reads BOTH the as-of-v0 view and the current view. The oracle
+    SnapshotCatalog, and answer ONE SQL string that reads the v0
+    state TWICE — ``VERSION AS OF 0`` and ``TIMESTAMP AS OF
+    '<v0's commit ts>'`` (round-10: both travel spellings resolve
+    through the manifest layer) — plus the current view. The oracle
     re-derives each version's content from the raw ``orders`` table,
-    so a wrong manifest resolution (stale generation, mixed
-    versions, lost rewrite) hash-mismatches immediately.
+    so a wrong manifest or timestamp resolution (stale generation,
+    mixed versions, lost rewrite, non-monotone commit ts)
+    hash-mismatches immediately.
 
     Scale: the snapshot reads are ordinary pruned parquet scans
-    (io/snapshot.py); registering views adds no materialization."""
+    (io/snapshot.py); registering views adds no materialization and
+    timestamp resolution is manifest metadata only."""
     import hashlib
     import os
     import shutil
     import tempfile
+    from datetime import datetime, timezone
 
-    from big_data_spark.catalog import register_snapshot_views
-    from big_data_spark.io.snapshot import write_snapshot
+    from big_data_spark.catalog import SnapshotCatalog
+    from big_data_spark.io.snapshot import read_manifest, write_snapshot
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tdir = os.path.join(tempfile.gettempdir(), f"bds_sqlsnap_{tag}")
@@ -2449,8 +2458,13 @@ def q_sql_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("o_totalprice"),
     )
     write_snapshot(v1, tdir)
-    register_snapshot_views(spark, tdir, "snap_orders")
-    return spark.sql(SNAPSHOT_ASOF_SQL)
+    cat = SnapshotCatalog(spark, versions="lazy")
+    cat.register("snap_orders", tdir)
+    ts0 = read_manifest(spark, tdir, 0)["committed_at_ms"]
+    iso = datetime.fromtimestamp(ts0 / 1000.0, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    return cat.sql(SNAPSHOT_ASOF_SQL.format(ts0=iso))
 
 
 def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3265,11 +3279,17 @@ ORACLE_SQL = {
     "community_lpa": ORACLE_COMMUNITY_LPA,
     "sql_portable_revenue": PORTABLE_REVENUE_SQL,
     # Re-derives each snapshot VERSION's content from the raw orders
-    # table — an independent check of the manifest resolution itself.
+    # table — an independent check of the manifest (and commit-
+    # timestamp) resolution itself: 'v0' and 'ts0' are the SAME state
+    # reached via VERSION AS OF and TIMESTAMP AS OF respectively.
     "sql_snapshot_asof": """
 SELECT version, o_custkey, n_orders, revenue
 FROM (
   SELECT 'v0' AS version, o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+  UNION ALL
+  SELECT 'ts0' AS version, o_custkey, COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
   FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
   UNION ALL

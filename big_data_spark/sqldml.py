@@ -27,9 +27,18 @@ Supported statements (one per call; case-insensitive keywords):
   positionally onto the column list (or the full committed schema),
   cast to the committed types, unlisted columns typed-NULL-padded,
   and appended through the multi-writer retry path.
+  ``INSERT OVERWRITE [TABLE] <table> ...`` publishes the row source
+  as the table's full new content (one atomic commit).
 - ``ALTER TABLE <table> RENAME COLUMN <old> TO <new>`` /
   ``DROP COLUMN <col>`` / ``ALTER COLUMN <col> TYPE <type>`` — the
   SQL spelling of ``evolve_schema`` (metadata-only commit).
+- ``OPTIMIZE <table> [ZORDER BY (c1, c2, ...)]`` — maintenance pass,
+  or the atomic z-order rewrite with the column list.
+- SELECT-side time travel (``rewrite_time_travel``, wired into
+  SnapshotCatalog.sql): ``<table> VERSION AS OF <n>``, ``<table>
+  VERSION AS OF '<tag>'`` and ``<table> TIMESTAMP AS OF
+  '<iso-ts>'|<epoch_ms>`` fragments rewrite to version views
+  resolved through the manifest layer.
 
 ``<table>`` resolves through the caller's name -> table_dir mapping
 (SnapshotCatalog keeps it); MERGE's ``<view>`` is any registered
@@ -73,7 +82,8 @@ _WHEN_RE = re.compile(
 
 
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?"
+    r"^\s*INSERT\s+(INTO|OVERWRITE(?:\s+TABLE)?)\s+(\w+)\s*"
+    r"(?:\(([^)]*)\)\s*)?"
     r"((?:VALUES|SELECT|WITH|TABLE)\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -99,7 +109,11 @@ def is_dml(statement: str) -> bool:
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", re.IGNORECASE
 )
-_OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(\w+)"
+    r"(?:\s+ZORDER\s+BY\s+\(\s*([\w\s,`]+?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS?)?\s*;?\s*$",
     re.IGNORECASE,
@@ -130,7 +144,10 @@ def route_statement(
     if head.startswith(("DELETE", "UPDATE", "MERGE")):
         return execute_dml(spark, statement, tables)
     if head.startswith(("INSERT", "ALTER")):
-        m = _INSERT_RE.match(statement) or _ALTER_RE.match(statement)
+        m = _INSERT_RE.match(statement)
+        if m and m.group(2) in tables:
+            return execute_dml(spark, statement, tables)
+        m = _ALTER_RE.match(statement)
         if m and m.group(1) in tables:
             return execute_dml(spark, statement, tables)
         return None
@@ -141,6 +158,27 @@ def route_statement(
         return table_history(spark, tables[m.group(1)])
     m = _OPTIMIZE_RE.match(statement)
     if m and m.group(1) in tables:
+        if m.group(2):
+            # OPTIMIZE t ZORDER BY (c1, c2): the SQL spelling of the
+            # z-order rewrite (io/compact.py compact_snapshot) —
+            # one atomic full-table rewrite clustered on the
+            # interleaved key (round-9 verdict directive #3).
+            from big_data_spark.io.compact import compact_snapshot
+
+            cols = [
+                c.strip().strip("`")
+                for c in m.group(2).split(",")
+                if c.strip()
+            ]
+            st = compact_snapshot(
+                spark, tables[m.group(1)], zorder_by=cols
+            )
+            return {
+                "statement_type": "OPTIMIZE",
+                "table": m.group(1),
+                "zorder_by": cols,
+                **st,
+            }
         from big_data_spark.io.compact import maintain_table
 
         st = maintain_table(spark, tables[m.group(1)])
@@ -166,6 +204,87 @@ def route_statement(
             "snapshot_id": sid,
         }
     return None
+
+
+_TRAVEL_RE = re.compile(
+    # String literals first so an alias-looking fragment inside one
+    # survives verbatim (same trick as the MERGE alias rewriter).
+    r"'(?:[^']|'')*'"
+    r"|\b(\w+)\s+(TIMESTAMP|VERSION)\s+AS\s+OF\s+('[^']*'|\d+)",
+    re.IGNORECASE,
+)
+
+
+def _parse_ts_ms(text: str) -> int:
+    """Epoch millis from a TIMESTAMP AS OF literal: a bare integer is
+    epoch ms; a quoted ISO-8601 string ('2026-08-15 13:00:00', with
+    or without a zone) parses via datetime.fromisoformat — naive
+    strings are read as UTC, matching the manifests' epoch-ms
+    ``committed_at_ms`` (documented; local-time guessing would make
+    the same statement resolve different versions per machine)."""
+    from datetime import datetime, timezone
+
+    if text.isdigit():
+        return int(text)
+    dt = datetime.fromisoformat(text)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def rewrite_time_travel(
+    spark: SparkSession, statement: str, tables: dict[str, str]
+) -> str:
+    """The SQL spelling of time travel for the snapshot format:
+    rewrite ``<table> VERSION AS OF <n>``, ``<table> VERSION AS OF
+    '<tag>'`` and ``<table> TIMESTAMP AS OF '<ts>'|<epoch_ms>``
+    fragments (plain ``spark.sql`` cannot parse them for a
+    non-catalog format) into a just-registered ``<table>_v<id>`` temp
+    view, resolving tags and timestamps through the manifest layer.
+    Statements naming no registered snapshot table pass through
+    untouched; string literals are never rewritten."""
+
+    def _sub(m: re.Match) -> str:
+        if m.group(1) is None:
+            return m.group(0)  # string literal, untouched
+        name, kind, val = m.group(1), m.group(2).upper(), m.group(3)
+        if name not in tables:
+            return m.group(0)
+        from big_data_spark.io.snapshot import (
+            list_tags,
+            read_snapshot,
+            resolve_as_of_ts,
+        )
+
+        table_dir = tables[name]
+        if kind == "VERSION":
+            if val.startswith("'"):
+                tag = val[1:-1]
+                tags = list_tags(spark, table_dir)
+                if tag not in tags:
+                    raise ValueError(
+                        f"VERSION AS OF {val}: tag {tag!r} not found "
+                        f"under {name!r} (tags: {sorted(tags)})"
+                    )
+                sid = tags[tag]
+            else:
+                sid = int(val)
+        else:
+            if not val.startswith("'") and not val.isdigit():
+                raise ValueError(
+                    f"TIMESTAMP AS OF takes a quoted ISO string or "
+                    f"epoch millis, got {val!r}"
+                )
+            sid = resolve_as_of_ts(
+                spark, table_dir, _parse_ts_ms(val.strip("'"))
+            )
+        vname = f"{name}_v{sid}"
+        read_snapshot(spark, table_dir, as_of=sid).createOrReplaceTempView(
+            vname
+        )
+        return vname
+
+    return _TRAVEL_RE.sub(_sub, statement)
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -282,7 +401,8 @@ def _execute_insert(
         latest_manifest,
     )
 
-    table_name, col_text, body = m.group(1), m.group(2), m.group(3)
+    mode, table_name, col_text, body = m.group(1, 2, 3, 4)
+    overwrite = mode.upper().startswith("OVERWRITE")
     table_dir = _resolve(table_name, tables)
     man = latest_manifest(spark, table_dir)
     if man is None or not man.get("schema"):
@@ -322,7 +442,15 @@ def _execute_insert(
         ).alias(f["name"])
         for f in schema
     ]
-    sid = append_with_retry(row.select(*cols), table_dir)
+    if overwrite:
+        # INSERT OVERWRITE: the row source becomes the table's FULL
+        # new content as one atomic commit (write_snapshot with the
+        # staged-rename claim, safe beside concurrent appenders).
+        from big_data_spark.io.snapshot import write_snapshot
+
+        sid = write_snapshot(row.select(*cols), table_dir, claim=True)
+    else:
+        sid = append_with_retry(row.select(*cols), table_dir)
     # Report what actually LANDED: a parquet metadata count of the
     # committed generation — never a re-execution of the row source
     # (a non-deterministic SELECT would report rows it didn't write).
@@ -332,7 +460,7 @@ def _execute_insert(
     fs, gp = hadoop_fs(spark, gdir)
     n = spark.read.parquet(gdir).count() if fs.exists(gp) else 0
     return {
-        "statement_type": "INSERT",
+        "statement_type": "INSERT OVERWRITE" if overwrite else "INSERT",
         "table": table_name,
         "inserted_rows": int(n),
         "snapshot_id": sid,

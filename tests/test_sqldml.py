@@ -286,3 +286,100 @@ def test_sql_insert_reports_landed_rows_once(spark, cat):
     st = c.sql("INSERT INTO orders_t SELECT a, b, c, d FROM cnt_src")
     assert st["inserted_rows"] == 2
     assert read_snapshot(spark, t).count() == 6
+
+
+# ---- Round 10: SQL time travel, OPTIMIZE ZORDER, INSERT OVERWRITE ----
+
+
+def test_sql_version_as_of_number_and_tag(spark, cat):
+    from big_data_spark.io.snapshot import tag_snapshot
+
+    c, t = cat
+    c.sql("DELETE FROM orders_t WHERE status = 'X'")  # v1
+    tag_snapshot(spark, t, "pre-delete", snapshot_id=0)
+    n0 = c.sql(
+        "SELECT count(*) AS n FROM orders_t VERSION AS OF 0"
+    ).first()["n"]
+    n_tag = c.sql(
+        "SELECT count(*) AS n FROM orders_t VERSION AS OF 'pre-delete'"
+    ).first()["n"]
+    n_now = c.sql("SELECT count(*) AS n FROM orders_t").first()["n"]
+    assert (n0, n_tag, n_now) == (4, 4, 3)
+    with pytest.raises(ValueError, match="tag 'nope' not found"):
+        c.sql("SELECT * FROM orders_t VERSION AS OF 'nope'")
+
+
+def test_sql_timestamp_as_of(spark, cat):
+    from big_data_spark.io.snapshot import read_manifest
+
+    c, t = cat
+    c.sql("DELETE FROM orders_t WHERE status = 'X'")  # v1
+    ts0 = read_manifest(spark, t, 0)["committed_at_ms"]
+    ts1 = read_manifest(spark, t, 1)["committed_at_ms"]
+    # Epoch-millis literal.
+    assert (
+        c.sql(
+            f"SELECT count(*) AS n FROM orders_t TIMESTAMP AS OF {ts0}"
+        ).first()["n"]
+        == 4
+    )
+    # Quoted ISO string (UTC), resolved through the manifest layer.
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(
+        ts1 / 1000.0, tz=timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    assert (
+        c.sql(
+            f"SELECT count(*) AS n FROM orders_t TIMESTAMP AS OF '{iso}'"
+        ).first()["n"]
+        == 3
+    )
+    with pytest.raises(ValueError, match="committed at or before"):
+        c.sql("SELECT * FROM orders_t TIMESTAMP AS OF 0")
+
+
+def test_sql_time_travel_literal_and_join_safety(spark, cat):
+    """String literals containing the keywords are never rewritten,
+    and two travel clauses in one statement both resolve."""
+    c, t = cat
+    c.sql("DELETE FROM orders_t WHERE status = 'X'")  # v1
+    row = c.sql(
+        "SELECT 'orders_t VERSION AS OF 99' AS note, count(*) AS n "
+        "FROM orders_t VERSION AS OF 0"
+    ).first()
+    assert row["note"] == "orders_t VERSION AS OF 99" and row["n"] == 4
+    both = c.sql(
+        "SELECT (SELECT count(*) FROM orders_t VERSION AS OF 0) AS a, "
+        "(SELECT count(*) FROM orders_t VERSION AS OF 1) AS b"
+    ).first()
+    assert (both["a"], both["b"]) == (4, 3)
+
+
+def test_sql_optimize_zorder(spark, cat):
+    c, t = cat
+    st = c.sql("OPTIMIZE orders_t ZORDER BY (k, total)")
+    assert st["statement_type"] == "OPTIMIZE"
+    assert st["zorder_by"] == ["k", "total"]
+    assert st["snapshot_id"] == 1  # one atomic maintenance commit
+    # Content unchanged by the maintenance rewrite.
+    assert c.sql("SELECT count(*) AS n FROM orders_t").first()["n"] == 4
+    got = {r["k"] for r in read_snapshot(spark, t).collect()}
+    assert got == {1, 2, 3, 4}
+
+
+def test_sql_insert_overwrite(spark, cat):
+    c, t = cat
+    st = c.sql(
+        "INSERT OVERWRITE orders_t VALUES (9, 'O', 9.0, 'z')"
+    )
+    assert st["statement_type"] == "INSERT OVERWRITE"
+    assert st["inserted_rows"] == 1
+    assert c.sql("SELECT count(*) AS n FROM orders_t").first()["n"] == 1
+    # Old version still time-travelable.
+    assert (
+        c.sql("SELECT count(*) AS n FROM orders_t VERSION AS OF 0").first()[
+            "n"
+        ]
+        == 4
+    )
