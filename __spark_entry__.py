@@ -9,7 +9,11 @@ MERGE INTO / CDC apply, the data-quality gate, streaming incl. a
 watermarked stream-stream interval join, range join, SQL time
 travel over the engine's own snapshot tables) with DuckDB oracles.
 The registry holds 103 oracle-paired queries in total (round 10
-added snapshot_tag_travel — tag-pinned + timestamp time travel
+added snapshot_update_cdf — row-level pre/post-image change feed
+for UPDATE commits with the oracle re-deriving the exact change
+set — and extended sql_snapshot_asof with the TIMESTAMP AS OF SQL
+spelling; round 9 added snapshot_tag_travel — tag-pinned +
+timestamp time travel
 over snapshot tables — and sql_dml — DELETE/UPDATE/INSERT statement strings driven
 through SnapshotCatalog.sql with the oracle re-deriving the final
 state relationally — and evolved_read, a rename+widen schema
@@ -33,7 +37,10 @@ rotation log in queries/__init__.py; round 7 rotated in the seven
 never-slotted rows shortest_paths/community_lpa/
 sql_portable_revenue/temporal_join/lm_perplexity/drift_psi/
 ann_recall plus sql_snapshot_asof; round 9 rotated in the eight
-never-slotted round-7 rows plus both new round-9 rows).
+never-slotted round-7 rows plus both new round-9 rows; round 10
+rotated in snapshot_tag_travel, doc_chunks, cohort_retention,
+dedup_segments, stratified_sample, bm25_search, semantic_search,
+community_lpa, merge_upsert and the new snapshot_update_cdf).
 """
 
 from __future__ import annotations

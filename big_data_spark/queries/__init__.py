@@ -57,8 +57,6 @@ _PYTEST_ONLY = (
     # New round-5 operators past the 50-cap: oracle-checked by the
     # pytest gate (tests/test_oracle.py), candidates for future
     # driver-slot rotation.
-    "semantic_search",
-    "bm25_search",
     "unpivot_metrics",
     "pmi_cooccur",
     "events_funnel",
@@ -82,10 +80,7 @@ _PYTEST_ONLY = (
     "events_hourly",
     # New round-5 graph/analytics rows past the cap — pytest-oracle
     # gated, future rotation candidates:
-    "cohort_retention",
-    "stratified_sample",
     "cube_sales",
-    "dedup_segments",
     # Fourth round-5 rotation: dq_report (the single-pass data-quality
     # gate — six constraint kinds incl. an FK anti-join, a flagship
     # table-lifecycle operator) takes the slot of text_stats, whose
@@ -135,22 +130,34 @@ _PYTEST_ONLY = (
     "join_expr_key",  # J-family: join_multiway (J1) + join_self_theta (J6) stay
     "rollup_revenue",  # rollup family: grouping_sets stays (strict superset idiom)
     "stream_hourly",  # §2.11: stream_stream_join + mv_refresh + cdc_apply stay; the same hourly agg is events-family covered
-    "merge_upsert",  # lakehouse writes: sql_dml (statement MERGE routes through the same merge_snapshot) + cdc_apply + snapshot_delete stay
     "media_byte_stats",  # multimodal: media_frame_sample stays (same mapInPandas kernel family)
-    "community_lpa",  # graph family: pagerank_topn + triangle_count + shortest_paths + dedup_clusters (CC) stay
     # New round-9 row past the cap (pytest-oracle gated, rotation
     # candidate): snapshot tags + timestamp time travel, oracle
     # re-deriving the pinned/timestamped/current states from raw
     # orders.
-    "snapshot_tag_travel",
     # doc_chunks (round 9): sliding-window document chunking with
     # overlap — JVM HOF windows, one posexplode; oracle replays the
     # policy with range/list_slice.
-    "doc_chunks",
     # snapshot_update_cdf (round 10): row-level pre/post-image change
     # feed for UPDATE commits; oracle re-derives the exact row-level
     # change set from raw orders.
-    "snapshot_update_cdf",
+    # Round-10 rotation (round-9 verdict directive #6 + optional #9):
+    # swapped IN — snapshot_tag_travel, doc_chunks (round-9 pytest-only
+    # additions), the long-unslotted cohort_retention, dedup_segments,
+    # stratified_sample, bm25_search, semantic_search, community_lpa,
+    # merge_upsert (back per optional #9), and the NEW round-10 row
+    # snapshot_update_cdf (row-level update CDF). Swapped OUT — each
+    # family keeps at least one driver row:
+    "snapshot_delete",  # lakehouse DML: sql_dml (statement DELETE routes delete_where) + snapshot_update_cdf + snapshot_changes stay
+    "quality_gopher",  # text family: text_quality + lm_perplexity + pii_scrub + doc_chunks stay
+    "events_resample",  # §2.5: window_running_sum + cohort_retention + temporal_join stay
+    "dedup_exact",  # dedup family: dedup_minhash_lsh + dedup_ngram_jaccard + dedup_semantic + dedup_clusters + dedup_segments + both incremental rows stay
+    "ann_recall",  # ANN family: ann_hyperplane_lsh + semantic_search (exact cosine top-k) + dedup_semantic stay
+    "decontaminate",  # postings/inverted-index family: bm25_search (same broadcast-postings shape) + dedup_ngram_jaccard stay
+    "shortest_paths",  # graph family: pagerank_topn + triangle_count + community_lpa + dedup_clusters (CC) stay
+    "cdc_apply",  # lakehouse writes: merge_upsert (same merge_snapshot core) + sql_dml stay
+    "mv_refresh",  # §2.11/incremental: stream_stream_join + snapshot_changes (the feed an MV syncs from) stay
+    "scd2_intervals",  # temporal family: temporal_join (SCD2 temporal join) + window_running_sum stay
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}
