@@ -1037,8 +1037,11 @@ def commit_manifest(
             orig = _read_json(
                 spark, _manifest_path(table_dir, snapshot_id)
             ).get("committed_at_ms")
-            if orig:
-                ts = int(orig)
+            # Carry ABSENT/0 forward as 0 too: a pre-timestamp-era
+            # manifest sorts as 0 (always eligible) — re-stamping it
+            # with the wall clock would be exactly the N-above-N+1
+            # inversion this branch exists to prevent.
+            ts = int(orig or 0)
     body = json.dumps(
         {
             "snapshot_id": snapshot_id,
@@ -2044,6 +2047,7 @@ def _rewrite_where(
             )
     cdf_rel: str | None = None
     cdf_dir: str | None = None
+    post_cached = None
     if row_cdf:
         # Row-level CDF sidecar (opt-in): the MATCHED rows, as
         # pre/post images for an UPDATE (evaluated from `base`, the
@@ -2052,7 +2056,15 @@ def _rewrite_where(
         # deletes for a DELETE. One extra scan of the affected
         # generations; O(matches) rows written. The commit's manifest
         # points at it and read_changes emits it INSTEAD of the
-        # file-level generation diff.
+        # file-level generation diff. The predicate itself must be
+        # deterministic (true of any sane DML WHERE); non-
+        # deterministic SET expressions are handled below.
+        if {"_change_type", "_commit_id"} & set(base.columns):
+            raise ValueError(
+                "row_cdf: table already has a _change_type/_commit_id "
+                "column — rename it to record a row-level feed (the "
+                "sidecar rows carry those names)"
+            )
         matched = base.where(F.coalesce(cond, F.lit(False)))
         if set_exprs is None:
             images = matched.withColumn("_change_type", F.lit("delete"))
@@ -2063,27 +2075,54 @@ def _rewrite_where(
                 post = post.withColumn(
                     col, val.cast(dict(base.dtypes)[col])
                 )
+            # PIN the post-images and build the rewritten generation
+            # FROM them (unmatched ∪ cached post) instead of letting
+            # the data write re-evaluate the SET expressions in its
+            # own action — a non-deterministic assignment (rand()
+            # salting) would otherwise commit rows that differ from
+            # the feed's update_postimage (the audit-vs-commit
+            # double-execution class; same fix as snapshot_sink's
+            # persist). Unpersisted after the data write below.
+            post_cached = post.persist()
             images = matched.withColumn(
                 "_change_type", F.lit("update_preimage")
             ).unionByName(
-                post.withColumn("_change_type", F.lit("update_postimage"))
+                post_cached.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
             )
         cdf_rel = f"{_CDF_DIR}/c={next_id}"
-        cdf_dir = _stage_and_claim(
-            spark,
-            table_dir,
-            next_id,
-            lambda to: images.write.mode("error").parquet(to),
-            dest_rel=cdf_rel,
-        )
+        try:
+            cdf_dir = _stage_and_claim(
+                spark,
+                table_dir,
+                next_id,
+                lambda to: images.write.mode("error").parquet(to),
+                dest_rel=cdf_rel,
+            )
+        except Exception:
+            if post_cached is not None:
+                post_cached.unpersist()
+            raise
         if cdf_dir is None:
             cdf_rel = None  # defensive: hit_rels guarantees matches
+        if post_cached is not None:
+            # The sidecar write materialized the cache; committed rows
+            # below read the SAME post-image rows.
+            survivors = base.where(
+                ~F.coalesce(cond, F.lit(False))
+            ).unionByName(post_cached)
     stats = {
         "matched_rows": int(sum(hit_rels.values())),
         "rewritten": len(set(affected.values())),
         "carried": len(carried),
         "snapshot_id": next_id,
     }
+
+    def _unpin():
+        if post_cached is not None:
+            post_cached.unpersist()
+
     if pcol:
         # Bucket-partitioned table: the affected entries ARE
         # partitions — route through the partial writer so manifest
@@ -2103,6 +2142,8 @@ def _rewrite_where(
         except SnapshotConflict:
             _unclaim(spark, cdf_dir)
             raise
+        finally:
+            _unpin()
         return stats
     layout = man.get("layout_by")
 
@@ -2122,6 +2163,8 @@ def _rewrite_where(
     except SnapshotConflict:
         _unclaim(spark, cdf_dir)
         raise
+    finally:
+        _unpin()
     new_entries = dict(carried)
     if gdir is not None:
         new_entries[f"b{next_id}"] = f"{_DATA_DIR}/s={next_id}"
@@ -2872,8 +2915,8 @@ def vacuum_snapshots(
         if man.get("cdf"):
             live_cdf.add(man["cdf"].split("/")[1])
 
-    for sid in kept:
-        _mark_live(read_manifest(spark, table_dir, sid))
+    for man in _read_manifests(spark, table_dir, kept).values():
+        _mark_live(man)
     # Close the pin-vs-vacuum race from THIS side (round-9 verdict
     # directive #5): re-read the tags AFTER computing the kill list —
     # a pin that landed since the first read pulls its id back into

@@ -135,8 +135,9 @@ def route_statement(
     RESTORE TABLE ... TO VERSION AS OF n), else None — meaning PASS
     THROUGH to plain ``spark.sql``. DELETE/UPDATE/MERGE are always
     claimed (plain spark.sql cannot run them for this format, so
-    strict errors beat silent misroutes); INSERT and ALTER shapes
-    OUTSIDE the subset — qualified names, INSERT OVERWRITE, ALTER
+    strict errors beat silent misroutes); INSERT INTO / INSERT
+    OVERWRITE (round 10) and ALTER on REGISTERED snapshot tables are
+    claimed; shapes outside the subset — qualified names, ALTER
     VIEW, targets not registered as snapshot tables — worked through
     spark.sql before round 9 added the statements and must keep
     working."""
@@ -222,14 +223,20 @@ def _parse_ts_ms(text: str) -> int:
     strings are read as UTC, matching the manifests' epoch-ms
     ``committed_at_ms`` (documented; local-time guessing would make
     the same statement resolve different versions per machine)."""
-    from datetime import datetime, timezone
+    from datetime import datetime, timedelta, timezone
 
     if text.isdigit():
         return int(text)
     dt = datetime.fromisoformat(text)
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp() * 1000)
+    # EXACT integer epoch math: float `timestamp() * 1000` truncates
+    # 1ms low on ~0.6% of values (measured), which made a statement
+    # quoting a commit's own timestamp flakily resolve the previous
+    # version. timedelta floor-division is exact.
+    return (dt - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(
+        milliseconds=1
+    )
 
 
 def rewrite_time_travel(
@@ -424,8 +431,11 @@ def _execute_insert(
         )
     # Spark's own parser produces the row source (VALUES is a valid
     # standalone query); its output maps POSITIONALLY onto the
-    # target column list, standard SQL semantics.
-    src = spark.sql(body)
+    # target column list, standard SQL semantics. Time-travel
+    # fragments in a SELECT source resolve first, so
+    # 'INSERT INTO t SELECT * FROM t VERSION AS OF 0' (the
+    # restore-old-rows idiom) works through the same door.
+    src = spark.sql(rewrite_time_travel(spark, body, tables))
     if len(src.columns) != len(targets):
         raise ValueError(
             f"INSERT supplies {len(src.columns)} column(s) for "
