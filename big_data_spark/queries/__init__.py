@@ -158,6 +158,10 @@ _PYTEST_ONLY = (
     "cdc_apply",  # lakehouse writes: merge_upsert (same merge_snapshot core) + sql_dml stay
     "mv_refresh",  # §2.11/incremental: stream_stream_join + snapshot_changes (the feed an MV syncs from) stay
     "scd2_intervals",  # temporal family: temporal_join (SCD2 temporal join) + window_running_sum stay
+    # hybrid_search (round 10): reciprocal-rank fusion of the BM25 and
+    # IVF-ANN hit lists — the RAG retrieval composition; oracle fuses
+    # the same two oracle lists with identical rank windows.
+    "hybrid_search",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2281,6 +2281,91 @@ ORACLE_BM25_SEARCH = _sql_bm25()
 
 
 # --------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + vector search
+# --------------------------------------------------------------------
+
+RRF_K = 60
+HYBRID_TOPK = 10
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 10): fuse the lexical (BM25) and the
+    semantic (frozen-IVF ANN) hit lists with reciprocal-rank fusion —
+    ``score = Σ 1/(RRF_K + rank)`` — the standard RAG-retrieval
+    composition (Cormack et al.'s RRF beats either list alone and
+    needs NO score normalization across incomparable scales, which is
+    why every production hybrid search ships it). Ranks come from
+    each list's own deterministic ordering, so the fused score is a
+    sum of two exactly-representable doubles in fixed order — both
+    engines emit identical bits.
+
+    Plan/scale: both inputs are ALREADY top-k lists (bounded rows) —
+    the single-partition rank windows and the full-outer fusion join
+    run over ≤ k rows each regardless of corpus size; the heavy
+    lifting happened inside the bounded BM25 posting scan and the
+    cell-pruned IVF probe. The metadata join broadcasts the fused
+    list."""
+    from pyspark.sql import Window
+
+    lex = q_bm25_search(spark, sf_dir).select("doc_id", "bm25")
+    sem = q_ann_ivf(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cosine"
+    )
+    # Tiny-list windows: ≤ topk rows, single partition is the point.
+    wl = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    ws = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("r_lex"))
+    semr = sem.select("doc_id", F.row_number().over(ws).alias("r_sem"))
+    one = F.lit(1.0)
+    fused = (
+        lexr.join(semr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            F.round(
+                F.coalesce(one / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(
+                    one / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return (
+        docs.join(F.broadcast(fused), "doc_id")
+        .select("doc_id", "r_lex", "r_sem", "rrf", "lang", "source")
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(HYBRID_TOPK)
+    )
+
+
+ORACLE_HYBRID_SEARCH = f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+           AS r_lex
+  FROM ({ORACLE_BM25_SEARCH})
+), sem AS (
+  SELECT vec_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER)
+           AS r_sem
+  FROM ({ORACLE_ANN_IVF})
+), fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+         round(COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + l.r_lex), 0.0)
+               + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + s.r_sem), 0.0),
+               6) AS rrf
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT f.doc_id, f.r_lex, f.r_sem, f.rrf, d.lang, d.source
+FROM fused f JOIN documents d ON d.doc_id = f.doc_id
+ORDER BY f.rrf DESC, f.doc_id LIMIT {HYBRID_TOPK}
+"""
+
+
+# --------------------------------------------------------------------
 # PMI collocations (statistical word association over adjacent pairs)
 # --------------------------------------------------------------------
 
@@ -2880,6 +2965,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "semantic_search": q_semantic_search,
     "bm25_search": q_bm25_search,
+    "hybrid_search": q_hybrid_search,
     "pmi_cooccur": q_pmi_cooccur,
     "lm_perplexity": q_lm_perplexity,
     "corpus_mix_temperature": q_corpus_mix_temperature,
@@ -2919,6 +3005,7 @@ ORACLE_SQL = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "semantic_search": ORACLE_SEMANTIC_SEARCH,
     "bm25_search": ORACLE_BM25_SEARCH,
+    "hybrid_search": ORACLE_HYBRID_SEARCH,
     "pmi_cooccur": ORACLE_PMI_COOCCUR,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "corpus_mix_temperature": ORACLE_CORPUS_MIX_TEMPERATURE,
