@@ -2030,30 +2030,14 @@ def _rewrite_where(
                 f"update_where: unknown columns {sorted(unknown)} — "
                 "additive evolution goes through append/write"
             )
-    if set_exprs is None:
-        # SQL DELETE three-valued logic: only rows where the
-        # predicate is TRUE are deleted; NULL-valued predicates keep
-        # their row (a bare ~cond would drop them too).
-        survivors = base.where(~F.coalesce(cond, F.lit(False)))
-    else:
-        survivors = base
-        for col, expr in set_exprs.items():
-            val = F.expr(expr) if isinstance(expr, str) else expr
-            survivors = survivors.withColumn(
-                col,
-                F.when(cond, val.cast(dict(base.dtypes)[col])).otherwise(
-                    F.col(col)
-                ),
-            )
     cdf_rel: str | None = None
     cdf_dir: str | None = None
-    post_cached = None
     if row_cdf:
         # Row-level CDF sidecar (opt-in): the MATCHED rows, as
         # pre/post images for an UPDATE (evaluated from `base`, the
-        # PRE-update values — the post-image of `survivors` would
-        # re-evaluate the predicate on updated values) or as plain
-        # deletes for a DELETE. One extra scan of the affected
+        # PRE-update values — a post-image over the updated frame
+        # would re-evaluate the predicate on updated values) or as
+        # plain deletes for a DELETE. One extra scan of the affected
         # generations; O(matches) rows written. The commit's manifest
         # points at it and read_changes emits it INSTEAD of the
         # file-level generation diff. The predicate itself must be
@@ -2075,54 +2059,59 @@ def _rewrite_where(
                 post = post.withColumn(
                     col, val.cast(dict(base.dtypes)[col])
                 )
-            # PIN the post-images and build the rewritten generation
-            # FROM them (unmatched ∪ cached post) instead of letting
-            # the data write re-evaluate the SET expressions in its
-            # own action — a non-deterministic assignment (rand()
-            # salting) would otherwise commit rows that differ from
-            # the feed's update_postimage (the audit-vs-commit
-            # double-execution class; same fix as snapshot_sink's
-            # persist). Unpersisted after the data write below.
-            post_cached = post.persist()
             images = matched.withColumn(
                 "_change_type", F.lit("update_preimage")
             ).unionByName(
-                post_cached.withColumn(
-                    "_change_type", F.lit("update_postimage")
-                )
+                post.withColumn("_change_type", F.lit("update_postimage"))
             )
         cdf_rel = f"{_CDF_DIR}/c={next_id}"
-        try:
-            cdf_dir = _stage_and_claim(
-                spark,
-                table_dir,
-                next_id,
-                lambda to: images.write.mode("error").parquet(to),
-                dest_rel=cdf_rel,
-            )
-        except Exception:
-            if post_cached is not None:
-                post_cached.unpersist()
-            raise
+        cdf_dir = _stage_and_claim(
+            spark,
+            table_dir,
+            next_id,
+            lambda to: images.write.mode("error").parquet(to),
+            dest_rel=cdf_rel,
+        )
         if cdf_dir is None:
             cdf_rel = None  # defensive: hit_rels guarantees matches
-        if post_cached is not None:
-            # The sidecar write materialized the cache; committed rows
-            # below read the SAME post-image rows.
-            survivors = base.where(
-                ~F.coalesce(cond, F.lit(False))
-            ).unionByName(post_cached)
+    if set_exprs is None:
+        # SQL DELETE three-valued logic: only rows where the
+        # predicate is TRUE are deleted; NULL-valued predicates keep
+        # their row (a bare ~cond would drop them too).
+        survivors = base.where(~F.coalesce(cond, F.lit(False)))
+    elif row_cdf and cdf_dir is not None:
+        # The rewritten generation's updated rows are the JUST-WRITTEN
+        # sidecar post-images read back from disk — the single
+        # evaluation of the SET expressions. A persist() would only
+        # pin them as strongly as the block cache: a lost executor
+        # recomputes from lineage with fresh rand(), committing rows
+        # that differ from the feed's update_postimage (the
+        # audit-vs-commit double-execution class). Bytes on disk
+        # cannot diverge.
+        committed_post = (
+            spark.read.parquet(cdf_dir)
+            .where(F.col("_change_type") == "update_postimage")
+            .drop("_change_type")
+        )
+        survivors = base.where(
+            ~F.coalesce(cond, F.lit(False))
+        ).unionByName(committed_post)
+    else:
+        survivors = base
+        for col, expr in set_exprs.items():
+            val = F.expr(expr) if isinstance(expr, str) else expr
+            survivors = survivors.withColumn(
+                col,
+                F.when(cond, val.cast(dict(base.dtypes)[col])).otherwise(
+                    F.col(col)
+                ),
+            )
     stats = {
         "matched_rows": int(sum(hit_rels.values())),
         "rewritten": len(set(affected.values())),
         "carried": len(carried),
         "snapshot_id": next_id,
     }
-
-    def _unpin():
-        if post_cached is not None:
-            post_cached.unpersist()
-
     if pcol:
         # Bucket-partitioned table: the affected entries ARE
         # partitions — route through the partial writer so manifest
@@ -2142,8 +2131,6 @@ def _rewrite_where(
         except SnapshotConflict:
             _unclaim(spark, cdf_dir)
             raise
-        finally:
-            _unpin()
         return stats
     layout = man.get("layout_by")
 
@@ -2163,8 +2150,6 @@ def _rewrite_where(
     except SnapshotConflict:
         _unclaim(spark, cdf_dir)
         raise
-    finally:
-        _unpin()
     new_entries = dict(carried)
     if gdir is not None:
         new_entries[f"b{next_id}"] = f"{_DATA_DIR}/s={next_id}"

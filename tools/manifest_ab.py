@@ -68,35 +68,42 @@ def main() -> int:
         results = {}
         for label, threshold in (("serial", n + 1), ("bulk", 32)):
             snap._BULK_MANIFEST_THRESHOLD = threshold
-            # warm + 3 timed runs, median
+            # warm + 3 timed runs, median; reads counted PER
+            # OPERATION (a shared counter across both walks would
+            # double-report the per-pass number).
             resolve_as_of_ts(spark, t, ts_last)
             times_r, times_h = [], []
+            reads_r = reads_h = 0
             for _ in range(3):
                 reads["n"] = 0
                 t0 = time.perf_counter()
                 assert resolve_as_of_ts(spark, t, ts_last) == n - 1
                 times_r.append(time.perf_counter() - t0)
+                reads_r = reads["n"]
+                reads["n"] = 0
                 t0 = time.perf_counter()
                 assert table_history(spark, t).count() == n
                 times_h.append(time.perf_counter() - t0)
+                reads_h = reads["n"]
             results[label] = (
                 sorted(times_r)[1],
                 sorted(times_h)[1],
-                reads["n"],
+                reads_r,
+                reads_h,
             )
         snap.read_manifest = real
-        for label, (tr, th, nr) in results.items():
+        for label, (tr, th, nr, nh) in results.items():
             print(
                 f"{label:7s} resolve_as_of_ts={tr*1000:8.1f}ms "
-                f"table_history={th*1000:8.1f}ms "
-                f"serial_manifest_reads_per_pass={nr // 1}"
+                f"(serial_reads={nr}) "
+                f"table_history={th*1000:8.1f}ms (serial_reads={nh})"
             )
         s, b = results["serial"], results["bulk"]
         print(
-            f"\n{n} commits: serial driver reads {s[2]} -> {b[2]} per "
-            f"pass; at ~20ms/object-store round trip the serial walk "
-            f"is ~{s[2] * 20 / 1000:.1f}s of pure latency vs one "
-            "parallel job."
+            f"\n{n} commits: serial driver reads per operation "
+            f"{s[2]} -> {b[2]}; at ~20ms/object-store round trip "
+            f"each serial walk is ~{s[2] * 20 / 1000:.1f}s of pure "
+            "latency vs one parallel job."
         )
     finally:
         shutil.rmtree(t, ignore_errors=True)
