@@ -1,0 +1,145 @@
+"""Model-based randomized lakehouse test: a seeded random walk over
+the snapshot table's whole write surface — appends, COW/MOR deletes,
+updates (with and without row-level CDF), fold_deletes, bin-pack,
+rollback, tags — checked after EVERY commit against an in-memory
+model, then a full change-feed replay from a mid-walk checkpoint
+must reproduce the final model. Interleavings nobody hand-writes
+(MOR delete -> row-CDF update -> rollback -> binpack -> feed) are
+exactly where table formats rot."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from big_data_spark.io.compact import binpack_snapshot
+from big_data_spark.io.snapshot import (
+    append_snapshot,
+    delete_where,
+    fold_deletes,
+    read_changes,
+    read_snapshot,
+    rollback_snapshot,
+    snapshot_ids,
+    tag_snapshot,
+    update_where,
+    vacuum_snapshots,
+)
+
+N_STEPS = 22
+
+
+def _rows(df):
+    return {(r["k"], r["v"]) for r in df.collect()}
+
+
+def _run_walk(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    t = str(tmp_path / f"model_{seed}")
+    model: dict[int, float] = {}
+    next_key = 0
+    history: dict[int, frozenset] = {}
+
+    def snap_model():
+        sid = snapshot_ids(spark, t)[-1]
+        history[sid] = frozenset(model.items())
+        return sid
+
+    def do_append():
+        nonlocal next_key
+        m = rng.randint(3, 12)
+        batch = [(next_key + i, float(next_key + i)) for i in range(m)]
+        next_key += m
+        append_snapshot(
+            spark.createDataFrame(batch, "k long, v double"), t
+        )
+        model.update(dict(batch))
+
+    def do_delete():
+        p, r = rng.choice([(3, 0), (4, 1), (5, 2), (7, 3)])
+        mode = rng.choice(["cow", "mor"])
+        row_cdf = mode == "cow" and rng.random() < 0.5
+        st = delete_where(
+            spark, t, f"k % {p} = {r}", mode=mode, row_cdf=row_cdf
+        )
+        doomed = [k for k in model if k % p == r]
+        assert st["deleted_rows"] == len(doomed), (st, p, r)
+        for k in doomed:
+            del model[k]
+
+    def do_update():
+        p, r = rng.choice([(3, 1), (4, 2), (5, 0)])
+        row_cdf = rng.random() < 0.5
+        st = update_where(
+            spark, t, f"k % {p} = {r}", {"v": "v + 1000.0"},
+            row_cdf=row_cdf,
+        )
+        hit = [k for k in model if k % p == r]
+        assert st["updated_rows"] == len(hit), (st, p, r)
+        for k in hit:
+            model[k] = model[k] + 1000.0
+
+    def do_fold():
+        fold_deletes(spark, t)  # content no-op
+
+    def do_binpack():
+        binpack_snapshot(spark, t)  # content no-op (maintenance)
+
+    def do_rollback():
+        target = rng.choice(sorted(history))
+        rollback_snapshot(spark, t, target)
+        model.clear()
+        model.update(dict(history[target]))
+
+    # Bootstrap, then checkpoint early so the feed replay covers most
+    # of the walk.
+    do_append()
+    checkpoint_id = snap_model()
+    checkpoint_rows = set(history[checkpoint_id])
+    tag_snapshot(spark, t, "walk-checkpoint", snapshot_id=checkpoint_id)
+
+    ops = [do_append, do_delete, do_update, do_fold, do_binpack,
+           do_rollback]
+    weights = [4, 3, 3, 1, 1, 1]
+    for step in range(N_STEPS):
+        op = rng.choices(ops, weights)[0]
+        op()
+        sid = snap_model()
+        got = _rows(read_snapshot(spark, t))
+        assert got == set(model.items()), (
+            f"seed={seed} step={step} op={op.__name__} sid={sid}: "
+            f"table diverged from model "
+            f"(+{got - set(model.items())} -{set(model.items()) - got})"
+        )
+
+    # Feed replay from the checkpoint reproduces the final model,
+    # across every kind of commit the walk produced (tag pins the
+    # checkpoint, so this survives any retention policy).
+    state = set(checkpoint_rows)
+    feed = read_changes(spark, t, after_id=checkpoint_id).collect()
+    for sid in sorted({r["_commit_id"] for r in feed}):
+        state -= {
+            (r["k"], r["v"])
+            for r in feed
+            if r["_commit_id"] == sid
+            and r["_change_type"] in ("delete", "update_preimage")
+        }
+        state |= {
+            (r["k"], r["v"])
+            for r in feed
+            if r["_commit_id"] == sid
+            and r["_change_type"] in ("insert", "update_postimage")
+        }
+    assert state == set(model.items()), f"seed={seed}: feed replay diverged"
+    # Retention under pins: vacuum keeps the tagged checkpoint alive.
+    vacuum_snapshots(spark, t, keep_last=2)
+    assert checkpoint_id in snapshot_ids(spark, t)
+    assert _rows(
+        read_snapshot(spark, t, tag="walk-checkpoint")
+    ) == set(checkpoint_rows)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_walk_matches_model(spark, tmp_path, seed):
+    _run_walk(spark, tmp_path, seed)
