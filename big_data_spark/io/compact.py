@@ -287,6 +287,12 @@ def compact_snapshot(
             pcol,
             list(man["entries"].keys()),
             maintenance=True,
+            # Full rewrite of every partition from the masked,
+            # committed-schema read: vectors and the evolution log
+            # are materialized into the new files — clear both (the
+            # unpartitioned branch's write_snapshot does the same).
+            deletes=None,
+            rename_log=None,
             claim=True,
         )
     elif man.get("layout_by"):

@@ -1433,7 +1433,7 @@ def read_changes(
         touched = {
             k: rel
             for k, rel in entries_map.items()
-            if any(g == rel or g.startswith(rel + "/") for g in hit_dirs)
+            if any(_dir_matches(g, rel) for g in hit_dirs)
         }
         if not touched:
             return None
@@ -2212,7 +2212,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
     affected = {
         k: rel
         for k, rel in entries.items()
-        if any(g == rel or g.startswith(rel + "/") for g in hit_dirs)
+        if any(_dir_matches(g, rel) for g in hit_dirs)
     }
     stats = {
         "folded_vectors": len(dv),
@@ -2256,6 +2256,10 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
             pcol,
             list(affected.keys()),
             maintenance=True,
+            # Explicit clear: the fold's whole point — the rewritten
+            # partitions materialized their masks, the carried ones
+            # were never masked (hit_dirs chose affected).
+            deletes=None,
             rename_log=man.get("rename_log"),
             claim=True,
         )
@@ -2298,16 +2302,40 @@ def _owning_rel(file_uri: str, table_dir: str, rels: list[str]) -> str:
     """Map a scanned file URI to the manifest entry whose dir holds
     it (scheme-insensitive via bare_path — the one normalizer, shared
     with io/fileindex — longest prefix wins, so nested entry dirs
-    like _data/s=0 vs _data/s=0/_kb=1 resolve to the deeper one)."""
-    bare = bare_path(file_uri)
+    like _data/s=0 vs _data/s=0/_kb=1 resolve to the deeper one).
+
+    Scan-provenance strings (input_file_name / _metadata.file_path)
+    are URI-ENCODED — a disk dir ``part=p 2%3Ax`` arrives as
+    ``part=p%202%253Ax`` — while manifest rels hold raw disk names
+    (round-10 model-walk finding: DML on a partition value with a
+    space or '%' matched no entry). Try the raw form first (disk
+    names legitimately contain literal %XX from hive escaping), then
+    the once-unquoted form."""
+    from urllib.parse import unquote
+
     best: str | None = None
-    for rel in rels:
-        pb = bare_path(f"{table_dir}/{rel}").rstrip("/") + "/"
-        if bare.startswith(pb) and (best is None or len(rel) > len(best)):
-            best = rel
-    if best is None:
-        raise ValueError(f"file {file_uri!r} under no manifest entry")
-    return best
+    for bare in (bare_path(file_uri), unquote(bare_path(file_uri))):
+        for rel in rels:
+            pb = bare_path(f"{table_dir}/{rel}").rstrip("/") + "/"
+            if bare.startswith(pb) and (
+                best is None or len(rel) > len(best)
+            ):
+                best = rel
+        if best is not None:
+            return best
+    raise ValueError(f"file {file_uri!r} under no manifest entry")
+
+
+def _dir_matches(gen_dir: str, rel: str) -> bool:
+    """Does a scan-provenance generation dir (URI-encoded, see
+    _owning_rel) fall under the manifest entry ``rel`` (raw disk
+    name)? Raw form first, then once-unquoted."""
+    from urllib.parse import unquote
+
+    for cand in (gen_dir, unquote(gen_dir)):
+        if cand == rel or cand.startswith(rel + "/"):
+            return True
+    return False
 
 
 def follow_changes(
@@ -2764,8 +2792,8 @@ def write_snapshot_partial(
     touched_keys: list,
     replace: bool = False,
     maintenance: bool = False,
-    deletes: list[str] | None = None,
-    rename_log: list | None = None,
+    deletes: list[str] | None | str = "carry",
+    rename_log: list | None | str = "carry",
     claim: bool = False,
     cdf: str | None = None,
 ) -> None:
@@ -2777,6 +2805,18 @@ def write_snapshot_partial(
     with no rows simply drops out of the manifest: atomically-visible
     partition deletion, no stale files, no empty-dir sentinel.
 
+    ``deletes`` / ``rename_log`` default to ``"carry"``: the
+    predecessor's delete vectors and evolution log carry forward, so
+    a caller that doesn't manage them (the CDC mirrors, any ad-hoc
+    partial write) can never silently RESURRECT merge-on-read-deleted
+    rows of carried partitions or strip the schema-evolution replay
+    (found by the round-10 model walk: a partial write after a MOR
+    delete brought the masked rows back). Touched partitions' vector
+    rows go inert with their replaced generations. Pass ``None``
+    explicitly to clear — only correct when the written content
+    already materialized the masks and current names (fold_deletes,
+    compaction).
+
     The replay contract mirrors foreachBatch: the predecessor is the
     newest manifest STRICTLY BELOW ``snapshot_id``, so recomputing a
     crashed (or even already-committed) snapshot id from the same
@@ -2784,6 +2824,16 @@ def write_snapshot_partial(
     """
     spark = df.sparkSession
     prev = latest_manifest(spark, table_dir, below=snapshot_id)
+    if isinstance(deletes, str):
+        if deletes != "carry":
+            raise ValueError(f"deletes must be a list, None or 'carry'")
+        deletes = (prev or {}).get("deletes")
+    if isinstance(rename_log, str):
+        if rename_log != "carry":
+            raise ValueError(
+                f"rename_log must be a list, None or 'carry'"
+            )
+        rename_log = (prev or {}).get("rename_log")
     fields = _schema_fields(df)
     check_schema_evolution((prev or {}).get("schema"), fields)
     # Layout-compatibility gate (round-6 advice): carrying forward a
