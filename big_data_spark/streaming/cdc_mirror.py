@@ -108,7 +108,18 @@ def run_cdc_mirror(
             # first batch (or an empty table): the winners ARE the mirror
             new = incoming
         else:
-            mirror = read_entries(spark, mirror_dir, prev["entries"])
+            mirror = read_entries(
+                spark,
+                mirror_dir,
+                prev["entries"],
+                # Honor the manifest's merge-on-read masks and
+                # evolution log: a MOR delete or evolve on the mirror
+                # must not resurrect/misread rows into the next
+                # rewritten bucket (round-10 model-walk class).
+                deletes=prev.get("deletes"),
+                schema_fields=prev.get("schema"),
+                rename_log=prev.get("rename_log"),
+            )
             # _kb is a hive partition column of every live generation:
             # the isin literal prunes the scan to the touched buckets
             # statically — no join, no full-table read.
@@ -170,7 +181,14 @@ def purge_tombstones(
     man = latest_manifest(spark, mirror_dir)
     if man is None or not man["entries"]:
         return
-    df = read_entries(spark, mirror_dir, man["entries"])
+    df = read_entries(
+        spark,
+        mirror_dir,
+        man["entries"],
+        deletes=man.get("deletes"),
+        schema_fields=man.get("schema"),
+        rename_log=man.get("rename_log"),
+    )
     purgeable = F.col(_DELETED) & (F.col(seq_col) < F.lit(seq_watermark))
     touched = [
         r[_BUCKET]
@@ -230,7 +248,12 @@ def run_scd2_mirror(
             history = None
         else:
             history = read_entries(
-                spark, mirror_dir, prev["entries"]
+                spark,
+                mirror_dir,
+                prev["entries"],
+                deletes=prev.get("deletes"),
+                schema_fields=prev.get("schema"),
+                rename_log=prev.get("rename_log"),
             ).filter(F.col(_BUCKET).isin(touched))
         new = scd2_apply(
             history,

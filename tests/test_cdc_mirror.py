@@ -271,3 +271,51 @@ def test_scd2_mirror_replay_is_noop(spark, tmp_path):
         for r in read_scd2_mirror(spark, mirror, current_only=False).collect()
     }
     assert after == before
+
+
+def test_mor_delete_on_mirror_survives_next_batch(spark, tmp_path):
+    """Round-10 model-walk class: a merge-on-read DELETE issued
+    directly on the mirror table must stay deleted through the next
+    mirror batch — the batch's base read honors the manifest's masks,
+    and the partial write carries the vectors for untouched buckets."""
+    from big_data_spark.io.snapshot import delete_where
+
+    rows1 = [
+        (k, f"n{k}", float(k), 1, 1, "I") for k in range(8)
+    ]
+    mirror = _run(spark, tmp_path, rows1, "m1", mirror="mor_mirror")
+    st = delete_where(spark, mirror, "k = 3", mode="mor")
+    assert st["deleted_rows"] == 1
+    got = {r["k"] for r in read_mirror(spark, mirror).collect()}
+    assert 3 not in got
+    # Next batch updates a key in the SAME bucket as the deleted one
+    # (the rewrite path that would resurrect it from an unmasked base
+    # read) — found by hashing, not assumed.
+    bucket_of = {
+        r["k"]: r["b"]
+        for r in spark.range(8)
+        .selectExpr(
+            "id AS k",
+            "cast(pmod(xxhash64(id), 4) as int) AS b",
+        )
+        .collect()
+    }
+    same = next(
+        (k for k in range(8) if k != 3 and bucket_of[k] == bucket_of[3]),
+        5,  # no bucket-mate: the carried-bucket mask path is checked
+    )
+    rows2 = [(same, "upd", 55.0, 2, 1, "U")]
+    src = str(tmp_path / "src_m2")
+    spark.createDataFrame(rows2, SCHEMA).coalesce(1).write.parquet(src)
+    run_cdc_mirror(
+        _stream(spark, src),
+        ["k"],
+        "seq",
+        "idx",
+        mirror,
+        str(tmp_path / "ckpt_m2"),
+        n_buckets=4,
+    )
+    final = {r["k"]: r["v"] for r in read_mirror(spark, mirror).collect()}
+    assert 3 not in final
+    assert final[same] == 55.0 and len(final) == 7
