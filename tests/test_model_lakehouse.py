@@ -302,3 +302,107 @@ def _run_partitioned_walk(spark, tmp_path, seed):
 @pytest.mark.parametrize("seed", [11, 42])
 def test_partitioned_random_walk_matches_model(spark, tmp_path, seed):
     _run_partitioned_walk(spark, tmp_path, seed)
+
+
+# ---- Evolution walk: renames/widen/DML/rollback interleaved ----
+
+N_EVO_STEPS = 14
+
+
+def _run_evolution_walk(spark, tmp_path, seed):
+    from big_data_spark.io.snapshot import evolve_schema
+
+    rng = random.Random(seed)
+    t = str(tmp_path / f"emodel_{seed}")
+    model: dict[int, float] = {}
+    next_key = 0
+    vname = "v"          # the value column's CURRENT logical name
+    vgen = 0
+    ktype = "int"        # widened to bigint once, mid-walk
+    history: dict[int, tuple] = {}
+
+    def snap_model():
+        sid = snapshot_ids(spark, t)[-1]
+        history[sid] = (vname, ktype, frozenset(model.items()))
+        return sid
+
+    def do_append():
+        nonlocal next_key
+        m = rng.randint(3, 8)
+        batch = [(next_key + i, float(next_key + i)) for i in range(m)]
+        next_key += m
+        append_snapshot(
+            spark.createDataFrame(
+                batch, f"k {ktype}, {vname} double"
+            ),
+            t,
+        )
+        model.update(dict(batch))
+
+    def do_rename():
+        nonlocal vname, vgen
+        vgen += 1
+        new = f"v_{vgen}"
+        evolve_schema(spark, t, renames={vname: new})
+        vname = new
+
+    def do_widen():
+        nonlocal ktype
+        if ktype != "int":
+            return do_append()
+        evolve_schema(spark, t, widens={"k": "bigint"})
+        ktype = "bigint"
+
+    def do_update():
+        p, r = rng.choice([(3, 1), (4, 2)])
+        st = update_where(
+            spark, t, f"k % {p} = {r}", {vname: f"{vname} + 1000.0"},
+            row_cdf=rng.random() < 0.5,
+        )
+        hit = [k for k in model if k % p == r]
+        assert st["updated_rows"] == len(hit)
+        for k in hit:
+            model[k] = model[k] + 1000.0
+
+    def do_delete():
+        p, r = rng.choice([(3, 0), (5, 2)])
+        mode = rng.choice(["cow", "mor"])
+        st = delete_where(spark, t, f"k % {p} = {r}", mode=mode)
+        doomed = [k for k in model if k % p == r]
+        assert st["deleted_rows"] == len(doomed)
+        for k in doomed:
+            del model[k]
+
+    def do_rollback():
+        nonlocal vname, ktype
+        target = rng.choice(sorted(history))
+        rollback_snapshot(spark, t, target)
+        vname, ktype, rows = history[target]
+        model.clear()
+        model.update(dict(rows))
+
+    do_append()
+    snap_model()
+    ops = [do_append, do_rename, do_widen, do_update, do_delete,
+           do_rollback]
+    weights = [4, 2, 1, 3, 2, 1]
+    for step in range(N_EVO_STEPS):
+        op = rng.choices(ops, weights)[0]
+        op()
+        sid = snap_model()
+        df = read_snapshot(spark, t)
+        assert df.columns == ["k", vname], (
+            f"seed={seed} step={step} op={op.__name__}: columns "
+            f"{df.columns} != ['k', {vname!r}]"
+        )
+        assert dict(df.dtypes)["k"] == ktype
+        got = {(r["k"], r[vname]) for r in df.collect()}
+        assert got == set(model.items()), (
+            f"seed={seed} step={step} op={op.__name__} sid={sid}: "
+            f"(+{got - set(model.items())} -{set(model.items()) - got})"
+        )
+
+
+@pytest.mark.parametrize("seed", [3, 59])
+def test_evolution_random_walk_matches_model(spark, tmp_path, seed):
+    _run_evolution_walk(spark, tmp_path, seed)
