@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import posixpath
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1430,10 +1431,9 @@ def read_changes(
             .collect()
             if r["_g"]
         }
+        owned = _match_rels(hit_dirs, set(entries_map.values()))
         touched = {
-            k: rel
-            for k, rel in entries_map.items()
-            if any(_dir_matches(g, rel) for g in hit_dirs)
+            k: rel for k, rel in entries_map.items() if rel in owned
         }
         if not touched:
             return None
@@ -2209,11 +2209,8 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
         .collect()
         if r["_g"]
     }
-    affected = {
-        k: rel
-        for k, rel in entries.items()
-        if any(_dir_matches(g, rel) for g in hit_dirs)
-    }
+    owned = _match_rels(hit_dirs, set(entries.values()))
+    affected = {k: rel for k, rel in entries.items() if rel in owned}
     stats = {
         "folded_vectors": len(dv),
         "rewritten": len(set(affected.values())),
@@ -2305,16 +2302,19 @@ def _owning_rel(file_uri: str, table_dir: str, rels: list[str]) -> str:
     like _data/s=0 vs _data/s=0/_kb=1 resolve to the deeper one).
 
     Scan-provenance strings (input_file_name / _metadata.file_path)
-    are URI-ENCODED — a disk dir ``part=p 2%3Ax`` arrives as
-    ``part=p%202%253Ax`` — while manifest rels hold raw disk names
-    (round-10 model-walk finding: DML on a partition value with a
-    space or '%' matched no entry). Try the raw form first (disk
-    names legitimately contain literal %XX from hive escaping), then
-    the once-unquoted form."""
-    from urllib.parse import unquote
-
+    are URI-ENCODED by construction (Spark's urlEncodedPath) — a disk
+    dir ``part=p 2%3Ax`` arrives as ``part=p%202%253Ax`` — while
+    manifest rels hold raw disk names (round-10 model-walk finding:
+    DML on a partition value with a space or '%' matched no entry).
+    The ONCE-UNQUOTED form is therefore tried first, COMPLETELY
+    (longest prefix across all rels); trying the raw form first would
+    mis-attribute a file whenever one partition's raw hive-escaped
+    dir equals a sibling's encoded provenance ('a:b' vs 'a%3Ab' —
+    review-probe confirmed). The raw pass survives only as a global
+    fallback for a hypothetical unencoded provenance source, where it
+    still raises loudly rather than matching nothing."""
     best: str | None = None
-    for bare in (bare_path(file_uri), unquote(bare_path(file_uri))):
+    for bare in (unquote(bare_path(file_uri)), bare_path(file_uri)):
         for rel in rels:
             pb = bare_path(f"{table_dir}/{rel}").rstrip("/") + "/"
             if bare.startswith(pb) and (
@@ -2326,16 +2326,26 @@ def _owning_rel(file_uri: str, table_dir: str, rels: list[str]) -> str:
     raise ValueError(f"file {file_uri!r} under no manifest entry")
 
 
-def _dir_matches(gen_dir: str, rel: str) -> bool:
-    """Does a scan-provenance generation dir (URI-encoded, see
-    _owning_rel) fall under the manifest entry ``rel`` (raw disk
-    name)? Raw form first, then once-unquoted."""
-    from urllib.parse import unquote
-
-    for cand in (gen_dir, unquote(gen_dir)):
-        if cand == rel or cand.startswith(rel + "/"):
-            return True
-    return False
+def _match_rels(hit_dirs, rels) -> set:
+    """The manifest rels that own any of the scan-provenance dirs in
+    ``hit_dirs`` (URI-encoded, see _owning_rel). The unquoted form
+    matches first across ALL rels; the raw form is a global fallback
+    PER DIR, only when the unquoted pass owned nothing — a per-pair
+    fallback would alias an encoded dir onto a sibling partition's
+    raw hive-escaped name even after the unquoted pass had already
+    found the true owner."""
+    owned: set = set()
+    for g in hit_dirs:
+        uq = unquote(g)
+        hit = {
+            rel for rel in rels if uq == rel or uq.startswith(rel + "/")
+        }
+        if not hit:
+            hit = {
+                rel for rel in rels if g == rel or g.startswith(rel + "/")
+            }
+        owned |= hit
+    return owned
 
 
 def follow_changes(
@@ -2824,16 +2834,8 @@ def write_snapshot_partial(
     """
     spark = df.sparkSession
     prev = latest_manifest(spark, table_dir, below=snapshot_id)
-    if isinstance(deletes, str):
-        if deletes != "carry":
-            raise ValueError(f"deletes must be a list, None or 'carry'")
-        deletes = (prev or {}).get("deletes")
-    if isinstance(rename_log, str):
-        if rename_log != "carry":
-            raise ValueError(
-                f"rename_log must be a list, None or 'carry'"
-            )
-        rename_log = (prev or {}).get("rename_log")
+    deletes = _resolve_carry(deletes, prev, "deletes")
+    rename_log = _resolve_carry(rename_log, prev, "rename_log")
     fields = _schema_fields(df)
     check_schema_evolution((prev or {}).get("schema"), fields)
     # Layout-compatibility gate (round-6 advice): carrying forward a
@@ -2913,6 +2915,17 @@ def write_snapshot_partial(
         if claim:
             _unclaim(spark, gdir)
         raise
+
+
+def _resolve_carry(value, prev: dict | None, key: str):
+    """Resolve a ``"carry"``-defaulted manifest-metadata parameter:
+    the sentinel takes the predecessor's value, a list/None is used
+    verbatim, anything else is refused loudly."""
+    if isinstance(value, str):
+        if value != "carry":
+            raise ValueError(f"{key} must be a list, None or 'carry'")
+        return (prev or {}).get(key)
+    return value
 
 
 def vacuum_snapshots(

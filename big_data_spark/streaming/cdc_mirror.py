@@ -35,6 +35,17 @@ Design decisions that carry to 100 TB:
   resurrection bug is structurally impossible. ``read_mirror``
   filters tombstones; ``purge_tombstones`` reclaims them once the
   feed's redelivery horizon has passed.
+
+Direct table-format DML on a mirror (``delete_where`` /
+``update_where`` on ``mirror_dir``) is honored by the next batch —
+the base reads apply the manifest's merge-on-read masks and
+evolution log — but a DML DELETE removes the row's ``(seq, tie)``
+STATE along with the row: it is ``purge_tombstones`` semantics
+WITHOUT the watermark guard, so a change for that key redelivered
+later re-inserts it as new. Use it only for keys the upstream feed
+has quiesced (GDPR-style erasure); retention cleanup belongs to
+``purge_tombstones``, whose ``seq_watermark`` keeps the guard
+intact.
 """
 
 from __future__ import annotations

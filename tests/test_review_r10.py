@@ -142,3 +142,36 @@ def test_replace_recommit_of_pre_timestamp_manifest_stays_monotone(
     append_snapshot(df, t, snapshot_id=0, replace=True)  # crash replay
     assert read_manifest(spark, t, 0)["committed_at_ms"] == 0
     assert resolve_as_of_ts(spark, t, ts1) == 1
+
+
+def test_dml_attribution_with_aliasing_partition_values(spark, tmp_path):
+    """Third-pass review (probe-confirmed): partition value 'a:b'
+    URI-encodes in scan provenance to exactly the RAW hive-escaped
+    dir of sibling value 'a%3Ab' — raw-first matching attributed the
+    file to the wrong partition and COW DML rewrote the wrong one.
+    Unquoted-first, full-pass matching resolves both correctly."""
+    from big_data_spark.io.snapshot import (
+        delete_where,
+        fold_deletes,
+        write_snapshot_partial,
+    )
+
+    t = str(tmp_path / "alias")
+    df = spark.createDataFrame(
+        [(1, "a:b", 1.0), (2, "a%3Ab", 2.0)],
+        "k long, part string, v double",
+    )
+    write_snapshot_partial(df, t, 0, "part", ["a:b", "a%3Ab"])
+    st = delete_where(spark, t, "k = 1")  # lives in partition 'a:b'
+    assert st["deleted_rows"] == 1
+    got = {
+        (r["k"], r["part"]) for r in read_snapshot(spark, t).collect()
+    }
+    assert got == {(2, "a%3Ab")}
+    # MOR + fold across the same aliasing pair.
+    st = delete_where(spark, t, "k = 2", mode="mor")
+    assert st["deleted_rows"] == 1
+    assert read_snapshot(spark, t).count() == 0
+    folded = fold_deletes(spark, t)
+    assert folded["rewritten"] == 1  # only the truly-masked partition
+    assert read_snapshot(spark, t).count() == 0
