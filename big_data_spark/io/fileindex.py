@@ -217,12 +217,29 @@ def read_snapshot_point(
         by_gen.setdefault(gen, []).append(rel)
     dv = man.get("deletes") or None
     for gen, rels in sorted(by_gen.items()):
+        # Index-recorded URIs are URI-ENCODED (input_file_name), rels
+        # are raw disk names: match the once-unquoted form first, raw
+        # as fallback (round-10 provenance-encoding finding; a miss
+        # here would silently DROP covered files from a point read).
+        # Per-pair fallback is safe here — rels of one generation
+        # share a scan, and `_data/s=<id>` prefixes never encode.
+        from urllib.parse import unquote
+
+        prefixes = [
+            _bare(f"{table_dir}/{r}").rstrip("/") + "/" for r in rels
+        ]
+        # The kept URIs hand back to spark.read.parquet ONCE-UNQUOTED:
+        # a string path is read raw, so the encoded form points at a
+        # nonexistent dir for values with spaces/percents; unquote is
+        # the exact inverse of provenance encoding and preserves the
+        # scheme, so hdfs://s3a:// tables still resolve against their
+        # own filesystem.
         kept = sorted(
-            orig
+            unquote(orig)
             for bare, orig in maybe.items()
             if any(
-                bare.startswith(_bare(f"{table_dir}/{r}").rstrip("/") + "/")
-                for r in rels
+                unquote(bare).startswith(pb) or bare.startswith(pb)
+                for pb in prefixes
             )
         )
         if kept:

@@ -238,3 +238,23 @@ def test_maintain_table_rebuilds_empty_index_with_defaults(
     assert idx.select("covers").first() is not None
     got = read_snapshot_point(spark, t, "k", "b").collect()
     assert [(r["k"], r["v"]) for r in got] == [("b", 2)]
+
+
+def test_point_read_on_encoded_partition_values(spark, tmp_path):
+    """Round-10 provenance-encoding regression: index URIs are
+    URI-encoded while manifest rels are raw disk names — a partition
+    value with a space or ':' silently DROPPED its covered files
+    from the point read. The unquoted-first match keeps losslessness."""
+    from big_data_spark.io.snapshot import write_snapshot_partial
+
+    t = str(tmp_path / "enc_point")
+    df = spark.createDataFrame(
+        [(f"key-{i}", f"p {i % 2}:x", i) for i in range(40)],
+        "k string, part string, v long",
+    )
+    write_snapshot_partial(df, t, 0, "part", ["p 0:x", "p 1:x"])
+    write_bloom_index(spark, t, "k")
+    got = read_snapshot_point(spark, t, "k", "key-7")
+    want = read_snapshot(spark, t).filter(F.col("k") == "key-7")
+    assert _rows(got) == _rows(want)
+    assert got.count() == 1
