@@ -159,6 +159,56 @@ def compact_parquet(
     }
 
 
+def _with_zorder_key(
+    df: DataFrame, zorder_by: list[str], zorder_bits: int
+):
+    """``df`` plus a ``_zkey`` Morton-interleave column; returns
+    ``(keyed_df, helper_cols_to_drop)``.
+
+    Normalizes each dimension into [0, 2^bits) by linear min/max
+    scaling: ONE map-side-combinable aggregate for all bounds,
+    broadcast back as a 1-row join — fully distributed (a
+    percent_rank window would be exact under skew but funnels the
+    whole table through one task; wrong trade for a maintenance
+    pass). Heavy skew degrades locality, not correctness —
+    pre-bucket skewed columns if it matters. Bounds are GLOBAL even
+    for a partitioned rewrite: scaling is monotone, so within-
+    partition ordering is identical; per-partition bounds would only
+    tighten spans when partitions cover very different ranges."""
+    from pyspark.sql import functions as F
+
+    top = (1 << zorder_bits) - 1
+    bounds = df.agg(
+        *[
+            f
+            for c in zorder_by
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"_zmin_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_zmax_{c}"),
+            )
+        ]
+    )
+    norm = df.join(F.broadcast(bounds))
+    for c in zorder_by:
+        span = F.col(f"_zmax_{c}") - F.col(f"_zmin_{c}")
+        scaled = F.when(
+            span > 0,
+            (F.col(c).cast("double") - F.col(f"_zmin_{c}")) / span,
+        ).otherwise(F.lit(0.0))
+        norm = norm.withColumn(
+            f"_zr_{c}", F.round(scaled * top).cast("bigint")
+        )
+    keyed = norm.withColumn(
+        "_zkey",
+        zorder_key([f"_zr_{c}" for c in zorder_by], bits=zorder_bits),
+    ).drop(
+        *[f"_zmin_{c}" for c in zorder_by],
+        *[f"_zmax_{c}" for c in zorder_by],
+    )
+    helpers = ["_zkey"] + [f"_zr_{c}" for c in zorder_by]
+    return keyed, helpers
+
+
 def _compaction_plan(
     df: DataFrame,
     n_out: int,
@@ -171,41 +221,11 @@ def _compaction_plan(
     (cluster) / range-partition-on-Morton-key (z-order), plus an
     optional within-file sort for tight row-group statistics."""
     if zorder_by:
-        from pyspark.sql import functions as F
-
-        # Normalize each dimension into [0, 2^bits) by linear min/max
-        # scaling: ONE map-side-combinable aggregate for all bounds,
-        # broadcast back as a 1-row join — fully distributed (a
-        # percent_rank window would be exact under skew but funnels
-        # the whole table through one task; wrong trade for a
-        # maintenance pass). Heavy skew degrades locality, not
-        # correctness — pre-bucket skewed columns if it matters.
-        top = (1 << zorder_bits) - 1
-        bounds = df.agg(
-            *[
-                f
-                for c in zorder_by
-                for f in (
-                    F.min(F.col(c).cast("double")).alias(f"_zmin_{c}"),
-                    F.max(F.col(c).cast("double")).alias(f"_zmax_{c}"),
-                )
-            ]
-        )
-        norm = df.join(F.broadcast(bounds))
-        for c in zorder_by:
-            span = F.col(f"_zmax_{c}") - F.col(f"_zmin_{c}")
-            scaled = F.when(span > 0, (F.col(c).cast("double") - F.col(f"_zmin_{c}")) / span).otherwise(F.lit(0.0))
-            norm = norm.withColumn(
-                f"_zr_{c}", F.round(scaled * top).cast("bigint")
-            )
-        keyed = norm.withColumn(
-            "_zkey",
-            zorder_key([f"_zr_{c}" for c in zorder_by], bits=zorder_bits),
-        ).drop(*[f"_zmin_{c}" for c in zorder_by], *[f"_zmax_{c}" for c in zorder_by])
+        keyed, helpers = _with_zorder_key(df, zorder_by, zorder_bits)
         out = (
             keyed.repartitionByRange(n_out, "_zkey")
             .sortWithinPartitions("_zkey")
-            .drop("_zkey", *[f"_zr_{c}" for c in zorder_by])
+            .drop(*helpers)
         )
     elif cluster_by:
         out = df.repartition(n_out, *cluster_by)
@@ -272,14 +292,40 @@ def compact_snapshot(
     _claim_check(spark, table_dir, next_id)
     pcol = man.get("partition_col")
     if pcol:
-        if cluster_by or zorder_by:
+        if cluster_by:
             raise ValueError(
-                "cluster_by/zorder_by not supported for a partitioned "
-                "snapshot — the partition column already fixes the layout"
+                "cluster_by not supported for a partitioned snapshot "
+                "— the partition column already fixes the coarse "
+                "layout; use zorder_by to cluster WITHIN partitions"
             )
-        out = df.repartition(n_out, pcol)
-        if sort_within:
-            out = out.sortWithinPartitions(*sort_within)
+        if zorder_by:
+            # Z-order WITHIN each partition (round 10 — Delta's
+            # OPTIMIZE ZORDER on partitioned tables): range-split on
+            # (partition, Morton key) so every task holds one
+            # contiguous slice of one-or-few partitions sorted by the
+            # interleave — each written file is narrow on EVERY
+            # z-column and footer stats prune point/range reads
+            # inside the partition dirs the manifest already prunes.
+            if pcol in zorder_by:
+                raise ValueError(
+                    f"zorder_by includes the partition column {pcol!r} "
+                    "— it is constant within each partition dir; list "
+                    "only the within-partition dimensions"
+                )
+            from pyspark.sql import functions as F
+
+            keyed, helpers = _with_zorder_key(df, zorder_by, zorder_bits)
+            out = (
+                keyed.repartitionByRange(
+                    n_out, F.col(pcol), F.col("_zkey")
+                )
+                .sortWithinPartitions(pcol, "_zkey")
+                .drop(*helpers)
+            )
+        else:
+            out = df.repartition(n_out, pcol)
+            if sort_within:
+                out = out.sortWithinPartitions(*sort_within)
         write_snapshot_partial(
             out,
             table_dir,

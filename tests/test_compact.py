@@ -301,3 +301,79 @@ def test_maintain_table_full_pass(spark, tmp_path):
     assert rep2["binpacked"]["folded"] == 0
     assert rep2["indexes_rebuilt"] == []
     assert snapshot_ids(spark, t)  # table intact
+
+
+def test_partitioned_snapshot_zorder_within_partitions(spark, tmp_path):
+    """Round 10: OPTIMIZE ZORDER on a PARTITIONED snapshot table —
+    z-order WITHIN each partition dir (Delta parity; previously
+    refused). Content identical, partition entries preserved, and
+    each written file covers a narrow slice of both z-dims inside
+    its partition."""
+    import glob as _glob
+
+    from big_data_spark.io.compact import compact_snapshot
+    from big_data_spark.io.snapshot import (
+        latest_manifest,
+        read_snapshot,
+        write_snapshot_partial,
+    )
+
+    t = str(tmp_path / "part_z")
+    li = (
+        read_table(spark, SF_SMOKE, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_orderkey") % 2).cast("string").alias("half"),
+        )
+        .repartition(8)
+    )
+    write_snapshot_partial(li, t, 0, "half", ["0", "1"])
+    before = {tuple(r) for r in read_snapshot(spark, t).collect()}
+    st = compact_snapshot(
+        spark,
+        t,
+        target_file_bytes=1 << 15,  # ~32 KiB -> several output files
+        zorder_by=["l_partkey", "l_suppkey"],
+    )
+    assert st["snapshot_id"] == 1
+    man = latest_manifest(spark, t)
+    assert man["partition_col"] == "half"
+    assert set(man["entries"]) == {"0", "1"}
+    got = read_snapshot(spark, t)
+    assert {tuple(r) for r in got.collect()} == before
+    assert set(got.columns) == {
+        "l_orderkey", "l_partkey", "l_suppkey", "half"
+    }
+    # Within each partition dir, per-file spans on both z-dims are
+    # narrow relative to the dim's full range.
+    checked = 0
+    for part in ("0", "1"):
+        files = sorted(
+            _glob.glob(f"{t}/_data/s=1/half={part}/*.parquet")
+        )
+        if len(files) < 2:
+            continue  # one file = trivially clustered
+        # One job per file: both dims' bounds in a single agg.
+        per_file = [
+            spark.read.parquet(f)
+            .agg(
+                F.min("l_partkey"),
+                F.max("l_partkey"),
+                F.min("l_suppkey"),
+                F.max("l_suppkey"),
+            )
+            .collect()[0]
+            for f in files
+        ]
+        for lo_i, hi_i, col in ((0, 1, "l_partkey"), (2, 3, "l_suppkey")):
+            lo = min(r[lo_i] for r in per_file)
+            hi = max(r[hi_i] for r in per_file)
+            full = hi - lo
+            spans = [(r[hi_i] - r[lo_i]) / full for r in per_file]
+            assert sum(spans) / len(spans) < 0.8, (part, col, spans)
+            checked += 1
+    assert checked > 0, "no multi-file partition to check clustering on"
+    with pytest.raises(ValueError, match="partition column"):
+        compact_snapshot(spark, t, zorder_by=["half", "l_partkey"])
