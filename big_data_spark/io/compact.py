@@ -177,6 +177,24 @@ def _with_zorder_key(
     tighten spans when partitions cover very different ranges."""
     from pyspark.sql import functions as F
 
+    # Validate dimensions UP FRONT: a non-numeric column otherwise
+    # dies mid-rewrite inside Spark's double cast (ANSI
+    # CAST_INVALID_INPUT) — loud and early beats a job failure.
+    numeric = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "decimal",
+    }
+    dtypes = dict(df.dtypes)
+    for c in zorder_by:
+        if c not in dtypes:
+            raise ValueError(f"zorder_by: unknown column {c!r}")
+        if dtypes[c].split("(")[0] not in numeric:
+            raise ValueError(
+                f"zorder_by: column {c!r} has type {dtypes[c]} — "
+                "z-order dimensions must be numeric (the key is a "
+                "min/max-scaled interleave); cluster strings with "
+                "cluster_by / sort_within instead"
+            )
     top = (1 << zorder_bits) - 1
     bounds = df.agg(
         *[

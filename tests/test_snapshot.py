@@ -347,8 +347,13 @@ def test_compact_snapshot_folds_partitioned_generations(spark, tmp_path):
         f"s={res['snapshot_id']}"
     }  # one generation again
     assert _rows(read_snapshot(spark, t)) == before
-    with pytest.raises(ValueError, match="partitioned snapshot"):
+    # Round 10: z-order WITHIN partitions is supported
+    # (tests/test_compact.py pins the clustering); the refusals left
+    # are non-numeric dims and the partition column itself.
+    with pytest.raises(ValueError, match="must be numeric"):
         compact_snapshot(spark, t, zorder_by=["k", "v"])
+    with pytest.raises(ValueError, match="partition column"):
+        compact_snapshot(spark, t, zorder_by=["_kb", "k"])
 
 
 def test_read_fully_emptied_table_is_zero_rows_with_schema(
