@@ -148,9 +148,15 @@ class SnapshotCatalog:
     gap. The dispatcher is driver-side statement routing only; all
     data movement stays in the audited primitives."""
 
-    def __init__(self, spark: SparkSession, versions: str = "eager"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        versions: str = "eager",
+        base_dir: str | None = None,
+    ):
         self.spark = spark
         self.versions = versions
+        self.base_dir = base_dir  # roots CTAS without LOCATION
         self.tables: dict[str, str] = {}
 
     def register(self, name: str, table_dir: str) -> list[str]:
@@ -167,17 +173,38 @@ class SnapshotCatalog:
     def as_of(self, name: str, version: int) -> DataFrame:
         return as_of(self.spark, self.tables[name], version, name=name)
 
+    def _drop_views(self, name: str) -> None:
+        """Deregister every temp view a DROPped table owned —
+        ``name``, ``name_v<N>``, ``name_history``, ``name_changes``
+        — so stale views can't resolve into the deleted dir."""
+        import re as _re
+
+        pat = _re.compile(
+            rf"^{_re.escape(name)}(_v\d+|_history|_changes)?$"
+        )
+        for tbl in self.spark.catalog.listTables():
+            if tbl.isTemporary and pat.match(tbl.name):
+                self.spark.catalog.dropTempView(tbl.name)
+
     def sql(self, statement: str):
         from big_data_spark.sqldml import (
             rewrite_time_travel,
             route_statement,
         )
 
-        st = route_statement(self.spark, statement, self.tables)
+        st = route_statement(
+            self.spark, statement, self.tables, base_dir=self.base_dir
+        )
         if isinstance(st, DataFrame):
             return st  # DESCRIBE HISTORY — a read, nothing to refresh
         if st is not None:
-            self.refresh(st["table"])
+            if st.get("statement_type") == "DROP TABLE":
+                self._drop_views(st["table"])
+            else:
+                # CREATE TABLE registered the name into self.tables
+                # inside the dispatcher; refresh covers both the new
+                # table's first views and every post-DML refresh.
+                self.refresh(st["table"])
             return st
         # SELECT-side time travel: 't VERSION AS OF n|tag' and
         # 't TIMESTAMP AS OF ts' rewrite to just-registered version

@@ -177,23 +177,47 @@ def _with_zorder_key(
     tighten spans when partitions cover very different ranges."""
     from pyspark.sql import functions as F
 
-    # Validate dimensions UP FRONT: a non-numeric column otherwise
+    # Validate dimensions UP FRONT: an unsupported type otherwise
     # dies mid-rewrite inside Spark's double cast (ANSI
     # CAST_INVALID_INPUT) — loud and early beats a job failure.
     numeric = {
         "tinyint", "smallint", "int", "bigint", "float", "double",
         "decimal",
     }
+    stringy = {"string", "varchar", "char"}
     dtypes = dict(df.dtypes)
+
+    def dim_expr(c: str):
+        """The column as a double z-dimension. STRING columns (round
+        11 — Delta's approach) map through a truncated fixed-width
+        binary prefix: the first 7 UTF-8 bytes, hex-encoded and
+        right-'0'-padded to 14 nibbles, read as one 56-bit integer —
+        MONOTONE with the lexicographic byte order on that prefix
+        (the padding is what keeps 'b' above 'abc'; unpadded values
+        compare by length first). Ties beyond 7 bytes collapse to one
+        bucket: truncation trades tail resolution for a bounded key,
+        exactly the z-order trade for long common prefixes."""
+        if dtypes[c].split("(")[0] in stringy:
+            return F.conv(
+                F.rpad(
+                    F.substring(F.hex(F.encode(F.col(c), "UTF-8")), 1, 14),
+                    14,
+                    "0",
+                ),
+                16,
+                10,
+            ).cast("double")
+        return F.col(c).cast("double")
+
     for c in zorder_by:
         if c not in dtypes:
             raise ValueError(f"zorder_by: unknown column {c!r}")
-        if dtypes[c].split("(")[0] not in numeric:
+        if dtypes[c].split("(")[0] not in numeric | stringy:
             raise ValueError(
                 f"zorder_by: column {c!r} has type {dtypes[c]} — "
-                "z-order dimensions must be numeric (the key is a "
-                "min/max-scaled interleave); cluster strings with "
-                "cluster_by / sort_within instead"
+                "z-order dimensions must be numeric or string (the "
+                "key is a min/max-scaled interleave; strings cluster "
+                "by a truncated binary prefix)"
             )
     top = (1 << zorder_bits) - 1
     bounds = df.agg(
@@ -201,8 +225,8 @@ def _with_zorder_key(
             f
             for c in zorder_by
             for f in (
-                F.min(F.col(c).cast("double")).alias(f"_zmin_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"_zmax_{c}"),
+                F.min(dim_expr(c)).alias(f"_zmin_{c}"),
+                F.max(dim_expr(c)).alias(f"_zmax_{c}"),
             )
         ]
     )
@@ -211,7 +235,7 @@ def _with_zorder_key(
         span = F.col(f"_zmax_{c}") - F.col(f"_zmin_{c}")
         scaled = F.when(
             span > 0,
-            (F.col(c).cast("double") - F.col(f"_zmin_{c}")) / span,
+            (dim_expr(c) - F.col(f"_zmin_{c}")) / span,
         ).otherwise(F.lit(0.0))
         norm = norm.withColumn(
             f"_zr_{c}", F.round(scaled * top).cast("bigint")
@@ -308,8 +332,10 @@ def compact_snapshot(
     from big_data_spark.io.snapshot import _claim_check
 
     _claim_check(spark, table_dir, next_id)
-    pcol = man.get("partition_col")
-    if pcol:
+    from big_data_spark.io.snapshot import _pcols
+
+    pcols = _pcols(man.get("partition_col"))
+    if pcols:
         if cluster_by:
             raise ValueError(
                 "cluster_by not supported for a partitioned snapshot "
@@ -319,36 +345,40 @@ def compact_snapshot(
         if zorder_by:
             # Z-order WITHIN each partition (round 10 — Delta's
             # OPTIMIZE ZORDER on partitioned tables): range-split on
-            # (partition, Morton key) so every task holds one
+            # (partition..., Morton key) so every task holds one
             # contiguous slice of one-or-few partitions sorted by the
             # interleave — each written file is narrow on EVERY
             # z-column and footer stats prune point/range reads
             # inside the partition dirs the manifest already prunes.
-            if pcol in zorder_by:
+            overlap = sorted(set(zorder_by) & set(pcols))
+            if overlap:
                 raise ValueError(
-                    f"zorder_by includes the partition column {pcol!r} "
-                    "— it is constant within each partition dir; list "
-                    "only the within-partition dimensions"
+                    f"zorder_by includes partition column(s) "
+                    f"{overlap} — they are constant within each "
+                    "partition dir; list only the within-partition "
+                    "dimensions"
                 )
             from pyspark.sql import functions as F
 
             keyed, helpers = _with_zorder_key(df, zorder_by, zorder_bits)
             out = (
                 keyed.repartitionByRange(
-                    n_out, F.col(pcol), F.col("_zkey")
+                    n_out,
+                    *[F.col(c) for c in pcols],
+                    F.col("_zkey"),
                 )
-                .sortWithinPartitions(pcol, "_zkey")
+                .sortWithinPartitions(*pcols, "_zkey")
                 .drop(*helpers)
             )
         else:
-            out = df.repartition(n_out, pcol)
+            out = df.repartition(n_out, *pcols)
             if sort_within:
                 out = out.sortWithinPartitions(*sort_within)
         write_snapshot_partial(
             out,
             table_dir,
             next_id,
-            pcol,
+            man.get("partition_col"),
             list(man["entries"].keys()),
             maintenance=True,
             # Full rewrite of every partition from the masked,

@@ -243,9 +243,17 @@ def read_snapshot_point(
             )
         )
         if kept:
-            part = spark.read.option(
-                "basePath", f"{table_dir}/{gen}"
-            ).parquet(*kept)
+            from big_data_spark.io.snapshot import (
+                _declared_partition_types,
+            )
+
+            with _declared_partition_types(spark):
+                # Same no-inference discipline as read_entries: dir
+                # values stay strings and cast to the committed type
+                # below ('00123' must not point-read back as '123').
+                part = spark.read.option(
+                    "basePath", f"{table_dir}/{gen}"
+                ).parquet(*kept)
             if dv:
                 part = part.select(
                     "*",

@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import posixpath
 import uuid
+from contextlib import contextmanager
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +64,26 @@ def _bare_expr(col):
     """Column-level twin of bare_path: scheme-insensitive file path
     for joining delete-vector positions against scan metadata."""
     return F.regexp_replace(col, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+
+@contextmanager
+def _declared_partition_types(spark: SparkSession):
+    """Scope a scan so hive partition-column values stay STRINGS and
+    cast to the COMMITTED type downstream (_normalize_scan), instead
+    of being type-INFERRED first. Inference-then-cast is lossy for
+    numeric-looking string keys: a '00123' dir value infers as 123
+    and casts back to '123' — the read would diverge from the raw
+    value the manifest keys and DML attribution use (round-10 advice,
+    generalized from read_staged to every manifest-driven scan).
+    Partition discovery runs eagerly at DataFrame creation, so the
+    conf only needs to cover the spark.read call."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 class SnapshotConflict(Exception):
@@ -178,6 +199,44 @@ def latest_manifest(
 _TAGS_DIR = "_tags"
 
 
+def _atomic_overwrite_local(
+    spark: SparkSession, fs, parent_dir: str, tmp_path, final_path, tag: str
+) -> bool:
+    """Replace ``final_path`` with ``tmp_path`` in ONE atomic
+    same-directory rename on a local (file://) filesystem — java.nio
+    ``ATOMIC_MOVE|REPLACE_EXISTING``, the overwrite-rename Hadoop's
+    ``FileSystem.rename`` lacks. Checksum sidecars need care: the
+    local FS is a ChecksumFileSystem, so a stale ``.{name}.crc``
+    beside the swapped-in data would fail readers' verification.
+    Order: delete the DESTINATION's crc first (a missing crc merely
+    skips verification — safe), atomically move the data file, then
+    move the tmp's crc into place (re-arming verification)."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+
+    def _nio_move(src: str, dst: str) -> None:
+        opts = gw.new_array(jvm.java.nio.file.CopyOption, 2)
+        opts[0] = jvm.java.nio.file.StandardCopyOption.REPLACE_EXISTING
+        opts[1] = jvm.java.nio.file.StandardCopyOption.ATOMIC_MOVE
+        jvm.java.nio.file.Files.move(
+            jvm.java.io.File(src).toPath(),
+            jvm.java.io.File(dst).toPath(),
+            opts,
+        )
+
+    tmp_name = tmp_path.getName()
+    dst_crc = f"{parent_dir}/.{tag}.json.crc"
+    _, dst_crc_p = hadoop_fs(spark, dst_crc)
+    if fs.exists(dst_crc_p):
+        fs.delete(dst_crc_p, False)
+    _nio_move(tmp_path.toUri().getPath(), final_path.toUri().getPath())
+    src_crc = f"{parent_dir}/.{tmp_name}.crc"
+    _, src_crc_p = hadoop_fs(spark, src_crc)
+    if fs.exists(src_crc_p):
+        _nio_move(src_crc_p.toUri().getPath(), dst_crc_p.toUri().getPath())
+    return True
+
+
 def tag_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -226,21 +285,37 @@ def tag_snapshot(
     finally:
         out.close()
     _, final = hadoop_fs(spark, f"{tdir}/{tag}.json")
-    # replace=True is delete-then-rename: readers can hit a transient
-    # not-found between the two ops, and a crash between them RELEASES
-    # the pin (the next vacuum may expire the formerly pinned
-    # version's data) — re-tag after recovering. Two concurrent
-    # replace=True movers are last-completed-wins: the loser's rename
-    # fails because the winner's file landed after our delete, so
-    # retry ONCE after re-deleting (round-10 advice: without the
-    # retry the loser got the misleading first-writer-conflict error).
-    if replace and fs.exists(final):
-        fs.delete(final, False)
-    renamed = fs.rename(tmp_path, final)
-    if not renamed and replace:
-        if fs.exists(final):
+    # replace=True on a LOCAL filesystem moves the pin with ONE atomic
+    # overwrite-rename (java.nio ATOMIC_MOVE): no transient not-found
+    # window for readers, and a crash can never release the pin —
+    # either the old pin or the new one exists at every instant. Two
+    # concurrent movers are last-completed-wins, both succeed.
+    if (
+        replace
+        and fs.exists(final)
+        and (fs.getUri().getScheme() or "file") == "file"
+    ):
+        renamed = _atomic_overwrite_local(
+            spark, fs, tdir, tmp_path, final, tag
+        )
+    else:
+        # Non-local FS without an overwrite-rename primitive keeps the
+        # documented delete-then-rename fallback: readers can hit a
+        # transient not-found between the two ops, and a crash between
+        # them RELEASES the pin (the next vacuum may expire the
+        # formerly pinned version's data) — re-tag after recovering.
+        # Two concurrent replace=True movers are last-completed-wins:
+        # the loser's rename fails because the winner's file landed
+        # after our delete, so retry ONCE after re-deleting (round-10
+        # advice: without the retry the loser got the misleading
+        # first-writer-conflict error).
+        if replace and fs.exists(final):
             fs.delete(final, False)
         renamed = fs.rename(tmp_path, final)
+        if not renamed and replace:
+            if fs.exists(final):
+                fs.delete(final, False)
+            renamed = fs.rename(tmp_path, final)
     if not renamed:
         fs.delete(tmp_path, False)
         raise SnapshotConflict(
@@ -289,10 +364,134 @@ def list_tags(spark: SparkSession, table_dir: str) -> dict[str, int]:
     return out
 
 
+def _pcols(val) -> list[str] | None:
+    """Normalize a manifest ``partition_col`` (string = legacy single
+    column, list = multi-column, round 11) to an ordered list. The
+    manifest stores whatever the writer declared, so old single-column
+    tables keep their string field and their raw-value entry keys
+    unchanged."""
+    if val is None:
+        return None
+    return [val] if isinstance(val, str) else list(val)
+
+
+def _hive_escape(spark: SparkSession):
+    return (
+        spark._jvm.org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName
+    )
+
+
+def _hive_unescape(spark: SparkSession):
+    return (
+        spark._jvm.org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName
+    )
+
+
+def partition_entry_key(spark: SparkSession, pcols: list[str], values) -> str:
+    """Canonical manifest entry key for ONE partition. A single-column
+    table keys on the RAW value (the legacy format — unchanged, so
+    existing tables read on). A multi-column table keys on the
+    hive-ESCAPED dir suffix ``c1=v1/c2=v2``: self-describing,
+    unambiguous for values containing '/' or '=', and exactly the
+    generation-relative subdir the entry's rel path ends with.
+    ``values``: one scalar, or an ordered tuple/list matching
+    ``pcols``; for a multi-column table a plain STRING is accepted as
+    an already-canonical key (the form entries/DML hand back)."""
+    if len(pcols) > 1 and isinstance(values, str):
+        return values  # already canonical (came from a manifest key)
+    if not isinstance(values, (list, tuple)):
+        values = [values]
+    if len(values) != len(pcols):
+        raise ValueError(
+            f"partition key {values!r} has {len(values)} value(s) for "
+            f"partition columns {pcols!r}"
+        )
+    if any(v is None for v in values):
+        raise ValueError(
+            "null partition keys are not supported (Spark writes them "
+            "as __HIVE_DEFAULT_PARTITION__, which cannot round-trip "
+            "through the manifest keys)"
+        )
+    if len(pcols) == 1:
+        return str(values[0])
+    esc = _hive_escape(spark)
+    return "/".join(f"{c}={esc(str(v))}" for c, v in zip(pcols, values))
+
+
+def entry_partition_values(
+    spark: SparkSession, pcols: list[str], key: str
+) -> dict[str, str]:
+    """Raw partition value per column, parsed back from a canonical
+    entry key — the manifest-level partition-pruning primitive (each
+    value as the string Spark wrote; readers cast via the committed
+    schema)."""
+    if len(pcols) == 1:
+        return {pcols[0]: key}
+    unesc = _hive_unescape(spark)
+    out: dict[str, str] = {}
+    for seg, col in zip(key.split("/"), pcols):
+        name, escaped = seg.split("=", 1)
+        if name != col:
+            raise ValueError(
+                f"entry key {key!r} does not match partition columns "
+                f"{pcols!r}"
+            )
+        out[col] = unesc(escaped)
+    return out
+
+
+def _walk_partition_leaves(
+    spark: SparkSession, root_dir: str, pcols: list[str]
+) -> dict[str, str]:
+    """Map canonical entry key -> hive-escaped rel suffix
+    (``c1=e1/c2=e2``) for every partition LEAF dir written under
+    ``root_dir`` — the one reconciler of disk layout to manifest
+    entries, shared by write_snapshot_partial and publish_staged.
+    Driver-side metadata listing only (O(#partitions) statuses, the
+    same budget as the manifest itself). Raises on a
+    ``__HIVE_DEFAULT_PARTITION__`` dir at any level: null keys cannot
+    round-trip through the manifest keys."""
+    fs, rp = hadoop_fs(spark, root_dir)
+    if not fs.exists(rp):
+        return {}
+    unesc = _hive_unescape(spark)
+    out: dict[str, str] = {}
+
+    def rec(path, level: int, suffix: list[str], raw: list[str]) -> None:
+        if level == len(pcols):
+            joined = "/".join(suffix)
+            key = raw[0] if len(pcols) == 1 else joined
+            out[key] = joined
+            return
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if not st.isDirectory() or not name.startswith(
+                f"{pcols[level]}="
+            ):
+                continue
+            escaped = name.split("=", 1)[1]
+            if escaped == "__HIVE_DEFAULT_PARTITION__":
+                raise ValueError(
+                    "null partition keys are not supported (they "
+                    "cannot round-trip through the manifest keys)"
+                )
+            rec(
+                st.getPath(),
+                level + 1,
+                suffix + [name],
+                raw + [unesc(escaped)],
+            )
+
+    rec(rp, 0, [], [])
+    return out
+
+
 def stage_snapshot(
     df: DataFrame,
     table_dir: str,
-    partition_by: str | None = None,
+    partition_by: str | list[str] | None = None,
 ) -> str:
     """WRITE-AUDIT-PUBLISH step 1: write ``df`` to a private
     ``_staging/<token>`` dir — invisible to every reader (staging is
@@ -312,24 +511,31 @@ def stage_snapshot(
     directive #1)."""
     spark = df.sparkSession
     prev = latest_manifest(spark, table_dir)
-    pcol = (prev or {}).get("partition_col")
-    if pcol is not None:
-        if partition_by is None:
-            partition_by = pcol
-        elif partition_by != pcol:
+    pcols = _pcols((prev or {}).get("partition_col"))
+    by = _pcols(partition_by)
+    if pcols is not None:
+        if by is None:
+            by = pcols
+        elif by != pcols:
             raise ValueError(
-                f"stage_snapshot: table is partitioned on {pcol!r} but "
-                f"the batch is staged on {partition_by!r} — manifest "
+                f"stage_snapshot: table is partitioned on {pcols!r} "
+                f"but the batch is staged on {by!r} — manifest "
                 "entries reconcile per partition, so the layouts must "
                 "agree."
             )
+    elif by is not None and len(by) > 1:
+        raise ValueError(
+            "stage_snapshot: a multi-column staging layout is only "
+            "supported on a table partitioned on those columns (an "
+            "unpartitioned table's layout_by is one column)"
+        )
     fields = _schema_fields(df)
     check_schema_evolution((prev or {}).get("schema"), fields)
     token = uuid.uuid4().hex
     staging = f"{table_dir}/_staging/{token}"
     writer = df.write.mode("error")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
+    if by:
+        writer = writer.partitionBy(*by)
     writer.parquet(staging)
     # Record the writer's DECLARED schema beside the data: a read-back
     # of the staged dir re-INFERS hive partition column types (a
@@ -343,21 +549,17 @@ def stage_snapshot(
         out.write(bytearray(json.dumps(fields).encode("utf-8")))
     finally:
         out.close()
-    if pcol is not None:
+    if pcols is not None:
         # Null partition keys cannot round-trip through the manifest
         # keys (same contract as write_snapshot_partial) — refuse at
-        # stage time, from the dir listing alone (metadata-only).
-        fs, spath = hadoop_fs(spark, staging)
-        for st in fs.listStatus(spath):
-            if st.getPath().getName() == (
-                f"{pcol}=__HIVE_DEFAULT_PARTITION__"
-            ):
-                fs.delete(spath, True)
-                raise ValueError(
-                    "stage_snapshot: null partition keys are not "
-                    "supported (they cannot round-trip through the "
-                    "manifest keys)"
-                )
+        # stage time, from the dir listing alone (metadata-only; the
+        # walk raises on __HIVE_DEFAULT_PARTITION__ at ANY level).
+        try:
+            _walk_partition_leaves(spark, staging, pcols)
+        except ValueError:
+            fs, spath = hadoop_fs(spark, staging)
+            fs.delete(spath, True)
+            raise
     return token
 
 
@@ -375,16 +577,20 @@ def read_staged(
             f"no staged batch {token!r} under {table_dir!r} — "
             "published, abandoned, or vacuumed"
         )
-    df = spark.read.parquet(staging)
     fields = _staged_fields(spark, staging)
     if fields:
-        # Present the writer's DECLARED schema (hive partition type
-        # inference would otherwise re-type string keys), in the
-        # declared column order.
-        df = df.select(
-            *[F.col(f["name"]).cast(f["type"]) for f in fields]
+        # Read with the writer's DECLARED schema as an EXPLICIT user
+        # schema: partition dir strings then cast directly to the
+        # declared type. Inferring first and casting back is lossy for
+        # numeric-looking string keys — '00123' infers as 123 and
+        # casts back to '123', so the audited frame would diverge from
+        # the raw dir value publish_staged keys the manifest on
+        # (round-10 advice).
+        ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in fields)
+        return spark.read.schema(ddl).parquet(staging).select(
+            *[f["name"] for f in fields]
         )
-    return df
+    return spark.read.parquet(staging)
 
 
 def _staged_fields(spark: SparkSession, staging: str) -> list[dict] | None:
@@ -556,48 +762,39 @@ def publish_staged(
     # dir names; for a partitioned table the col=val dirs BECOME the
     # per-partition manifest entries.
     layout: str | None = None
-    written: dict[str, str] = {}  # raw partition key -> escaped dir value
-    unescape = (
-        spark._jvm.org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.unescapePathName
-    )
     layout_cols = set()
     for st in fs.listStatus(staging_path):
         name = st.getPath().getName()
         if st.isDirectory() and "=" in name:
-            col, escaped = name.split("=", 1)
-            layout_cols.add(col)
-            written[unescape(escaped)] = escaped
+            layout_cols.add(name.split("=", 1)[0])
     if len(layout_cols) == 1:
         layout = next(iter(layout_cols))
 
     def build(prev, sid, has_data):
-        pcol = (prev or {}).get("partition_col")
-        if pcol is not None:
+        pcols = _pcols((prev or {}).get("partition_col"))
+        if pcols is not None:
             # Partitioned table: per-partition entry reconcile, the
-            # write_snapshot_partial contract behind one rename.
-            if has_data and layout != pcol:
+            # write_snapshot_partial contract behind one rename. The
+            # leaf walk raises on __HIVE_DEFAULT_PARTITION__ at any
+            # level (null keys cannot round-trip).
+            written = _walk_partition_leaves(spark, staging, pcols)
+            if has_data and not written:
                 raise ValueError(
-                    f"staged batch is laid out on {layout!r} but the "
-                    f"table is partitioned on {pcol!r} — re-stage "
-                    "through stage_snapshot (it partitions on the "
-                    "table's column automatically)."
-                )
-            if "__HIVE_DEFAULT_PARTITION__" in written.values():
-                raise ValueError(
-                    "publish_staged: null partition keys are not "
-                    "supported (they cannot round-trip through the "
-                    "manifest keys)"
+                    f"staged batch is laid out on "
+                    f"{sorted(layout_cols) or None!r} but the table "
+                    f"is partitioned on {pcols!r} — re-stage through "
+                    "stage_snapshot (it partitions on the table's "
+                    "columns automatically)."
                 )
             entries = (
                 dict(prev["entries"]) if mode == "append" else {}
             )
-            for key, escaped in written.items():
+            for key, suffix in written.items():
                 entries[key] = posixpath.join(
-                    _DATA_DIR, f"s={sid}", f"{pcol}={escaped}"
+                    _DATA_DIR, f"s={sid}", suffix
                 )
             kwargs = {
-                "partition_col": pcol,
+                "partition_col": (prev or {}).get("partition_col"),
                 # Appends never touch rows of carried partitions:
                 # prior masks stay valid (rows of replaced partitions
                 # go inert); the rename log keeps mapping carried
@@ -702,6 +899,10 @@ def rollback_snapshot(
         deletes=man.get("deletes"),
         rename_log=man.get("rename_log"),
         prev_man=latest,
+        # The restored version's OWN stats cover exactly its
+        # generations — carrying them keeps the rollback metadata-only
+        # (auto would re-sweep generations the latest version dropped).
+        stats=man.get("stats"),
     )
     return next_id
 
@@ -863,7 +1064,9 @@ def evolve_schema(
     fields = [dict(f) for f in man["schema"]]
     log = [list(ev) for ev in (man.get("rename_log") or [])]
     next_id = man["snapshot_id"] + 1
-    protected = {man.get("partition_col"), man.get("layout_by")} - {None}
+    protected = set(_pcols(man.get("partition_col")) or []) | (
+        {man.get("layout_by")} - {None}
+    )
     by_name = {f["name"]: f for f in fields}
 
     for col in drops or []:
@@ -899,6 +1102,31 @@ def evolve_schema(
             )
         by_name[col]["type"] = new_type
     _claim_check(spark, table_dir, next_id)
+    # Stats follow the evolution: keys remap to the new logical names
+    # (values untouched — a rename changes no bytes), dropped columns'
+    # stats go with them. Metadata-only, like the commit itself.
+    stats = man.get("stats")
+    if stats:
+        key_map = {c: c for c in stats["columns"]}
+        for col in drops or []:
+            key_map.pop(col, None)
+        for old, new in (renames or {}).items():
+            if old in key_map:
+                key_map[old] = new
+        stats = {
+            "columns": [key_map[c] for c in stats["columns"] if c in key_map],
+            "gens": {
+                g: {
+                    f: {
+                        key_map[c]: v
+                        for c, v in per_col.items()
+                        if c in key_map
+                    }
+                    for f, per_col in files.items()
+                }
+                for g, files in (stats.get("gens") or {}).items()
+            },
+        }
     commit_manifest(
         spark,
         table_dir,
@@ -910,6 +1138,7 @@ def evolve_schema(
         deletes=man.get("deletes"),
         rename_log=log,
         prev_man=man,
+        stats=stats,
     )
     return next_id
 
@@ -942,12 +1171,187 @@ def check_schema_evolution(
         )
 
 
+_STATS_MAX_COLS = 4
+_NUMERIC_STATS_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+}
+
+
+def _default_stats_columns(
+    schema_fields: list[dict] | None,
+    partition_col,
+    layout_by: str | None,
+) -> list[str]:
+    """The LEADING numeric columns (schema order, capped) stats are
+    recorded for by default — partition/layout columns excluded (they
+    live in dir names, not file footers, and manifest entries already
+    prune them)."""
+    skip = set(_pcols(partition_col) or []) | ({layout_by} - {None})
+    out: list[str] = []
+    for f in schema_fields or []:
+        if f["name"] in skip:
+            continue
+        if f["type"].split("(")[0] in _NUMERIC_STATS_TYPES:
+            out.append(f["name"])
+            if len(out) == _STATS_MAX_COLS:
+                break
+    return out
+
+
+def _sweep_generation_stats(
+    spark: SparkSession, table_dir: str, gen_rel: str, columns: list[str]
+) -> dict[str, dict]:
+    """Per-FILE min/max for one (immutable, just-written) data
+    generation: {file_rel: {col: [min_str, max_str] | None}} — None =
+    no usable footer stats for that column in some row group
+    (unprunable, never a false drop). Small local generations read
+    their footers in a driver loop (ms per file); larger or remote
+    ones fan out through the distributed footer sweep
+    (io/stats.parquet_column_stats). Swept ONCE at commit time —
+    generations are immutable, so every later commit carries the
+    result forward as metadata."""
+    gen_dir = f"{table_dir}/{gen_rel}"
+    fs, gp = hadoop_fs(spark, gen_dir)
+    if not fs.exists(gp):
+        return {}
+    files: list[str] = []
+    it = fs.listFiles(gp, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        files.append(st.getPath().toString())
+    if not files:
+        return {}
+    prefix = bare_path(f"{table_dir}/").rstrip("/") + "/"
+
+    def _rel(uri: str) -> str:
+        b = bare_path(uri)
+        return b[len(prefix):] if b.startswith(prefix) else uri
+
+    out: dict[str, dict] = {}
+    local = (fs.getUri().getScheme() or "file") == "file"
+    if local and len(files) <= 64:
+        import pyarrow.parquet as pq
+
+        for f in files:
+            meta = pq.ParquetFile(bare_path(f)).metadata
+            idx = {
+                meta.schema.column(i).name: i
+                for i in range(meta.num_columns)
+            }
+            per_col: dict[str, list | None] = {}
+            for c in columns:
+                if c not in idx:
+                    per_col[c] = None
+                    continue
+                mn = mx = None
+                ok = True
+                for rg in range(meta.num_row_groups):
+                    s = meta.row_group(rg).column(idx[c]).statistics
+                    try:
+                        # pyarrow raises ArrowNotImplementedError
+                        # extracting stats for some physical types
+                        # (fixed-len-byte-array decimals) — those
+                        # columns record as unprunable, same as a
+                        # missing footer stat.
+                        if s is None or not s.has_min_max:
+                            ok = False
+                            break
+                        smn, smx = s.min, s.max
+                    except Exception:
+                        ok = False
+                        break
+                    mn = smn if mn is None else min(mn, smn)
+                    mx = smx if mx is None else max(mx, smx)
+                per_col[c] = [str(mn), str(mx)] if ok else None
+            out[_rel(f)] = per_col
+        return out
+    from big_data_spark.io.stats import parquet_column_stats
+
+    rows = (
+        parquet_column_stats(spark, [gen_dir], columns, missing_ok=True)
+        .groupBy("file", "column")
+        .agg(
+            F.min(F.col("min_value").cast("double")).alias("mn"),
+            F.max(F.col("max_value").cast("double")).alias("mx"),
+            F.max(
+                F.col("min_value").isNull().cast("int")
+            ).alias("nostats"),
+        )
+        .collect()
+    )
+    for r in rows:
+        per_col = out.setdefault(_rel(r["file"]), {})
+        per_col[r["column"]] = (
+            None
+            if r["nostats"] == 1
+            else [str(r["mn"]), str(r["mx"])]
+        )
+    return out
+
+
+def _auto_commit_stats(
+    spark: SparkSession,
+    table_dir: str,
+    entries: dict[str, str],
+    prev_stats: dict | None,
+    schema_fields: list[dict] | None,
+    partition_col,
+    layout_by: str | None,
+    stats_columns: list[str] | None,
+) -> dict | None:
+    """The commit's ``stats`` block: carry every already-covered live
+    generation forward (metadata-only), sweep only the NEW ones —
+    O(new files) per commit, the Iceberg write-side trade. Returns
+    None when no stat-worthy columns exist."""
+    gens = sorted(
+        {
+            rel.split("/")[1]
+            for rel in entries.values()
+            if rel.startswith(f"{_DATA_DIR}/")
+        }
+    )
+    prev_gens = (prev_stats or {}).get("gens") or {}
+    if stats_columns is not None:
+        columns = list(stats_columns)
+        if (
+            prev_stats
+            and prev_stats.get("columns") != columns
+            and any(g in prev_gens for g in gens)
+        ):
+            raise ValueError(
+                "stats_columns differ from the table's recorded stats "
+                f"columns {prev_stats['columns']!r} while carried "
+                "generations keep the old set — change columns on a "
+                "full rewrite (no carried generations) only"
+            )
+    elif prev_stats:
+        columns = prev_stats["columns"]
+    else:
+        columns = _default_stats_columns(
+            schema_fields, partition_col, layout_by
+        )
+    if not columns:
+        return None
+    out_gens: dict[str, dict] = {}
+    for g in gens:
+        if g in prev_gens:
+            out_gens[g] = prev_gens[g]
+        else:
+            out_gens[g] = _sweep_generation_stats(
+                spark, table_dir, f"{_DATA_DIR}/{g}", columns
+            )
+    return {"columns": columns, "gens": out_gens}
+
+
 def commit_manifest(
     spark: SparkSession,
     table_dir: str,
     snapshot_id: int,
     entries: dict[str, str],
-    partition_col: str | None = None,
+    partition_col: str | list[str] | None = None,
     replace: bool = False,
     schema_fields: list[dict] | None = None,
     layout_by: str | None = None,
@@ -956,6 +1360,8 @@ def commit_manifest(
     rename_log: list | None = None,
     prev_man: dict | None = None,
     cdf: str | None = None,
+    stats: dict | None | str = "auto",
+    stats_columns: list[str] | None = None,
 ) -> None:
     """Atomically publish ``entries`` as snapshot ``snapshot_id``.
 
@@ -1025,6 +1431,24 @@ def commit_manifest(
     )
     if prev_for_ts is not None:
         ts = max(ts, int(prev_for_ts.get("committed_at_ms") or 0) + 1)
+    if stats == "auto":
+        # Manifest-embedded per-file column stats (round-11 directive
+        # #2): covered generations carry as pure metadata; only NEW
+        # generations get their footers swept — so pruned reads on a
+        # stats-bearing table never open a footer (Iceberg/Delta's
+        # commit-time trade). Callers pass an explicit dict (rollback:
+        # the restored version's own stats; evolve: the renamed-key
+        # remap) or None (no stats recorded).
+        stats = _auto_commit_stats(
+            spark,
+            table_dir,
+            entries,
+            (prev_for_ts or {}).get("stats"),
+            schema_fields,
+            partition_col,
+            layout_by,
+            stats_columns,
+        )
     if replace:
         # A crash-replayed commit of an ALREADY-COMMITTED id carries
         # the ORIGINAL timestamp forward: re-stamping with the current
@@ -1054,6 +1478,7 @@ def commit_manifest(
             "deletes": sorted(deletes or []),
             "rename_log": rename_log or [],
             "cdf": cdf,
+            "stats": stats,
             "committed_at_ms": ts,
         },
         sort_keys=True,
@@ -1087,11 +1512,22 @@ def read_snapshot(
     residual: bool = True,
     as_of_ts: int | None = None,
     tag: str | None = None,
+    partitions: dict | None = None,
 ) -> DataFrame:
     """The table as of its newest snapshot (or ``as_of`` a specific
     id / strictly ``below`` an id / ``as_of_ts`` an epoch-millis
     commit timestamp / ``tag`` a pinned name — one selector at most;
     time travel and replays).
+
+    ``partitions`` ({col: value | list-of-values}, conjunction over
+    columns, disjunction within a list) prunes a PARTITIONED table at
+    the MANIFEST level: only entries whose keys match enter the scan,
+    so excluded partitions cost zero file listings — metadata-only
+    pruning over any subset of the partition columns, the first level
+    of a two-level (manifest -> footer) pruned read. Values compare
+    as their string forms (the form Spark wrote to the dir names);
+    the matching rows are additionally re-filtered row-level, so the
+    result is exactly ``read_snapshot(...).filter(col.isin(values))``.
 
     One parquet scan per live data GENERATION (entries pointing into
     the same ``_data/s=<id>`` dir share a scan with ``basePath`` set,
@@ -1142,6 +1578,40 @@ def read_snapshot(
         man = latest_manifest(spark, table_dir, below=below)
     if man is None:
         raise ValueError(f"no committed snapshots under {table_dir!r}")
+    residual_parts = None
+    if partitions:
+        pcols = _pcols(man.get("partition_col"))
+        if pcols is None:
+            raise ValueError(
+                "read_snapshot(partitions=): table is not partitioned "
+                "— use predicate= (footer skipping) or a plain filter"
+            )
+        unknown = sorted(set(partitions) - set(pcols))
+        if unknown:
+            raise ValueError(
+                f"read_snapshot(partitions=): {unknown} not in the "
+                f"table's partition columns {pcols!r}"
+            )
+        want = {
+            c: {
+                str(x)
+                for x in (v if isinstance(v, (list, tuple, set)) else [v])
+            }
+            for c, v in partitions.items()
+        }
+        kept_entries = {}
+        for key, rel in man["entries"].items():
+            vals = entry_partition_values(spark, pcols, key)
+            if all(vals[c] in want[c] for c in want):
+                kept_entries[key] = rel
+        man = {**man, "entries": kept_entries}
+        # Row-level re-check (cheap: partition columns are constant
+        # per dir) so the contract is exact even if a dir value's
+        # string form differs from the typed column's render.
+        residual_parts = [
+            F.col(c).cast("string").isin(*sorted(vs))
+            for c, vs in want.items()
+        ]
     order = [f["name"] for f in man.get("schema") or []] or None
     if not man["entries"] and man.get("schema"):
         # A legitimately EMPTY committed snapshot (e.g. a table whose
@@ -1152,7 +1622,7 @@ def read_snapshot(
             f"`{f['name']}` {f['type']}" for f in man["schema"]
         )
         return spark.createDataFrame([], ddl)
-    return read_entries(
+    df = read_entries(
         spark,
         table_dir,
         man["entries"],
@@ -1162,7 +1632,12 @@ def read_snapshot(
         deletes=man.get("deletes"),
         schema_fields=man.get("schema"),
         rename_log=man.get("rename_log"),
+        stats=man.get("stats"),
     )
+    if residual_parts:
+        for cond in residual_parts:
+            df = df.filter(cond)
+    return df
 
 
 def read_delete_positions(
@@ -1188,8 +1663,13 @@ def read_entries(
     with_positions: bool = False,
     schema_fields: list[dict] | None = None,
     rename_log: list | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """``schema_fields`` + ``rename_log`` normalize each generation's
+    """``stats`` (the manifest's per-file column-stats block) routes
+    ``predicate`` pruning through COMMIT-TIME metadata for covered
+    generations — zero footer opens — with the distributed footer
+    sweep as the fallback for stat-less legacy generations.
+    ``schema_fields`` + ``rename_log`` normalize each generation's
     physical columns into the committed logical schema (evolution
     event replay keyed on the generation's own commit id, widening
     cast) BEFORE the union — the evolve_schema read path.
@@ -1212,37 +1692,63 @@ def read_entries(
         by_gen.setdefault(gen, []).append(rel)
     kept_by_dir: dict[str, list[str]] | None = None
     if predicate:
-        from big_data_spark.io.stats import prune_files_multi
-
-        # ONE footer sweep over every live path (executor-side), then
-        # regroup the kept files under their generation dir so each
-        # generation still reads through its own basePath.
         all_paths = sorted(
             {f"{table_dir}/{r}" for rels in by_gen.values() for r in rels}
         )
-        decisions = (
-            # missing_ok + the rename log: a hinted column may be
-            # absent from pre-evolution files (added later) or live
-            # there under a former physical name — the sweep resolves
-            # names per file and treats truly-missing columns as
-            # unprunable instead of raising.
-            prune_files_multi(
-                spark,
-                all_paths,
-                predicate,
-                rename_log=rename_log,
-                missing_ok=True,
-            )
-            .select("file", "keep")
-            .distinct()
-            .collect()
-        )
         kept_by_dir = {}
-        for r in decisions:
-            if r["keep"]:
-                kept_by_dir.setdefault(
-                    _owning_path(r["file"], all_paths), []
-                ).append(r["file"])
+        # MANIFEST stats first (round-11 directive #2): entry paths
+        # whose generation is covered by the commit-time stats block
+        # prune as pure driver-side metadata — zero footer opens, zero
+        # file listings. Only stat-less legacy generations fall back
+        # to the distributed footer sweep.
+        stat_gens = (stats or {}).get("gens") or {}
+        stat_cols = (stats or {}).get("columns") or []
+        swept_paths: list[str] = []
+        for p in all_paths:
+            rel = p[len(table_dir) + 1 :]
+            gen = rel.split("/")[1] if rel.startswith(
+                f"{_DATA_DIR}/"
+            ) else None
+            if gen is None or gen not in stat_gens:
+                swept_paths.append(p)
+                continue
+            for file_rel, per_col in stat_gens[gen].items():
+                if not (
+                    file_rel == rel or file_rel.startswith(rel + "/")
+                ):
+                    continue
+                if _stats_keep(per_col, predicate, stat_cols):
+                    kept_by_dir.setdefault(p, []).append(
+                        f"{table_dir}/{file_rel}"
+                    )
+        if swept_paths:
+            from big_data_spark.io.stats import prune_files_multi
+
+            # ONE footer sweep over the uncovered paths (executor-
+            # side), then regroup the kept files under their
+            # generation dir so each generation still reads through
+            # its own basePath. missing_ok + the rename log: a hinted
+            # column may be absent from pre-evolution files (added
+            # later) or live there under a former physical name — the
+            # sweep resolves names per file and treats truly-missing
+            # columns as unprunable instead of raising.
+            decisions = (
+                prune_files_multi(
+                    spark,
+                    swept_paths,
+                    predicate,
+                    rename_log=rename_log,
+                    missing_ok=True,
+                )
+                .select("file", "keep")
+                .distinct()
+                .collect()
+            )
+            for r in decisions:
+                if r["keep"]:
+                    kept_by_dir.setdefault(
+                        _owning_path(r["file"], swept_paths), []
+                    ).append(r["file"])
     dfs = []
     for gen, rels in sorted(by_gen.items()):
         paths = sorted(f"{table_dir}/{r}" for r in set(rels))
@@ -1252,12 +1758,18 @@ def read_entries(
             )
             if not paths:
                 continue  # every file of this generation pruned away
-        if kept_by_dir is None and len(rels) == 1 and rels[0] == gen:
-            part = spark.read.parquet(*paths)
-        else:
-            part = spark.read.option(
-                "basePath", f"{table_dir}/{gen}"
-            ).parquet(*paths)
+        with _declared_partition_types(spark):
+            # Partition dir values read as strings and cast to the
+            # COMMITTED types in _normalize_scan below — inference
+            # would corrupt numeric-looking string keys ('00123' ->
+            # '123'). Tables without a committed schema (legacy) keep
+            # string partition columns, matching their raw dir values.
+            if kept_by_dir is None and len(rels) == 1 and rels[0] == gen:
+                part = spark.read.parquet(*paths)
+            else:
+                part = spark.read.option(
+                    "basePath", f"{table_dir}/{gen}"
+                ).parquet(*paths)
         if want_meta:
             # _metadata must be projected AT SCAN level (it is a
             # hidden per-file source column, not join-survivable).
@@ -1334,6 +1846,34 @@ def read_entries(
 
         df = df.filter(range_predicate(predicate))
     return df
+
+
+def _stats_keep(
+    per_col: dict,
+    ranges: dict[str, tuple[float | None, float | None]],
+    stat_cols: list[str],
+) -> bool:
+    """prune_files_multi's keep decision, replayed from STORED
+    per-file stats: a file drops only when some hinted column's
+    recorded [min, max] provably misses its range; columns without
+    recorded stats (absent from the stats set, no footer stats, or
+    non-numeric values) never veto — lossless by the same argument as
+    the footer path (tested equivalent)."""
+    for c, (lo, hi) in ranges.items():
+        if c not in stat_cols:
+            continue
+        v = per_col.get(c)
+        if v is None:
+            continue
+        try:
+            mn, mx = float(v[0]), float(v[1])
+        except (TypeError, ValueError):
+            continue
+        if hi is not None and mn > float(hi):
+            return False
+        if lo is not None and mx < float(lo):
+            return False
+    return True
 
 
 def _owning_path(file_uri: str, paths: list[str]) -> str:
@@ -1423,7 +1963,7 @@ def read_changes(
             for r in pos.select(
                 F.regexp_extract(
                     "file_path",
-                    r"(_data/s=\d+(?:/[^/]*=[^/]*)?)/",
+                    r"(_data/s=\d+(?:/[^/]*=[^/]*)*)/",
                     1,
                 ).alias("_g")
             )
@@ -1671,6 +2211,16 @@ def delete_where(
     :func:`update_where`.
     """
     if mode == "mor":
+        if row_cdf:
+            # Loud refusal over silent ignore: a caller opting into the
+            # sidecar would otherwise get a file-position-vector feed
+            # and could misread it as the sidecar having been written
+            # (round-10 advice). MOR's feed is already row-level.
+            raise ValueError(
+                "delete_where: row_cdf=True is cow-only — mode='mor' "
+                "already produces a row-level change feed (the position "
+                "vector IS the per-row delete record)"
+            )
         return _retry_conflicts(
             lambda: _delete_mor(spark, table_dir, condition), attempts
         )
@@ -1712,6 +2262,7 @@ def _delete_mor(spark: SparkSession, table_dir: str, condition) -> dict:
         with_positions=True,
         schema_fields=man.get("schema"),
         rename_log=man.get("rename_log"),
+        stats=man.get("stats"),
     )
     if man.get("schema"):
         # Pad to the committed schema (the predicate may reference a
@@ -1903,7 +2454,9 @@ def _usable_hints(condition, man: dict):
     hints = _range_hints(condition)
     if not hints:
         return None
-    skip = {man.get("partition_col"), man.get("layout_by")} - {None}
+    skip = set(_pcols(man.get("partition_col")) or []) | (
+        {man.get("layout_by")} - {None}
+    )
     hints = {c: b for c, b in hints.items() if c not in skip}
     return hints or None
 
@@ -1920,14 +2473,16 @@ def _rewrite_where(
     if man is None:
         raise ValueError(f"no committed snapshots under {table_dir!r}")
     entries = man["entries"]
-    pcol = man.get("partition_col")
-    if set_exprs is not None and pcol is not None and pcol in set_exprs:
-        raise ValueError(
-            f"update_where: SET on the partition column {pcol!r} moves "
-            "rows between partitions, which a touched-partition rewrite "
-            "cannot express — route key moves through delete + append "
-            "(or a full write_snapshot)."
-        )
+    pcols = _pcols(man.get("partition_col"))
+    if set_exprs is not None and pcols is not None:
+        moved = sorted(set(set_exprs) & set(pcols))
+        if moved:
+            raise ValueError(
+                f"update_where: SET on partition column(s) {moved} "
+                "moves rows between partitions, which a touched-"
+                "partition rewrite cannot express — route key moves "
+                "through delete + append (or a full write_snapshot)."
+            )
     # ONE scan counts matching rows per ENTRY: the owning dir is
     # derived EXECUTOR-side from the file path (the _data/s=N[/p=v]
     # shape every writer here produces), so the driver receives one
@@ -1953,6 +2508,7 @@ def _rewrite_where(
         with_positions=bool(dv),
         schema_fields=man.get("schema"),
         rename_log=man.get("rename_log"),
+        stats=man.get("stats"),
     )
     if man.get("schema"):
         pad_fields = list(man["schema"]) + (
@@ -1974,7 +2530,7 @@ def _rewrite_where(
         .select(
             F.regexp_extract(
                 file_col,
-                r"(_data/s=\d+(?:/[^/]*=[^/]*)?)/",
+                r"(_data/s=\d+(?:/[^/]*=[^/]*)*)/",
                 1,
             ).alias("_d")
         )
@@ -2112,16 +2668,17 @@ def _rewrite_where(
         "carried": len(carried),
         "snapshot_id": next_id,
     }
-    if pcol:
-        # Bucket-partitioned table: the affected entries ARE
-        # partitions — route through the partial writer so manifest
-        # keys reconcile per partition (and emptied partitions drop).
+    if pcols:
+        # Partitioned table: the affected entries ARE partitions —
+        # route through the partial writer so manifest keys reconcile
+        # per partition (and emptied partitions drop). affected's keys
+        # are already canonical entry keys (scalar or escaped suffix).
         try:
             write_snapshot_partial(
                 survivors,
                 table_dir,
                 next_id,
-                pcol,
+                man.get("partition_col"),
                 list(affected.keys()),
                 deletes=dv,
                 rename_log=man.get("rename_log"),
@@ -2202,7 +2759,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
         for r in read_delete_positions(spark, table_dir, dv)
         .select(
             F.regexp_extract(
-                "file_path", r"(_data/s=\d+(?:/[^/]*=[^/]*)?)/", 1
+                "file_path", r"(_data/s=\d+(?:/[^/]*=[^/]*)*)/", 1
             ).alias("_g")
         )
         .distinct()
@@ -2412,10 +2969,12 @@ def follow_changes(
             fs.delete(sp, False)
         return until
 
-    # The window's upper id, readable BEFORE committing — the epoch /
-    # idempotency key a streaming consumer (stream_changes) hands to
-    # its process function.
+    # The window's bounds, readable BEFORE committing — until_id is
+    # the epoch / idempotency key a streaming consumer
+    # (stream_changes) hands to its process function; after_id is the
+    # cursor the window resumed from (per-batch metrics).
     commit.until_id = until
+    commit.after_id = cursor
     return feed, commit
 
 
@@ -2446,7 +3005,10 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
                 len(man["entries"]),
                 len(gens),
                 bool(man.get("maintenance")),
-                man.get("partition_col"),
+                # Multi-column partitioning renders comma-joined in
+                # the (string) history column.
+                ",".join(_pcols(man.get("partition_col")) or [])
+                or None,
                 man.get("layout_by"),
                 len(cols),
                 sorted(set(cols) - prev_cols) if prev_cols else [],
@@ -2798,7 +3360,7 @@ def write_snapshot_partial(
     df: DataFrame,
     table_dir: str,
     snapshot_id: int,
-    partition_col: str,
+    partition_col: str | list[str],
     touched_keys: list,
     replace: bool = False,
     maintenance: bool = False,
@@ -2814,6 +3376,15 @@ def write_snapshot_partial(
     reference — no data movement. A touched partition that ends up
     with no rows simply drops out of the manifest: atomically-visible
     partition deletion, no stale files, no empty-dir sentinel.
+
+    ``partition_col`` may be an ordered LIST of columns (round 11):
+    the table then partitions hive-style on every column — (date,
+    region) fact layouts — with one manifest entry per leaf
+    combination, keyed by the escaped ``c1=v1/c2=v2`` suffix
+    (:func:`partition_entry_key`). ``touched_keys`` elements are then
+    ordered value tuples (or canonical key strings, the form DML
+    hands back from the entry map); single-column tables keep the
+    legacy scalar keys and raw-value entry format unchanged.
 
     ``deletes`` / ``rename_log`` default to ``"carry"``: the
     predecessor's delete vectors and evolution log carry forward, so
@@ -2833,6 +3404,7 @@ def write_snapshot_partial(
     inputs converges to the same table.
     """
     spark = df.sparkSession
+    pcols = _pcols(partition_col)
     prev = latest_manifest(spark, table_dir, below=snapshot_id)
     deletes = _resolve_carry(deletes, prev, "deletes")
     rename_log = _resolve_carry(rename_log, prev, "rename_log")
@@ -2840,27 +3412,27 @@ def write_snapshot_partial(
     check_schema_evolution((prev or {}).get("schema"), fields)
     # Layout-compatibility gate (round-6 advice): carrying forward a
     # predecessor that is unpartitioned (a "" whole-table entry from
-    # write_snapshot/merge_snapshot) or partitioned on a DIFFERENT
-    # column would leave the old generation live alongside the new
+    # write_snapshot/merge_snapshot) or partitioned on DIFFERENT
+    # columns would leave the old generation live alongside the new
     # per-partition entries — readers would silently see duplicate /
     # stale rows for every touched partition. Force the explicit
     # full rewrite instead.
     if prev is not None:
-        prev_col = prev.get("partition_col")
-        if "" in prev["entries"] or prev_col != partition_col:
+        prev_cols = _pcols(prev.get("partition_col"))
+        if "" in prev["entries"] or prev_cols != pcols:
             raise ValueError(
                 "write_snapshot_partial on a table whose current "
-                f"snapshot is {'unpartitioned' if '' in prev['entries'] else f'partitioned on {prev_col!r}'} "
+                f"snapshot is {'unpartitioned' if '' in prev['entries'] else f'partitioned on {prev_cols!r}'} "
                 f"(requested partition_col={partition_col!r}) — a "
                 "partial write cannot atomically re-layout; publish a "
                 "full write_snapshot of the re-partitioned table first."
             )
-    if any(key is None for key in touched_keys):
-        raise ValueError(
-            "write_snapshot_partial: null partition keys are not "
-            "supported (Spark writes them as __HIVE_DEFAULT_PARTITION__, "
-            "which cannot round-trip through the manifest keys)"
-        )
+    # Canonicalize touched keys up front (scalars / value tuples /
+    # canonical strings): raises on nulls and wrong arity before any
+    # data is written.
+    canon_keys = [
+        partition_entry_key(spark, pcols, k) for k in touched_keys
+    ]
     entries = dict(prev["entries"]) if prev else {}
     if claim:
         gdir = _stage_and_claim(
@@ -2868,33 +3440,33 @@ def write_snapshot_partial(
             table_dir,
             snapshot_id,
             lambda to: df.write.mode("error")
-            .partitionBy(partition_col)
+            .partitionBy(*pcols)
             .parquet(to),
         )
     else:
         gdir = clear_generation(spark, table_dir, snapshot_id)
-        df.write.mode("error").partitionBy(partition_col).parquet(gdir)
-    fs, gpath = hadoop_fs(spark, gdir or table_dir)
+        df.write.mode("error").partitionBy(*pcols).parquet(gdir)
     # Written dir names are hive-ESCAPED (%, /, ':', '=', ... become
-    # %XX); manifest entry keys are the RAW partition values, so the
-    # reconcile below (pop str(key) / insert written key) stays
-    # consistent for values Spark escapes (round-6 advice).
-    unescape = (
-        spark._jvm.org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.unescapePathName
-    )
-    written: dict[str, str] = {}
-    if gdir is not None:
-        for st in fs.listStatus(gpath):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith(f"{partition_col}="):
-                escaped = name.split("=", 1)[1]
-                written[unescape(escaped)] = escaped
-    for key in touched_keys:
-        entries.pop(str(key), None)
-    for key, escaped in written.items():
+    # %XX); single-column entry keys are the RAW partition values and
+    # multi-column keys the escaped suffix, so the reconcile below
+    # (pop canonical key / insert written key) stays consistent for
+    # values Spark escapes (round-6 advice).
+    try:
+        written: dict[str, str] = (
+            _walk_partition_leaves(spark, gdir, pcols) if gdir else {}
+        )
+    except ValueError:
+        # Null partition values in df (caller bug — the touched_keys
+        # contract): release the claimed dir before raising so the
+        # loud refusal doesn't also orphan a generation claim.
+        if claim:
+            _unclaim(spark, gdir)
+        raise
+    for key in canon_keys:
+        entries.pop(key, None)
+    for key, suffix in written.items():
         entries[key] = posixpath.join(
-            _DATA_DIR, f"s={snapshot_id}", f"{partition_col}={escaped}"
+            _DATA_DIR, f"s={snapshot_id}", suffix
         )
     try:
         commit_manifest(

@@ -160,6 +160,24 @@ def parquet_column_stats(
                             continue
                         col = group.column(name_to_idx[p])
                         stats = col.statistics
+                        try:
+                            # pyarrow raises ArrowNotImplementedError
+                            # extracting min/max for some physical
+                            # types (fixed-len-byte-array decimals) —
+                            # emit a no-stats row (unprunable), never
+                            # a job failure.
+                            mn = (
+                                str(stats.min)
+                                if stats is not None and stats.has_min_max
+                                else None
+                            )
+                            mx = (
+                                str(stats.max)
+                                if stats is not None and stats.has_min_max
+                                else None
+                            )
+                        except Exception:
+                            mn = mx = None
                         out["file"].append(f)
                         out["row_group"].append(rg)
                         out["column"].append(c)
@@ -167,16 +185,8 @@ def parquet_column_stats(
                         out["n_nulls"].append(
                             stats.null_count if stats is not None else None
                         )
-                        out["min_value"].append(
-                            str(stats.min)
-                            if stats is not None and stats.has_min_max
-                            else None
-                        )
-                        out["max_value"].append(
-                            str(stats.max)
-                            if stats is not None and stats.has_min_max
-                            else None
-                        )
+                        out["min_value"].append(mn)
+                        out["max_value"].append(mx)
             yield pd.DataFrame(
                 {
                     "file": pd.Series(out["file"], dtype="object"),

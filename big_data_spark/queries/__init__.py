@@ -37,7 +37,6 @@ _PYTEST_ONLY = (
     # string-function family keeps driver coverage via case_buckets /
     # regex_extract / map_roundtrip; the reference-parity pipeline
     # grouping had no driver row at all (judge's top coverage gap).
-    "string_tokens",
     # Round-5 cap rotation (judge directive: formerly pytest-only
     # operators earn driver rows over time). Swapped OUT — each family
     # keeps at least one driver row certifying the same §2 rows:
@@ -52,14 +51,10 @@ _PYTEST_ONLY = (
     # and dedup_semantic (SemDeDup) take driver slots — they are new
     # first-class LLM-pipeline operators; swapped OUT two rows whose
     # §2 lines keep other driver coverage:
-    "pivot_status",  # rollup/pivot/percentiles family keeps rollup_revenue + percentiles
     "shipping_priority",  # J1 keeps join_multiway; A-family keeps pricing_summary etc.
     # New round-5 operators past the 50-cap: oracle-checked by the
     # pytest gate (tests/test_oracle.py), candidates for future
     # driver-slot rotation.
-    "unpivot_metrics",
-    "pmi_cooccur",
-    "events_funnel",
     "corpus_mix_temperature",
     "stream_sliding",
     # Second round-5 rotation: events_resample (gap/forward fill —
@@ -80,7 +75,6 @@ _PYTEST_ONLY = (
     "events_hourly",
     # New round-5 graph/analytics rows past the cap — pytest-oracle
     # gated, future rotation candidates:
-    "cube_sales",
     # Fourth round-5 rotation: dq_report (the single-pass data-quality
     # gate — six constraint kinds incl. an FK anti-join, a flagship
     # table-lifecycle operator) takes the slot of text_stats, whose
@@ -109,7 +103,6 @@ _PYTEST_ONLY = (
     "graph_components",  # graph family: pagerank_topn + triangle_count + dedup_clusters (runs CC) + shortest_paths + community_lpa stay
     "asof_join",  # timeseries family: temporal_join IS the as-of operator; range_join_bands + stream_stream_join stay
     "token_counts",  # text family: text_quality + quality_gopher + lm_perplexity stay
-    "percentiles",  # rollup/percentile family: rollup_revenue + grouping_sets stay
     "ann_ivf",  # ANN family: ann_recall exercises the same IVF index; embedding_topk + ann_hyperplane_lsh + dedup_semantic stay
     "join_left",  # J family: join_multiway + join_expr_key + join_self_theta stay
     "events_outliers",  # §2.5 events family: window_running_sum + events_sessionize + events_resample stay
@@ -125,7 +118,6 @@ _PYTEST_ONLY = (
     # one driver row:
     "simhash",  # fingerprint family: doc_fingerprint stays (same HOF fold); dedup_exact/minhash/ngram/semantic stay
     "embedding_topk",  # embedding family: ann_hyperplane_lsh + ann_recall (exact-rescore top-k inside) + dedup_semantic stay
-    "agg_collect_sorted",  # A-family: map_roundtrip (A2) + first_min_by (A3) + set_ops (A6-8) + pricing_summary stay
     "events_sessionize",  # §2.5: window_running_sum + events_resample + scd2_intervals stay
     "join_expr_key",  # J-family: join_multiway (J1) + join_self_theta (J6) stay
     "rollup_revenue",  # rollup family: grouping_sets stays (strict superset idiom)
@@ -161,7 +153,24 @@ _PYTEST_ONLY = (
     # hybrid_search (round 10): reciprocal-rank fusion of the BM25 and
     # IVF-ANN hit lists — the RAG retrieval composition; oracle fuses
     # the same two oracle lists with identical rank windows.
-    "hybrid_search",
+    # Round-11 rotation (round-10 verdict directive #5): swapped IN —
+    # hybrid_search (the round-10 pytest-only addition), the
+    # long-unslotted pmi_cooccur, cube_sales, unpivot_metrics,
+    # percentiles, pivot_status, agg_collect_sorted, events_funnel,
+    # string_tokens, and the NEW round-11 row partitioned_prune
+    # (two-level manifest+stats pruned read over a multi-column
+    # partitioned snapshot table). Swapped OUT — each family keeps at
+    # least one driver row:
+    "bm25_search",  # search family: semantic_search + hybrid_search (fuses a BM25 list) stay
+    "doc_fingerprint",  # fingerprint family: dedup_segments (same HOF fold) stays
+    "lm_perplexity",  # text family: text_quality + pii_scrub + doc_chunks stay
+    "cohort_retention",  # §2.5 window family: window_running_sum + events_funnel stay
+    "snapshot_tag_travel",  # travel family: sql_snapshot_asof (both SQL spellings) stays
+    "grouping_sets",  # rollup family: cube_sales + pivot_status + unpivot_metrics + percentiles stay
+    "map_roundtrip",  # §2.8 scalar family: string_tokens stays
+    "first_min_by",  # A-family: pricing_summary + set_ops + agg_collect_sorted stay
+    "stratified_sample",  # sampling family: weighted_sample stays
+    "evolved_read",  # lakehouse family: sql_snapshot_asof + snapshot_changes + point_lookup + snapshot_update_cdf + sql_dml + merge_upsert + partitioned_prune stay
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2552,6 +2552,92 @@ ORDER BY commit_id, change_type
 """
 
 
+def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level pruned read over a MULTI-COLUMN partitioned snapshot
+    table (round-11 directive #1): build an orders table partitioned
+    on (o_orderstatus, o_orderpriority) — manifest entries keyed per
+    leaf combination — partial-replace exactly ONE leaf ('O',
+    '1-URGENT') with surcharged prices (untouched leaves carry by
+    reference), then answer a per-priority rollup of status 'O'
+    through BOTH pruning levels: ``partitions=`` drops every non-O
+    entry at the MANIFEST (zero file listings for them) and the
+    ``o_orderkey`` range prunes files inside the kept leaves from the
+    COMMIT-TIME stats block (zero footer opens). The oracle re-derives
+    the same rollup from the raw ``orders`` table, so a wrong leaf
+    reconcile (stale carried partition, lost replace, key-escaping
+    drift) or a lossy prune hash-mismatches immediately.
+
+    Scale: the manifest prune is O(#partitions) driver metadata, the
+    stats prune O(#files in kept leaves) dict math; only matching
+    files are scanned — the (date, region) fact-table read path."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_spark.io.snapshot import (
+        read_snapshot,
+        write_snapshot_partial,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tdir = os.path.join(tempfile.gettempdir(), f"bds_pprune_{tag}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        price.alias("o_totalprice"),
+    )
+    pcols = ["o_orderstatus", "o_orderpriority"]
+    leaves = [
+        (r["o_orderstatus"], r["o_orderpriority"])
+        for r in base.select(*pcols).distinct().collect()
+    ]
+    write_snapshot_partial(base, tdir, 0, pcols, touched_keys=leaves)
+    hot = base.filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).withColumn(
+        "o_totalprice",
+        (F.col("o_totalprice") + F.lit("10.00").cast("decimal(18,2)"))
+        .cast("decimal(18,2)"),
+    )
+    write_snapshot_partial(
+        hot, tdir, 1, pcols, touched_keys=[("O", "1-URGENT")]
+    )
+    pruned = read_snapshot(
+        spark,
+        tdir,
+        partitions={"o_orderstatus": "O"},
+        predicate={"o_orderkey": (None, 20000.0)},
+    )
+    return (
+        pruned.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PARTITIONED_PRUNE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(o_totalprice AS DECIMAL(18,2))
+                     + CAST('10.00' AS DECIMAL(18,2))
+                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS total
+FROM orders
+WHERE o_orderstatus = 'O' AND o_orderkey <= 20000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-match point lookup through the per-file Bloom index
     (io/fileindex.py): publish an orders snapshot clustered on
@@ -3215,6 +3301,7 @@ QUERIES = {
     "sql_portable_revenue": q_sql_portable_revenue,
     "sql_snapshot_asof": q_sql_snapshot_asof,
     "snapshot_changes": q_snapshot_changes,
+    "partitioned_prune": q_partitioned_prune,
     "point_lookup": q_point_lookup,
     "snapshot_delete": q_snapshot_delete,
     "snapshot_update_cdf": q_snapshot_update_cdf,
@@ -3302,6 +3389,7 @@ FROM (
 ORDER BY version, o_custkey
 """,
     "snapshot_changes": ORACLE_SNAPSHOT_CHANGES,
+    "partitioned_prune": ORACLE_PARTITIONED_PRUNE,
     "point_lookup": ORACLE_POINT_LOOKUP,
     "snapshot_delete": ORACLE_SNAPSHOT_DELETE,
     "snapshot_update_cdf": ORACLE_SNAPSHOT_UPDATE_CDF,

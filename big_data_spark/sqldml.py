@@ -109,6 +109,17 @@ def is_dml(statement: str) -> bool:
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", re.IGNORECASE
 )
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(\w+)\s*"
+    r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+    r"(?:LOCATION\s+'([^']+)'\s*)?"
+    r"AS\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)"
     r"(?:\s+ZORDER\s+BY\s+\(\s*([\w\s,`]+?)\s*\))?\s*;?\s*$",
@@ -126,22 +137,43 @@ _RESTORE_RE = re.compile(
 
 
 def route_statement(
-    spark: SparkSession, statement: str, tables: dict[str, str]
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, str],
+    base_dir: str | None = None,
 ):
     """The catalog's dispatch: ``execute_dml``'s result when the
     statement is snapshot-table DML this module handles, a DataFrame
     for DESCRIBE HISTORY, a stats dict for the maintenance
     statements (OPTIMIZE / VACUUM [RETAIN n SNAPSHOTS] /
-    RESTORE TABLE ... TO VERSION AS OF n), else None — meaning PASS
-    THROUGH to plain ``spark.sql``. DELETE/UPDATE/MERGE are always
-    claimed (plain spark.sql cannot run them for this format, so
-    strict errors beat silent misroutes); INSERT INTO / INSERT
-    OVERWRITE (round 10) and ALTER on REGISTERED snapshot tables are
-    claimed; shapes outside the subset — qualified names, ALTER
-    VIEW, targets not registered as snapshot tables — worked through
-    spark.sql before round 9 added the statements and must keep
-    working."""
+    RESTORE TABLE ... TO VERSION AS OF n) and for the table-lifecycle
+    statements (CREATE TABLE [PARTITIONED BY (...)] [LOCATION '...']
+    AS SELECT — round 11 — and DROP TABLE [IF EXISTS]), else None —
+    meaning PASS THROUGH to plain ``spark.sql``. DELETE/UPDATE/MERGE
+    are always claimed (plain spark.sql cannot run them for this
+    format, so strict errors beat silent misroutes); INSERT INTO /
+    INSERT OVERWRITE (round 10) and ALTER on REGISTERED snapshot
+    tables are claimed; shapes outside the subset — qualified names,
+    ALTER VIEW, targets not registered as snapshot tables — worked
+    through spark.sql before round 9 added the statements and must
+    keep working. ``base_dir`` roots a CTAS without LOCATION
+    (``<base_dir>/<name>``); CREATE mutates ``tables`` in place and
+    DROP removes the entry, so a caller-owned dict stays the one
+    source of truth."""
     head = statement.lstrip()[:12].upper()
+    if head.startswith("CREATE"):
+        m = _CREATE_RE.match(statement)
+        if m:
+            return _execute_create(spark, m, tables, base_dir)
+        return None  # CREATE VIEW etc. — plain spark.sql's business
+    if head.startswith("DROP TABLE"):
+        m = _DROP_RE.match(statement)
+        # Claim only REGISTERED snapshot tables; DROP of a spark temp
+        # view (and IF EXISTS probes of unknown names) keeps passing
+        # through to plain spark.sql.
+        if m and m.group(2) in tables:
+            return _execute_drop(spark, m, tables)
+        return None
     if head.startswith(("DELETE", "UPDATE", "MERGE")):
         return execute_dml(spark, statement, tables)
     if head.startswith(("INSERT", "ALTER")):
@@ -454,11 +486,36 @@ def _execute_insert(
     ]
     if overwrite:
         # INSERT OVERWRITE: the row source becomes the table's FULL
-        # new content as one atomic commit (write_snapshot with the
-        # staged-rename claim, safe beside concurrent appenders).
-        from big_data_spark.io.snapshot import write_snapshot
+        # new content as one atomic commit (staged-rename claims,
+        # safe beside concurrent appenders). A PARTITIONED table
+        # keeps its partitioning — Delta's behavior — by publishing
+        # through the partial writer with every prior partition
+        # touched: old keys drop, the new content's partitions key
+        # the manifest, and partition_col survives so later partial
+        # writers (CDC mirrors, partial DML) keep working (round-10
+        # advice: routing through write_snapshot silently re-laid the
+        # table out unpartitioned).
+        from big_data_spark.io.snapshot import (
+            _pcols,
+            write_snapshot,
+            write_snapshot_partial,
+        )
 
-        sid = write_snapshot(row.select(*cols), table_dir, claim=True)
+        if _pcols(man.get("partition_col")):
+            sid = man["snapshot_id"] + 1
+            write_snapshot_partial(
+                row.select(*cols),
+                table_dir,
+                sid,
+                man["partition_col"],
+                list(man["entries"].keys()),
+                # Fresh full content: nothing old to mask or map.
+                deletes=None,
+                rename_log=None,
+                claim=True,
+            )
+        else:
+            sid = write_snapshot(row.select(*cols), table_dir, claim=True)
     else:
         sid = append_with_retry(row.select(*cols), table_dir)
     # Report what actually LANDED: a parquet metadata count of the
@@ -474,6 +531,121 @@ def _execute_insert(
         "table": table_name,
         "inserted_rows": int(n),
         "snapshot_id": sid,
+    }
+
+
+def _execute_create(
+    spark: SparkSession,
+    m: re.Match,
+    tables: dict[str, str],
+    base_dir: str | None,
+) -> dict:
+    """CREATE TABLE <t> [PARTITIONED BY (c1[, c2...])] [LOCATION 'p']
+    AS <select> — the last SQL-only gap (round-10 verdict #3: a SQL
+    user could do everything except MAKE the table). The row source
+    goes through Spark's own parser (time-travel fragments resolve
+    first), lands as snapshot 0 via write_snapshot /
+    write_snapshot_partial, and the name registers into ``tables``.
+    Refuses an already-registered name and a non-empty target dir —
+    CTAS creates, it never adopts or overwrites."""
+    from big_data_spark.io.compact import hadoop_fs
+    from big_data_spark.io.snapshot import (
+        generation_dir,
+        write_snapshot,
+        write_snapshot_partial,
+    )
+
+    name, part_text, location, body = m.group(1, 2, 3, 4)
+    if name in tables:
+        raise ValueError(
+            f"CREATE TABLE: {name!r} is already registered "
+            f"(at {tables[name]!r}) — DROP it first, or pick a new name"
+        )
+    if location is None:
+        if base_dir is None:
+            raise ValueError(
+                "CREATE TABLE needs LOCATION '<dir>' (or a catalog "
+                "constructed with base_dir=) to place the table"
+            )
+        location = f"{base_dir.rstrip('/')}/{name}"
+    fs, lp = hadoop_fs(spark, location)
+    if fs.exists(lp) and fs.listStatus(lp):
+        raise ValueError(
+            f"CREATE TABLE: {location!r} exists and is not empty — "
+            "CTAS never adopts or overwrites; register an existing "
+            "snapshot table instead, or point at a fresh location"
+        )
+    src = spark.sql(rewrite_time_travel(spark, body, tables))
+    if part_text:
+        pcols = [
+            c.strip().strip("`")
+            for c in part_text.split(",")
+            if c.strip()
+        ]
+        missing = [c for c in pcols if c not in src.columns]
+        if missing:
+            raise ValueError(
+                f"PARTITIONED BY column(s) {missing} not in the "
+                f"SELECT's columns {src.columns}"
+            )
+        # New table: no predecessor entries to reconcile away, so the
+        # touched list is empty; the writer derives the entry map
+        # from the written leaves.
+        write_snapshot_partial(
+            src,
+            location,
+            0,
+            pcols[0] if len(pcols) == 1 else pcols,
+            touched_keys=[],
+        )
+        sid = 0
+    else:
+        sid = write_snapshot(src, location)
+    tables[name] = location
+    gdir = generation_dir(location, sid)
+    fs, gp = hadoop_fs(spark, gdir)
+    n = spark.read.parquet(gdir).count() if fs.exists(gp) else 0
+    return {
+        "statement_type": "CREATE TABLE",
+        "table": name,
+        "table_dir": location,
+        "partitioned_by": (
+            [c.strip().strip("`") for c in part_text.split(",")]
+            if part_text
+            else None
+        ),
+        "rows": int(n),
+        "snapshot_id": sid,
+    }
+
+
+def _execute_drop(
+    spark: SparkSession, m: re.Match, tables: dict[str, str]
+) -> dict:
+    """DROP TABLE [IF EXISTS] <t>: deregister and recursively delete
+    the table dir — GUARDED: only a dir that actually carries a
+    ``_manifests`` commit log is deleted (the registration could
+    point anywhere; an unguarded recursive delete of a mis-registered
+    path would be a data-loss foot-gun)."""
+    from big_data_spark.io.compact import hadoop_fs
+
+    name = m.group(2)
+    table_dir = tables[name]
+    fs, mp = hadoop_fs(spark, f"{table_dir}/_manifests")
+    if not fs.exists(mp):
+        raise ValueError(
+            f"DROP TABLE {name}: {table_dir!r} has no _manifests dir "
+            "— not a snapshot table; refusing the recursive delete "
+            "(deregister it manually if the mapping is stale)"
+        )
+    _, root = hadoop_fs(spark, table_dir)
+    fs.delete(root, True)
+    del tables[name]
+    return {
+        "statement_type": "DROP TABLE",
+        "table": name,
+        "table_dir": table_dir,
+        "dropped": True,
     }
 
 

@@ -38,6 +38,8 @@ def stream_changes(
     available_now: bool = True,
     poll_interval_s: float = 2.0,
     max_batches: int | None = None,
+    max_idle_s: float | None = None,
+    track_rows: bool = False,
 ) -> dict:
     """Drive ``process(feed_df, epoch_id)`` over successive change-feed
     windows of the snapshot table at ``table_dir``.
@@ -52,24 +54,69 @@ def stream_changes(
     - ``available_now=True`` drains everything committed so far and
       returns (the availableNow trigger); ``False`` keeps polling
       every ``poll_interval_s`` until ``max_batches`` windows have
-      been processed (``None`` = forever — supervise externally).
+      been processed, or — ``max_idle_s`` — until no new commits have
+      arrived for that many seconds (the unsupervised-pipeline escape
+      hatch; with both None it polls forever — supervise externally).
+      A table with NO commits yet is "no new commits", not an error:
+      a consumer may legitimately start before the producer's first
+      commit.
+    - ``track_rows=True`` counts each window (one extra job per
+      batch) so the metrics can alert on drain rate, not just cadence.
 
-    Returns ``{"batches": n, "last_commit": id}``. The cursor commit
+    Returns ``{"batches": n, "last_commit": id, "stopped":
+    "drained"|"max_batches"|"idle", "batch_metrics": [...]}`` where
+    each metrics row is ``{"epoch_id", "after_id", "rows"}`` (rows
+    None unless ``track_rows``) — enough for an unsupervised pipeline
+    to tell a stalled producer from a drained one. The cursor commit
     happens AFTER ``process`` returns; an exception propagates with
     the cursor untouched, so the next call replays the window."""
     batches = 0
     last = None
+    metrics: list[dict] = []
+    idle_since = time.monotonic()
+
+    def _done(reason: str) -> dict:
+        return {
+            "batches": batches,
+            "last_commit": last,
+            "stopped": reason,
+            "batch_metrics": metrics,
+        }
+
     while True:
-        feed, commit = follow_changes(spark, table_dir, cursor_dir)
+        try:
+            feed, commit = follow_changes(spark, table_dir, cursor_dir)
+        except ValueError as exc:
+            if "no committed snapshots" not in str(exc):
+                raise
+            # Not committed yet (producer hasn't started): in poll
+            # mode this is just "no new commits" (round-10 advice —
+            # the raw raise crashed consumers started early); in
+            # drain mode there is nothing to drain.
+            feed, commit = None, None
         if feed is None:
-            if available_now or (
-                max_batches is not None and batches >= max_batches
+            if available_now:
+                return _done("drained")
+            if max_batches is not None and batches >= max_batches:
+                return _done("max_batches")
+            if (
+                max_idle_s is not None
+                and time.monotonic() - idle_since >= max_idle_s
             ):
-                return {"batches": batches, "last_commit": last}
+                return _done("idle")
             time.sleep(poll_interval_s)
             continue
         process(feed, commit.until_id)
+        n_rows = feed.count() if track_rows else None
         last = commit()
         batches += 1
+        metrics.append(
+            {
+                "epoch_id": commit.until_id,
+                "after_id": commit.after_id,
+                "rows": n_rows,
+            }
+        )
+        idle_since = time.monotonic()
         if max_batches is not None and batches >= max_batches:
-            return {"batches": batches, "last_commit": last}
+            return _done("max_batches")

@@ -45,25 +45,38 @@ def snapshot_sink(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if checks:
+            import uuid as _uuid
+
+            from big_data_spark.io.compact import hadoop_fs
             from big_data_spark.operators.dq import assert_suite
 
             # The audit and the append are TWO Spark actions over the
-            # same plan; persist pins the batch between them so a
-            # non-deterministic source or transform cannot pass the
-            # audit yet commit different rows — keeping this sink the
-            # true streaming twin of the batch WAP's audited-bytes-
-            # are-published-bytes guarantee (round-10 advice).
-            batch_df.persist()
+            # same plan. STAGE the batch to disk and run both over the
+            # read-back — the batch WAP / row_cdf discipline: persist()
+            # only pins the batch as strongly as the block cache, so a
+            # lost executor recomputes from lineage with fresh
+            # non-determinism and the committed rows can differ from
+            # the audited rows (round-10 advice). Bytes on disk cannot
+            # diverge; the cost is one extra write+read of the batch
+            # (micro-batch-sized by construction).
+            spark = batch_df.sparkSession
+            staging = (
+                f"{table_dir}/_staging/stream-{batch_id}-"
+                f"{_uuid.uuid4().hex}"
+            )
+            fs, sp = hadoop_fs(spark, staging)
+            batch_df.write.mode("error").parquet(staging)
             try:
-                assert_suite(batch_df, checks)
+                staged = spark.read.parquet(staging)
+                assert_suite(staged, checks)
                 append_snapshot(
-                    batch_df,
+                    staged,
                     table_dir,
                     snapshot_id=batch_id,
                     replace=True,
                 )
             finally:
-                batch_df.unpersist()
+                fs.delete(sp, True)
             return
         append_snapshot(
             batch_df,

@@ -64,7 +64,9 @@ def test_long_staged_wap_claim_survives_concurrent_vacuum(
 
 
 def test_tag_replace_retries_lost_mover_race(spark, tmp_path, monkeypatch):
-    """Two replace=True movers race: the loser's rename fails because
+    """On an FS WITHOUT an atomic overwrite-rename (the non-local
+    fallback — round 11 gave local FS a java.nio ATOMIC_MOVE path),
+    two replace=True movers race: the loser's rename fails because
     the winner's file landed after its delete. The loser retries once
     (last-completed-wins for an explicit MOVE) instead of raising the
     misleading first-writer 'pass replace=True' conflict."""
@@ -75,6 +77,10 @@ def test_tag_replace_retries_lost_mover_race(spark, tmp_path, monkeypatch):
         )
     tag_snapshot(spark, t, "rel", snapshot_id=0)
 
+    class _FakeUri:
+        def getScheme(self):
+            return "mockdfs"  # forces the delete-then-rename fallback
+
     class _RacedFS:
         """First delete of the tag file is swallowed — as if a racing
         mover re-created the destination in the same instant."""
@@ -82,6 +88,9 @@ def test_tag_replace_retries_lost_mover_race(spark, tmp_path, monkeypatch):
         def __init__(self, fs):
             self._fs = fs
             self.swallowed = False
+
+        def getUri(self):
+            return _FakeUri()
 
         def delete(self, path, recursive=False):
             if (
@@ -115,9 +124,11 @@ def test_tag_replace_retries_lost_mover_race(spark, tmp_path, monkeypatch):
 def test_streaming_wap_gate_audits_the_committed_bytes(
     spark, tmp_path, monkeypatch
 ):
-    """The dq audit and the append are two actions over one plan; the
-    sink must persist the batch between them so a non-deterministic
-    transform cannot pass the audit yet commit different rows."""
+    """The dq audit and the append are two actions; the sink must
+    run both over DISK-STAGED bytes (not a persist, whose evicted
+    blocks recompute from lineage with fresh non-determinism — the
+    round-10 advice upgrade), so a non-deterministic transform cannot
+    pass the audit yet commit different rows."""
     import big_data_spark.operators.dq as dq
     from big_data_spark.operators.dq import not_null
     from big_data_spark.streaming.snapshot_sink import snapshot_sink
@@ -125,12 +136,14 @@ def test_streaming_wap_gate_audits_the_committed_bytes(
     src = str(tmp_path / "src")
     spark.range(20).selectExpr("id AS k").coalesce(1).write.parquet(src)
     real_assert = dq.assert_suite
-    seen = {"persisted": None}
+    seen = {"staged": None}
 
     def recording_assert(df, checks):
-        seen["persisted"] = df.storageLevel.useMemory or (
-            df.storageLevel.useDisk
-        )
+        # The audited frame must be a SCAN of the staged bytes — its
+        # input files live under _staging/, not the stream source.
+        seen["staged"] = all(
+            "/_staging/" in f for f in df.inputFiles()
+        ) and len(df.inputFiles()) > 0
         return real_assert(df, checks)
 
     monkeypatch.setattr(dq, "assert_suite", recording_assert)
@@ -141,7 +154,7 @@ def test_streaming_wap_gate_audits_the_committed_bytes(
         str(tmp_path / "cp"),
         checks=[not_null("k")],
     )
-    assert seen["persisted"] is True
+    assert seen["staged"] is True
     assert read_snapshot(spark, str(tmp_path / "tbl")).count() == 20
 
 

@@ -377,3 +377,69 @@ def test_partitioned_snapshot_zorder_within_partitions(spark, tmp_path):
     assert checked > 0, "no multi-file partition to check clustering on"
     with pytest.raises(ValueError, match="partition column"):
         compact_snapshot(spark, t, zorder_by=["half", "l_partkey"])
+
+
+def test_zorder_string_dim_narrows_per_file_spans(spark, tmp_path):
+    """(string, numeric) z-order (round 11): string dims map through
+    a truncated fixed-width binary prefix, so each written file must
+    cover a narrow slice of BOTH the lexicographic string domain and
+    the numeric domain — the property that makes footer min/max
+    prunable on either column."""
+    import string as _string
+
+    from big_data_spark.io.compact import compact_parquet, parquet_inventory
+
+    src = str(tmp_path / "sz_frag")
+    rows = [
+        (f"{a}{b}_suffix", (i * 37) % 1000, i)
+        for i, (a, b) in enumerate(
+            (a, b)
+            for a in _string.ascii_lowercase
+            for b in _string.ascii_lowercase
+        )
+        for _ in range(6)
+    ]
+    df = spark.createDataFrame(rows, "name string, num int, seq int")
+    df.repartition(16).write.parquet(src)
+    inv = parquet_inventory(spark, src)
+    ratio = 4.0 * (1 << 20) / inv["total_bytes"]
+    dst = str(tmp_path / "sz_z")
+    report = compact_parquet(
+        spark,
+        src,
+        dst,
+        target_file_bytes=1 << 20,
+        zorder_by=["name", "num"],
+        size_ratio=ratio,
+    )
+    assert report["zordered"] and report["n_output_files"] == 4
+    files = _data_files(dst)
+    assert len(files) == 4
+    out = spark.read.parquet(dst)
+    assert out.count() == len(rows)
+    assert set(out.columns) == {"name", "num", "seq"}
+    # Numeric dim: measured span per file, same bar as the
+    # numeric-numeric test.
+    lo, hi = df.agg(F.min("num"), F.max("num")).collect()[0]
+    full = hi - lo
+    nspans = []
+    for f in files:
+        flo, fhi = (
+            spark.read.parquet(f).agg(F.min("num"), F.max("num")).collect()[0]
+        )
+        nspans.append((fhi - flo) / full)
+    assert sum(nspans) / len(nspans) < 0.8, nspans
+    # String dim: per-file span measured on the first-letter alphabet
+    # position (the truncated-prefix order the key clusters by).
+    sspans = []
+    for f in files:
+        flo, fhi = (
+            spark.read.parquet(f)
+            .agg(
+                F.min(F.ascii(F.substring("name", 1, 1))),
+                F.max(F.ascii(F.substring("name", 1, 1))),
+            )
+            .collect()[0]
+        )
+        sspans.append((fhi - flo) / 25.0)
+    assert sum(sspans) / len(sspans) < 0.8, sspans

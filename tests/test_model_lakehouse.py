@@ -86,6 +86,27 @@ def _run_walk(spark, tmp_path, seed):
     def do_binpack():
         binpack_snapshot(spark, t)  # content no-op (maintenance)
 
+    def do_wap():
+        # Stage -> audit (read the staged bytes) -> publish append:
+        # the unpartitioned WAP surface in the same walk as DML,
+        # maintenance and rollback (round-11 directive #6a).
+        nonlocal next_key
+        from big_data_spark.io.snapshot import (
+            publish_staged,
+            read_staged,
+            stage_snapshot,
+        )
+
+        m = rng.randint(2, 6)
+        batch = [(next_key + i, float(next_key + i)) for i in range(m)]
+        next_key += m
+        token = stage_snapshot(
+            spark.createDataFrame(batch, "k long, v double"), t
+        )
+        assert read_staged(spark, t, token).count() == m  # the audit
+        publish_staged(spark, t, token, mode="append")
+        model.update(dict(batch))
+
     def do_rollback():
         target = rng.choice(sorted(history))
         rollback_snapshot(spark, t, target)
@@ -100,8 +121,8 @@ def _run_walk(spark, tmp_path, seed):
     tag_snapshot(spark, t, "walk-checkpoint", snapshot_id=checkpoint_id)
 
     ops = [do_append, do_delete, do_update, do_fold, do_binpack,
-           do_rollback]
-    weights = [4, 3, 3, 1, 1, 1]
+           do_rollback, do_wap]
+    weights = [4, 3, 3, 1, 1, 1, 2]
     for step in range(N_STEPS):
         op = rng.choices(ops, weights)[0]
         op()
@@ -304,6 +325,189 @@ def test_partitioned_random_walk_matches_model(spark, tmp_path, seed):
     _run_partitioned_walk(spark, tmp_path, seed)
 
 
+# ---- Two-column partitioned walk (round-11 directive #1): the same
+# op mix over a (part, sub) layout, with escaping values in BOTH
+# dimensions, manifest keys as escaped suffixes, and per-leaf
+# reconcile through partial writes, WAP, DML, fold, compact,
+# rollback and the feed replay. ----
+
+SUBS = ("s0", "s=1")  # '=' must hive-escape in the second level too
+MPARTS = [(p, s) for p in PARTS for s in SUBS]
+
+
+def _rows4(df):
+    return {
+        (r["k"], r["part"], r["sub"], r["v"]) for r in df.collect()
+    }
+
+
+def _run_multicol_walk(spark, tmp_path, seed):
+    from big_data_spark.io.compact import compact_snapshot
+    from big_data_spark.io.snapshot import (
+        publish_staged,
+        stage_snapshot,
+        write_snapshot_partial,
+    )
+
+    rng = random.Random(seed)
+    t = str(tmp_path / f"mcmodel_{seed}")
+    schema = "k long, part string, sub string, v double"
+    model: dict[int, tuple[str, str, float]] = {}
+    next_key = 0
+    history: dict[int, frozenset] = {}
+
+    def next_sid():
+        return snapshot_ids(spark, t)[-1] + 1
+
+    def snap_model():
+        sid = snapshot_ids(spark, t)[-1]
+        history[sid] = frozenset(
+            (k, p, s, v) for k, (p, s, v) in model.items()
+        )
+        return sid
+
+    def fresh_batch(leaf, m):
+        nonlocal next_key
+        p, s = leaf
+        batch = [
+            (next_key + i, p, s, float(next_key + i)) for i in range(m)
+        ]
+        next_key += m
+        return batch
+
+    def apply_leaf_replace(leaf, batch):
+        for k in [
+            k for k, (p, s, _) in model.items() if (p, s) == leaf
+        ]:
+            del model[k]
+        model.update({k: (p, s, v) for k, p, s, v in batch})
+
+    def do_partial_replace():
+        leaf = rng.choice(MPARTS)
+        batch = fresh_batch(leaf, rng.randint(2, 8))
+        write_snapshot_partial(
+            spark.createDataFrame(batch, schema),
+            t,
+            next_sid(),
+            ["part", "sub"],
+            [leaf],
+        )
+        apply_leaf_replace(leaf, batch)
+
+    def do_wap_append():
+        leaf = rng.choice(MPARTS)
+        batch = fresh_batch(leaf, rng.randint(2, 6))
+        token = stage_snapshot(
+            spark.createDataFrame(batch, schema), t
+        )
+        publish_staged(spark, t, token)
+        apply_leaf_replace(leaf, batch)
+
+    def do_delete():
+        p_, r_ = rng.choice([(3, 0), (4, 1), (5, 2)])
+        mode = rng.choice(["cow", "mor"])
+        st = delete_where(spark, t, f"k % {p_} = {r_}", mode=mode)
+        doomed = [k for k in model if k % p_ == r_]
+        assert st["deleted_rows"] == len(doomed), (st, p_, r_)
+        for k in doomed:
+            del model[k]
+
+    def do_update():
+        p_, r_ = rng.choice([(3, 1), (4, 2)])
+        row_cdf = rng.random() < 0.5
+        st = update_where(
+            spark, t, f"k % {p_} = {r_}", {"v": "v + 1000.0"},
+            row_cdf=row_cdf,
+        )
+        hit = [k for k in model if k % p_ == r_]
+        assert st["updated_rows"] == len(hit), (st, p_, r_)
+        for k in hit:
+            part, sub, v = model[k]
+            model[k] = (part, sub, v + 1000.0)
+
+    def do_fold():
+        fold_deletes(spark, t)
+
+    def do_compact():
+        compact_snapshot(spark, t)
+
+    def do_rollback():
+        target = rng.choice(sorted(history))
+        rollback_snapshot(spark, t, target)
+        model.clear()
+        model.update(
+            {k: (p, s, v) for k, p, s, v in history[target]}
+        )
+
+    boot = [r for leaf in MPARTS for r in fresh_batch(leaf, 3)]
+    write_snapshot_partial(
+        spark.createDataFrame(boot, schema),
+        t,
+        0,
+        ["part", "sub"],
+        list(MPARTS),
+    )
+    model.update({k: (p, s, v) for k, p, s, v in boot})
+    checkpoint_id = snap_model()
+    checkpoint_rows = set(history[checkpoint_id])
+    tag_snapshot(spark, t, "mcwalk-checkpoint", snapshot_id=checkpoint_id)
+
+    ops = [do_partial_replace, do_wap_append, do_delete, do_update,
+           do_fold, do_compact, do_rollback]
+    weights = [3, 3, 3, 3, 1, 1, 1]
+    for step in range(N_PART_STEPS):
+        op = rng.choices(ops, weights)[0]
+        op()
+        sid = snap_model()
+        got = _rows4(read_snapshot(spark, t))
+        want = {(k, p, s, v) for k, (p, s, v) in model.items()}
+        assert got == want, (
+            f"seed={seed} step={step} op={op.__name__} sid={sid}: "
+            f"table diverged (+{got - want} -{want - got})"
+        )
+    # Manifest-level partition pruning agrees with the model at the
+    # end state, on each dimension and on the pair.
+    p0 = read_snapshot(spark, t, partitions={"part": PARTS[0]})
+    assert _rows4(p0) == {
+        (k, p, s, v)
+        for k, (p, s, v) in model.items()
+        if p == PARTS[0]
+    }
+    leaf = read_snapshot(
+        spark, t, partitions={"part": PARTS[2], "sub": SUBS[1]}
+    )
+    assert _rows4(leaf) == {
+        (k, p, s, v)
+        for k, (p, s, v) in model.items()
+        if (p, s) == (PARTS[2], SUBS[1])
+    }
+    # Feed replay from the pinned checkpoint reproduces the final
+    # model across partial writes, WAP publishes, DML and rollbacks.
+    state = set(checkpoint_rows)
+    feed = read_changes(spark, t, after_id=checkpoint_id).collect()
+    for sid in sorted({r["_commit_id"] for r in feed}):
+        state -= {
+            (r["k"], r["part"], r["sub"], r["v"])
+            for r in feed
+            if r["_commit_id"] == sid
+            and r["_change_type"] in ("delete", "update_preimage")
+        }
+        state |= {
+            (r["k"], r["part"], r["sub"], r["v"])
+            for r in feed
+            if r["_commit_id"] == sid
+            and r["_change_type"] in ("insert", "update_postimage")
+        }
+    assert state == {
+        (k, p, s, v) for k, (p, s, v) in model.items()
+    }, f"seed={seed}: multicol feed replay diverged"
+
+
+@pytest.mark.parametrize("seed", [5, 37])
+def test_multicol_random_walk_matches_model(spark, tmp_path, seed):
+    _run_multicol_walk(spark, tmp_path, seed)
+
+
 # ---- Evolution walk: renames/widen/DML/rollback interleaved ----
 
 N_EVO_STEPS = 14
@@ -406,3 +610,124 @@ def _run_evolution_walk(spark, tmp_path, seed):
 @pytest.mark.parametrize("seed", [3, 59])
 def test_evolution_random_walk_matches_model(spark, tmp_path, seed):
     _run_evolution_walk(spark, tmp_path, seed)
+
+
+# ---- Two-thread interleaved walk (round-11 directive #6b): two
+# seeded writers race one table through append_with_retry, DML on
+# their OWN keys, and maintenance. The ops are chosen to COMMUTE
+# (disjoint key ranges per thread; maintenance is content-neutral),
+# so the final table must equal the merged model under ANY
+# serialization of the committed order — which is exactly what the
+# claim/rebase protocol promises. ----
+
+
+def _concurrent_writer(spark, t, seed, lo, model, errors):
+    """One thread's seeded op sequence: appends land unique keys from
+    [lo, ...); deletes target only keys this thread appended (precise
+    predicate, commutes with the peer); maintenance retried through
+    conflicts."""
+    import threading  # noqa: F401 — documents intent
+
+    from big_data_spark.io.compact import binpack_snapshot as binpack
+    from big_data_spark.io.snapshot import SnapshotConflict, append_with_retry
+
+    rng = random.Random(seed)
+    next_key = lo
+    appended: list[tuple[int, int]] = []  # (start, n) batches
+
+    def op_append():
+        nonlocal next_key
+        n = rng.randint(3, 10)
+        batch = [(next_key + i, float(next_key + i)) for i in range(n)]
+        append_with_retry(
+            spark.createDataFrame(batch, "k long, v double"),
+            t,
+            attempts=30,
+        )
+        appended.append((next_key, n))
+        model.update(dict(batch))
+        next_key += n
+
+    def op_delete_own():
+        if not appended:
+            return
+        start, n = rng.choice(appended)
+        # Delete a strict sub-range of an own batch — attempts
+        # rebase through peer commits.
+        cut = rng.randint(1, n)
+        delete_where(
+            spark, t, f"k >= {start} AND k < {start + cut}", attempts=30
+        )
+        for k in range(start, start + cut):
+            model.pop(k, None)
+
+    def op_maintenance():
+        try:
+            if rng.random() < 0.5:
+                binpack(spark, t, small_bytes=1 << 30)
+            else:
+                fold_deletes(spark, t)
+        except SnapshotConflict:
+            pass  # a peer won the id — maintenance is optional work
+
+    ops = [op_append, op_delete_own, op_maintenance]
+    weights = [4, 2, 1]
+    try:
+        for _ in range(8):
+            rng.choices(ops, weights)[0]()
+    except Exception as exc:  # noqa: BLE001
+        errors.append((seed, exc))
+
+
+@pytest.mark.parametrize("seed", [13, 47])
+def test_two_thread_interleaved_walk(spark, tmp_path, seed):
+    import threading
+
+    t = str(tmp_path / f"cwalk_{seed}")
+    append_snapshot(
+        spark.createDataFrame(
+            [(0, 0.0), (1, 1.0)], "k long, v double"
+        ),
+        t,
+        snapshot_id=0,
+    )
+    model_a: dict[int, float] = {}
+    model_b: dict[int, float] = {}
+    errors: list = []
+    threads = [
+        threading.Thread(
+            target=_concurrent_writer,
+            args=(spark, t, seed, 1_000, model_a, errors),
+        ),
+        threading.Thread(
+            target=_concurrent_writer,
+            args=(spark, t, seed + 1, 2_000_000, model_b, errors),
+        ),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    want = {(0, 0.0), (1, 1.0)} | set(model_a.items()) | set(
+        model_b.items()
+    )
+    got = _rows(read_snapshot(spark, t))
+    assert got == want, (
+        f"seed={seed}: concurrent walk diverged "
+        f"(+{sorted(got - want)[:5]} -{sorted(want - got)[:5]})"
+    )
+    # Every committed manifest in the serialization parses and the
+    # feed since creation replays to the same final state.
+    state: set = set()
+    feed = read_changes(spark, t, after_id=-1).collect()
+    for sid in sorted({r["_commit_id"] for r in feed}):
+        state -= {
+            (r["k"], r["v"]) for r in feed
+            if r["_commit_id"] == sid and r["_change_type"] == "delete"
+        }
+        state |= {
+            (r["k"], r["v"]) for r in feed
+            if r["_commit_id"] == sid and r["_change_type"] == "insert"
+        }
+    assert state == want, f"seed={seed}: concurrent feed replay diverged"

@@ -191,7 +191,7 @@ def test_partial_write_refuses_incompatible_predecessor_layout(
         )
     t2 = str(tmp_path / "tbl2")
     write_snapshot_partial(_bucketed(spark, [(1, "a", 0)]), t2, 0, "_kb", [0])
-    with pytest.raises(ValueError, match="partitioned on '_kb'"):
+    with pytest.raises(ValueError, match=r"partitioned on \['_kb'\]"):
         write_snapshot_partial(
             _bucketed(spark, [(1, "a", 0)]), t2, 1, "k", [1]
         )
@@ -347,11 +347,12 @@ def test_compact_snapshot_folds_partitioned_generations(spark, tmp_path):
         f"s={res['snapshot_id']}"
     }  # one generation again
     assert _rows(read_snapshot(spark, t)) == before
-    # Round 10: z-order WITHIN partitions is supported
-    # (tests/test_compact.py pins the clustering); the refusals left
-    # are non-numeric dims and the partition column itself.
-    with pytest.raises(ValueError, match="must be numeric"):
-        compact_snapshot(spark, t, zorder_by=["k", "v"])
+    # Round 11: STRING dims are supported (truncated binary prefix),
+    # so a (numeric, string) z-order rewrites cleanly — the refusal
+    # left is the partition column itself.
+    res2 = compact_snapshot(spark, t, zorder_by=["k", "v"])
+    assert _rows(read_snapshot(spark, t)) == before
+    assert res2["snapshot_id"] == res["snapshot_id"] + 1
     with pytest.raises(ValueError, match="partition column"):
         compact_snapshot(spark, t, zorder_by=["_kb", "k"])
 
@@ -1023,10 +1024,10 @@ def test_range_hints_parser():
 def test_delete_where_prunes_files_with_identical_result(
     spark, tmp_path, monkeypatch
 ):
-    """Directive: the DML counting scan composes with footer data
-    skipping — a range DELETE on a clustered layout consults the
-    pruner and opens FEWER files, while the committed result matches
-    the unpruned path row for row."""
+    """Directive: the DML counting scan composes with data skipping —
+    a range DELETE on a clustered layout opens FEWER files (now
+    decided from MANIFEST stats: zero footer opens — round 11), while
+    the committed result matches the unpruned path row for row."""
     import big_data_spark.io.snapshot as snap
     import big_data_spark.io.stats as stats_mod
     from big_data_spark.io.snapshot import append_snapshot, delete_where
@@ -1043,24 +1044,29 @@ def test_delete_where_prunes_files_with_identical_result(
             )
         return t
 
-    decisions = []
-    real = stats_mod.prune_files_multi
+    scanned = []
+    real_read = snap.read_entries
 
-    def spy(spark_, paths, ranges, **kw):
-        out = real(spark_, paths, ranges, **kw)
-        rows = out.select("file", "keep").distinct().collect()
-        decisions.append(rows)
+    def spy_read(spark_, td, entries, **kw):
+        out = real_read(spark_, td, entries, **kw)
+        if kw.get("predicate"):
+            scanned.append(sorted(out.inputFiles()))
         return out
 
-    monkeypatch.setattr(stats_mod, "prune_files_multi", spy)
+    def no_footers(*a, **k):  # stats-bearing table: footer sweep banned
+        raise AssertionError("footer sweep ran despite manifest stats")
+
+    monkeypatch.setattr(snap, "read_entries", spy_read)
+    monkeypatch.setattr(stats_mod, "prune_files_multi", no_footers)
     t_pruned = build("prune_on")
     st1 = delete_where(spark, t_pruned, "k >= 250 AND k < 320")
     monkeypatch.undo()
 
-    assert decisions, "counting scan must consult the pruner"
-    kept = sum(1 for r in decisions[0] if r["keep"])
-    total = len(decisions[0])
-    assert kept < total, "a clustered range DELETE must skip files"
+    assert scanned, "counting scan must go through the pruning path"
+    full = read_snapshot(spark, t_pruned, as_of=3)
+    assert len(scanned[0]) < len(full.inputFiles()), (
+        "a clustered range DELETE must skip files"
+    )
 
     # Hints off -> identical table state and stats.
     monkeypatch.setattr(snap, "_range_hints", lambda cond: None)

@@ -383,3 +383,94 @@ def test_sql_insert_overwrite(spark, cat):
         ]
         == 4
     )
+
+
+def test_ctas_dml_travel_drop_roundtrip(spark, tmp_path):
+    """The full SQL-only lifecycle (round-10 verdict #3): CREATE
+    TABLE AS SELECT -> INSERT -> UPDATE -> time travel -> DROP TABLE,
+    every step a SQL string through one catalog."""
+    import os
+
+    c = SnapshotCatalog(spark, base_dir=str(tmp_path / "lake"))
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "k int, grp string, amt double",
+    ).createOrReplaceTempView("src_rows")
+    st = c.sql("CREATE TABLE fact AS SELECT * FROM src_rows")
+    assert st["statement_type"] == "CREATE TABLE" and st["rows"] == 3
+    tdir = st["table_dir"]
+    assert os.path.isdir(f"{tdir}/_manifests")
+    assert c.sql("SELECT count(*) AS n FROM fact").collect()[0]["n"] == 3
+    c.sql("INSERT INTO fact VALUES (4, 'b', 40.0)")
+    st2 = c.sql("UPDATE fact SET amt = amt + 1 WHERE grp = 'a'")
+    assert st2["updated_rows"] == 2
+    # Time travel back to the CTAS version through the SQL spelling.
+    v0 = c.sql("SELECT sum(amt) AS s FROM fact VERSION AS OF 0")
+    assert v0.collect()[0]["s"] == 60.0
+    now = c.sql("SELECT sum(amt) AS s FROM fact")
+    assert now.collect()[0]["s"] == 102.0
+    st3 = c.sql("DROP TABLE fact")
+    assert st3["dropped"] is True and "fact" not in c.tables
+    assert not os.path.exists(tdir)
+    # Views are gone too — the name no longer resolves.
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        spark.sql("SELECT * FROM fact").collect()
+
+
+def test_ctas_partitioned_by_creates_partitioned_table(spark, tmp_path):
+    from big_data_spark.io.snapshot import latest_manifest
+
+    c = SnapshotCatalog(spark, base_dir=str(tmp_path / "lake"))
+    spark.createDataFrame(
+        [("2026-01-01", "eu", 1), ("2026-01-01", "us", 2),
+         ("2026-01-02", "eu", 3)],
+        "ds string, region string, v int",
+    ).createOrReplaceTempView("src_part")
+    st = c.sql(
+        "CREATE TABLE pfact PARTITIONED BY (ds, region) "
+        "AS SELECT * FROM src_part"
+    )
+    assert st["partitioned_by"] == ["ds", "region"] and st["rows"] == 3
+    man = latest_manifest(spark, c.tables["pfact"])
+    assert man["partition_col"] == ["ds", "region"]
+    assert sorted(man["entries"]) == [
+        "ds=2026-01-01/region=eu",
+        "ds=2026-01-01/region=us",
+        "ds=2026-01-02/region=eu",
+    ]
+    # The created table takes partial writes (the partitioned
+    # contract survives CTAS).
+    st2 = c.sql("DELETE FROM pfact WHERE v = 2")
+    assert st2["deleted_rows"] == 1
+    assert c.sql("SELECT count(*) AS n FROM pfact").collect()[0]["n"] == 2
+
+
+def test_ctas_and_drop_guards(spark, tmp_path):
+    c = SnapshotCatalog(spark, base_dir=str(tmp_path / "lake"))
+    spark.range(3).createOrReplaceTempView("src_g")
+    c.sql("CREATE TABLE g1 AS SELECT id FROM src_g")
+    # Re-creating a registered name is refused.
+    with pytest.raises(ValueError, match="already registered"):
+        c.sql("CREATE TABLE g1 AS SELECT id FROM src_g")
+    # A non-empty target location is refused (CTAS never adopts).
+    victim = tmp_path / "precious"
+    victim.mkdir()
+    (victim / "data.txt").write_text("keep me")
+    with pytest.raises(ValueError, match="not empty"):
+        c.sql(
+            f"CREATE TABLE g2 LOCATION '{victim}' AS SELECT id FROM src_g"
+        )
+    assert (victim / "data.txt").read_text() == "keep me"
+    # DROP refuses a registration that is not a snapshot table.
+    c.tables["fake"] = str(victim)
+    with pytest.raises(ValueError, match="refusing the recursive delete"):
+        c.sql("DROP TABLE fake")
+    assert (victim / "data.txt").exists()
+    # No base_dir and no LOCATION is a loud error.
+    c2 = SnapshotCatalog(spark)
+    with pytest.raises(ValueError, match="LOCATION"):
+        c2.sql("CREATE TABLE nowhere AS SELECT id FROM src_g")
+    # DROP TABLE of names outside the catalog passes through.
+    from big_data_spark.sqldml import route_statement
+
+    assert route_statement(spark, "DROP TABLE some_view", {}) is None

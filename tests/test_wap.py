@@ -298,7 +298,7 @@ def test_wap_partitioned_refusals(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "d1", 1.0)], "k long, day string, v double"
     )
-    with pytest.raises(ValueError, match="partitioned on 'day'"):
+    with pytest.raises(ValueError, match=r"partitioned on \['day'\]"):
         stage_snapshot(df, t, partition_by="k")
     with pytest.raises(ValueError, match="partitioned on"):
         append_with_retry(df, t)
