@@ -65,6 +65,9 @@ def register_snapshot_views(
       travel: the ANSI-spellable stand-in for ``FOR VERSION AS OF
       n``, which plain ``spark.sql`` cannot parse for a non-catalog
       format);
+    - ``name_tag_<tag>`` -> every tagged (pinned) version — the
+      eval-freeze / release-baseline spelling (tag characters outside
+      [A-Za-z0-9_] fold to '_'; round 11);
     - ``name_history``  -> the commit log (table_history: one row
       per snapshot with generation counts, maintenance flag, added
       columns) — ``DESCRIBE HISTORY`` as a queryable view;
@@ -104,6 +107,20 @@ def register_snapshot_views(
                 spark, table_dir, as_of=sid
             ).createOrReplaceTempView(vname)
             names.append(vname)
+    from big_data_spark.io.snapshot import list_tags
+
+    for tag, sid in sorted(list_tags(spark, table_dir).items()):
+        # Tag-named views (round 11): `name_tag_<tag>` reads the
+        # PINNED version (tag chars outside [A-Za-z0-9_] fold to '_'
+        # — Spark view names reject '@' and '-') — the eval-freeze /
+        # release-baseline handle next to the name_v{N} spellings.
+        vname = f"{name}_tag_" + "".join(
+            ch if ch.isalnum() or ch == "_" else "_" for ch in tag
+        )
+        read_snapshot(spark, table_dir, as_of=sid).createOrReplaceTempView(
+            vname
+        )
+        names.append(vname)
     table_history(spark, table_dir).createOrReplaceTempView(
         f"{name}_history"
     )
@@ -180,7 +197,7 @@ class SnapshotCatalog:
         import re as _re
 
         pat = _re.compile(
-            rf"^{_re.escape(name)}(_v\d+|_history|_changes)?$"
+            rf"^{_re.escape(name)}(_tag_.+|_v\d+|_history|_changes)?$"
         )
         for tbl in self.spark.catalog.listTables():
             if tbl.isTemporary and pat.match(tbl.name):

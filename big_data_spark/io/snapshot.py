@@ -643,12 +643,26 @@ def _claim_commit_loop(
     ``_data/s=<sid>/<col>=<val>`` subdirs for a partitioned publish)
     and the extra commit_manifest kwargs. It runs per attempt against
     the freshest predecessor, so table-shape refusals rebase too."""
+    import random as _random
+    import time as _time
+
     fs, staging_path = hadoop_fs(spark, staging)
     has_data = _generation_has_data(spark, staging)
     _, data_root = hadoop_fs(spark, f"{table_dir}/{_DATA_DIR}")
     fs.mkdirs(data_root)
     last_err: Exception | None = None
-    for _ in range(attempts):
+    for attempt in range(attempts):
+        if attempt:
+            # Jittered backoff: a loser re-reading the manifest before
+            # the winner's commit lands recomputes the SAME id and
+            # burns attempts in a tight spin — the commit window now
+            # includes the stats sweep, so give the winner time to
+            # land instead of exhausting the budget (round-11 two-
+            # writer thread test caught exactly this).
+            _time.sleep(
+                min(0.05 * (2 ** (attempt - 1)), 1.0)
+                * (0.5 + _random.random())
+            )
         prev = latest_manifest(spark, table_dir)
         check_schema_evolution((prev or {}).get("schema"), fields)
         sid = (prev["snapshot_id"] + 1) if prev else 0
@@ -3024,6 +3038,68 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
         "maintenance boolean, partition_col string, layout_by string, "
         "n_columns int, added_columns array<string>, "
         "committed_at_ms long",
+    )
+
+
+def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL for a snapshot table (Delta's spelling): ONE
+    row summarizing the CURRENT version — location, snapshot id,
+    commit timestamp, partition columns, entry/generation counts,
+    live data file count + total bytes, delete-vector / row-CDF
+    presence, stats coverage (generations with manifest-embedded
+    column stats / total), tag count, schema column count. File
+    counts come from listing only the LIVE entry dirs — O(live files)
+    driver metadata, no data reads."""
+    man = latest_manifest(spark, table_dir)
+    if man is None:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    fs, _ = hadoop_fs(spark, table_dir)
+    n_files = 0
+    total_bytes = 0
+    for rel in sorted(set(man["entries"].values())):
+        _, p = hadoop_fs(spark, f"{table_dir}/{rel}")
+        if not fs.exists(p):
+            continue
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            n_files += 1
+            total_bytes += st.getLen()
+    gens = {
+        rel.split("/")[1]
+        for rel in man["entries"].values()
+        if rel.startswith(f"{_DATA_DIR}/")
+    }
+    stats = man.get("stats") or {}
+    covered = len(set(stats.get("gens") or {}) & gens)
+    row = (
+        table_dir,
+        int(man["snapshot_id"]),
+        int(man.get("committed_at_ms") or 0),
+        _pcols(man.get("partition_col")) or [],
+        man.get("layout_by"),
+        len(man["entries"]),
+        len(gens),
+        int(n_files),
+        int(total_bytes),
+        len(man.get("deletes") or []),
+        bool(man.get("cdf")),
+        covered,
+        list(stats.get("columns") or []),
+        len(list_tags(spark, table_dir)),
+        len(man.get("schema") or []),
+    )
+    return spark.createDataFrame(
+        [row],
+        "location string, snapshot_id int, committed_at_ms long, "
+        "partition_columns array<string>, layout_by string, "
+        "n_entries int, n_generations int, n_data_files int, "
+        "total_bytes long, n_delete_vectors int, has_row_cdf boolean, "
+        "stats_covered_generations int, stats_columns array<string>, "
+        "n_tags int, n_columns int",
     )
 
 

@@ -109,6 +109,9 @@ def is_dml(statement: str) -> bool:
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", re.IGNORECASE
 )
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(\w+)\s*"
     r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
@@ -189,6 +192,14 @@ def route_statement(
         from big_data_spark.io.snapshot import table_history
 
         return table_history(spark, tables[m.group(1)])
+    m = _DETAIL_RE.match(statement)
+    if m and m.group(1) in tables:
+        # DESCRIBE DETAIL t (round 11, Delta's spelling): one manifest
+        # summary row — partition columns, live file count/bytes,
+        # stats coverage, tags. Metadata-only.
+        from big_data_spark.io.snapshot import table_detail
+
+        return table_detail(spark, tables[m.group(1)])
     m = _OPTIMIZE_RE.match(statement)
     if m and m.group(1) in tables:
         if m.group(2):

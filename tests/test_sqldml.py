@@ -474,3 +474,51 @@ def test_ctas_and_drop_guards(spark, tmp_path):
     from big_data_spark.sqldml import route_statement
 
     assert route_statement(spark, "DROP TABLE some_view", {}) is None
+
+
+def test_describe_detail_and_tag_views(spark, tmp_path):
+    """DESCRIBE DETAIL returns the one-row manifest summary; tagged
+    versions register as `name_tag_<tag>` views."""
+    from big_data_spark.io.snapshot import (
+        tag_snapshot,
+        write_snapshot,
+        write_snapshot_partial,
+    )
+
+    t = str(tmp_path / "detail_t")
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "part string, v int"
+    )
+    write_snapshot_partial(df, t, 0, "part", touched_keys=["a", "b"])
+    tag_snapshot(spark, t, "train-v1", snapshot_id=0)
+    write_snapshot_partial(
+        spark.createDataFrame([("a", 9)], "part string, v int"),
+        t,
+        1,
+        "part",
+        touched_keys=["a"],
+    )
+    c = SnapshotCatalog(spark)
+    c.register("detail_t", t)
+    d = c.sql("DESCRIBE DETAIL detail_t").collect()[0]
+    assert d["snapshot_id"] == 1
+    assert d["partition_columns"] == ["part"]
+    assert d["n_entries"] == 2 and d["n_generations"] == 2
+    assert d["n_data_files"] >= 2 and d["total_bytes"] > 0
+    assert d["n_tags"] == 1 and d["n_columns"] == 2
+    assert d["stats_covered_generations"] == 2
+    assert d["stats_columns"] == ["v"]
+    # The pinned version reads through the tag-named view (tag chars
+    # outside identifier rules fold to '_').
+    got = spark.sql(
+        "SELECT sum(v) AS s FROM detail_t_tag_train_v1"
+    ).collect()[0]["s"]
+    assert got == 6  # v0 content, not the rewritten partition
+    assert (
+        spark.sql("SELECT sum(v) AS s FROM detail_t").collect()[0]["s"]
+        == 12
+    )
+    # DROP removes the tag views with the rest.
+    c.sql("DROP TABLE detail_t")
+    with pytest.raises(Exception):
+        spark.sql("SELECT * FROM detail_t_tag_train_v1").collect()

@@ -1,0 +1,115 @@
+"""Fixed-fixture lakehouse micro-bench (round-11 verdict #10): time
+the table-format hot paths the query bench deliberately excludes —
+commit (with its stats sweep), row-CDF UPDATE, and the pruned read
+BOTH ways (manifest stats vs forced footer sweep) so the
+metadata-only pruning win is a measured number, not a claim.
+
+Usage: python tools/lakehouse_bench.py [sf_dir]  (default sf0.1)
+Prints one JSON line; PERF.md records the quiet-machine numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from big_data_spark.session import get_spark, quiet_logs  # noqa: E402
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="lakehouse-bench", shuffle_partitions=32)
+    quiet_logs(spark)
+    import big_data_spark.io.snapshot as snap
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        latest_manifest,
+        read_entries,
+        read_snapshot,
+        update_where,
+        write_snapshot,
+    )
+
+    t = os.path.join(tempfile.gettempdir(), "bds_lakebench")
+    shutil.rmtree(t, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    # Clustered layout so range pruning has real teeth.
+    base = orders.repartitionByRange(32, "o_orderkey")
+    res: dict = {}
+    res["write_snapshot"], _ = timed(lambda: write_snapshot(base, t))
+    res["append_commit"], _ = timed(
+        lambda: append_snapshot(
+            orders.limit(10_000).coalesce(1), t, snapshot_id=1
+        )
+    )
+    res["update_row_cdf"], st = timed(
+        lambda: update_where(
+            spark,
+            t,
+            "o_orderkey >= 1000 AND o_orderkey < 2000",
+            {"o_totalprice": "o_totalprice + 1.0"},
+            row_cdf=True,
+        )
+    )
+    res["update_matched_rows"] = st["updated_rows"]
+    man = latest_manifest(spark, t)
+    pred = {"o_orderkey": (500_000.0, 520_000.0)}
+
+    def pruned_read(stats):
+        df = read_entries(
+            spark,
+            t,
+            man["entries"],
+            predicate=pred,
+            deletes=man.get("deletes"),
+            schema_fields=man.get("schema"),
+            rename_log=man.get("rename_log"),
+            stats=stats,
+        )
+        return df.agg(F.count(F.lit(1)), F.sum("o_totalprice")).collect()
+
+    # Warm the scan paths once, then median-of-3 each way.
+    pruned_read(man.get("stats"))
+
+    def med3(fn):
+        return sorted(timed(fn)[0] for _ in range(3))[1]
+
+    res["pruned_read_manifest_stats"] = med3(
+        lambda: pruned_read(man.get("stats"))
+    )
+    res["pruned_read_footer_sweep"] = med3(lambda: pruned_read(None))
+    res["full_read"] = med3(
+        lambda: read_snapshot(spark, t)
+        .agg(F.count(F.lit(1)), F.sum("o_totalprice"))
+        .collect()
+    )
+    res = {
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in res.items()
+    }
+    print(json.dumps({"sf_dir": sf_dir, **res}))
+    shutil.rmtree(t, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
