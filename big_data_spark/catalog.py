@@ -50,6 +50,23 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def _tag_view_name(name: str, tag: str) -> str:
+    """Identifier-safe view name for a tag pin: characters outside
+    ASCII [A-Za-z0-9_] fold to '_' (Spark view names reject '@', '-',
+    '.' and non-ASCII letters); whenever folding changed ANYTHING a
+    short hash of the raw tag is appended, so distinct tags ('v@1' vs
+    'v-1', Unicode tags) can never collide on one view name."""
+    import hashlib
+
+    folded = "".join(
+        ch if (ch.isascii() and ch.isalnum()) or ch == "_" else "_"
+        for ch in tag
+    )
+    if folded != tag:
+        folded += "_" + hashlib.md5(tag.encode()).hexdigest()[:6]
+    return f"{name}_tag_{folded}"
+
+
 def register_snapshot_views(
     spark: SparkSession,
     table_dir: str,
@@ -66,8 +83,9 @@ def register_snapshot_views(
       n``, which plain ``spark.sql`` cannot parse for a non-catalog
       format);
     - ``name_tag_<tag>`` -> every tagged (pinned) version — the
-      eval-freeze / release-baseline spelling (tag characters outside
-      [A-Za-z0-9_] fold to '_'; round 11);
+      eval-freeze / release-baseline spelling (round 11; identifier-
+      unsafe tag characters fold to '_' with a short raw-tag hash
+      appended so distinct tags never collide — `_tag_view_name`);
     - ``name_history``  -> the commit log (table_history: one row
       per snapshot with generation counts, maintenance flag, added
       columns) — ``DESCRIBE HISTORY`` as a queryable view;
@@ -107,20 +125,20 @@ def register_snapshot_views(
                 spark, table_dir, as_of=sid
             ).createOrReplaceTempView(vname)
             names.append(vname)
-    from big_data_spark.io.snapshot import list_tags
-
-    for tag, sid in sorted(list_tags(spark, table_dir).items()):
+    if versions == "eager":
         # Tag-named views (round 11): `name_tag_<tag>` reads the
-        # PINNED version (tag chars outside [A-Za-z0-9_] fold to '_'
-        # — Spark view names reject '@' and '-') — the eval-freeze /
-        # release-baseline handle next to the name_v{N} spellings.
-        vname = f"{name}_tag_" + "".join(
-            ch if ch.isalnum() or ch == "_" else "_" for ch in tag
-        )
-        read_snapshot(spark, table_dir, as_of=sid).createOrReplaceTempView(
-            vname
-        )
-        names.append(vname)
+        # PINNED version — the eval-freeze / release-baseline handle
+        # next to the name_v{N} spellings. Eager mode only, like the
+        # version views (lazy registration stays O(1) per refresh;
+        # read the pin through read_snapshot(tag=) there).
+        from big_data_spark.io.snapshot import list_tags
+
+        for tag, sid in sorted(list_tags(spark, table_dir).items()):
+            vname = _tag_view_name(name, tag)
+            read_snapshot(
+                spark, table_dir, as_of=sid
+            ).createOrReplaceTempView(vname)
+            names.append(vname)
     table_history(spark, table_dir).createOrReplaceTempView(
         f"{name}_history"
     )
@@ -192,15 +210,23 @@ class SnapshotCatalog:
 
     def _drop_views(self, name: str) -> None:
         """Deregister every temp view a DROPped table owned —
-        ``name``, ``name_v<N>``, ``name_history``, ``name_changes``
-        — so stale views can't resolve into the deleted dir."""
+        ``name``, ``name_v<N>``, ``name_tag_*``, ``name_history``,
+        ``name_changes`` — so stale views can't resolve into the
+        deleted dir. Views that are themselves ANOTHER registered
+        table's main view (e.g. a table literally named
+        ``orders_v2`` beside ``orders``) are spared — they belong to
+        a live registration, not to the dropped table."""
         import re as _re
 
         pat = _re.compile(
             rf"^{_re.escape(name)}(_tag_.+|_v\d+|_history|_changes)?$"
         )
         for tbl in self.spark.catalog.listTables():
-            if tbl.isTemporary and pat.match(tbl.name):
+            if (
+                tbl.isTemporary
+                and pat.match(tbl.name)
+                and tbl.name not in self.tables
+            ):
                 self.spark.catalog.dropTempView(tbl.name)
 
     def sql(self, statement: str):

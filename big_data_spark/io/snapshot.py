@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import threading
 import uuid
 from contextlib import contextmanager
 from urllib.parse import unquote
@@ -66,6 +67,11 @@ def _bare_expr(col):
     return F.regexp_replace(col, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
 
+_PART_TYPES_LOCK = threading.RLock()
+_PART_TYPES_DEPTH = 0
+_PART_TYPES_PREV: str | None = None
+
+
 @contextmanager
 def _declared_partition_types(spark: SparkSession):
     """Scope a scan so hive partition-column values stay STRINGS and
@@ -76,14 +82,27 @@ def _declared_partition_types(spark: SparkSession):
     value the manifest keys and DML attribution use (round-10 advice,
     generalized from read_staged to every manifest-driven scan).
     Partition discovery runs eagerly at DataFrame creation, so the
-    conf only needs to cover the spark.read call."""
+    conf only needs to cover the spark.read call. The conf is
+    SESSION-GLOBAL, so entries are counted under a lock: concurrent
+    guarded readers (two-thread DML/maintenance walks) keep inference
+    off until the LAST one exits and the original value restores
+    exactly once — an unsynchronized save/restore pair could
+    re-enable inference under a racing reader (mistyping a '00123'
+    key mid-scan) or leave it off for the whole session."""
+    global _PART_TYPES_DEPTH, _PART_TYPES_PREV
     key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
+    with _PART_TYPES_LOCK:
+        if _PART_TYPES_DEPTH == 0:
+            _PART_TYPES_PREV = spark.conf.get(key)
+            spark.conf.set(key, "false")
+        _PART_TYPES_DEPTH += 1
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        with _PART_TYPES_LOCK:
+            _PART_TYPES_DEPTH -= 1
+            if _PART_TYPES_DEPTH == 0:
+                spark.conf.set(key, _PART_TYPES_PREV)
 
 
 class SnapshotConflict(Exception):
@@ -398,9 +417,20 @@ def partition_entry_key(spark: SparkSession, pcols: list[str], values) -> str:
     generation-relative subdir the entry's rel path ends with.
     ``values``: one scalar, or an ordered tuple/list matching
     ``pcols``; for a multi-column table a plain STRING is accepted as
-    an already-canonical key (the form entries/DML hand back)."""
+    an already-canonical key (the form entries/DML hand back) — but
+    only after validating its shape, so a malformed string raises
+    instead of silently popping nothing from the entry map."""
     if len(pcols) > 1 and isinstance(values, str):
-        return values  # already canonical (came from a manifest key)
+        segs = values.split("/")
+        if len(segs) != len(pcols) or any(
+            not s.startswith(f"{c}=") for s, c in zip(segs, pcols)
+        ):
+            raise ValueError(
+                f"touched key {values!r} is neither a value tuple nor "
+                f"a canonical 'c1=v1/c2=v2' key for partition columns "
+                f"{pcols!r}"
+            )
+        return values  # canonical (came from a manifest key)
     if not isinstance(values, (list, tuple)):
         values = [values]
     if len(values) != len(pcols):
@@ -414,10 +444,20 @@ def partition_entry_key(spark: SparkSession, pcols: list[str], values) -> str:
             "as __HIVE_DEFAULT_PARTITION__, which cannot round-trip "
             "through the manifest keys)"
         )
+
+    def render(v) -> str:
+        # Match Spark's dir-value rendering where str() diverges:
+        # booleans write as 'true'/'false', not Python's 'True'.
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
     if len(pcols) == 1:
-        return str(values[0])
+        return render(values[0])
     esc = _hive_escape(spark)
-    return "/".join(f"{c}={esc(str(v))}" for c, v in zip(pcols, values))
+    return "/".join(
+        f"{c}={esc(render(v))}" for c, v in zip(pcols, values)
+    )
 
 
 def entry_partition_values(
@@ -1213,7 +1253,11 @@ def _default_stats_columns(
 
 
 def _sweep_generation_stats(
-    spark: SparkSession, table_dir: str, gen_rel: str, columns: list[str]
+    spark: SparkSession,
+    table_dir: str,
+    gen_rel: str,
+    columns: list[str],
+    rename_log: list | None = None,
 ) -> dict[str, dict]:
     """Per-FILE min/max for one (immutable, just-written) data
     generation: {file_rel: {col: [min_str, max_str] | None}} — None =
@@ -1246,6 +1290,21 @@ def _sweep_generation_stats(
 
     out: dict[str, dict] = {}
     local = (fs.getUri().getScheme() or "file") == "file"
+    # A LEGACY generation being backfilled may carry a stat column
+    # under a former physical name (renamed after it was written) —
+    # resolve through the evolution log exactly like the read-path
+    # footer sweep, or the backfilled stats would record the column
+    # as permanently unprunable.
+    gen_id = _gen_id_of(gen_rel)
+    if rename_log:
+        from big_data_spark.io.stats import _physical_name
+
+        phys = {
+            c: _physical_name(c, [list(e) for e in rename_log], gen_id)
+            for c in columns
+        }
+    else:
+        phys = {c: c for c in columns}
     if local and len(files) <= 64:
         import pyarrow.parquet as pq
 
@@ -1257,13 +1316,14 @@ def _sweep_generation_stats(
             }
             per_col: dict[str, list | None] = {}
             for c in columns:
-                if c not in idx:
+                p = phys[c]
+                if p is None or p not in idx:
                     per_col[c] = None
                     continue
                 mn = mx = None
                 ok = True
                 for rg in range(meta.num_row_groups):
-                    s = meta.row_group(rg).column(idx[c]).statistics
+                    s = meta.row_group(rg).column(idx[p]).statistics
                     try:
                         # pyarrow raises ArrowNotImplementedError
                         # extracting stats for some physical types
@@ -1285,7 +1345,13 @@ def _sweep_generation_stats(
     from big_data_spark.io.stats import parquet_column_stats
 
     rows = (
-        parquet_column_stats(spark, [gen_dir], columns, missing_ok=True)
+        parquet_column_stats(
+            spark,
+            [gen_dir],
+            columns,
+            rename_log=rename_log,
+            missing_ok=True,
+        )
         .groupBy("file", "column")
         .agg(
             F.min(F.col("min_value").cast("double")).alias("mn"),
@@ -1315,6 +1381,7 @@ def _auto_commit_stats(
     partition_col,
     layout_by: str | None,
     stats_columns: list[str] | None,
+    rename_log: list | None = None,
 ) -> dict | None:
     """The commit's ``stats`` block: carry every already-covered live
     generation forward (metadata-only), sweep only the NEW ones —
@@ -1355,7 +1422,11 @@ def _auto_commit_stats(
             out_gens[g] = prev_gens[g]
         else:
             out_gens[g] = _sweep_generation_stats(
-                spark, table_dir, f"{_DATA_DIR}/{g}", columns
+                spark,
+                table_dir,
+                f"{_DATA_DIR}/{g}",
+                columns,
+                rename_log=rename_log,
             )
     return {"columns": columns, "gens": out_gens}
 
@@ -1462,6 +1533,7 @@ def commit_manifest(
             partition_col,
             layout_by,
             stats_columns,
+            rename_log=rename_log,
         )
     if replace:
         # A crash-replayed commit of an ALREADY-COMMITTED id carries
@@ -1717,6 +1789,14 @@ def read_entries(
         # to the distributed footer sweep.
         stat_gens = (stats or {}).get("gens") or {}
         stat_cols = (stats or {}).get("columns") or []
+        # A predicate column OUTSIDE the recorded stats set can only
+        # prune through footers — routing covered paths through the
+        # metadata would silently keep every file for that column (a
+        # pruning regression vs the footer path). All-or-nothing per
+        # read: stats serve only when they can answer every hinted
+        # column.
+        if not set(predicate) <= set(stat_cols):
+            stat_gens = {}
         swept_paths: list[str] = []
         for p in all_paths:
             rel = p[len(table_dir) + 1 :]

@@ -166,14 +166,20 @@ def route_statement(
     head = statement.lstrip()[:12].upper()
     if head.startswith("CREATE"):
         m = _CREATE_RE.match(statement)
-        if m:
+        # Claim CTAS only when the statement names a LOCATION or the
+        # catalog was built with base_dir= (the snapshot-format
+        # opt-in) — a plain 'CREATE TABLE t AS SELECT' against the
+        # Spark catalog worked through spark.sql before round 11 and
+        # must keep working.
+        if m and (m.group(3) or base_dir is not None):
             return _execute_create(spark, m, tables, base_dir)
-        return None  # CREATE VIEW etc. — plain spark.sql's business
-    if head.startswith("DROP TABLE"):
+        return None  # CREATE VIEW / Spark-catalog CTAS — spark.sql's
+    if head.startswith("DROP"):
         m = _DROP_RE.match(statement)
         # Claim only REGISTERED snapshot tables; DROP of a spark temp
         # view (and IF EXISTS probes of unknown names) keeps passing
-        # through to plain spark.sql.
+        # through to plain spark.sql. The regex (not a literal-space
+        # head probe) decides, so 'DROP\nTABLE t' routes too.
         if m and m.group(2) in tables:
             return _execute_drop(spark, m, tables)
         return None

@@ -91,9 +91,9 @@ def test_carry_sweeps_only_new_generations(spark, tmp_path, monkeypatch):
     swept: list[str] = []
     real = snap._sweep_generation_stats
 
-    def counting(spark_, td, gen_rel, cols):
+    def counting(spark_, td, gen_rel, cols, **kw):
         swept.append(gen_rel)
-        return real(spark_, td, gen_rel, cols)
+        return real(spark_, td, gen_rel, cols, **kw)
 
     monkeypatch.setattr(snap, "_sweep_generation_stats", counting)
     append_snapshot(_mk(spark, 50, 80), t, snapshot_id=1)
@@ -201,3 +201,68 @@ def test_partitioned_table_excludes_partition_cols(spark, tmp_path):
     assert man["stats"]["columns"] == ["v"]  # d is a partition column
     for per_col in man["stats"]["gens"]["s=0"].values():
         assert set(per_col) == {"v"}
+
+
+def test_predicate_outside_stats_columns_falls_back_to_footers(
+    spark, tmp_path, monkeypatch
+):
+    """A hinted column outside the recorded stats set must still
+    prune through the footer sweep — routing covered generations
+    through the metadata would keep every file for that column (a
+    regression vs the pre-stats path; round-11 review)."""
+    t = str(tmp_path / "extra_col")
+    df = spark.range(0, 1000).selectExpr(
+        "id AS a", "id AS b", "id AS c", "id AS d",
+        "id AS e",  # 5th numeric: outside the 4-column default set
+    )
+    write_snapshot(df.repartitionByRange(8, "e"), t)
+    man = latest_manifest(spark, t)
+    assert man["stats"]["columns"] == ["a", "b", "c", "d"]
+    swept: list = []
+    real = stats_mod.prune_files_multi
+
+    def spy(spark_, paths, *a, **k):
+        swept.extend(paths)
+        return real(spark_, paths, *a, **k)
+
+    monkeypatch.setattr(stats_mod, "prune_files_multi", spy)
+    got = read_snapshot(spark, t, predicate={"e": (100.0, 150.0)})
+    assert {r["e"] for r in got.collect()} == set(range(100, 151))
+    assert swept, "footer sweep must run for an uncovered column"
+    assert len(got.inputFiles()) < 8  # and it genuinely pruned
+
+
+def test_legacy_backfill_resolves_renamed_columns(spark, tmp_path, monkeypatch):
+    """Backfilling stats for a generation written BEFORE a rename must
+    resolve the old physical name through the evolution log — a
+    None-recorded column would be permanently unprunable (round-11
+    review)."""
+    t = str(tmp_path / "legacy_ren")
+    monkeypatch.setattr(snap, "_auto_commit_stats", lambda *a, **k: None)
+    append_snapshot(
+        spark.range(0, 100)
+        .selectExpr("id AS amount", "id AS other")
+        .repartitionByRange(4, "amount"),
+        t,
+        snapshot_id=0,
+    )
+    monkeypatch.undo()
+    evolve_schema(spark, t, renames={"amount": "price"})
+    assert latest_manifest(spark, t)["stats"] is None  # still legacy
+    # Next data commit backfills BOTH generations under current names.
+    append_snapshot(
+        spark.range(100, 150)
+        .selectExpr("id AS price", "id AS other")
+        .repartitionByRange(2, "price"),
+        t,
+        snapshot_id=2,
+    )
+    man = latest_manifest(spark, t)
+    assert man["stats"]["columns"] == ["price", "other"]
+    s0 = man["stats"]["gens"]["s=0"]
+    assert all(pc["price"] is not None for pc in s0.values()), (
+        "pre-rename generation must record stats under the new name"
+    )
+    _no_footer_sweep(monkeypatch)
+    got = read_snapshot(spark, t, predicate={"price": (10.0, 20.0)})
+    assert {r["price"] for r in got.collect()} == set(range(10, 21))

@@ -384,3 +384,43 @@ def test_insert_overwrite_preserves_partitioning(spark, tmp_path):
         touched_keys=[("2026-03-02", "us")],
     )
     assert read_snapshot(spark, t).count() == 2
+
+
+def test_boolean_and_malformed_touched_keys(spark, tmp_path):
+    """Boolean partition values canonicalize to Spark's dir rendering
+    ('true'/'false', not Python's 'True'), and a malformed canonical
+    string raises instead of silently popping nothing (round-11
+    review)."""
+    t = str(tmp_path / "boolpart")
+    df = spark.createDataFrame(
+        [(True, "eu", 1), (False, "eu", 2)],
+        "flag boolean, region string, v int",
+    )
+    write_snapshot_partial(
+        df, t, 0, ["flag", "region"],
+        touched_keys=[(True, "eu"), (False, "eu")],
+    )
+    man = read_manifest(spark, t, 0)
+    assert sorted(man["entries"]) == [
+        "flag=false/region=eu",
+        "flag=true/region=eu",
+    ]
+    # Replacing by tuple with a bool must hit the existing entry.
+    write_snapshot_partial(
+        spark.createDataFrame(
+            [(True, "eu", 9)], "flag boolean, region string, v int"
+        ),
+        t, 1, ["flag", "region"], touched_keys=[(True, "eu")],
+    )
+    got = sorted(
+        (r["flag"], r["v"])
+        for r in read_snapshot(spark, t).collect()
+    )
+    assert got == [(False, 2), (True, 9)]
+    with pytest.raises(ValueError, match="neither a value tuple nor"):
+        write_snapshot_partial(
+            spark.createDataFrame(
+                [], "flag boolean, region string, v int"
+            ),
+            t, 2, ["flag", "region"], touched_keys=["true|eu"],
+        )

@@ -466,14 +466,23 @@ def test_ctas_and_drop_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="refusing the recursive delete"):
         c.sql("DROP TABLE fake")
     assert (victim / "data.txt").exists()
-    # No base_dir and no LOCATION is a loud error.
-    c2 = SnapshotCatalog(spark)
-    with pytest.raises(ValueError, match="LOCATION"):
-        c2.sql("CREATE TABLE nowhere AS SELECT id FROM src_g")
-    # DROP TABLE of names outside the catalog passes through.
+    # No base_dir and no LOCATION: NOT claimed — a plain Spark-catalog
+    # CTAS must keep working through spark.sql (round-11 review).
     from big_data_spark.sqldml import route_statement
 
+    assert (
+        route_statement(
+            spark, "CREATE TABLE nowhere AS SELECT id FROM src_g", {}
+        )
+        is None
+    )
+    # DROP TABLE of names outside the catalog passes through; inside
+    # the catalog it routes regardless of keyword whitespace.
     assert route_statement(spark, "DROP TABLE some_view", {}) is None
+    c3 = SnapshotCatalog(spark, base_dir=str(tmp_path / "lake3"))
+    c3.sql("CREATE TABLE g3 AS SELECT id FROM src_g")
+    st = c3.sql("DROP\n  TABLE g3")
+    assert st["dropped"] is True
 
 
 def test_describe_detail_and_tag_views(spark, tmp_path):
@@ -508,11 +517,12 @@ def test_describe_detail_and_tag_views(spark, tmp_path):
     assert d["n_tags"] == 1 and d["n_columns"] == 2
     assert d["stats_covered_generations"] == 2
     assert d["stats_columns"] == ["v"]
-    # The pinned version reads through the tag-named view (tag chars
-    # outside identifier rules fold to '_').
-    got = spark.sql(
-        "SELECT sum(v) AS s FROM detail_t_tag_train_v1"
-    ).collect()[0]["s"]
+    # The pinned version reads through the tag-named view (folded
+    # chars gain a raw-tag hash so distinct tags never collide).
+    from big_data_spark.catalog import _tag_view_name
+
+    vname = _tag_view_name("detail_t", "train-v1")
+    got = spark.sql(f"SELECT sum(v) AS s FROM {vname}").collect()[0]["s"]
     assert got == 6  # v0 content, not the rewritten partition
     assert (
         spark.sql("SELECT sum(v) AS s FROM detail_t").collect()[0]["s"]
@@ -521,4 +531,19 @@ def test_describe_detail_and_tag_views(spark, tmp_path):
     # DROP removes the tag views with the rest.
     c.sql("DROP TABLE detail_t")
     with pytest.raises(Exception):
-        spark.sql("SELECT * FROM detail_t_tag_train_v1").collect()
+        spark.sql(f"SELECT * FROM {vname}").collect()
+
+
+def test_drop_spares_sibling_tables_views(spark, tmp_path):
+    """DROP TABLE orders must not drop the main view of another
+    registered table that merely LOOKS like a version view
+    (round-11 review)."""
+    c = SnapshotCatalog(spark, base_dir=str(tmp_path / "lake"))
+    spark.range(3).createOrReplaceTempView("src_s")
+    c.sql("CREATE TABLE orders9 AS SELECT id FROM src_s")
+    c.sql("CREATE TABLE orders9_v2 AS SELECT id FROM src_s")
+    c.sql("DROP TABLE orders9")
+    assert "orders9_v2" in c.tables
+    assert spark.sql("SELECT count(*) AS n FROM orders9_v2").collect()[
+        0
+    ]["n"] == 3
