@@ -53,16 +53,18 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 def _tag_view_name(name: str, tag: str) -> str:
     """Identifier-safe view name for a tag pin: characters outside
     ASCII [A-Za-z0-9_] fold to '_' (Spark view names reject '@', '-',
-    '.' and non-ASCII letters); whenever folding changed ANYTHING a
-    short hash of the raw tag is appended, so distinct tags ('v@1' vs
-    'v-1', Unicode tags) can never collide on one view name."""
+    '.' and non-ASCII letters); whenever folding changed anything OR
+    the tag carries uppercase (temp-view names are CASE-INSENSITIVE,
+    so 'V1' and 'v1' would otherwise share one view) a short hash of
+    the raw tag is appended — distinct tags can never collide on one
+    view name."""
     import hashlib
 
     folded = "".join(
         ch if (ch.isascii() and ch.isalnum()) or ch == "_" else "_"
         for ch in tag
     )
-    if folded != tag:
+    if folded != tag or folded != folded.lower():
         folded += "_" + hashlib.md5(tag.encode()).hexdigest()[:6]
     return f"{name}_tag_{folded}"
 

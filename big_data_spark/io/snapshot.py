@@ -227,9 +227,12 @@ def _atomic_overwrite_local(
     ``FileSystem.rename`` lacks. Checksum sidecars need care: the
     local FS is a ChecksumFileSystem, so a stale ``.{name}.crc``
     beside the swapped-in data would fail readers' verification.
-    Order: delete the DESTINATION's crc first (a missing crc merely
-    skips verification — safe), atomically move the data file, then
-    move the tmp's crc into place (re-arming verification)."""
+    The crcs are DELETED, never moved: a delete-crc / move-data /
+    move-crc sequence lets two concurrent movers pair one mover's
+    data with the OTHER's crc (ChecksumException on every later
+    read); with both sidecars removed the moved pin simply reads
+    unverified — the safe state a missing crc means — and
+    last-data-move-wins holds for any interleaving."""
     jvm = spark._jvm
     gw = spark.sparkContext._gateway
 
@@ -252,7 +255,7 @@ def _atomic_overwrite_local(
     src_crc = f"{parent_dir}/.{tmp_name}.crc"
     _, src_crc_p = hadoop_fs(spark, src_crc)
     if fs.exists(src_crc_p):
-        _nio_move(src_crc_p.toUri().getPath(), dst_crc_p.toUri().getPath())
+        fs.delete(src_crc_p, False)
     return True
 
 
@@ -408,6 +411,17 @@ def _hive_unescape(spark: SparkSession):
     )
 
 
+def _render_part_value(v) -> str:
+    """Spark's dir-value rendering where Python's str() diverges:
+    booleans write as 'true'/'false', not 'True' — the ONE renderer
+    shared by entry keys and the partitions= manifest filter, so a
+    boolean key matches its dir value on both the write and read
+    sides."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def partition_entry_key(spark: SparkSession, pcols: list[str], values) -> str:
     """Canonical manifest entry key for ONE partition. A single-column
     table keys on the RAW value (the legacy format — unchanged, so
@@ -445,18 +459,11 @@ def partition_entry_key(spark: SparkSession, pcols: list[str], values) -> str:
             "through the manifest keys)"
         )
 
-    def render(v) -> str:
-        # Match Spark's dir-value rendering where str() diverges:
-        # booleans write as 'true'/'false', not Python's 'True'.
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        return str(v)
-
     if len(pcols) == 1:
-        return render(values[0])
+        return _render_part_value(values[0])
     esc = _hive_escape(spark)
     return "/".join(
-        f"{c}={esc(render(v))}" for c, v in zip(pcols, values)
+        f"{c}={esc(_render_part_value(v))}" for c, v in zip(pcols, values)
     )
 
 
@@ -1680,7 +1687,7 @@ def read_snapshot(
             )
         want = {
             c: {
-                str(x)
+                _render_part_value(x)
                 for x in (v if isinstance(v, (list, tuple, set)) else [v])
             }
             for c, v in partitions.items()
@@ -1798,6 +1805,8 @@ def read_entries(
         if not set(predicate) <= set(stat_cols):
             stat_gens = {}
         swept_paths: list[str] = []
+        rels_by_gen: dict[str, set[str]] = {}
+        path_of: dict[str, str] = {}
         for p in all_paths:
             rel = p[len(table_dir) + 1 :]
             gen = rel.split("/")[1] if rel.startswith(
@@ -1806,13 +1815,32 @@ def read_entries(
             if gen is None or gen not in stat_gens:
                 swept_paths.append(p)
                 continue
-            for file_rel, per_col in stat_gens[gen].items():
-                if not (
-                    file_rel == rel or file_rel.startswith(rel + "/")
-                ):
-                    continue
+            rels_by_gen.setdefault(gen, set()).add(rel)
+            path_of[rel] = p
+        # Owner resolution per PARENT dir (cached), walking path
+        # segments UP to the deepest live entry rel — O(#files +
+        # #parents x depth), not O(#entries x #files): a 5k-leaf
+        # partitioned generation would otherwise cost ~25M substring
+        # probes per pruned read on the driver.
+        for g, rels_here in rels_by_gen.items():
+            owner_cache: dict[str, str | None] = {}
+            for file_rel, per_col in stat_gens[g].items():
+                parent = file_rel.rsplit("/", 1)[0]
+                if parent not in owner_cache:
+                    probe, owner = parent, None
+                    while True:
+                        if probe in rels_here:
+                            owner = probe
+                            break
+                        if "/" not in probe:
+                            break
+                        probe = probe.rsplit("/", 1)[0]
+                    owner_cache[parent] = owner
+                owner = owner_cache[parent]
+                if owner is None:
+                    continue  # dead leaf of a partially-live generation
                 if _stats_keep(per_col, predicate, stat_cols):
-                    kept_by_dir.setdefault(p, []).append(
+                    kept_by_dir.setdefault(path_of[owner], []).append(
                         f"{table_dir}/{file_rel}"
                     )
         if swept_paths:
@@ -3309,6 +3337,7 @@ def write_snapshot(
     partition_by: str | None = None,
     maintenance: bool = False,
     claim: bool = False,
+    stats_columns: list[str] | None = None,
 ) -> int:
     """Full-table publish: write ``df`` as a fresh data generation,
     then commit a manifest pointing only at it. Readers see the old
@@ -3360,6 +3389,7 @@ def write_snapshot(
             layout_by=partition_by,
             maintenance=maintenance,
             prev_man=prev,
+            stats_columns=stats_columns,
         )
     except SnapshotConflict:
         if claim:
@@ -3524,6 +3554,7 @@ def write_snapshot_partial(
     rename_log: list | None | str = "carry",
     claim: bool = False,
     cdf: str | None = None,
+    stats_columns: list[str] | None = None,
 ) -> None:
     """Partial publish for a partitioned table: ``df`` holds the NEW
     full contents of exactly the ``touched_keys`` partitions (its
@@ -3638,6 +3669,7 @@ def write_snapshot_partial(
             rename_log=rename_log,
             prev_man=prev,
             cdf=cdf,
+            stats_columns=stats_columns,
         )
     except SnapshotConflict:
         if claim:

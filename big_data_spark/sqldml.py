@@ -593,31 +593,40 @@ def _execute_create(
             "snapshot table instead, or point at a fresh location"
         )
     src = spark.sql(rewrite_time_travel(spark, body, tables))
-    if part_text:
-        pcols = [
-            c.strip().strip("`")
-            for c in part_text.split(",")
-            if c.strip()
-        ]
-        missing = [c for c in pcols if c not in src.columns]
-        if missing:
-            raise ValueError(
-                f"PARTITIONED BY column(s) {missing} not in the "
-                f"SELECT's columns {src.columns}"
+    try:
+        if part_text:
+            pcols = [
+                c.strip().strip("`")
+                for c in part_text.split(",")
+                if c.strip()
+            ]
+            missing = [c for c in pcols if c not in src.columns]
+            if missing:
+                raise ValueError(
+                    f"PARTITIONED BY column(s) {missing} not in the "
+                    f"SELECT's columns {src.columns}"
+                )
+            # New table: no predecessor entries to reconcile away, so
+            # the touched list is empty; the writer derives the entry
+            # map from the written leaves.
+            write_snapshot_partial(
+                src,
+                location,
+                0,
+                pcols[0] if len(pcols) == 1 else pcols,
+                touched_keys=[],
             )
-        # New table: no predecessor entries to reconcile away, so the
-        # touched list is empty; the writer derives the entry map
-        # from the written leaves.
-        write_snapshot_partial(
-            src,
-            location,
-            0,
-            pcols[0] if len(pcols) == 1 else pcols,
-            touched_keys=[],
-        )
-        sid = 0
-    else:
-        sid = write_snapshot(src, location)
+            sid = 0
+        else:
+            sid = write_snapshot(src, location)
+    except Exception:
+        # The target was empty-or-absent by the guard above, so any
+        # residue is OURS: remove it, or a failed CTAS (null partition
+        # key, mid-write error) would leave a manifest-less non-empty
+        # dir that blocks the corrected retry ("never adopts") AND
+        # refuses DROP TABLE (no _manifests) — hand-cleanup territory.
+        fs.delete(lp, True)
+        raise
     tables[name] = location
     gdir = generation_dir(location, sid)
     fs, gp = hadoop_fs(spark, gdir)

@@ -424,3 +424,31 @@ def test_boolean_and_malformed_touched_keys(spark, tmp_path):
             ),
             t, 2, ["flag", "region"], touched_keys=["true|eu"],
         )
+
+
+def test_partitions_filter_matches_boolean_keys(spark, tmp_path):
+    """read_snapshot(partitions={'flag': True}) must render True the
+    way Spark writes the dir value ('true') — round-11 review pass 2;
+    str(True) pruned every entry and silently returned zero rows."""
+    t = str(tmp_path / "boolprune")
+    df = spark.createDataFrame(
+        [(True, 1), (True, 2), (False, 3)], "flag boolean, v int"
+    )
+    write_snapshot_partial(
+        df, t, 0, "flag", touched_keys=[True, False]
+    )
+    got = read_snapshot(spark, t, partitions={"flag": True})
+    assert sorted(r["v"] for r in got.collect()) == [1, 2]
+
+
+def test_explicit_stats_columns_through_partial_writer(spark, tmp_path):
+    """write_snapshot_partial(stats_columns=) reaches the manifest —
+    the documented override is a real writer parameter."""
+    t = str(tmp_path / "statcols")
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20)], "part string, x int, y int"
+    )
+    write_snapshot_partial(
+        df, t, 0, "part", touched_keys=["a", "b"], stats_columns=["y"]
+    )
+    assert latest_manifest(spark, t)["stats"]["columns"] == ["y"]

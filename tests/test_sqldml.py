@@ -547,3 +547,56 @@ def test_drop_spares_sibling_tables_views(spark, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM orders9_v2").collect()[
         0
     ]["n"] == 3
+
+
+def test_failed_ctas_cleans_its_target(spark, tmp_path):
+    """A CTAS whose write fails (null partition key) removes its own
+    residue so the corrected retry is not blocked by the 'never
+    adopts' guard (round-11 review pass 2)."""
+    import os
+
+    c = SnapshotCatalog(spark, base_dir=str(tmp_path / "lake"))
+    spark.createDataFrame(
+        [("x", 1), (None, 2)], "p string, v int"
+    ).createOrReplaceTempView("src_nullp")
+    with pytest.raises(Exception, match="null partition keys"):
+        c.sql(
+            "CREATE TABLE nt PARTITIONED BY (p) AS SELECT * FROM src_nullp"
+        )
+    assert not os.path.exists(str(tmp_path / "lake" / "nt"))
+    # Corrected retry succeeds at the same location.
+    spark.sql("SELECT * FROM src_nullp WHERE p IS NOT NULL") \
+        .createOrReplaceTempView("src_okp")
+    st = c.sql("CREATE TABLE nt PARTITIONED BY (p) AS SELECT * FROM src_okp")
+    assert st["rows"] == 1
+
+
+def test_tag_views_case_and_fold_safe(spark, tmp_path):
+    """Tags differing only by case (temp views are case-insensitive)
+    or only by a folded character ('v-1' vs 'v.1') register as
+    DISTINCT, valid views (tag_snapshot already restricts tags to
+    ASCII [A-Za-z0-9._-], so Unicode never reaches the fold)."""
+    from big_data_spark.catalog import _tag_view_name
+    from big_data_spark.io.snapshot import tag_snapshot, write_snapshot
+
+    t = str(tmp_path / "casetag")
+    write_snapshot(spark.range(3).selectExpr("id AS k"), t, snapshot_id=0)
+    write_snapshot(spark.range(5).selectExpr("id AS k"), t, snapshot_id=1)
+    tag_snapshot(spark, t, "V1", snapshot_id=0)
+    tag_snapshot(spark, t, "v1", snapshot_id=1)
+    tag_snapshot(spark, t, "v-1", snapshot_id=0)
+    tag_snapshot(spark, t, "v.1", snapshot_id=1)
+    c = SnapshotCatalog(spark)
+    c.register("casetag", t)
+    names = {
+        _tag_view_name("casetag", x) for x in ("V1", "v1", "v-1", "v.1")
+    }
+    assert len({n.lower() for n in names}) == 4  # case-insens. distinct
+    upper = _tag_view_name("casetag", "V1")
+    lower = _tag_view_name("casetag", "v1")
+    assert spark.sql(f"SELECT count(*) AS n FROM {upper}").collect()[0][
+        "n"
+    ] == 3
+    assert spark.sql(f"SELECT count(*) AS n FROM {lower}").collect()[0][
+        "n"
+    ] == 5
