@@ -121,20 +121,19 @@ def register_snapshot_views(
     read_snapshot(spark, table_dir).createOrReplaceTempView(name)
     names = [name]
     if versions == "eager":
+        from big_data_spark.io.snapshot import list_tags
+
         for sid in ids:
             vname = f"{name}_v{sid}"
             read_snapshot(
                 spark, table_dir, as_of=sid
             ).createOrReplaceTempView(vname)
             names.append(vname)
-    if versions == "eager":
         # Tag-named views (round 11): `name_tag_<tag>` reads the
         # PINNED version — the eval-freeze / release-baseline handle
         # next to the name_v{N} spellings. Eager mode only, like the
         # version views (lazy registration stays O(1) per refresh;
         # read the pin through read_snapshot(tag=) there).
-        from big_data_spark.io.snapshot import list_tags
-
         for tag, sid in sorted(list_tags(spark, table_dir).items()):
             vname = _tag_view_name(name, tag)
             read_snapshot(
@@ -214,20 +213,30 @@ class SnapshotCatalog:
         """Deregister every temp view a DROPped table owned —
         ``name``, ``name_v<N>``, ``name_tag_*``, ``name_history``,
         ``name_changes`` — so stale views can't resolve into the
-        deleted dir. Views that are themselves ANOTHER registered
-        table's main view (e.g. a table literally named
-        ``orders_v2`` beside ``orders``) are spared — they belong to
-        a live registration, not to the dropped table."""
+        deleted dir. Views that belong to ANOTHER live registration
+        (a table literally named ``orders_v2`` beside ``orders``, or
+        ``orders_tag_gold`` and its own sub-views) are spared. All
+        comparisons are CASE-INSENSITIVE: Spark lowercases temp-view
+        names in listTables, so a verbatim match would both miss a
+        mixed-case dropped table's views and fail to spare a
+        mixed-case sibling's."""
         import re as _re
 
-        pat = _re.compile(
-            rf"^{_re.escape(name)}(_tag_.+|_v\d+|_history|_changes)?$"
-        )
+        def _pat(n: str):
+            return _re.compile(
+                rf"^{_re.escape(n)}(_tag_.+|_v\d+|_history|_changes)?$",
+                _re.IGNORECASE,
+            )
+
+        pat = _pat(name)
+        others = [
+            _pat(o) for o in self.tables if o.lower() != name.lower()
+        ]
         for tbl in self.spark.catalog.listTables():
             if (
                 tbl.isTemporary
                 and pat.match(tbl.name)
-                and tbl.name not in self.tables
+                and not any(o.match(tbl.name) for o in others)
             ):
                 self.spark.catalog.dropTempView(tbl.name)
 

@@ -68,8 +68,12 @@ def _bare_expr(col):
 
 
 _PART_TYPES_LOCK = threading.RLock()
-_PART_TYPES_DEPTH = 0
-_PART_TYPES_PREV: str | None = None
+# Depth/previous-value PER SparkSession (keyed by id): the conf is
+# per-session SQLConf, so a process-global counter would skip
+# disabling inference on a second session entered while the first
+# holds the guard — and restore one session's previous value onto
+# another.
+_PART_TYPES_STATE: dict[int, list] = {}
 
 
 @contextmanager
@@ -88,21 +92,25 @@ def _declared_partition_types(spark: SparkSession):
     off until the LAST one exits and the original value restores
     exactly once — an unsynchronized save/restore pair could
     re-enable inference under a racing reader (mistyping a '00123'
-    key mid-scan) or leave it off for the whole session."""
-    global _PART_TYPES_DEPTH, _PART_TYPES_PREV
+    key mid-scan) or leave it off for the whole session. State is
+    kept per session (newSession() clones carry their own SQLConf)."""
     key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    sid = id(spark)
     with _PART_TYPES_LOCK:
-        if _PART_TYPES_DEPTH == 0:
-            _PART_TYPES_PREV = spark.conf.get(key)
+        state = _PART_TYPES_STATE.get(sid)
+        if state is None:
+            state = [0, spark.conf.get(key)]
+            _PART_TYPES_STATE[sid] = state
             spark.conf.set(key, "false")
-        _PART_TYPES_DEPTH += 1
+        state[0] += 1
     try:
         yield
     finally:
         with _PART_TYPES_LOCK:
-            _PART_TYPES_DEPTH -= 1
-            if _PART_TYPES_DEPTH == 0:
-                spark.conf.set(key, _PART_TYPES_PREV)
+            state[0] -= 1
+            if state[0] == 0:
+                del _PART_TYPES_STATE[sid]
+                spark.conf.set(key, state[1])
 
 
 class SnapshotConflict(Exception):

@@ -580,6 +580,10 @@ def _execute_create(
         )
     if location is None:
         if base_dir is None:
+            # Defensive only: route_statement claims CTAS exclusively
+            # with a LOCATION or a base_dir catalog (a plain
+            # Spark-catalog CTAS passes through to spark.sql), so
+            # direct callers are the only way here.
             raise ValueError(
                 "CREATE TABLE needs LOCATION '<dir>' (or a catalog "
                 "constructed with base_dir=) to place the table"
@@ -592,6 +596,8 @@ def _execute_create(
             "CTAS never adopts or overwrites; register an existing "
             "snapshot table instead, or point at a fresh location"
         )
+    from big_data_spark.io.snapshot import SnapshotConflict
+
     src = spark.sql(rewrite_time_travel(spark, body, tables))
     try:
         if part_text:
@@ -608,23 +614,34 @@ def _execute_create(
                 )
             # New table: no predecessor entries to reconcile away, so
             # the touched list is empty; the writer derives the entry
-            # map from the written leaves.
+            # map from the written leaves. claim=True: two concurrent
+            # CTAS to one location race on the staged-rename dir
+            # claim, so the loser can never clear the winner's
+            # generation on its way to a doomed commit.
             write_snapshot_partial(
                 src,
                 location,
                 0,
                 pcols[0] if len(pcols) == 1 else pcols,
                 touched_keys=[],
+                claim=True,
             )
             sid = 0
         else:
-            sid = write_snapshot(src, location)
+            sid = write_snapshot(src, location, claim=True)
+    except SnapshotConflict:
+        # A CONCURRENT writer committed here first — the location now
+        # holds THEIR table, not our residue; deleting it would
+        # destroy a committed table. The claim protocol already
+        # unclaimed our staged data.
+        raise
     except Exception:
-        # The target was empty-or-absent by the guard above, so any
-        # residue is OURS: remove it, or a failed CTAS (null partition
-        # key, mid-write error) would leave a manifest-less non-empty
-        # dir that blocks the corrected retry ("never adopts") AND
-        # refuses DROP TABLE (no _manifests) — hand-cleanup territory.
+        # The target was empty-or-absent by the guard above and no
+        # other committer is involved, so any residue is OURS: remove
+        # it, or a failed CTAS (null partition key, mid-write error)
+        # would leave a manifest-less non-empty dir that blocks the
+        # corrected retry ("never adopts") AND refuses DROP TABLE (no
+        # _manifests) — hand-cleanup territory.
         fs.delete(lp, True)
         raise
     tables[name] = location

@@ -600,3 +600,69 @@ def test_tag_views_case_and_fold_safe(spark, tmp_path):
     assert spark.sql(f"SELECT count(*) AS n FROM {lower}").collect()[0][
         "n"
     ] == 5
+
+
+def test_losing_concurrent_ctas_spares_the_winners_table(
+    spark, tmp_path, monkeypatch
+):
+    """A CTAS losing the commit race must NOT delete the location —
+    it now holds the WINNER's committed table (round-11 review pass
+    3: the failure-cleanup handler deleted on any exception)."""
+    import os
+
+    import big_data_spark.io.snapshot as snap
+
+    c = SnapshotCatalog(spark, base_dir=str(tmp_path / "lake"))
+    spark.range(5).selectExpr("id AS k").createOrReplaceTempView("src_w")
+
+    real_commit = snap.commit_manifest
+    raced = {"done": False}
+
+    def winner_lands_first(spark_, table_dir, sid, entries, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            # The concurrent winner commits the SAME id first.
+            real_commit(
+                spark_,
+                table_dir,
+                sid,
+                {"": "_data/s=999"},
+                schema_fields=kw.get("schema_fields"),
+                stats=None,
+            )
+        return real_commit(spark_, table_dir, sid, entries, **kw)
+
+    monkeypatch.setattr(snap, "commit_manifest", winner_lands_first)
+    with pytest.raises(snap.SnapshotConflict):
+        c.sql("CREATE TABLE raced AS SELECT k FROM src_w")
+    monkeypatch.undo()
+    # The winner's manifest survives the loser's failure.
+    tdir = str(tmp_path / "lake" / "raced")
+    assert os.path.exists(f"{tdir}/_manifests/manifest-000000000000.json")
+
+
+def test_drop_views_case_insensitive_and_tagless_siblings(
+    spark, tmp_path
+):
+    """DROP of a mixed-case table removes ITS views; a sibling table
+    named like a tag view keeps all of its sub-views (round-11 review
+    pass 3)."""
+    c = SnapshotCatalog(spark, base_dir=str(tmp_path / "lake"))
+    spark.range(2).selectExpr("id AS k").createOrReplaceTempView("src_c")
+    c.sql("CREATE TABLE Mixed AS SELECT k FROM src_c")
+    c.sql("CREATE TABLE orders10 AS SELECT k FROM src_c")
+    c.sql("CREATE TABLE orders10_tag_gold AS SELECT k FROM src_c")
+    c.sql("DROP TABLE Mixed")
+    # Spark lowercases temp-view names; the dropped table's views are
+    # gone despite the case difference.
+    with pytest.raises(Exception):
+        spark.sql("SELECT * FROM mixed").collect()
+    c.sql("DROP TABLE orders10")
+    # The sibling whose NAME looks like a tag view keeps its main AND
+    # sub-views.
+    assert spark.sql(
+        "SELECT count(*) AS n FROM orders10_tag_gold"
+    ).collect()[0]["n"] == 2
+    assert spark.sql(
+        "SELECT count(*) AS n FROM orders10_tag_gold_history"
+    ).collect()[0]["n"] >= 1
