@@ -1241,9 +1241,6 @@ def check_schema_evolution(
 
 
 _STATS_MAX_COLS = 4
-_NUMERIC_STATS_TYPES = {
-    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
-}
 
 
 def _default_stats_columns(
@@ -1251,16 +1248,20 @@ def _default_stats_columns(
     partition_col,
     layout_by: str | None,
 ) -> list[str]:
-    """The LEADING numeric columns (schema order, capped) stats are
-    recorded for by default — partition/layout columns excluded (they
-    live in dir names, not file footers, and manifest entries already
+    """The LEADING stat-capable columns (schema order, capped) stats
+    are recorded for by default — numeric, string, date and timestamp
+    types (round 11: typed skipping; io/stats.stat_kind is the one
+    type→kind mapping). Partition/layout columns excluded (they live
+    in dir names, not file footers, and manifest entries already
     prune them)."""
+    from big_data_spark.io.stats import stat_kind
+
     skip = set(_pcols(partition_col) or []) | ({layout_by} - {None})
     out: list[str] = []
     for f in schema_fields or []:
         if f["name"] in skip:
             continue
-        if f["type"].split("(")[0] in _NUMERIC_STATS_TYPES:
+        if stat_kind(f["type"]) is not None:
             out.append(f["name"])
             if len(out) == _STATS_MAX_COLS:
                 break
@@ -1323,6 +1324,8 @@ def _sweep_generation_stats(
     if local and len(files) <= 64:
         import pyarrow.parquet as pq
 
+        from big_data_spark.io.stats import norm_stat_value as _norm_stat
+
         for f in files:
             meta = pq.ParquetFile(bare_path(f)).metadata
             idx = {
@@ -1354,7 +1357,15 @@ def _sweep_generation_stats(
                         break
                     mn = smn if mn is None else min(mn, smn)
                     mx = smx if mx is None else max(mx, smx)
-                per_col[c] = [str(mn), str(mx)] if ok else None
+                if ok:
+                    # Canonical typed forms (io/stats.norm_stat_value)
+                    # — the SAME normalization the distributed sweep's
+                    # kernel applies, so both paths store values
+                    # _stats_keep can compare under the schema kind.
+                    nmn = _norm_stat(mn)
+                    nmx = _norm_stat(mx)
+                    ok = nmn is not None and nmx is not None
+                per_col[c] = [nmn[1], nmx[1]] if ok else None
             out[_rel(f)] = per_col
         return out
     from big_data_spark.io.stats import parquet_column_stats
@@ -1369,21 +1380,29 @@ def _sweep_generation_stats(
         )
         .groupBy("file", "column")
         .agg(
-            F.min(F.col("min_value").cast("double")).alias("mn"),
-            F.max(F.col("max_value").cast("double")).alias("mx"),
+            # numeric fold (double order) and lexicographic fold of
+            # the kernel's canonical strings side by side — the row's
+            # KIND picks the meaningful one, exactly as in
+            # prune_files_multi.
+            F.min(F.col("min_value").try_cast("double")).alias("mn_d"),
+            F.max(F.col("max_value").try_cast("double")).alias("mx_d"),
+            F.min("min_value").alias("mn_s"),
+            F.max("max_value").alias("mx_s"),
             F.max(
                 F.col("min_value").isNull().cast("int")
             ).alias("nostats"),
+            F.first("kind", ignorenulls=True).alias("kind"),
         )
         .collect()
     )
     for r in rows:
         per_col = out.setdefault(_rel(r["file"]), {})
-        per_col[r["column"]] = (
-            None
-            if r["nostats"] == 1
-            else [str(r["mn"]), str(r["mx"])]
-        )
+        if r["nostats"] == 1 or r["kind"] is None:
+            per_col[r["column"]] = None
+        elif r["kind"] == "numeric":
+            per_col[r["column"]] = [str(r["mn_d"]), str(r["mx_d"])]
+        else:
+            per_col[r["column"]] = [r["mn_s"], r["mx_s"]]
     return out
 
 
@@ -1432,9 +1451,11 @@ def _auto_commit_stats(
     if not columns:
         return None
     out_gens: dict[str, dict] = {}
+    carried = False
     for g in gens:
         if g in prev_gens:
             out_gens[g] = prev_gens[g]
+            carried = True
         else:
             out_gens[g] = _sweep_generation_stats(
                 spark,
@@ -1443,7 +1464,17 @@ def _auto_commit_stats(
                 columns,
                 rename_log=rename_log,
             )
-    return {"columns": columns, "gens": out_gens}
+    # "v": 2 marks values normalized to the round-11 canonical typed
+    # forms (io/stats.norm_stat_value) — the read path applies typed
+    # (string/date/timestamp) compares ONLY to v2 blocks; a block
+    # carrying any pre-typed generation stays unversioned and prunes
+    # numeric columns only, exactly as before (a legacy timestamp
+    # string without fixed-width microseconds could otherwise
+    # false-drop on the prefix-equal edge).
+    out = {"columns": columns, "gens": out_gens}
+    if (prev_stats or {}).get("v") == 2 or prev_stats is None or not carried:
+        out["v"] = 2
+    return out
 
 
 def commit_manifest(
@@ -1609,7 +1640,7 @@ def read_snapshot(
     table_dir: str,
     below: int | None = None,
     as_of: int | None = None,
-    predicate: dict[str, tuple[float | None, float | None]] | None = None,
+    predicate: dict[str, tuple] | None = None,
     residual: bool = True,
     as_of_ts: int | None = None,
     tag: str | None = None,
@@ -1636,8 +1667,10 @@ def read_snapshot(
     back typed and partition-prunable), unioned by name. Pushdown and
     pruning reach every scan; compaction collapses generations.
 
-    ``predicate`` ({col: (lo, hi)}, conjunction) composes MANIFEST
-    resolution with FOOTER-statistics data skipping (io/stats.py):
+    ``predicate`` ({col: (lo, hi)}, conjunction; bounds numeric,
+    string, ``datetime.date`` or ``datetime.datetime`` — round 11:
+    typed skipping) composes MANIFEST resolution with
+    FOOTER-statistics data skipping (io/stats.py):
     only the live files whose min/max intervals can intersect the
     ranges enter the scan — the double pruning a table-format reader
     performs, previously available only for raw dirs via
@@ -1758,7 +1791,7 @@ def read_entries(
     table_dir: str,
     entries: dict[str, str],
     column_order: list[str] | None = None,
-    predicate: dict[str, tuple[float | None, float | None]] | None = None,
+    predicate: dict[str, tuple] | None = None,
     residual: bool = True,
     deletes: list[str] | None = None,
     with_positions: bool = False,
@@ -1804,6 +1837,21 @@ def read_entries(
         # to the distributed footer sweep.
         stat_gens = (stats or {}).get("gens") or {}
         stat_cols = (stats or {}).get("columns") or []
+        # Typed compares (round 11) need the committed schema's kind
+        # per column AND the v2 canonical value forms; unversioned
+        # blocks (pre-typed normalization) prune numeric columns only.
+        stat_kinds: dict[str, str] = {}
+        if (stats or {}).get("v") == 2:
+            from big_data_spark.io.stats import stat_kind
+
+            stat_kinds = {
+                f["name"]: k
+                for f in (schema_fields or [])
+                if (k := stat_kind(f["type"])) is not None
+            }
+        session_tz = (
+            spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+        )
         # A predicate column OUTSIDE the recorded stats set can only
         # prune through footers — routing covered paths through the
         # metadata would silently keep every file for that column (a
@@ -1847,7 +1895,13 @@ def read_entries(
                 owner = owner_cache[parent]
                 if owner is None:
                     continue  # dead leaf of a partially-live generation
-                if _stats_keep(per_col, predicate, stat_cols):
+                if _stats_keep(
+                    per_col,
+                    predicate,
+                    stat_cols,
+                    kinds=stat_kinds,
+                    tz=session_tz,
+                ):
                     kept_by_dir.setdefault(path_of[owner], []).append(
                         f"{table_dir}/{file_rel}"
                     )
@@ -1980,28 +2034,62 @@ def read_entries(
 
 def _stats_keep(
     per_col: dict,
-    ranges: dict[str, tuple[float | None, float | None]],
+    ranges: dict[str, tuple],
     stat_cols: list[str],
+    kinds: dict[str, str] | None = None,
+    tz: str = "UTC",
 ) -> bool:
     """prune_files_multi's keep decision, replayed from STORED
     per-file stats: a file drops only when some hinted column's
     recorded [min, max] provably misses its range; columns without
     recorded stats (absent from the stats set, no footer stats, or
-    non-numeric values) never veto — lossless by the same argument as
-    the footer path (tested equivalent)."""
+    values the column's kind can't order) never veto — lossless by
+    the same argument as the footer path (tested equivalent).
+
+    ``kinds`` (column → io/stats comparison kind, derived from the
+    COMMITTED schema — authoritative over bound python types) selects
+    the comparison: numeric as float, string/date/timestamp
+    lexicographically on the canonical forms both sweep paths store
+    (round 11: typed skipping). A bound that can't soundly compare
+    under its column's kind skips — unprunable, never a false drop.
+    ``tz`` is the Spark session timezone, interpreting naive
+    timestamp bounds exactly as the residual filter will."""
+    from big_data_spark.io.stats import norm_bound
+
     for c, (lo, hi) in ranges.items():
         if c not in stat_cols:
             continue
         v = per_col.get(c)
         if v is None:
             continue
-        try:
-            mn, mx = float(v[0]), float(v[1])
-        except (TypeError, ValueError):
+        kind = (kinds or {}).get(c, "numeric")
+        if kind == "numeric":
+            try:
+                mn, mx = float(v[0]), float(v[1])
+            except (TypeError, ValueError):
+                continue
+            lo_n = None if lo is None else norm_bound("numeric", lo, tz)
+            hi_n = None if hi is None else norm_bound("numeric", hi, tz)
+            if (lo is not None and lo_n is None) or (
+                hi is not None and hi_n is None
+            ):
+                continue  # non-numeric bound on a numeric column
+            if hi_n is not None and mn > hi_n:
+                return False
+            if lo_n is not None and mx < lo_n:
+                return False
             continue
-        if hi is not None and mn > float(hi):
+        lo_n = None if lo is None else norm_bound(kind, lo, tz)
+        hi_n = None if hi is None else norm_bound(kind, hi, tz)
+        if (lo is not None and lo_n is None) or (
+            hi is not None and hi_n is None
+        ):
+            continue  # bound unorderable under this kind: unprunable
+        if not isinstance(v[0], str) or not isinstance(v[1], str):
+            continue
+        if hi_n is not None and v[0] > hi_n:
             return False
-        if lo is not None and mx < float(lo):
+        if lo_n is not None and v[1] < lo_n:
             return False
     return True
 
@@ -2517,44 +2605,102 @@ def _strip_parens(term: str) -> str:
     return term
 
 
-def _range_hints(
-    cond: str,
-) -> dict[str, tuple[float | None, float | None]] | None:
-    """Numeric range bounds PROVABLY IMPLIED by a conjunctive SQL
-    condition string — the bridge that lets DML compose with footer
-    data skipping. Only plain ``col (>=|>|<=|<|=) number`` and
-    ``col BETWEEN a AND b`` conjuncts contribute; every other term
-    is skipped, which stays sound (pruning by a SUBSET of conjuncts
-    keeps a superset of the matching files). Any top-level OR / NOT
-    disables hinting entirely (None). Strict bounds use the closed
-    interval — conservative at file level, exact after the
+_HINT_LIT = (
+    r"(-?\d+(?:\.\d+)?"
+    r"|DATE\s*'[^']*'"
+    r"|TIMESTAMP\s*'[^']*'"
+    r"|'(?:[^']|'')*')"
+)
+
+
+def _parse_hint_lit(tok: str):
+    """One SQL literal token from a hintable conjunct → the typed
+    Python bound (float | str | date | datetime), or None when the
+    DATE/TIMESTAMP body is not ISO-parseable (the term then skips —
+    unprunable, never wrong; Spark will still error or coerce it in
+    the condition's own row filter, which stays authoritative)."""
+    import datetime as _dt
+
+    tok = tok.strip()
+    up = tok.upper()
+    if up.startswith("DATE"):
+        try:
+            return _dt.date.fromisoformat(tok[4:].strip()[1:-1])
+        except ValueError:
+            return None
+    if up.startswith("TIMESTAMP"):
+        try:
+            return _dt.datetime.fromisoformat(tok[9:].strip()[1:-1])
+        except ValueError:
+            return None
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    return float(tok)
+
+
+def _hint_family(v) -> str:
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return "datetime"
+    if isinstance(v, _dt.date):
+        return "date"
+    if isinstance(v, str):
+        return "string"
+    return "numeric"
+
+
+def _range_hints(cond: str) -> dict[str, tuple] | None:
+    """Range bounds PROVABLY IMPLIED by a conjunctive SQL condition
+    string — the bridge that lets DML compose with footer data
+    skipping. Only plain ``col (>=|>|<=|<|=) literal`` and
+    ``col BETWEEN a AND b`` conjuncts contribute, where literal is a
+    number, a ``'string'`` (round 11: typed skipping — this is what
+    lets ``WHERE region = 'EUROPE'`` or ``ts >= '2026-01-01'`` prune),
+    a ``DATE '...'`` or a ``TIMESTAMP '...'``; every other term is
+    skipped, which stays sound (pruning by a SUBSET of conjuncts
+    keeps a superset of the matching files). A column whose conjuncts
+    mix literal families (``c >= 5 AND c <= 'x'``) drops out of the
+    hints entirely — unprunable beats a wrong cross-type fold. Any
+    top-level OR / NOT disables hinting (None). Strict bounds use the
+    closed interval — conservative at file level, exact after the
     condition's own row filter."""
     import re as _re
 
     if _re.search(r"\bOR\b|\bNOT\b", cond, _re.IGNORECASE):
         return None
-    bounds: dict[str, list[float | None]] = {}
+    bounds: dict[str, list] = {}
+    families: dict[str, str] = {}
+    poisoned: set[str] = set()
 
-    def _fold(col: str, lo: float | None, hi: float | None) -> None:
+    def _fold(col: str, lo, hi) -> None:
+        fam = _hint_family(lo if lo is not None else hi)
+        if families.setdefault(col, fam) != fam:
+            poisoned.add(col)
+            return
         cur = bounds.setdefault(col, [None, None])
         if lo is not None:
             cur[0] = lo if cur[0] is None else max(cur[0], lo)
         if hi is not None:
             cur[1] = hi if cur[1] is None else min(cur[1], hi)
 
-    num = r"(-?\d+(?:\.\d+)?)"
     # Shield BETWEEN's inner AND from the conjunction split.
     shielded = _re.sub(
-        rf"(\bBETWEEN\b\s*{num})\s+AND\b",
+        rf"(\bBETWEEN\b\s*{_HINT_LIT})\s+AND\b",
         r"\1 __BTWN__",
         cond,
         flags=_re.IGNORECASE,
     )
     for raw in _re.split(r"\bAND\b", shielded, flags=_re.IGNORECASE):
         term = _strip_parens(raw.replace("__BTWN__", "AND"))
-        m = _re.match(rf"^`?(\w+)`?\s*(>=|<=|==|=|<|>)\s*{num}$", term)
+        m = _re.match(
+            rf"^`?(\w+)`?\s*(>=|<=|==|=|<|>)\s*{_HINT_LIT}$", term
+        )
         if m:
-            col, op, val = m.group(1), m.group(2), float(m.group(3))
+            col, op = m.group(1), m.group(2)
+            val = _parse_hint_lit(m.group(3))
+            if val is None:
+                continue
             if op in (">=", ">"):
                 _fold(col, val, None)
             elif op in ("<=", "<"):
@@ -2563,15 +2709,25 @@ def _range_hints(
                 _fold(col, val, val)
             continue
         m = _re.match(
-            rf"^`?(\w+)`?\s+BETWEEN\s+{num}\s+AND\s+{num}$",
+            rf"^`?(\w+)`?\s+BETWEEN\s+{_HINT_LIT}\s+AND\s+{_HINT_LIT}$",
             term,
             _re.IGNORECASE,
         )
         if m:
-            _fold(m.group(1), float(m.group(2)), float(m.group(3)))
-    return bounds and {
-        c: (lo, hi) for c, (lo, hi) in bounds.items()
-    } or None
+            lo = _parse_hint_lit(m.group(2))
+            hi = _parse_hint_lit(m.group(3))
+            if lo is None or hi is None:
+                continue
+            if _hint_family(lo) != _hint_family(hi):
+                poisoned.add(m.group(1))
+                continue
+            _fold(m.group(1), lo, hi)
+    out = {
+        c: (lo, hi)
+        for c, (lo, hi) in bounds.items()
+        if c not in poisoned
+    }
+    return out or None
 
 
 def _usable_hints(condition, man: dict):

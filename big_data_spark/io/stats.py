@@ -39,8 +39,152 @@ _STATS_SCHEMA = StructType(
         StructField("n_nulls", LongType()),
         StructField("min_value", StringType()),
         StructField("max_value", StringType()),
+        StructField("kind", StringType()),
     ]
 )
+
+# Comparison kinds for data skipping (round 11: typed skipping).
+# ``numeric`` compares as double; the other kinds compare their
+# CANONICAL STRING forms lexicographically — each normalizer below
+# guarantees the string order equals the value order (UTF-8 code-point
+# order for strings, fixed-width ISO forms for date/timestamp).
+_KINDS = ("numeric", "string", "date", "timestamp", "timestamp_ntz")
+
+_NUMERIC_TYPE_HEADS = {
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+}
+
+
+def stat_kind(type_str: str) -> str | None:
+    """Comparison kind of a declared schema type (the manifest's type
+    strings), or None for types data skipping does not cover (binary,
+    boolean, nested). One mapping shared by the column-selection
+    default, the manifest-stats read path, and the tests — the three
+    can never disagree on what a column's stats MEAN."""
+    head = type_str.split("(")[0].strip().lower()
+    if head in _NUMERIC_TYPE_HEADS:
+        return "numeric"
+    if head in ("string", "varchar", "char"):
+        return "string"
+    if head == "date":
+        return "date"
+    if head == "timestamp":
+        return "timestamp"
+    if head == "timestamp_ntz":
+        return "timestamp_ntz"
+    return None
+
+
+def norm_stat_value(v) -> tuple[str, str] | None:
+    """(kind, canonical string) for one pyarrow footer min/max value,
+    or None when the value's type is outside data skipping's scope
+    (binary, boolean). The canonical forms sort lexicographically in
+    value order: numerics keep ``str(v)`` (compared as double, never
+    lexicographically); timestamps normalize to UTC and print with
+    FIXED-WIDTH microseconds (a '.5' vs no-fraction mix would break
+    prefix ordering at equal instants); dates are ISO (fixed width).
+    tz-aware values are kind 'timestamp' (parquet isAdjustedToUTC);
+    naive ones are 'timestamp_ntz' and never tz-shifted."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return ("numeric", str(v))
+    try:
+        from decimal import Decimal
+
+        if isinstance(v, Decimal):
+            return ("numeric", str(v))
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return (
+                "timestamp",
+                v.isoformat(sep=" ", timespec="microseconds"),
+            )
+        return (
+            "timestamp_ntz",
+            v.isoformat(sep=" ", timespec="microseconds"),
+        )
+    if isinstance(v, _dt.date):
+        return ("date", v.isoformat())
+    if isinstance(v, str):
+        return ("string", v)
+    return None  # bytes and anything else: no usable ordering
+
+
+def norm_bound(kind: str, bound, tz: str = "UTC"):
+    """A predicate bound normalized for comparison against stored
+    stats of ``kind``: a float for 'numeric', a canonical string
+    (matching :func:`norm_stat_value`) otherwise, or None when the
+    bound cannot soundly compare under that kind — None means
+    UNPRUNABLE for that (column, kind) pair, never a false drop.
+
+    ``tz`` (the Spark session timezone) interprets NAIVE datetime /
+    unsuffixed ISO-string bounds on 'timestamp' columns, matching how
+    Spark itself casts the same literal in the residual filter; ntz
+    columns never tz-shift (and refuse aware bounds). Date bounds on
+    'date' columns truncate conservatively (lo floors, hi keeps the
+    date — both over-keep, never over-drop)."""
+    import datetime as _dt
+
+    if bound is None:
+        return None
+    if kind == "numeric":
+        if isinstance(bound, bool) or not isinstance(
+            bound, (int, float)
+        ):
+            try:
+                from decimal import Decimal
+
+                if isinstance(bound, Decimal):
+                    return float(bound)
+            except ImportError:  # pragma: no cover
+                pass
+            return None
+        return float(bound)
+    if kind == "string":
+        return bound if isinstance(bound, str) else None
+    if kind == "date":
+        if isinstance(bound, _dt.datetime):
+            return bound.date().isoformat()
+        if isinstance(bound, _dt.date):
+            return bound.isoformat()
+        if isinstance(bound, str):
+            try:
+                return _dt.date.fromisoformat(bound).isoformat()
+            except ValueError:
+                return None
+        return None
+    if kind in ("timestamp", "timestamp_ntz"):
+        if isinstance(bound, str):
+            try:
+                dt = _dt.datetime.fromisoformat(bound)
+            except ValueError:
+                return None
+        elif isinstance(bound, _dt.datetime):
+            dt = bound
+        elif isinstance(bound, _dt.date):
+            dt = _dt.datetime.combine(bound, _dt.time())
+        else:
+            return None
+        if kind == "timestamp_ntz":
+            if dt.tzinfo is not None:
+                return None  # aware bound on a tz-free column
+            return dt.isoformat(sep=" ", timespec="microseconds")
+        if dt.tzinfo is None:
+            try:
+                from zoneinfo import ZoneInfo
+
+                dt = dt.replace(tzinfo=ZoneInfo(tz))
+            except Exception:
+                return None  # unknown tz name: unprunable, not wrong
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return dt.isoformat(sep=" ", timespec="microseconds")
+    return None
 
 
 def _physical_name(
@@ -157,6 +301,7 @@ def parquet_column_stats(
                             out["n_nulls"].append(None)
                             out["min_value"].append(None)
                             out["max_value"].append(None)
+                            out["kind"].append(None)
                             continue
                         col = group.column(name_to_idx[p])
                         stats = col.statistics
@@ -166,18 +311,21 @@ def parquet_column_stats(
                             # types (fixed-len-byte-array decimals) —
                             # emit a no-stats row (unprunable), never
                             # a job failure.
-                            mn = (
-                                str(stats.min)
+                            pair = (
+                                (
+                                    norm_stat_value(stats.min),
+                                    norm_stat_value(stats.max),
+                                )
                                 if stats is not None and stats.has_min_max
-                                else None
-                            )
-                            mx = (
-                                str(stats.max)
-                                if stats is not None and stats.has_min_max
-                                else None
+                                else (None, None)
                             )
                         except Exception:
-                            mn = mx = None
+                            pair = (None, None)
+                        if pair[0] is None or pair[1] is None:
+                            kind = mn = mx = None
+                        else:
+                            kind, mn = pair[0]
+                            _, mx = pair[1]
                         out["file"].append(f)
                         out["row_group"].append(rg)
                         out["column"].append(c)
@@ -187,6 +335,7 @@ def parquet_column_stats(
                         )
                         out["min_value"].append(mn)
                         out["max_value"].append(mx)
+                        out["kind"].append(kind)
             yield pd.DataFrame(
                 {
                     "file": pd.Series(out["file"], dtype="object"),
@@ -196,6 +345,7 @@ def parquet_column_stats(
                     "n_nulls": pd.Series(out["n_nulls"], dtype="Int64"),
                     "min_value": pd.Series(out["min_value"], dtype="object"),
                     "max_value": pd.Series(out["max_value"], dtype="object"),
+                    "kind": pd.Series(out["kind"], dtype="object"),
                 }
             )
 
@@ -204,12 +354,15 @@ def parquet_column_stats(
     )
 
 
-def range_predicate(
-    ranges: dict[str, tuple[float | None, float | None]],
-):
+def range_predicate(ranges: dict[str, tuple]):
     """The residual Column for a pruning range conjunction — shared
     by read_pruned and the snapshot reader so file-level skipping and
-    the row-level filter can never disagree."""
+    the row-level filter can never disagree. Bounds may be numeric,
+    string, ``datetime.date`` or ``datetime.datetime`` (round 11:
+    typed skipping) — ``F.lit`` builds the matching literal and
+    Spark's own comparison semantics stay authoritative; the pruning
+    side is normalized to be conservative with respect to exactly
+    these semantics."""
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
         if lo is not None:
@@ -222,58 +375,108 @@ def range_predicate(
 def prune_files_multi(
     spark: SparkSession,
     path: str | list[str],
-    ranges: dict[str, tuple[float | None, float | None]],
+    ranges: dict[str, tuple],
     rename_log: list | None = None,
     missing_ok: bool = False,
 ) -> DataFrame:
-    """Metadata-only data skipping over a CONJUNCTION of numeric
-    range predicates ``lo_c <= c <= hi_c`` — the case Z-order layouts
+    """Metadata-only data skipping over a CONJUNCTION of range
+    predicates ``lo_c <= c <= hi_c`` — the case Z-order layouts
     exist for: one clustered rewrite makes min/max narrow on SEVERAL
     columns at once, and a file is droppable when ANY predicate
     provably misses it (the AND semantics let each column veto
-    independently).
+    independently). Bounds are numeric, string, ``datetime.date`` or
+    ``datetime.datetime`` (round 11: typed skipping) — the comparison
+    runs under the KIND the footer actually carries (numeric as
+    double; string/date/timestamp lexicographically on canonical
+    forms), so a numeric-looking string column ('00123') prunes by
+    STRING order, matching the residual filter's semantics, and a
+    bound whose type cannot soundly compare under a file's kind
+    leaves that file unprunable rather than wrongly dropped.
 
     Returns one row per (file, column) with that column's folded
-    [min, max] plus the file-level ``keep`` — false iff some column's
-    interval provably misses its range. Losslessness per column
-    implies losslessness of the conjunction, proven in
-    tests/test_stats.py. A row group without stats for a column makes
-    that column unprunable for the file (never a false drop).
+    [min, max] (canonical strings) plus the file-level ``keep`` —
+    false iff some column's interval provably misses its range.
+    Losslessness per column implies losslessness of the conjunction,
+    proven in tests/test_stats.py. A row group without stats for a
+    column makes that column unprunable for the file (never a false
+    drop).
     """
     if not ranges or all(
         lo is None and hi is None for lo, hi in ranges.values()
     ):
         raise ValueError("prune_files needs at least one bounded range")
     cols = list(ranges)
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
     stats = parquet_column_stats(
         spark, path, cols, rename_log=rename_log, missing_ok=missing_ok
     )
     per_file_col = (
-        stats.withColumn("mn", F.col("min_value").cast("double"))
-        .withColumn("mx", F.col("max_value").cast("double"))
+        stats.withColumn("mn_d", F.col("min_value").try_cast("double"))
+        .withColumn("mx_d", F.col("max_value").try_cast("double"))
         .groupBy("file", "column")
         .agg(
-            F.min("mn").alias("min_value"),
-            F.max("mx").alias("max_value"),
+            # numeric fold (double order) and lexicographic fold side
+            # by side; the keep expression picks the one the row
+            # group's KIND makes meaningful. The unused fold of the
+            # other family is garbage by construction and never read.
+            F.min("mn_d").alias("mn_d"),
+            F.max("mx_d").alias("mx_d"),
+            F.min("min_value").alias("mn_s"),
+            F.max("max_value").alias("mx_s"),
             # a row group without stats makes the column unprunable
-            F.max(F.col("mn").isNull().cast("int")).alias("_nostats"),
+            F.max(
+                F.col("min_value").isNull().cast("int")
+            ).alias("_nostats"),
+            F.first("kind", ignorenulls=True).alias("_kind"),
         )
     )
-    col_ok = F.col("_nostats") == 1
+    col_ok = (F.col("_nostats") == 1) | F.col("_kind").isNull()
     for c in cols:
         lo, hi = ranges[c]
-        ok = F.lit(True)
-        if hi is not None:
-            ok = ok & (F.col("min_value") <= F.lit(float(hi)))
-        if lo is not None:
-            ok = ok & (F.col("max_value") >= F.lit(float(lo)))
+        ok = F.lit(False)
+        for kind in _KINDS:
+            lo_n = None if lo is None else norm_bound(kind, lo, tz)
+            hi_n = None if hi is None else norm_bound(kind, hi, tz)
+            if (lo is not None and lo_n is None) or (
+                hi is not None and hi_n is None
+            ):
+                # bound type can't soundly compare under this kind:
+                # files of this kind stay unprunable for the column.
+                kind_ok = F.lit(True)
+            else:
+                mn = F.col("mn_d") if kind == "numeric" else F.col("mn_s")
+                mx = F.col("mx_d") if kind == "numeric" else F.col("mx_s")
+                kind_ok = F.lit(True)
+                if hi_n is not None:
+                    kind_ok = kind_ok & (mn <= F.lit(hi_n))
+                if lo_n is not None:
+                    kind_ok = kind_ok & (mx >= F.lit(lo_n))
+                # a numeric-kind row whose values failed the double
+                # cast (never expected; defensive) stays unprunable.
+                if kind == "numeric":
+                    kind_ok = kind_ok | F.col("mn_d").isNull()
+            ok = F.when(F.col("_kind") == kind, kind_ok).otherwise(ok)
         col_ok = F.when(F.col("column") == c, col_ok | ok).otherwise(col_ok)
     flagged = per_file_col.withColumn("_col_keep", col_ok)
     keep_per_file = flagged.groupBy("file").agg(
         F.min(F.col("_col_keep").cast("int")).cast("boolean").alias("keep")
     )
+    is_num = F.col("_kind") == "numeric"
     return (
-        flagged.drop("_nostats", "_col_keep")
+        flagged.withColumn(
+            "min_value",
+            F.when(is_num, F.col("mn_d").cast("string")).otherwise(
+                F.col("mn_s")
+            ),
+        )
+        .withColumn(
+            "max_value",
+            F.when(is_num, F.col("mx_d").cast("string")).otherwise(
+                F.col("mx_s")
+            ),
+        )
+        .withColumn("kind", F.col("_kind"))
+        .drop("mn_d", "mx_d", "mn_s", "mx_s", "_nostats", "_col_keep", "_kind")
         .join(keep_per_file, "file")
         .orderBy("file", "column")
     )
@@ -283,17 +486,20 @@ def prune_files(
     spark: SparkSession,
     path: str,
     column: str,
-    lo: float | None = None,
-    hi: float | None = None,
+    lo=None,
+    hi=None,
 ) -> DataFrame:
     """Metadata-only data skipping: the files under ``path`` a
-    numeric range predicate ``lo <= column <= hi`` could possibly
-    touch, decided from parquet FOOTER min/max alone — the manifest
-    pruning an Iceberg/Delta reader does, as an explicit operator.
+    range predicate ``lo <= column <= hi`` (numeric, string, date or
+    timestamp bounds — round 11) could possibly touch, decided from
+    parquet FOOTER min/max alone — the manifest pruning an
+    Iceberg/Delta reader does, as an explicit operator.
 
-    Returns (file, min_value, max_value, keep): ``keep`` is false iff
-    the file's [min, max] interval provably misses the predicate
-    range — reading only kept files is guaranteed lossless (rows
+    Returns (file, min_value, max_value, keep) — min/max as canonical
+    strings (round 11; numeric columns print as doubles). ``keep`` is
+    false iff the file's [min, max] interval provably misses the
+    predicate range — reading only kept files is guaranteed lossless
+    (rows
     matching the predicate can only live in kept files; proven in
     tests/test_stats.py against the full-scan answer). Feed the kept
     list to ``spark.read.parquet(*files)``. Pair with the z-order /

@@ -171,6 +171,11 @@ _PYTEST_ONLY = (
     "first_min_by",  # A-family: pricing_summary + set_ops + agg_collect_sorted stay
     "stratified_sample",  # sampling family: weighted_sample stays
     "evolved_read",  # lakehouse family: sql_snapshot_asof + snapshot_changes + point_lookup + snapshot_update_cdf + sql_dml + merge_upsert + partitioned_prune stay
+    # typed_prune (round 11, added after the rotation landed): typed
+    # data skipping — timestamp + string predicate ranges answered
+    # from the commit-time manifest stats block. Pytest-oracle gated
+    # past the 50-cap; rotation candidate for round 12.
+    "typed_prune",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2638,6 +2638,83 @@ ORDER BY o_orderpriority
 """
 
 
+def q_typed_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed data skipping end-to-end (round 11): publish events as a
+    snapshot table CLUSTERED ON ts (range partition + sort, so file
+    min/max are narrow on event time), then answer a per-type rollup
+    of one January week through a predicate of a TIMESTAMP range (ISO
+    string bound — the everyday spelling) AND a STRING range on
+    event_type. Both prune from the COMMIT-TIME manifest stats block:
+    zero footer opens, and the timestamp interval drops the ~3/4 of
+    files outside the week before any scan. The oracle re-derives the
+    rollup from the raw events table in DuckDB, so a lossy prune (a
+    false file drop from a timezone shift, a lexicographic-vs-
+    chronological normalization slip, truncated microseconds) hash-
+    mismatches immediately.
+
+    Scale: event-time ranges and string-key equality are THE dominant
+    predicates on a 100 TB fact table; this path decides them per
+    file from O(#files) driver metadata, the Iceberg read trade.
+    Iceberg keeps typed lower/upper bounds per file in its manifests
+    (public spec, format v2 §Manifests); this mirrors that design on
+    parquet footers harvested once at commit."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_spark.io.snapshot import read_snapshot, write_snapshot
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tdir = os.path.join(tempfile.gettempdir(), f"bds_tprune_{tag}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    # read_table canonicalizes events.ts to epoch-NANOSECOND longs;
+    # rebuild the real timestamp column (exact: the generator writes
+    # microsecond precision) so the snapshot carries a true
+    # timestamp-kind stats column.
+    base = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    write_snapshot(
+        base.repartitionByRange(8, "ts").sortWithinPartitions("ts"), tdir
+    )
+    DEC = "decimal(18,2)"
+    pruned = read_snapshot(
+        spark,
+        tdir,
+        predicate={
+            "ts": ("2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+            "event_type": ("click", "purchase"),
+        },
+    )
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TYPED_PRUNE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+  AND event_type >= 'click' AND event_type <= 'purchase'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-match point lookup through the per-file Bloom index
     (io/fileindex.py): publish an orders snapshot clustered on
@@ -3302,6 +3379,7 @@ QUERIES = {
     "sql_snapshot_asof": q_sql_snapshot_asof,
     "snapshot_changes": q_snapshot_changes,
     "partitioned_prune": q_partitioned_prune,
+    "typed_prune": q_typed_prune,
     "point_lookup": q_point_lookup,
     "snapshot_delete": q_snapshot_delete,
     "snapshot_update_cdf": q_snapshot_update_cdf,
@@ -3390,6 +3468,7 @@ ORDER BY version, o_custkey
 """,
     "snapshot_changes": ORACLE_SNAPSHOT_CHANGES,
     "partitioned_prune": ORACLE_PARTITIONED_PRUNE,
+    "typed_prune": ORACLE_TYPED_PRUNE,
     "point_lookup": ORACLE_POINT_LOOKUP,
     "snapshot_delete": ORACLE_SNAPSHOT_DELETE,
     "snapshot_update_cdf": ORACLE_SNAPSHOT_UPDATE_CDF,

@@ -84,6 +84,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark's default parquet timestamp encoding is legacy INT96,
+        # which carries NO footer min/max statistics — every
+        # timestamp-range scan reads every file. TIMESTAMP_MICROS is
+        # the modern spec encoding (Iceberg/Delta require it) and is
+        # what makes typed data skipping (round 11) work on event-time
+        # predicates — the single most common pruning column at scale.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Self-joins after LSH and iterative connected components build
         # deep plans; raise the codegen fallback threshold noise.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -45,7 +45,10 @@ def test_commit_records_default_numeric_stats(spark, tmp_path):
     write_snapshot(_mk(spark, 0, 100).repartition(4), t)
     man = latest_manifest(spark, t)
     st = man["stats"]
-    assert st["columns"] == ["k", "v"]  # leading numerics, string out
+    # round 11 typed skipping: string columns are stat-worthy too,
+    # and fresh tables stamp the v2 canonical-form marker.
+    assert st["columns"] == ["k", "v", "s"]
+    assert st["v"] == 2
     (gen_files,) = st["gens"].values()
     assert len(gen_files) >= 1
     mins = [float(pc["k"][0]) for pc in gen_files.values()]
@@ -151,7 +154,7 @@ def test_stats_follow_schema_evolution(spark, tmp_path, monkeypatch):
     write_snapshot(_mk(spark, 0, 100).repartitionByRange(4, "k"), t)
     evolve_schema(spark, t, renames={"k": "key"}, drops=["v"])
     man = latest_manifest(spark, t)
-    assert man["stats"]["columns"] == ["key"]
+    assert man["stats"]["columns"] == ["key", "s"]
     _no_footer_sweep(monkeypatch)
     got = read_snapshot(spark, t, predicate={"key": (10.0, 20.0)})
     assert {r["key"] for r in got.collect()} == set(range(10, 21))

@@ -1005,8 +1005,10 @@ def test_range_hints_parser():
         "k": (2.0, None),
         "v": (None, 7.5),
     }
+    # Round 11: string equality hints too (typed skipping).
     assert _range_hints("k BETWEEN 5 AND 9 AND status = 'X'") == {
-        "k": (5.0, 9.0)
+        "k": (5.0, 9.0),
+        "status": ("X", "X"),
     }
     assert _range_hints("k = 42") == {"k": (42.0, 42.0)}
     # Tighter of two bounds on one column wins.
@@ -1016,8 +1018,9 @@ def test_range_hints_parser():
     # OR / NOT disable hinting wholesale.
     assert _range_hints("k >= 250 OR k < 10") is None
     assert _range_hints("NOT (k >= 250)") is None
-    # Pure non-range conditions contribute nothing.
-    assert _range_hints("status = 'X'") is None
+    # Function-wrapped or genuinely non-range conditions contribute
+    # nothing (string equality DOES hint since round 11).
+    assert _range_hints("status = 'X'") == {"status": ("X", "X")}
     assert _range_hints("upper(who) = 'A'") is None
 
 

@@ -1,0 +1,367 @@
+"""Typed data skipping (round 11): string / date / timestamp bounds
+through the footer sweep (io/stats.py), the manifest stats block
+(io/snapshot.py) and the DML range hints — the predicates that
+dominate at scale (event-time ranges, string keys) prune files just
+like numeric ones, and every path stays LOSSLESS: a bound that can't
+soundly compare under a column's kind leaves files unprunable, never
+wrongly dropped.
+
+Design cross-check: Iceberg keeps per-file lower/upper bounds for all
+primitive columns (reference format, public spec); Delta z-orders and
+skips on string prefixes. The reference repo has no table format at
+all — this extends SURVEY §2's lakehouse block.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import big_data_spark.io.snapshot as snap
+import big_data_spark.io.stats as stats_mod
+from big_data_spark.io.readers import read_pruned
+from big_data_spark.io.snapshot import (
+    _range_hints,
+    delete_where,
+    read_snapshot,
+    write_snapshot,
+)
+from big_data_spark.io.stats import (
+    norm_bound,
+    norm_stat_value,
+    prune_files_multi,
+    stat_kind,
+)
+
+
+# ---------------------------------------------------------------- unit
+
+def test_stat_kind_mapping():
+    assert stat_kind("bigint") == "numeric"
+    assert stat_kind("decimal(38,2)") == "numeric"
+    assert stat_kind("string") == "string"
+    assert stat_kind("date") == "date"
+    assert stat_kind("timestamp") == "timestamp"
+    assert stat_kind("timestamp_ntz") == "timestamp_ntz"
+    assert stat_kind("binary") is None
+    assert stat_kind("boolean") is None
+    assert stat_kind("array<int>") is None
+
+
+def test_norm_stat_value_fixed_width_microseconds():
+    # Equal instants must normalize to EQUAL strings: a '.5' vs
+    # no-fraction mix would order "10:00:00" < "10:00:00.000000"
+    # lexicographically and false-drop on the prefix-equal edge.
+    a = norm_stat_value(dt.datetime(2026, 1, 1, 10, 0, 0))
+    b = norm_stat_value(
+        dt.datetime(2026, 1, 1, 10, 0, 0, tzinfo=dt.timezone.utc)
+    )
+    assert a == ("timestamp_ntz", "2026-01-01 10:00:00.000000")
+    assert b == ("timestamp", "2026-01-01 10:00:00.000000")
+    # chronological order == lexicographic order across fractions
+    lo = norm_stat_value(dt.datetime(2026, 1, 1, 10, 0, 0, 500000))[1]
+    hi = norm_stat_value(dt.datetime(2026, 1, 1, 10, 0, 1))[1]
+    assert a[1] < lo < hi
+
+
+def test_norm_stat_value_scope():
+    assert norm_stat_value(True) is None  # booleans: out of scope
+    assert norm_stat_value(b"ab") is None  # binary: no sound order
+    assert norm_stat_value("ab") == ("string", "ab")
+    assert norm_stat_value(dt.date(2026, 2, 3)) == ("date", "2026-02-03")
+    assert norm_stat_value(7) == ("numeric", "7")
+
+
+def test_norm_bound_tz_matches_spark_literal_semantics():
+    # Naive bound on a tz-adjusted column: interpreted in the session
+    # timezone, converted to the UTC the stats are stored in.
+    naive = dt.datetime(2026, 1, 1, 10, 0, 0)
+    assert (
+        norm_bound("timestamp", naive, "UTC")
+        == "2026-01-01 10:00:00.000000"
+    )
+    ny = norm_bound("timestamp", naive, "America/New_York")
+    assert ny == "2026-01-01 15:00:00.000000"  # EST = UTC-5
+    # ntz columns never shift and refuse aware bounds
+    assert (
+        norm_bound("timestamp_ntz", naive, "America/New_York")
+        == "2026-01-01 10:00:00.000000"
+    )
+    aware = naive.replace(tzinfo=dt.timezone.utc)
+    assert norm_bound("timestamp_ntz", aware) is None
+
+
+def test_norm_bound_mismatches_are_unprunable_not_wrong():
+    assert norm_bound("numeric", "abc") is None
+    assert norm_bound("string", 5) is None
+    assert norm_bound("date", "not-a-date") is None
+    assert norm_bound("timestamp", 5.0) is None
+    # ISO date string on a timestamp column = midnight, Spark's cast
+    assert (
+        norm_bound("timestamp", "2026-01-05")
+        == "2026-01-05 00:00:00.000000"
+    )
+    # datetime bound on a date column truncates conservatively
+    assert norm_bound("date", dt.datetime(2026, 1, 5, 23, 59)) == "2026-01-05"
+
+
+def test_range_hints_string_and_temporal_literals():
+    h = _range_hints("region = 'EUROPE' AND v >= 10")
+    assert h == {"region": ("EUROPE", "EUROPE"), "v": (10.0, None)}
+    h = _range_hints("name = 'O''BRIEN'")
+    assert h == {"name": ("O'BRIEN", "O'BRIEN")}
+    h = _range_hints(
+        "ts >= TIMESTAMP '2026-01-05 00:00:00' AND d <= DATE '2026-03-01'"
+    )
+    assert h == {
+        "ts": (dt.datetime(2026, 1, 5), None),
+        "d": (None, dt.date(2026, 3, 1)),
+    }
+    h = _range_hints("k BETWEEN 'a' AND 'f'")
+    assert h == {"k": ("a", "f")}
+    # mixed literal families poison the column (unprunable, not wrong)
+    assert _range_hints("v >= 5 AND v <= 'x'") is None
+    h = _range_hints("v >= 5 AND v <= 'x' AND w = 3")
+    assert h == {"w": (3.0, 3.0)}
+    # OR/NOT still disable hinting entirely
+    assert _range_hints("k = 'a' OR k = 'b'") is None
+
+
+# ------------------------------------------------------- footer sweep
+
+@pytest.fixture(scope="module")
+def typed_df(spark):
+    rows = [
+        (
+            i,
+            f"k{i % 50:05d}",
+            dt.date(2026, 1, 1) + dt.timedelta(days=i % 200),
+            dt.datetime(2026, 1, 1) + dt.timedelta(minutes=7 * i),
+            float(i) * 0.5,
+        )
+        for i in range(4000)
+    ]
+    return spark.createDataFrame(
+        rows, "id bigint, key string, d date, ts timestamp, v double"
+    )
+
+
+def _lossless(spark, src, df, ranges):
+    got = read_pruned(spark, src, ranges)
+    cond = stats_mod.range_predicate(ranges)
+    want = df.filter(cond)
+    assert got.count() == want.count() > 0
+    dec = (
+        prune_files_multi(spark, src, ranges)
+        .select("file", "keep")
+        .distinct()
+        .collect()
+    )
+    kept = sum(r.keep for r in dec)
+    assert kept < len(dec), "clustered layout must make files prunable"
+    return kept, len(dec)
+
+
+def test_footer_prune_timestamp_lossless_and_effective(
+    spark, tmp_path, typed_df
+):
+    src = str(tmp_path / "ts")
+    typed_df.repartitionByRange(8, "ts").sortWithinPartitions(
+        "ts"
+    ).write.parquet(src)
+    lo, hi = dt.datetime(2026, 1, 5), dt.datetime(2026, 1, 8)
+    _lossless(spark, src, typed_df, {"ts": (lo, hi)})
+    # ISO strings behave exactly like datetime bounds
+    got = read_pruned(
+        spark, src, {"ts": ("2026-01-05 00:00:00", "2026-01-08 00:00:00")}
+    ).count()
+    want = typed_df.filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    ).count()
+    assert got == want
+
+
+def test_footer_prune_string_is_lexicographic(spark, tmp_path, typed_df):
+    # Zero-padded keys: numeric interpretation would compare
+    # float('00010')=10 against float('00009')=9 and give the same
+    # answer — so ALSO check an interval where string and numeric
+    # order genuinely disagree below.
+    src = str(tmp_path / "key")
+    typed_df.repartitionByRange(8, "key").sortWithinPartitions(
+        "key"
+    ).write.parquet(src)
+    _lossless(spark, src, typed_df, {"key": ("k00010", "k00012")})
+
+
+def test_footer_prune_string_order_disagrees_with_numeric(spark, tmp_path):
+    # Values '9' and '10': string order '10' < '9', numeric order
+    # 9 < 10. A numeric compare would prune the '9' file for the
+    # range ('1','2'); string order correctly keeps the '10' file
+    # only... ('10' is inside ['1','2'] lexicographically, '9' is not)
+    df = spark.createDataFrame(
+        [("9",), ("10",), ("15",), ("2x",)], "s string"
+    )
+    src = str(tmp_path / "disagree")
+    df.repartition(4, "s").write.parquet(src)
+    ranges = {"s": ("1", "2")}
+    got = {r.s for r in read_pruned(spark, src, ranges).collect()}
+    want = {
+        r.s
+        for r in df.filter((F.col("s") >= "1") & (F.col("s") <= "2")).collect()
+    }
+    assert got == want == {"10", "15"}
+
+
+def test_footer_prune_date(spark, tmp_path, typed_df):
+    src = str(tmp_path / "d")
+    typed_df.repartitionByRange(8, "d").sortWithinPartitions(
+        "d"
+    ).write.parquet(src)
+    _lossless(
+        spark, src, typed_df, {"d": (dt.date(2026, 3, 1), dt.date(2026, 3, 10))}
+    )
+
+
+def test_footer_numeric_bound_on_string_column_keeps_all(spark, tmp_path):
+    # kind mismatch = unprunable, never a drop
+    df = spark.createDataFrame([("a",), ("b",)], "s string")
+    src = str(tmp_path / "mismatch")
+    df.write.parquet(src)
+    dec = prune_files_multi(spark, src, {"s": (1.0, 2.0)}).collect()
+    assert all(r.keep for r in dec)
+
+
+# ----------------------------------------------------- manifest stats
+
+def test_manifest_typed_stats_prune_metadata_only(
+    spark, tmp_path, typed_df, monkeypatch
+):
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        typed_df.repartitionByRange(8, "ts").sortWithinPartitions("ts"), t
+    )
+    man = snap.latest_manifest(spark, t)
+    assert man["stats"]["columns"] == ["id", "key", "d", "ts"]
+    assert man["stats"]["v"] == 2
+
+    lo, hi = dt.datetime(2026, 1, 5), dt.datetime(2026, 1, 8)
+    want = typed_df.filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    ).count()
+    full_files = len(read_snapshot(spark, t).inputFiles())
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("footer sweep ran on a stats-bearing table")
+
+    monkeypatch.setattr(stats_mod, "prune_files_multi", boom)
+    got = read_snapshot(spark, t, predicate={"ts": (lo, hi)})
+    assert got.count() == want
+    assert len(got.inputFiles()) < full_files
+    # string-key point predicate through the same metadata: the
+    # layout clusters ts, so keys span every file — nothing prunes,
+    # but the answer must stay exact (lossless under zero skips).
+    got2 = read_snapshot(spark, t, predicate={"key": ("k00010", "k00010")})
+    assert got2.count() == 80
+
+
+def test_legacy_unversioned_stats_never_typed_compare(
+    spark, tmp_path, typed_df
+):
+    """A stats block written before typed normalization (no "v": 2)
+    must NOT be compared lexicographically — its timestamp strings
+    lack fixed-width microseconds and could false-drop. The read path
+    falls back to numeric-only semantics: string bounds leave every
+    file unprunable, results stay exact."""
+    t = str(tmp_path / "legacy")
+    write_snapshot(
+        typed_df.repartitionByRange(4, "key").sortWithinPartitions("key"), t
+    )
+    # Strip the version marker in the committed manifest, simulating
+    # a pre-round-11 table.
+    man_dir = f"{t}/_manifests"
+    import os
+
+    newest = sorted(
+        n for n in os.listdir(man_dir) if not n.startswith(".")
+    )[-1]
+    p = f"{man_dir}/{newest}"
+    doc = json.loads(open(p).read())
+    assert doc["stats"].pop("v") == 2
+    open(p, "w").write(json.dumps(doc))
+    # Hadoop's local FS keeps a checksum sidecar; the rewrite above
+    # would otherwise fail the next manifest read.
+    crc = f"{man_dir}/.{newest}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    got = read_snapshot(spark, t, predicate={"key": ("k00010", "k00012")})
+    want = typed_df.filter(
+        (F.col("key") >= "k00010") & (F.col("key") <= "k00012")
+    ).count()
+    assert got.count() == want
+    # unprunable: every live file still enters the scan
+    assert len(got.inputFiles()) == len(read_snapshot(spark, t).inputFiles())
+
+
+def test_manifest_prune_respects_session_timezone(
+    spark, tmp_path, typed_df, monkeypatch
+):
+    """Naive timestamp bounds are session-tz literals to Spark; the
+    stats compare must shift them identically or a tz offset would
+    false-drop whole files."""
+    t = str(tmp_path / "tz")
+    write_snapshot(
+        typed_df.repartitionByRange(8, "ts").sortWithinPartitions("ts"), t
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        lo, hi = dt.datetime(2026, 1, 5), dt.datetime(2026, 1, 8)
+        got = read_snapshot(spark, t, predicate={"ts": (lo, hi)})
+        want = (
+            read_snapshot(spark, t)
+            .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+            .count()
+        )
+        assert got.count() == want > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+# ----------------------------------------------------------- DML hints
+
+def test_dml_string_hint_prunes_and_deletes_exactly(
+    spark, tmp_path, typed_df, monkeypatch
+):
+    t = str(tmp_path / "dml")
+    write_snapshot(
+        typed_df.repartitionByRange(8, "key").sortWithinPartitions("key"), t
+    )
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("footer sweep ran on a stats-bearing table")
+
+    monkeypatch.setattr(stats_mod, "prune_files_multi", boom)
+    st = delete_where(spark, t, "key = 'k00007'")
+    assert st["deleted_rows"] == 80
+    left = read_snapshot(spark, t)
+    assert left.filter("key = 'k00007'").count() == 0
+    assert left.count() == 4000 - 80
+
+
+def test_dml_timestamp_literal_hint(spark, tmp_path, typed_df):
+    t = str(tmp_path / "dmlts")
+    write_snapshot(
+        typed_df.repartitionByRange(8, "ts").sortWithinPartitions("ts"), t
+    )
+    st = delete_where(
+        spark, t, "ts < TIMESTAMP '2026-01-03 00:00:00'"
+    )
+    want = typed_df.filter(
+        F.col("ts") < F.lit(dt.datetime(2026, 1, 3))
+    ).count()
+    assert st["deleted_rows"] == want > 0
+    assert read_snapshot(spark, t).count() == 4000 - want
