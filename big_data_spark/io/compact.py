@@ -185,6 +185,7 @@ def _with_zorder_key(
         "decimal",
     }
     stringy = {"string", "varchar", "char"}
+    temporal = {"date", "timestamp", "timestamp_ntz"}
     dtypes = dict(df.dtypes)
 
     def dim_expr(c: str):
@@ -196,8 +197,17 @@ def _with_zorder_key(
         (the padding is what keeps 'b' above 'abc'; unpadded values
         compare by length first). Ties beyond 7 bytes collapse to one
         bucket: truncation trades tail resolution for a bounded key,
-        exactly the z-order trade for long common prefixes."""
-        if dtypes[c].split("(")[0] in stringy:
+        exactly the z-order trade for long common prefixes.
+
+        DATE/TIMESTAMP columns (round 11, with typed skipping) map to
+        epoch day/microsecond counts — event time is THE most common
+        clustering dimension on a fact table. ntz values route
+        through the session-tz cast Spark itself applies; a DST fold
+        can merge two wall-clock instants into one scaled value,
+        which degrades locality at that hour only, never ordering
+        soundness."""
+        head = dtypes[c].split("(")[0]
+        if head in stringy:
             return F.conv(
                 F.rpad(
                     F.substring(F.hex(F.encode(F.col(c), "UTF-8")), 1, 14),
@@ -207,17 +217,21 @@ def _with_zorder_key(
                 16,
                 10,
             ).cast("double")
+        if head == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        if head in ("timestamp", "timestamp_ntz"):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
         return F.col(c).cast("double")
 
     for c in zorder_by:
         if c not in dtypes:
             raise ValueError(f"zorder_by: unknown column {c!r}")
-        if dtypes[c].split("(")[0] not in numeric | stringy:
+        if dtypes[c].split("(")[0] not in numeric | stringy | temporal:
             raise ValueError(
                 f"zorder_by: column {c!r} has type {dtypes[c]} — "
-                "z-order dimensions must be numeric or string (the "
-                "key is a min/max-scaled interleave; strings cluster "
-                "by a truncated binary prefix)"
+                "z-order dimensions must be numeric, string, date or "
+                "timestamp (the key is a min/max-scaled interleave; "
+                "strings cluster by a truncated binary prefix)"
             )
     top = (1 << zorder_bits) - 1
     bounds = df.agg(

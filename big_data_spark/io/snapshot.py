@@ -3313,6 +3313,63 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def show_partitions(spark: SparkSession, table_dir: str) -> DataFrame:
+    """SHOW PARTITIONS for a snapshot table: one row per LIVE
+    partition leaf — the partition columns cast to the COMMITTED
+    schema types (a '00123' string key stays '00123'), plus n_files /
+    total_bytes so a user can spot skewed or fragmented leaves at a
+    glance. Values come from manifest entry keys, counts from listing
+    only live entry dirs — O(live files) driver metadata, no data
+    reads. Spark's own SHOW PARTITIONS cannot answer this for these
+    tables (they register as temp views), and like Spark it refuses
+    unpartitioned tables loudly."""
+    man = latest_manifest(spark, table_dir)
+    if man is None:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    pcols = _pcols(man.get("partition_col"))
+    if pcols is None:
+        raise ValueError(
+            f"SHOW PARTITIONS: table at {table_dir!r} is not "
+            "partitioned"
+        )
+    fs, _ = hadoop_fs(spark, table_dir)
+    agg: dict[tuple, list[int]] = {}
+    for key, rel in man["entries"].items():
+        vals = entry_partition_values(spark, pcols, key)
+        vkey = tuple(vals[c] for c in pcols)
+        cur = agg.setdefault(vkey, [0, 0])
+        _, p = hadoop_fs(spark, f"{table_dir}/{rel}")
+        if not fs.exists(p):
+            continue
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            cur[0] += 1
+            cur[1] += st.getLen()
+    types = {
+        f["name"]: f["type"] for f in man.get("schema") or []
+    }
+    rows = [
+        (*vkey, int(n), int(b))
+        for vkey, (n, b) in sorted(agg.items())
+    ]
+    ddl = ", ".join(f"`{c}` string" for c in pcols)
+    out = spark.createDataFrame(
+        rows, f"{ddl}, n_files long, total_bytes long"
+    )
+    return out.select(
+        *[
+            F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+            for c in pcols
+        ],
+        "n_files",
+        "total_bytes",
+    )
+
+
 def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
     """DESCRIBE DETAIL for a snapshot table (Delta's spelling): ONE
     row summarizing the CURRENT version — location, snapshot id,

@@ -443,3 +443,61 @@ def test_zorder_string_dim_narrows_per_file_spans(spark, tmp_path):
         )
         sspans.append((fhi - flo) / 25.0)
     assert sum(sspans) / len(sspans) < 0.8, sspans
+
+
+def test_zorder_temporal_dim_narrows_per_file_spans(spark, tmp_path):
+    """(timestamp, numeric) z-order (round 11): temporal dims map to
+    epoch micro/day counts, so each written file covers a narrow
+    slice of event time — the layout that makes typed data skipping
+    (io/stats.py) effective on the dominant fact-table predicate."""
+    import datetime as dt
+
+    from big_data_spark.io.compact import compact_parquet, parquet_inventory
+
+    src = str(tmp_path / "tz_frag")
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=11 * i), (i * 37) % 1000, i)
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, num int, seq int")
+    df.repartition(16).write.parquet(src)
+    inv = parquet_inventory(spark, src)
+    ratio = 4.0 * (1 << 20) / inv["total_bytes"]
+    dst = str(tmp_path / "tz_z")
+    report = compact_parquet(
+        spark,
+        src,
+        dst,
+        target_file_bytes=1 << 20,
+        zorder_by=["ts", "num"],
+        size_ratio=ratio,
+    )
+    assert report["zordered"]
+    files = _data_files(dst)
+    assert len(files) >= 2
+    out = spark.read.parquet(dst)
+    assert out.count() == len(rows)
+    lo, hi = df.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    full = hi - lo
+    spans = []
+    for f in files:
+        flo, fhi = (
+            spark.read.parquet(f)
+            .agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts")))
+            .collect()[0]
+        )
+        spans.append((fhi - flo) / full)
+    assert sum(spans) / len(spans) < 0.8, spans
+
+
+def test_zorder_rejects_unorderable_types(spark):
+    import pytest as _pytest
+
+    from big_data_spark.io.compact import _with_zorder_key
+
+    df = spark.createDataFrame([([1, 2], 1)], "arr array<int>, v int")
+    with _pytest.raises(ValueError, match="numeric, string, date or"):
+        _with_zorder_key(df, ["arr", "v"], 8)

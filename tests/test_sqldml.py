@@ -666,3 +666,59 @@ def test_drop_views_case_insensitive_and_tagless_siblings(
     assert spark.sql(
         "SELECT count(*) AS n FROM orders10_tag_gold_history"
     ).collect()[0]["n"] >= 1
+
+
+def test_show_partitions_lists_live_leaves(spark, tmp_path):
+    """SHOW PARTITIONS t: one row per live partition leaf, typed
+    values + file counts from the manifest — including multi-column
+    partitioning, where Spark's own SHOW PARTITIONS can't answer at
+    all (the tables register as temp views)."""
+    from big_data_spark.io.snapshot import write_snapshot_partial
+
+    t = str(tmp_path / "showp_t")
+    df = spark.createDataFrame(
+        [("2026-01-01", "eu", 1), ("2026-01-01", "us", 2),
+         ("2026-01-02", "eu", 3)],
+        "day string, region string, v int",
+    )
+    write_snapshot_partial(
+        df, t, 0, ["day", "region"],
+        touched_keys=[("2026-01-01", "eu"), ("2026-01-01", "us"),
+                      ("2026-01-02", "eu")],
+    )
+    c = SnapshotCatalog(spark)
+    c.register("showp_t", t)
+    rows = c.sql("SHOW PARTITIONS showp_t").collect()
+    assert [(r["day"], r["region"]) for r in rows] == [
+        ("2026-01-01", "eu"), ("2026-01-01", "us"), ("2026-01-02", "eu"),
+    ]
+    assert all(r["n_files"] >= 1 and r["total_bytes"] > 0 for r in rows)
+    # replacing one leaf keeps the listing current
+    write_snapshot_partial(
+        spark.createDataFrame([("2026-01-02", "eu", 9)],
+                              "day string, region string, v int"),
+        t, 1, ["day", "region"], touched_keys=[("2026-01-02", "eu")],
+    )
+    c.refresh("showp_t")
+    rows2 = c.sql("SHOW PARTITIONS showp_t").collect()
+    assert len(rows2) == 3
+
+
+def test_show_partitions_refuses_unpartitioned(spark, tmp_path):
+    from big_data_spark.io.snapshot import write_snapshot
+
+    t = str(tmp_path / "showp_flat")
+    write_snapshot(spark.range(5).selectExpr("id AS k"), t)
+    c = SnapshotCatalog(spark)
+    c.register("showp_flat", t)
+    with pytest.raises(ValueError, match="not.*partitioned"):
+        c.sql("SHOW PARTITIONS showp_flat")
+
+
+def test_show_partitions_unregistered_passes_through(spark):
+    """An unregistered name keeps Spark's own behavior (its error,
+    its output) — the claim is for registered snapshot tables only."""
+    c = SnapshotCatalog(spark)
+    spark.range(3).createOrReplaceTempView("showp_view")
+    with pytest.raises(Exception):
+        c.sql("SHOW PARTITIONS showp_view")
