@@ -1340,8 +1340,10 @@ def _sweep_generation_stats(
                     continue
                 mn = mx = None
                 ok = True
+                saw_value = False
                 for rg in range(meta.num_row_groups):
-                    s = meta.row_group(rg).column(idx[p]).statistics
+                    group = meta.row_group(rg)
+                    s = group.column(idx[p]).statistics
                     try:
                         # pyarrow raises ArrowNotImplementedError
                         # extracting stats for some physical types
@@ -1349,14 +1351,28 @@ def _sweep_generation_stats(
                         # columns record as unprunable, same as a
                         # missing footer stat.
                         if s is None or not s.has_min_max:
+                            # ALL-NULL row group: fails every range
+                            # predicate — neither widens bounds nor
+                            # blocks pruning (round 11: null-count
+                            # skipping, matching the kernel path).
+                            if (
+                                s is not None
+                                and s.null_count is not None
+                                and s.null_count == group.num_rows
+                            ):
+                                continue
                             ok = False
                             break
                         smn, smx = s.min, s.max
                     except Exception:
                         ok = False
                         break
+                    saw_value = True
                     mn = smn if mn is None else min(mn, smn)
                     mx = smx if mx is None else max(mx, smx)
+                if ok and not saw_value:
+                    per_col[c] = "allnull"
+                    continue
                 if ok:
                     # Canonical typed forms (io/stats.norm_stat_value)
                     # — the SAME normalization the distributed sweep's
@@ -1388,16 +1404,34 @@ def _sweep_generation_stats(
             F.max(F.col("max_value").try_cast("double")).alias("mx_d"),
             F.min("min_value").alias("mn_s"),
             F.max("max_value").alias("mx_s"),
+            # 'allnull' row groups are not stat-less: they fail every
+            # range predicate, so they neither widen bounds nor block
+            # pruning (round 11: null-count skipping).
             F.max(
-                F.col("min_value").isNull().cast("int")
+                (
+                    F.col("min_value").isNull()
+                    & F.col("kind").isNull()
+                ).cast("int")
             ).alias("nostats"),
-            F.first("kind", ignorenulls=True).alias("kind"),
+            F.min(
+                F.coalesce(
+                    (F.col("kind") == "allnull").cast("int"), F.lit(0)
+                )
+            ).alias("allnull"),
+            F.first(
+                F.when(F.col("kind") != "allnull", F.col("kind")),
+                ignorenulls=True,
+            ).alias("kind"),
         )
         .collect()
     )
     for r in rows:
         per_col = out.setdefault(_rel(r["file"]), {})
-        if r["nostats"] == 1 or r["kind"] is None:
+        if r["nostats"] == 1:
+            per_col[r["column"]] = None
+        elif r["allnull"] == 1:
+            per_col[r["column"]] = "allnull"
+        elif r["kind"] is None:
             per_col[r["column"]] = None
         elif r["kind"] == "numeric":
             per_col[r["column"]] = [str(r["mn_d"]), str(r["mx_d"])]
@@ -2061,6 +2095,12 @@ def _stats_keep(
             continue
         v = per_col.get(c)
         if v is None:
+            continue
+        if v == "allnull":
+            # Entirely-null column (round 11: null-count skipping):
+            # every row fails every bounded range predicate.
+            if lo is not None or hi is not None:
+                return False
             continue
         kind = (kinds or {}).get(c, "numeric")
         if kind == "numeric":

@@ -323,6 +323,18 @@ def parquet_column_stats(
                             pair = (None, None)
                         if pair[0] is None or pair[1] is None:
                             kind = mn = mx = None
+                            # An ALL-NULL row group is not "no stats":
+                            # its rows provably fail every range
+                            # predicate (NULL comparisons are NULL),
+                            # so it must neither widen bounds nor
+                            # veto pruning — Iceberg's null-count
+                            # skipping (round 11).
+                            if (
+                                stats is not None
+                                and stats.null_count is not None
+                                and stats.null_count == group.num_rows
+                            ):
+                                kind = "allnull"
                         else:
                             kind, mn = pair[0]
                             _, mx = pair[1]
@@ -423,16 +435,32 @@ def prune_files_multi(
             F.max("mx_d").alias("mx_d"),
             F.min("min_value").alias("mn_s"),
             F.max("max_value").alias("mx_s"),
-            # a row group without stats makes the column unprunable
+            # a row group without stats makes the column unprunable —
+            # but an ALL-NULL row group ('allnull' kind) is excluded:
+            # its rows provably fail every range predicate, so it
+            # neither widens the fold (its min/max are null) nor
+            # blocks pruning (round 11: null-count skipping).
             F.max(
-                F.col("min_value").isNull().cast("int")
+                (
+                    F.col("min_value").isNull()
+                    & F.col("kind").isNull()
+                ).cast("int")
             ).alias("_nostats"),
-            F.first("kind", ignorenulls=True).alias("_kind"),
+            F.min(
+                F.coalesce(
+                    (F.col("kind") == "allnull").cast("int"), F.lit(0)
+                )
+            ).alias("_allnull"),
+            F.first(
+                F.when(F.col("kind") != "allnull", F.col("kind")),
+                ignorenulls=True,
+            ).alias("_kind"),
         )
     )
-    col_ok = (F.col("_nostats") == 1) | F.col("_kind").isNull()
+    col_ok = F.lit(True)
     for c in cols:
         lo, hi = ranges[c]
+        bounded = lo is not None or hi is not None
         ok = F.lit(False)
         for kind in _KINDS:
             lo_n = None if lo is None else norm_bound(kind, lo, tz)
@@ -456,7 +484,16 @@ def prune_files_multi(
                 if kind == "numeric":
                     kind_ok = kind_ok | F.col("mn_d").isNull()
             ok = F.when(F.col("_kind") == kind, kind_ok).otherwise(ok)
-        col_ok = F.when(F.col("column") == c, col_ok | ok).otherwise(col_ok)
+        # Precedence: any truly stat-less row group -> unprunable;
+        # else an entirely-null column -> droppable under any bound;
+        # else no usable kind -> unprunable; else the kind compare.
+        ok_final = (
+            F.when(F.col("_nostats") == 1, F.lit(True))
+            .when(F.col("_allnull") == 1, F.lit(not bounded))
+            .when(F.col("_kind").isNull(), F.lit(True))
+            .otherwise(ok)
+        )
+        col_ok = F.when(F.col("column") == c, ok_final).otherwise(col_ok)
     flagged = per_file_col.withColumn("_col_keep", col_ok)
     keep_per_file = flagged.groupBy("file").agg(
         F.min(F.col("_col_keep").cast("int")).cast("boolean").alias("keep")
@@ -476,7 +513,10 @@ def prune_files_multi(
             ),
         )
         .withColumn("kind", F.col("_kind"))
-        .drop("mn_d", "mx_d", "mn_s", "mx_s", "_nostats", "_col_keep", "_kind")
+        .drop(
+            "mn_d", "mx_d", "mn_s", "mx_s",
+            "_nostats", "_allnull", "_col_keep", "_kind",
+        )
         .join(keep_per_file, "file")
         .orderBy("file", "column")
     )

@@ -365,3 +365,56 @@ def test_dml_timestamp_literal_hint(spark, tmp_path, typed_df):
     ).count()
     assert st["deleted_rows"] == want > 0
     assert read_snapshot(spark, t).count() == 4000 - want
+
+
+# --------------------------------------------------- null-count skips
+
+def test_all_null_files_prune_under_any_bounded_range(spark, tmp_path):
+    """A file whose hinted column is entirely NULL provably matches
+    no range predicate (NULL compares are NULL -> filtered), so it
+    drops — Iceberg's null-count skipping. Files with a mix of null
+    and valued row groups prune by the valued bounds."""
+    df = spark.range(0, 4000).selectExpr(
+        "id AS k",
+        "CASE WHEN id < 2000 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST(id AS DOUBLE) END AS v",
+    )
+    src = str(tmp_path / "nulls")
+    df.repartitionByRange(4, "k").sortWithinPartitions("k").write.parquet(
+        src
+    )
+    ranges = {"v": (2500.0, 2600.0)}
+    dec = prune_files_multi(spark, src, ranges).collect()
+    dropped = [r for r in dec if not r.keep]
+    # the two all-null files (k<2000) AND the valued file outside
+    # [2500, 2600] must drop
+    assert len(dropped) >= 2
+    got = read_pruned(spark, src, ranges)
+    want = df.filter((F.col("v") >= 2500.0) & (F.col("v") <= 2600.0))
+    assert got.count() == want.count() > 0
+
+
+def test_manifest_all_null_skip_metadata_only(
+    spark, tmp_path, monkeypatch
+):
+    df = spark.range(0, 4000).selectExpr(
+        "id AS k",
+        "CASE WHEN id < 2000 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST(id AS DOUBLE) END AS v",
+    )
+    t = str(tmp_path / "nulltbl")
+    write_snapshot(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"), t
+    )
+    man = snap.latest_manifest(spark, t)
+    (gen_files,) = man["stats"]["gens"].values()
+    assert any(pc.get("v") == "allnull" for pc in gen_files.values())
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("footer sweep ran on a stats-bearing table")
+
+    monkeypatch.setattr(stats_mod, "prune_files_multi", boom)
+    got = read_snapshot(spark, t, predicate={"v": (2500.0, 2600.0)})
+    want = df.filter((F.col("v") >= 2500.0) & (F.col("v") <= 2600.0))
+    assert got.count() == want.count() > 0
+    assert len(got.inputFiles()) < len(read_snapshot(spark, t).inputFiles())
