@@ -3060,6 +3060,102 @@ def _rewrite_where(
     return stats
 
 
+def analyze_table(
+    spark: SparkSession,
+    table_dir: str,
+    stats_columns: list[str] | None = None,
+) -> dict:
+    """Maintenance: backfill the manifest's per-file column stats for
+    every live generation that lacks them — the explicit spelling of
+    the backfill that otherwise rides along with the NEXT data commit
+    (a read-mostly table could wait forever, paying the footer sweep
+    on every pruned read). Also the UPGRADE path: a table whose stats
+    block predates typed normalization (no ``"v": 2``) or whose
+    recorded column set should change re-sweeps from scratch, so
+    string/date/timestamp predicates start pruning from metadata.
+
+    Commits ``maintenance=True`` with entries/schema/deletes carried
+    verbatim — content is unchanged, the change feed skips it, and a
+    concurrent writer's rename still wins the commit race (the caller
+    retries like any maintenance op). Returns
+    ``{analyzed_generations, covered_generations, stats_columns,
+    snapshot_id}``; a fully-covered table is a NO-OP (no commit)."""
+    man = latest_manifest(spark, table_dir)
+    if man is None:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    prev_stats = man.get("stats")
+    live_gens = sorted(
+        {
+            rel.split("/")[1]
+            for rel in man["entries"].values()
+            if rel.startswith(f"{_DATA_DIR}/")
+        }
+    )
+    cols_differ = (
+        stats_columns is not None
+        and prev_stats is not None
+        and list(stats_columns) != prev_stats.get("columns")
+    )
+    fresh = (
+        prev_stats is None
+        or cols_differ
+        or prev_stats.get("v") != 2
+    )
+    covered_before = (
+        0
+        if fresh
+        else len(set(prev_stats.get("gens") or {}) & set(live_gens))
+    )
+    if not fresh and covered_before == len(live_gens):
+        return {
+            "analyzed_generations": 0,
+            "covered_generations": covered_before,
+            "stats_columns": list(prev_stats["columns"]),
+            "snapshot_id": man["snapshot_id"],
+        }
+    stats = _auto_commit_stats(
+        spark,
+        table_dir,
+        man["entries"],
+        None if fresh else prev_stats,
+        man.get("schema"),
+        man.get("partition_col"),
+        man.get("layout_by"),
+        stats_columns,
+        rename_log=man.get("rename_log"),
+    )
+    if stats is None:
+        # No stat-capable columns: nothing to record, nothing to commit.
+        return {
+            "analyzed_generations": 0,
+            "covered_generations": 0,
+            "stats_columns": [],
+            "snapshot_id": man["snapshot_id"],
+        }
+    next_id = man["snapshot_id"] + 1
+    _claim_check(spark, table_dir, next_id)
+    commit_manifest(
+        spark,
+        table_dir,
+        next_id,
+        man["entries"],
+        partition_col=man.get("partition_col"),
+        schema_fields=man.get("schema"),
+        layout_by=man.get("layout_by"),
+        maintenance=True,
+        deletes=man.get("deletes"),
+        rename_log=man.get("rename_log"),
+        prev_man=man,
+        stats=stats,
+    )
+    return {
+        "analyzed_generations": len(live_gens) - covered_before,
+        "covered_generations": len(live_gens),
+        "stats_columns": list(stats["columns"]),
+        "snapshot_id": next_id,
+    }
+
+
 def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
     """Maintenance: materialize the merge-on-read delete vectors —
     rewrite ONLY the generations that still have live masked rows

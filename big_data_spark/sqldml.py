@@ -37,6 +37,9 @@ Supported statements (one per call; case-insensitive keywords):
 - ``SHOW PARTITIONS <table>`` — one row per live partition leaf
   (typed values + n_files/total_bytes) from the manifest entry keys;
   refuses unpartitioned tables like Spark does.
+- ``ANALYZE TABLE <table> [COMPUTE STATISTICS [FOR COLUMNS c1, ...]]``
+  — backfill/upgrade the manifest's per-file column stats as a
+  maintenance commit (``analyze_table``); fully-covered tables no-op.
 - SELECT-side time travel (``rewrite_time_travel``, wired into
   SnapshotCatalog.sql): ``<table> VERSION AS OF <n>``, ``<table>
   VERSION AS OF '<tag>'`` and ``<table> TIMESTAMP AS OF
@@ -117,6 +120,12 @@ _DETAIL_RE = re.compile(
 )
 _SHOW_PARTS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+(\w+)"
+    r"(?:\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w\s,`]+?))?)?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
 )
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(\w+)\s*"
@@ -222,6 +231,26 @@ def route_statement(
         from big_data_spark.io.snapshot import show_partitions
 
         return show_partitions(spark, tables[m.group(1)])
+    m = _ANALYZE_RE.match(statement)
+    if m and m.group(1) in tables:
+        # ANALYZE TABLE t [COMPUTE STATISTICS [FOR COLUMNS c1, c2]]
+        # (round 11): backfill/upgrade the manifest stats block as a
+        # maintenance commit — Spark's spelling, the snapshot
+        # format's semantics. Unregistered names pass through to
+        # spark.sql (its catalog-table ANALYZE).
+        from big_data_spark.io.snapshot import analyze_table
+
+        cols = (
+            [c.strip().strip("`") for c in m.group(2).split(",")]
+            if m.group(2)
+            else None
+        )
+        st = dict(
+            analyze_table(spark, tables[m.group(1)], stats_columns=cols)
+        )
+        st["statement_type"] = "ANALYZE"
+        st["table"] = m.group(1)
+        return st
     m = _OPTIMIZE_RE.match(statement)
     if m and m.group(1) in tables:
         if m.group(2):

@@ -731,3 +731,137 @@ def test_two_thread_interleaved_walk(spark, tmp_path, seed):
             if r["_commit_id"] == sid and r["_change_type"] == "insert"
         }
     assert state == want, f"seed={seed}: concurrent feed replay diverged"
+
+
+# ------------------------------------------------- typed-predicate walk
+
+def _run_typed_predicate_walk(spark, tmp_path, seed):
+    """Random DML walk with PREDICATE READS checked against the model
+    after every commit (round 11): numeric, string and timestamp
+    bounds (datetime and ISO-string spellings) route through the
+    manifest stats block / footer sweep / MOR delete vectors in
+    whatever interleaving the seed produces, and the pruned result
+    must equal the model filtered row-for-row — the lossless-pruning
+    contract under live table churn. v is nullable on purpose: NULL
+    fails every bound (and all-null files exercise null-count
+    skipping)."""
+    import datetime as dt
+
+    rng = random.Random(seed)
+    t = str(tmp_path / f"typedw_{seed}")
+    base_ts = dt.datetime(2026, 1, 1)
+    model: dict[int, tuple] = {}  # k -> (key, ts, v)
+    next_key = 0
+    history: dict[int, frozenset] = {}
+
+    def snap_model():
+        sid = snapshot_ids(spark, t)[-1]
+        history[sid] = frozenset(model.items())
+
+    def mk_rows(n):
+        nonlocal next_key
+        out = []
+        for i in range(n):
+            k = next_key + i
+            v = None if k % 5 == 0 else float(k)
+            out.append(
+                (k, f"s{k % 40:04d}", base_ts + dt.timedelta(minutes=k), v)
+            )
+        next_key += n
+        return out
+
+    def do_append():
+        batch = mk_rows(rng.randint(4, 14))
+        append_snapshot(
+            spark.createDataFrame(
+                batch, "k long, key string, ts timestamp, v double"
+            ),
+            t,
+        )
+        model.update({r[0]: r[1:] for r in batch})
+
+    def do_delete():
+        p, r = rng.choice([(3, 0), (4, 1), (7, 3)])
+        mode = rng.choice(["cow", "mor"])
+        st = delete_where(spark, t, f"k % {p} = {r}", mode=mode)
+        doomed = [k for k in model if k % p == r]
+        assert st["deleted_rows"] == len(doomed)
+        for k in doomed:
+            del model[k]
+
+    def do_update():
+        p, r = rng.choice([(3, 1), (5, 2)])
+        st = update_where(
+            spark, t, f"k % {p} = {r}", {"v": "coalesce(v, 0.0) + 1000.0"}
+        )
+        hit = [k for k in model if k % p == r]
+        assert st["updated_rows"] == len(hit)
+        for k in hit:
+            key, ts, v = model[k]
+            model[k] = (key, ts, (v if v is not None else 0.0) + 1000.0)
+
+    def do_binpack():
+        binpack_snapshot(spark, t)
+
+    def do_rollback():
+        target = rng.choice(sorted(history))
+        rollback_snapshot(spark, t, target)
+        model.clear()
+        model.update(dict(history[target]))
+
+    def check_predicate():
+        """One random typed predicate vs the model filter."""
+        kind = rng.choice(["k", "key", "ts", "v"])
+        if kind == "k":
+            lo = rng.randint(0, max(next_key, 1))
+            hi = lo + rng.randint(0, 40)
+            pred = {"k": (float(lo), float(hi))}
+            keep = lambda k, row: lo <= k <= hi  # noqa: E731
+        elif kind == "key":
+            a = f"s{rng.randint(0, 39):04d}"
+            b = f"s{rng.randint(0, 39):04d}"
+            lo, hi = min(a, b), max(a, b)
+            pred = {"key": (lo, hi)}
+            keep = lambda k, row: lo <= row[0] <= hi  # noqa: E731
+        elif kind == "ts":
+            lo_m = rng.randint(0, max(next_key, 1))
+            hi_m = lo_m + rng.randint(0, 60)
+            lo_t = base_ts + dt.timedelta(minutes=lo_m)
+            hi_t = base_ts + dt.timedelta(minutes=hi_m)
+            as_str = rng.random() < 0.5
+            pred = {
+                "ts": (
+                    lo_t.isoformat(sep=" ") if as_str else lo_t,
+                    hi_t.isoformat(sep=" ") if as_str else hi_t,
+                )
+            }
+            keep = lambda k, row: lo_t <= row[1] <= hi_t  # noqa: E731
+        else:
+            lo = float(rng.randint(0, max(next_key, 1)))
+            pred = {"v": (lo, None)}
+            keep = lambda k, row: row[2] is not None and row[2] >= lo  # noqa: E731
+        got = {
+            (r["k"], r["key"], r["ts"], r["v"])
+            for r in read_snapshot(spark, t, predicate=pred).collect()
+        }
+        want = {
+            (k, *row) for k, row in model.items() if keep(k, row)
+        }
+        assert got == want, (
+            f"seed={seed} predicate={pred}: pruned read diverged "
+            f"(+{got - want} -{want - got})"
+        )
+
+    do_append()
+    snap_model()
+    ops = [do_append, do_delete, do_update, do_binpack, do_rollback]
+    weights = [4, 3, 3, 1, 1]
+    for step in range(N_STEPS):
+        rng.choices(ops, weights)[0]()
+        snap_model()
+        check_predicate()
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_typed_predicate_walk_matches_model(spark, tmp_path, seed):
+    _run_typed_predicate_walk(spark, tmp_path, seed)

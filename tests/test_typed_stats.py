@@ -418,3 +418,105 @@ def test_manifest_all_null_skip_metadata_only(
     want = df.filter((F.col("v") >= 2500.0) & (F.col("v") <= 2600.0))
     assert got.count() == want.count() > 0
     assert len(got.inputFiles()) < len(read_snapshot(spark, t).inputFiles())
+
+
+# ------------------------------------------------------ ANALYZE TABLE
+
+def test_analyze_backfills_statless_generations(
+    spark, tmp_path, monkeypatch
+):
+    """A generation committed without stats pays the footer sweep on
+    every pruned read until ANALYZE (or the next data commit)
+    backfills it — analyze_table closes that as one maintenance
+    commit, invisible to the change feed."""
+    from big_data_spark.io.snapshot import (
+        analyze_table,
+        append_snapshot,
+        read_changes,
+    )
+
+    t = str(tmp_path / "an")
+    df = spark.range(0, 1000).selectExpr("id AS k", "id * 2.0 AS v")
+    monkeypatch.setattr(snap, "_auto_commit_stats", lambda *a, **k: None)
+    write_snapshot(df.repartitionByRange(4, "k"), t)
+    monkeypatch.undo()
+    assert snap.latest_manifest(spark, t).get("stats") is None
+
+    st = analyze_table(spark, t)
+    assert st["analyzed_generations"] == 1
+    assert st["covered_generations"] == 1
+    man = snap.latest_manifest(spark, t)
+    assert man["stats"]["v"] == 2
+    assert man.get("maintenance") is True
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("footer sweep ran after ANALYZE")
+
+    monkeypatch.setattr(stats_mod, "prune_files_multi", boom)
+    got = read_snapshot(spark, t, predicate={"k": (100.0, 200.0)})
+    assert got.count() == 101
+    assert len(got.inputFiles()) < 4
+    # the analyze commit is maintenance: the change feed skips it
+    assert read_changes(spark, t, after_id=0).count() == 0
+    # fully covered now: a second analyze is a no-op (no new commit)
+    monkeypatch.undo()
+    st2 = analyze_table(spark, t)
+    assert st2["analyzed_generations"] == 0
+    assert st2["snapshot_id"] == man["snapshot_id"]
+
+
+def test_analyze_upgrades_unversioned_block_to_typed(spark, tmp_path):
+    """An unversioned (pre-typed) stats block can't serve string
+    predicates; ANALYZE re-sweeps from scratch and stamps v2, after
+    which the same predicate prunes from metadata."""
+    import os
+
+    from big_data_spark.io.snapshot import analyze_table
+
+    t = str(tmp_path / "anup")
+    df = spark.createDataFrame(
+        [(i, f"k{i % 20:04d}") for i in range(2000)], "k long, s string"
+    )
+    write_snapshot(df.repartitionByRange(4, "s").sortWithinPartitions("s"), t)
+    man_dir = f"{t}/_manifests"
+    newest = sorted(
+        n for n in os.listdir(man_dir) if not n.startswith(".")
+    )[-1]
+    p = f"{man_dir}/{newest}"
+    doc = json.loads(open(p).read())
+    doc["stats"].pop("v")
+    open(p, "w").write(json.dumps(doc))
+    crc = f"{man_dir}/.{newest}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    full = len(read_snapshot(spark, t).inputFiles())
+    pre = read_snapshot(spark, t, predicate={"s": ("k0003", "k0004")})
+    assert len(pre.inputFiles()) == full  # legacy: unprunable
+
+    st = analyze_table(spark, t)
+    assert st["analyzed_generations"] == 1
+    post = read_snapshot(spark, t, predicate={"s": ("k0003", "k0004")})
+    assert post.count() == pre.count() == 200
+    assert len(post.inputFiles()) < full
+
+
+def test_analyze_sql_spelling_and_for_columns(spark, tmp_path):
+    from big_data_spark.catalog import SnapshotCatalog
+
+    t = str(tmp_path / "ansql")
+    df = spark.range(0, 500).selectExpr(
+        "id AS k", "id * 2.0 AS v", "CAST(id AS STRING) AS s"
+    )
+    write_snapshot(df.repartition(2), t)
+    c = SnapshotCatalog(spark)
+    c.register("ansql", t)
+    st = c.sql("ANALYZE TABLE ansql COMPUTE STATISTICS FOR COLUMNS k, s")
+    assert st["statement_type"] == "ANALYZE"
+    assert st["stats_columns"] == ["k", "s"]
+    man = snap.latest_manifest(spark, t)
+    assert man["stats"]["columns"] == ["k", "s"]
+    # unregistered names pass through to spark.sql (and fail there,
+    # since no such catalog table exists)
+    with pytest.raises(Exception):
+        c.sql("ANALYZE TABLE nosuch COMPUTE STATISTICS")
