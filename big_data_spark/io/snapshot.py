@@ -93,7 +93,18 @@ def _declared_partition_types(spark: SparkSession):
     exactly once — an unsynchronized save/restore pair could
     re-enable inference under a racing reader (mistyping a '00123'
     key mid-scan) or leave it off for the whole session. State is
-    kept per session (newSession() clones carry their own SQLConf)."""
+    kept per session (newSession() clones carry their own SQLConf).
+
+    KNOWN TRADE: an UNGUARDED concurrent reader on the same session —
+    a plain spark.read.parquet over its own hive layout in another
+    thread — sees inference off during the guarded window (its
+    partition columns come back string-typed for that read). The
+    alternatives are worse: a dedicated newSession() per scan costs a
+    SQLConf clone per read and breaks temp-view visibility, and an
+    explicit user schema can't be derived for legacy tables without a
+    committed schema. Callers mixing threads on one session should
+    route their own hive reads through these guarded readers or a
+    cloned session."""
     key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     sid = id(spark)
     with _PART_TYPES_LOCK:
@@ -259,7 +270,16 @@ def _atomic_overwrite_local(
     _, dst_crc_p = hadoop_fs(spark, dst_crc)
     if fs.exists(dst_crc_p):
         fs.delete(dst_crc_p, False)
-    _nio_move(tmp_path.toUri().getPath(), final_path.toUri().getPath())
+    try:
+        _nio_move(tmp_path.toUri().getPath(), final_path.toUri().getPath())
+    except Exception:
+        # A failed move (permissions, FS without real atomic replace)
+        # must not strand the temp pin + its crc sidecar in _tags/ —
+        # nothing vacuums there. The existing pin is untouched by a
+        # failed ATOMIC_MOVE, so cleanup is safe.
+        if fs.exists(tmp_path):
+            fs.delete(tmp_path, False)
+        raise
     src_crc = f"{parent_dir}/.{tmp_name}.crc"
     _, src_crc_p = hadoop_fs(spark, src_crc)
     if fs.exists(src_crc_p):
@@ -419,14 +439,74 @@ def _hive_unescape(spark: SparkSession):
     )
 
 
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def _unescape_path_py(s: str) -> str:
+    """Pure-Python port of ExternalCatalogUtils.unescapePathName: a
+    '%' followed by two hex digits decodes to that char, anything
+    else stays literal (Hive only ever escapes single ASCII chars, so
+    per-char decode equals the JVM's). Exists because the hot callers
+    (entry_partition_values on every partitions= read,
+    show_partitions) would otherwise pay one py4j round trip PER
+    SEGMENT — ~10k driver->JVM calls on a 5k-leaf table for what is
+    advertised as metadata-only pruning. tests pin equality against
+    the JVM implementation over the escaping corpus."""
+    if "%" not in s:
+        return s
+    out = []
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if (
+            c == "%"
+            and i + 2 < n
+            and s[i + 1] in _HEX
+            and s[i + 2] in _HEX
+        ):
+            out.append(chr(int(s[i + 1 : i + 3], 16)))
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _render_part_value(v) -> str:
-    """Spark's dir-value rendering where Python's str() diverges:
-    booleans write as 'true'/'false', not 'True' — the ONE renderer
-    shared by entry keys and the partitions= manifest filter, so a
-    boolean key matches its dir value on both the write and read
-    sides."""
+    """Spark's dir-value rendering where Python's str() diverges —
+    the ONE renderer shared by entry keys and the partitions=
+    manifest filter, so a key matches its dir value on both the
+    write and read sides. Booleans write as 'true'/'false'.
+    Timestamps write session-wall-clock with the fractional part
+    TRIMMED of trailing zeros and omitted when zero (pinned against
+    Spark's actual dir names in tests) — Python's str() would render
+    '...05.500000' while Spark writes '...05.5', silently matching
+    nothing. float keys REFUSE: Java's Double.toString ('1.0E-7')
+    and Python's repr ('1e-07') disagree in the exponent range, and
+    a silently-empty partition filter is worse than an error — use
+    int/string/date partition keys (float partition keys are an
+    antipattern everywhere)."""
+    import datetime as _dt
+
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, float):
+        raise ValueError(
+            f"float partition key value {v!r} cannot round-trip "
+            "Spark's Java-format dir rendering — partition on "
+            "int/string/date columns instead"
+        )
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            raise ValueError(
+                "timestamp partition key values must be naive "
+                "(session wall clock, matching Spark's dir rendering)"
+            )
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+        return s
     return str(v)
 
 
@@ -484,7 +564,7 @@ def entry_partition_values(
     schema)."""
     if len(pcols) == 1:
         return {pcols[0]: key}
-    unesc = _hive_unescape(spark)
+    unesc = _unescape_path_py
     out: dict[str, str] = {}
     for seg, col in zip(key.split("/"), pcols):
         name, escaped = seg.split("=", 1)
@@ -511,7 +591,7 @@ def _walk_partition_leaves(
     fs, rp = hadoop_fs(spark, root_dir)
     if not fs.exists(rp):
         return {}
-    unesc = _hive_unescape(spark)
+    unesc = _unescape_path_py
     out: dict[str, str] = {}
 
     def rec(path, level: int, suffix: list[str], raw: list[str]) -> None:
@@ -1195,6 +1275,14 @@ def evolve_schema(
                 }
                 for g, files in (stats.get("gens") or {}).items()
             },
+            # The version marker rides along: values are untouched,
+            # so a v2 (typed-canonical) block stays v2 — dropping it
+            # here would silently disable typed pruning forever after
+            # one rename (every later commit carries the unversioned
+            # block forward).
+            **(
+                {"v": stats["v"]} if "v" in stats else {}
+            ),
         }
     commit_manifest(
         spark,
@@ -1241,6 +1329,11 @@ def check_schema_evolution(
 
 
 _STATS_MAX_COLS = 4
+# Generations at or under this many files sweep footers in a driver
+# loop (ms per local file); larger or remote ones fan out through the
+# distributed kernel. Patchable in tests to force the distributed
+# path on small fixtures.
+_LOCAL_SWEEP_MAX_FILES = 64
 
 
 def _default_stats_columns(
@@ -1321,68 +1414,20 @@ def _sweep_generation_stats(
         }
     else:
         phys = {c: c for c in columns}
-    if local and len(files) <= 64:
-        import pyarrow.parquet as pq
-
-        from big_data_spark.io.stats import norm_stat_value as _norm_stat
+    if local and len(files) <= _LOCAL_SWEEP_MAX_FILES:
+        # Same primitive as the distributed kernel (footer_file_stats
+        # normalizes values + tags kinds; fold_footer_rows replays the
+        # kernel path's Spark-SQL aggregation) — ONE implementation of
+        # the all-null / no-stats / canonicalization rules, pinned
+        # equal across the two paths in tests.
+        from big_data_spark.io.stats import (
+            fold_footer_rows,
+            footer_file_stats,
+        )
 
         for f in files:
-            meta = pq.ParquetFile(bare_path(f)).metadata
-            idx = {
-                meta.schema.column(i).name: i
-                for i in range(meta.num_columns)
-            }
-            per_col: dict[str, list | None] = {}
-            for c in columns:
-                p = phys[c]
-                if p is None or p not in idx:
-                    per_col[c] = None
-                    continue
-                mn = mx = None
-                ok = True
-                saw_value = False
-                for rg in range(meta.num_row_groups):
-                    group = meta.row_group(rg)
-                    s = group.column(idx[p]).statistics
-                    try:
-                        # pyarrow raises ArrowNotImplementedError
-                        # extracting stats for some physical types
-                        # (fixed-len-byte-array decimals) — those
-                        # columns record as unprunable, same as a
-                        # missing footer stat.
-                        if s is None or not s.has_min_max:
-                            # ALL-NULL row group: fails every range
-                            # predicate — neither widens bounds nor
-                            # blocks pruning (round 11: null-count
-                            # skipping, matching the kernel path).
-                            if (
-                                s is not None
-                                and s.null_count is not None
-                                and s.null_count == group.num_rows
-                            ):
-                                continue
-                            ok = False
-                            break
-                        smn, smx = s.min, s.max
-                    except Exception:
-                        ok = False
-                        break
-                    saw_value = True
-                    mn = smn if mn is None else min(mn, smn)
-                    mx = smx if mx is None else max(mx, smx)
-                if ok and not saw_value:
-                    per_col[c] = "allnull"
-                    continue
-                if ok:
-                    # Canonical typed forms (io/stats.norm_stat_value)
-                    # — the SAME normalization the distributed sweep's
-                    # kernel applies, so both paths store values
-                    # _stats_keep can compare under the schema kind.
-                    nmn = _norm_stat(mn)
-                    nmx = _norm_stat(mx)
-                    ok = nmn is not None and nmx is not None
-                per_col[c] = [nmn[1], nmx[1]] if ok else None
-            out[_rel(f)] = per_col
+            rows = footer_file_stats(bare_path(f), columns, phys)
+            out[_rel(f)] = fold_footer_rows(rows, columns)
         return out
     from big_data_spark.io.stats import parquet_column_stats
 
@@ -1604,6 +1649,12 @@ def commit_manifest(
         # commit-time trade). Callers pass an explicit dict (rollback:
         # the restored version's own stats; evolve: the renamed-key
         # remap) or None (no stats recorded).
+        # KNOWN COST under commit contention: a retrying writer
+        # re-sweeps its (identical, renamed per attempt) new
+        # generation's footers on every attempt — O(attempts x new
+        # files), driver-ms for small local generations. A contended
+        # high-throughput writer can precompute the stats once
+        # against its staged files and pass the dict explicitly.
         stats = _auto_commit_stats(
             spark,
             table_dir,
@@ -3113,6 +3164,12 @@ def analyze_table(
             "stats_columns": list(prev_stats["columns"]),
             "snapshot_id": man["snapshot_id"],
         }
+    if fresh and stats_columns is None and prev_stats is not None:
+        # A version-only upgrade keeps the table's RECORDED column
+        # set — re-deriving the schema default here would silently
+        # drop a custom stats_columns choice (e.g. a non-leading
+        # column the table's queries prune on).
+        stats_columns = list(prev_stats["columns"])
     stats = _auto_commit_stats(
         spark,
         table_dir,

@@ -210,6 +210,127 @@ def _physical_name(
     return name
 
 
+def footer_file_stats(
+    local_path: str, cols: list[str], phys: dict[str, str | None]
+) -> list[dict]:
+    """Per-(row group, column) footer statistics of ONE local parquet
+    file, values already canonical (norm_stat_value) and kind-tagged
+    — the ONE primitive both sweep paths consume: the distributed
+    kernel yields these rows to Spark, the commit-time driver loop
+    folds them with fold_footer_rows. A single implementation of the
+    all-null / no-stats / normalization rules, so the two paths can
+    never diverge (they pinned-equal in tests).
+
+    Row shape: {row_group, column, n_rows, n_nulls, min, max, kind};
+    kind None = no usable stats (unprunable), kind 'allnull' = every
+    row NULL (fails every range predicate — prunable, round 11)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(local_path).metadata
+    name_to_idx = {
+        meta.schema.column(i).name: i for i in range(meta.num_columns)
+    }
+    out: list[dict] = []
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for c in cols:
+            p = phys.get(c, c)
+            if p is None or p not in name_to_idx:
+                out.append(
+                    {
+                        "row_group": rg,
+                        "column": c,
+                        "n_rows": group.num_rows,
+                        "n_nulls": None,
+                        "min": None,
+                        "max": None,
+                        "kind": None,
+                        "present": p is not None and p in name_to_idx,
+                    }
+                )
+                continue
+            col = group.column(name_to_idx[p])
+            stats = col.statistics
+            try:
+                # pyarrow raises ArrowNotImplementedError extracting
+                # min/max for some physical types (fixed-len-byte-
+                # array decimals) — a no-stats row, never a failure.
+                pair = (
+                    (
+                        norm_stat_value(stats.min),
+                        norm_stat_value(stats.max),
+                    )
+                    if stats is not None and stats.has_min_max
+                    else (None, None)
+                )
+            except Exception:
+                pair = (None, None)
+            if pair[0] is None or pair[1] is None:
+                kind = mn = mx = None
+                # An ALL-NULL row group is not "no stats": its rows
+                # provably fail every range predicate, so it must
+                # neither widen bounds nor veto pruning — Iceberg's
+                # null-count skipping (round 11).
+                if (
+                    stats is not None
+                    and stats.null_count is not None
+                    and stats.null_count == group.num_rows
+                ):
+                    kind = "allnull"
+            else:
+                kind, mn = pair[0]
+                _, mx = pair[1]
+            out.append(
+                {
+                    "row_group": rg,
+                    "column": c,
+                    "n_rows": group.num_rows,
+                    "n_nulls": (
+                        stats.null_count if stats is not None else None
+                    ),
+                    "min": mn,
+                    "max": mx,
+                    "kind": kind,
+                    "present": True,
+                }
+            )
+    return out
+
+
+def fold_footer_rows(
+    rows: list[dict], cols: list[str]
+) -> dict[str, list | str | None]:
+    """Per-column fold of one file's footer_file_stats rows into the
+    manifest stats value — EXACTLY the aggregation the distributed
+    sweep runs in Spark SQL (min/max as double for numeric kind,
+    lexicographic on canonical strings otherwise; any truly stat-less
+    row group -> None; every row group all-null -> 'allnull')."""
+    out: dict[str, list | str | None] = {}
+    for c in cols:
+        rs = [r for r in rows if r["column"] == c]
+        if not rs or any(
+            r["min"] is None and r["kind"] is None for r in rs
+        ):
+            out[c] = None
+            continue
+        valued = [r for r in rs if r["kind"] not in (None, "allnull")]
+        if not valued:
+            out[c] = "allnull"
+            continue
+        kind = valued[0]["kind"]
+        if kind == "numeric":
+            out[c] = [
+                str(min(float(r["min"]) for r in valued)),
+                str(max(float(r["max"]) for r in valued)),
+            ]
+        else:
+            out[c] = [
+                min(r["min"] for r in valued),
+                max(r["max"] for r in valued),
+            ]
+    return out
+
+
 def _file_gen_id(path: str) -> int | None:
     """Snapshot-generation id of a data file — delegates to the ONE
     parser of the ``_data/s=<id>`` layout (io/snapshot.py), so the
@@ -264,90 +385,34 @@ def parquet_column_stats(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re
 
-        import pyarrow.parquet as pq
-
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in _STATS_SCHEMA.names}
             for f in pdf["file"]:
                 # Hadoop returns file:/x or file:///x for local paths.
                 local = re.sub(r"^file:(//)?", "", f)
                 gen_id = _file_gen_id(f)
-                meta = pq.ParquetFile(local).metadata
-                name_to_idx = {
-                    meta.schema.column(i).name: i
-                    for i in range(meta.num_columns)
-                }
                 phys = {
                     c: _physical_name(c, log, gen_id) if log else c
                     for c in cols
                 }
-                for rg in range(meta.num_row_groups):
-                    group = meta.row_group(rg)
-                    for c in cols:
-                        p = phys[c]
-                        if p is None or p not in name_to_idx:
-                            if not missing_ok:
-                                raise ValueError(
-                                    f"{local}: column {c!r} not in "
-                                    "file schema"
-                                )
-                            # no-stats row: the column is absent from
-                            # this (pre-evolution) file — unprunable,
-                            # never a false drop.
-                            out["file"].append(f)
-                            out["row_group"].append(rg)
-                            out["column"].append(c)
-                            out["n_rows"].append(group.num_rows)
-                            out["n_nulls"].append(None)
-                            out["min_value"].append(None)
-                            out["max_value"].append(None)
-                            out["kind"].append(None)
-                            continue
-                        col = group.column(name_to_idx[p])
-                        stats = col.statistics
-                        try:
-                            # pyarrow raises ArrowNotImplementedError
-                            # extracting min/max for some physical
-                            # types (fixed-len-byte-array decimals) —
-                            # emit a no-stats row (unprunable), never
-                            # a job failure.
-                            pair = (
-                                (
-                                    norm_stat_value(stats.min),
-                                    norm_stat_value(stats.max),
-                                )
-                                if stats is not None and stats.has_min_max
-                                else (None, None)
-                            )
-                        except Exception:
-                            pair = (None, None)
-                        if pair[0] is None or pair[1] is None:
-                            kind = mn = mx = None
-                            # An ALL-NULL row group is not "no stats":
-                            # its rows provably fail every range
-                            # predicate (NULL comparisons are NULL),
-                            # so it must neither widen bounds nor
-                            # veto pruning — Iceberg's null-count
-                            # skipping (round 11).
-                            if (
-                                stats is not None
-                                and stats.null_count is not None
-                                and stats.null_count == group.num_rows
-                            ):
-                                kind = "allnull"
-                        else:
-                            kind, mn = pair[0]
-                            _, mx = pair[1]
-                        out["file"].append(f)
-                        out["row_group"].append(rg)
-                        out["column"].append(c)
-                        out["n_rows"].append(group.num_rows)
-                        out["n_nulls"].append(
-                            stats.null_count if stats is not None else None
+                for r in footer_file_stats(local, cols, phys):
+                    if not r["present"] and not missing_ok:
+                        raise ValueError(
+                            f"{local}: column {r['column']!r} not in "
+                            "file schema"
                         )
-                        out["min_value"].append(mn)
-                        out["max_value"].append(mx)
-                        out["kind"].append(kind)
+                    # absent column rows (present=False) are no-stats
+                    # rows under missing_ok: the column is missing
+                    # from this (pre-evolution) file — unprunable,
+                    # never a false drop.
+                    out["file"].append(f)
+                    out["row_group"].append(r["row_group"])
+                    out["column"].append(r["column"])
+                    out["n_rows"].append(r["n_rows"])
+                    out["n_nulls"].append(r["n_nulls"])
+                    out["min_value"].append(r["min"])
+                    out["max_value"].append(r["max"])
+                    out["kind"].append(r["kind"])
             yield pd.DataFrame(
                 {
                     "file": pd.Series(out["file"], dtype="object"),

@@ -520,3 +520,158 @@ def test_analyze_sql_spelling_and_for_columns(spark, tmp_path):
     # since no such catalog table exists)
     with pytest.raises(Exception):
         c.sql("ANALYZE TABLE nosuch COMPUTE STATISTICS")
+
+
+# ----------------------------------------- path-parity + rendering
+
+def test_local_and_distributed_sweep_agree(spark, tmp_path, monkeypatch):
+    """The commit-time driver loop and the distributed kernel share
+    one footer primitive — this pins the FOLDED output equal on a
+    fixture exercising every rule: typed values, an all-null column,
+    a mixed null/valued column, zero-padded strings."""
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k",
+        "CAST(NULL AS DOUBLE) AS dead",
+        "CASE WHEN id < 1000 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST(id AS DOUBLE) END AS v",
+        "format_string('s%05d', CAST(id % 40 AS INT)) AS s",
+        "timestamp_micros(CAST(id * 60000000 AS LONG)) AS ts",
+    )
+    t1 = str(tmp_path / "loc")
+    write_snapshot(df.repartitionByRange(4, "k"), t1)
+    man = snap.latest_manifest(spark, t1)
+    cols = man["stats"]["columns"]
+    (gen_rel,) = {
+        "/".join(rel.split("/")[:2]) for rel in man["entries"].values()
+    }
+    # both paths over the SAME immutable generation dir
+    local = snap._sweep_generation_stats(spark, t1, gen_rel, cols)
+    monkeypatch.setattr(snap, "_LOCAL_SWEEP_MAX_FILES", 0)
+    dist = snap._sweep_generation_stats(spark, t1, gen_rel, cols)
+    assert local == dist
+    assert any(
+        pc.get("dead") == "allnull" for pc in local.values()
+    )
+
+
+def test_python_unescape_matches_jvm(spark):
+    from big_data_spark.io.snapshot import (
+        _hive_escape,
+        _hive_unescape,
+        _unescape_path_py,
+    )
+
+    esc = _hive_escape(spark)
+    unesc = _hive_unescape(spark)
+    corpus = [
+        "a b", "a/b", "a=b", "100%", "éü", "a%2Fb", "%", "%4",
+        "x%zz", "tab\tn", "semi;colon", "star*", "00123", "",
+        "2026-01-01 10:00:00.5", "O'BRIEN", "a%252Fb",
+    ]
+    for raw in corpus:
+        e = esc(raw)
+        assert _unescape_path_py(e) == unesc(e) == raw, (raw, e)
+    # raw escaped forms decode identically too
+    for e in ["%2F", "%2f", "%GG", "%", "%%41", "a%3Ab%3a"]:
+        assert _unescape_path_py(e) == unesc(e), e
+
+
+def test_timestamp_partition_keys_round_trip(spark, tmp_path):
+    """Fractional-second timestamp partition values: Spark renders
+    the dir as '...05.5' (trailing zeros trimmed) where str() would
+    write '...05.500000' and silently match nothing — the shared
+    renderer pins Spark's form, so entry keys, partitions= filters
+    and SHOW PARTITIONS all agree."""
+    import datetime as ddt
+
+    from big_data_spark.io.snapshot import write_snapshot_partial
+
+    t = str(tmp_path / "tspart")
+    a = ddt.datetime(2024, 1, 2, 3, 4, 5, 500000)
+    b = ddt.datetime(2024, 1, 2, 3, 4, 5)
+    df = spark.createDataFrame(
+        [(a, 1), (a, 2), (b, 3)], "ts timestamp, v int"
+    )
+    write_snapshot_partial(df, t, 0, "ts", touched_keys=[a, b])
+    got = read_snapshot(spark, t, partitions={"ts": a})
+    assert {r["v"] for r in got.collect()} == {1, 2}
+    # leaf replace through the same key
+    write_snapshot_partial(
+        spark.createDataFrame([(a, 9)], "ts timestamp, v int"),
+        t, 1, "ts", touched_keys=[a],
+    )
+    got2 = read_snapshot(spark, t)
+    assert {r["v"] for r in got2.collect()} == {9, 3}
+    from big_data_spark.io.snapshot import show_partitions
+
+    parts = show_partitions(spark, t).collect()
+    assert {r["ts"] for r in parts} == {a, b}
+
+
+def test_float_partition_keys_refuse_loudly(spark, tmp_path):
+    from big_data_spark.io.snapshot import write_snapshot_partial
+
+    df = spark.createDataFrame([(1.0e-7, 1)], "f double, v int")
+    with pytest.raises(ValueError, match="float partition key"):
+        write_snapshot_partial(
+            df, str(tmp_path / "fp"), 0, "f", touched_keys=[1.0e-7]
+        )
+
+
+def test_evolve_keeps_typed_stats_version(spark, tmp_path, monkeypatch):
+    """A rename/drop remaps stats keys metadata-only — the v2 marker
+    must ride along, or one evolution would silently disable typed
+    pruning forever (review finding, round 11)."""
+    from big_data_spark.io.snapshot import evolve_schema
+
+    t = str(tmp_path / "evov")
+    df = spark.createDataFrame(
+        [(i, f"r{i % 10:03d}", float(i)) for i in range(2000)],
+        "k long, region string, v double",
+    )
+    write_snapshot(
+        df.repartitionByRange(4, "region").sortWithinPartitions("region"),
+        t,
+    )
+    evolve_schema(spark, t, renames={"v": "val"})
+    man = snap.latest_manifest(spark, t)
+    assert man["stats"]["v"] == 2
+    assert man["stats"]["columns"] == ["k", "region", "val"]
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("footer sweep ran on a stats-bearing table")
+
+    monkeypatch.setattr(stats_mod, "prune_files_multi", boom)
+    got = read_snapshot(spark, t, predicate={"region": ("r003", "r004")})
+    assert got.count() == 400
+    assert len(got.inputFiles()) < 4
+
+
+def test_analyze_upgrade_keeps_recorded_columns(spark, tmp_path):
+    """A version-only upgrade must keep the table's RECORDED stats
+    column set (e.g. a custom non-leading choice), not silently
+    replace it with the schema default (review finding, round 11)."""
+    import os
+
+    from big_data_spark.io.snapshot import analyze_table
+
+    t = str(tmp_path / "ancols")
+    df = spark.range(0, 500).selectExpr(
+        "id AS a", "id AS b", "id AS c", "id AS d", "id AS e"
+    )
+    write_snapshot(df.repartition(2), t, stats_columns=["e"])
+    man_dir = f"{t}/_manifests"
+    newest = sorted(
+        n for n in os.listdir(man_dir) if not n.startswith(".")
+    )[-1]
+    p = f"{man_dir}/{newest}"
+    doc = json.loads(open(p).read())
+    doc["stats"].pop("v")
+    open(p, "w").write(json.dumps(doc))
+    crc = f"{man_dir}/.{newest}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    st = analyze_table(spark, t)
+    assert st["stats_columns"] == ["e"]
+    assert snap.latest_manifest(spark, t)["stats"]["columns"] == ["e"]
