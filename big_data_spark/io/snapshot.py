@@ -1752,9 +1752,11 @@ def read_snapshot(
     back typed and partition-prunable), unioned by name. Pushdown and
     pruning reach every scan; compaction collapses generations.
 
-    ``predicate`` ({col: (lo, hi)}, conjunction; bounds numeric,
-    string, ``datetime.date`` or ``datetime.datetime`` — round 11:
-    typed skipping) composes MANIFEST resolution with
+    ``predicate`` ({col: (lo, hi)} ranges or {col: [v1, v2, ...]}
+    IN-lists, conjunction; bounds numeric, string, ``datetime.date``
+    or ``datetime.datetime`` — round 11: typed skipping; IN-lists
+    prune by their min/max envelope with exact ``isin`` membership in
+    the residual) composes MANIFEST resolution with
     FOOTER-statistics data skipping (io/stats.py):
     only the live files whose min/max intervals can intersect the
     ranges enter the scan — the double pruning a table-format reader
@@ -2139,11 +2141,18 @@ def _stats_keep(
     under its column's kind skips — unprunable, never a false drop.
     ``tz`` is the Spark session timezone, interpreting naive
     timestamp bounds exactly as the residual filter will."""
-    from big_data_spark.io.stats import norm_bound
+    from big_data_spark.io.stats import (
+        inlist_bounds,
+        is_in_list,
+        norm_bound,
+    )
 
-    for c, (lo, hi) in ranges.items():
+    for c, spec in ranges.items():
         if c not in stat_cols:
             continue
+        # IN-lists compare by their conservative (min, max) envelope
+        # — exact membership is the residual's job (round 11).
+        lo, hi = inlist_bounds(spec) if is_in_list(spec) else spec
         v = per_col.get(c)
         if v is None:
             continue
@@ -2744,8 +2753,9 @@ def _hint_family(v) -> str:
 def _range_hints(cond: str) -> dict[str, tuple] | None:
     """Range bounds PROVABLY IMPLIED by a conjunctive SQL condition
     string — the bridge that lets DML compose with footer data
-    skipping. Only plain ``col (>=|>|<=|<|=) literal`` and
-    ``col BETWEEN a AND b`` conjuncts contribute, where literal is a
+    skipping. Only plain ``col (>=|>|<=|<|=) literal``,
+    ``col BETWEEN a AND b`` and all-literal ``col IN (a, b, ...)``
+    (min/max envelope) conjuncts contribute, where literal is a
     number, a ``'string'`` (round 11: typed skipping — this is what
     lets ``WHERE region = 'EUROPE'`` or ``ts >= '2026-01-01'`` prune),
     a ``DATE '...'`` or a ``TIMESTAMP '...'``; every other term is
@@ -2813,6 +2823,30 @@ def _range_hints(cond: str) -> dict[str, tuple] | None:
                 poisoned.add(m.group(1))
                 continue
             _fold(m.group(1), lo, hi)
+            continue
+        # col IN (lit, lit, ...) implies min <= col <= max — the
+        # conservative envelope (round 11); the condition's own row
+        # filter applies exact membership. Only all-literal lists
+        # hint (an IN (SELECT ...) fails the fullmatch and skips).
+        m = _re.match(
+            r"^`?(\w+)`?\s+IN\s*\((.*)\)$",
+            term,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m and _re.fullmatch(
+            rf"\s*{_HINT_LIT}(?:\s*,\s*{_HINT_LIT})*\s*",
+            m.group(2),
+            _re.IGNORECASE,
+        ):
+            vals = [
+                _parse_hint_lit(t)
+                for t in _re.findall(_HINT_LIT, m.group(2), _re.IGNORECASE)
+            ]
+            if any(v is None for v in vals):
+                continue
+            if len({_hint_family(v) for v in vals}) != 1:
+                continue  # mixed families: unprunable, not wrong
+            _fold(m.group(1), min(vals), max(vals))
     out = {
         c: (lo, hi)
         for c, (lo, hi) in bounds.items()

@@ -431,17 +431,63 @@ def parquet_column_stats(
     )
 
 
+def is_in_list(spec) -> bool:
+    """True when a predicate entry is an IN-list (``{col: [v1, v2]}``)
+    rather than a ``(lo, hi)`` range tuple. Lists/sets are IN-lists;
+    2-tuples are ranges — the one classifier every predicate consumer
+    shares."""
+    return isinstance(spec, (list, set, frozenset))
+
+
+def inlist_bounds(spec) -> tuple:
+    """Conservative (lo, hi) range implied by an IN-list: its min and
+    max when every member shares one literal family, else (None,
+    None) — unprunable, never a false drop (the exact membership is
+    re-applied by the residual ``isin``). Raises on an empty list:
+    a predicate that matches nothing is almost always a caller bug,
+    and loud beats a silent empty result."""
+    vals = list(spec)
+    if not vals:
+        raise ValueError(
+            "empty IN-list predicate — it can match no rows"
+        )
+    import datetime as _dt
+
+    def fam(v):
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, _dt.datetime):
+            return "datetime"
+        if isinstance(v, _dt.date):
+            return "date"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, (int, float)):
+            return "numeric"
+        return "other"
+
+    fams = {fam(v) for v in vals}
+    if len(fams) != 1 or fams & {"bool", "other"}:
+        return (None, None)
+    return (min(vals), max(vals))
+
+
 def range_predicate(ranges: dict[str, tuple]):
-    """The residual Column for a pruning range conjunction — shared
-    by read_pruned and the snapshot reader so file-level skipping and
-    the row-level filter can never disagree. Bounds may be numeric,
-    string, ``datetime.date`` or ``datetime.datetime`` (round 11:
-    typed skipping) — ``F.lit`` builds the matching literal and
+    """The residual Column for a pruning predicate conjunction —
+    shared by read_pruned and the snapshot reader so file-level
+    skipping and the row-level filter can never disagree. Entries are
+    ``(lo, hi)`` ranges or IN-lists (``[v1, v2, ...]`` — round 11);
+    bounds may be numeric, string, ``datetime.date`` or
+    ``datetime.datetime`` — ``F.lit`` builds the matching literal and
     Spark's own comparison semantics stay authoritative; the pruning
     side is normalized to be conservative with respect to exactly
     these semantics."""
     cond = F.lit(True)
-    for c, (lo, hi) in ranges.items():
+    for c, spec in ranges.items():
+        if is_in_list(spec):
+            cond = cond & F.col(c).isin(*list(spec))
+            continue
+        lo, hi = spec
         if lo is not None:
             cond = cond & (F.col(c) >= F.lit(lo))
         if hi is not None:
@@ -479,9 +525,16 @@ def prune_files_multi(
     drop).
     """
     if not ranges or all(
-        lo is None and hi is None for lo, hi in ranges.values()
+        not is_in_list(s) and s[0] is None and s[1] is None
+        for s in ranges.values()
     ):
         raise ValueError("prune_files needs at least one bounded range")
+    # IN-lists prune by their conservative (min, max) envelope; exact
+    # membership is the residual's job (round 11).
+    prune_bounds = {
+        c: inlist_bounds(s) if is_in_list(s) else s
+        for c, s in ranges.items()
+    }
     cols = list(ranges)
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
     stats = parquet_column_stats(
@@ -524,7 +577,7 @@ def prune_files_multi(
     )
     col_ok = F.lit(True)
     for c in cols:
-        lo, hi = ranges[c]
+        lo, hi = prune_bounds[c]
         bounded = lo is not None or hi is not None
         ok = F.lit(False)
         for kind in _KINDS:

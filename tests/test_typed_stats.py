@@ -675,3 +675,84 @@ def test_analyze_upgrade_keeps_recorded_columns(spark, tmp_path):
     st = analyze_table(spark, t)
     assert st["stats_columns"] == ["e"]
     assert snap.latest_manifest(spark, t)["stats"]["columns"] == ["e"]
+
+
+# --------------------------------------------------- IN-list support
+
+def test_range_hints_in_list():
+    h = _range_hints("k IN (7, 3, 5)")
+    assert h == {"k": (3.0, 7.0)}
+    h = _range_hints("region IN ('us', 'eu') AND v >= 2")
+    assert h == {"region": ("eu", "us"), "v": (2.0, None)}
+    h = _range_hints("d IN (DATE '2026-02-01', DATE '2026-01-01')")
+    assert h == {"d": (dt.date(2026, 1, 1), dt.date(2026, 2, 1))}
+    # subqueries and mixed families contribute nothing (still sound)
+    assert _range_hints("k IN (SELECT id FROM t)") is None
+    assert _range_hints("k IN (1, 'a')") is None
+    # IN composes with other conjuncts on the same column
+    h = _range_hints("k IN (3, 9) AND k <= 7")
+    assert h == {"k": (3.0, 7.0)}
+
+
+def test_read_pruned_in_list_lossless_and_effective(
+    spark, tmp_path, typed_df
+):
+    src = str(tmp_path / "inlist")
+    typed_df.repartitionByRange(8, "key").sortWithinPartitions(
+        "key"
+    ).write.parquet(src)
+    spec = {"key": ["k00011", "k00013"]}
+    got = read_pruned(spark, src, spec)
+    want = typed_df.filter(F.col("key").isin("k00011", "k00013"))
+    assert got.count() == want.count() > 0
+    dec = (
+        prune_files_multi(spark, src, spec)
+        .select("file", "keep")
+        .distinct()
+        .collect()
+    )
+    assert sum(r.keep for r in dec) < len(dec)
+
+
+def test_manifest_in_list_metadata_only(
+    spark, tmp_path, typed_df, monkeypatch
+):
+    t = str(tmp_path / "intbl")
+    write_snapshot(
+        typed_df.repartitionByRange(8, "key").sortWithinPartitions("key"),
+        t,
+    )
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("footer sweep ran on a stats-bearing table")
+
+    monkeypatch.setattr(stats_mod, "prune_files_multi", boom)
+    got = read_snapshot(spark, t, predicate={"key": ["k00011", "k00013"]})
+    want = typed_df.filter(F.col("key").isin("k00011", "k00013")).count()
+    assert got.count() == want == 160
+    assert len(got.inputFiles()) < len(read_snapshot(spark, t).inputFiles())
+    # membership is exact, not just the envelope: k00012 is inside
+    # the (min, max) envelope but not in the list
+    assert (
+        got.filter(F.col("key") == "k00012").count() == 0
+    )
+
+
+def test_dml_in_list_hint_deletes_exactly(spark, tmp_path, typed_df):
+    t = str(tmp_path / "indml")
+    write_snapshot(
+        typed_df.repartitionByRange(8, "key").sortWithinPartitions("key"),
+        t,
+    )
+    st = delete_where(spark, t, "key IN ('k00011', 'k00013')")
+    assert st["deleted_rows"] == 160
+    left = read_snapshot(spark, t)
+    assert left.filter("key IN ('k00011','k00013')").count() == 0
+    assert left.count() == 4000 - 160
+
+
+def test_empty_in_list_refuses(spark, tmp_path, typed_df):
+    src = str(tmp_path / "inempty")
+    typed_df.limit(10).write.parquet(src)
+    with pytest.raises(ValueError, match="empty IN-list"):
+        read_pruned(spark, src, {"key": []})
