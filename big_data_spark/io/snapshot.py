@@ -4141,13 +4141,17 @@ def vacuum_snapshots(
     table_dir: str,
     keep_last: int = 2,
     staging_ttl_hours: float = 24.0,
+    retain_hours: float | None = None,
 ) -> dict:
     """Expire all but the newest ``keep_last`` manifests and delete
     data generations no kept manifest references. ``keep_last >= 2``
     so a replayed batch can still read its predecessor; larger values
-    keep time travel. ``_staging`` dirs (append_with_retry) older
-    than ``staging_ttl_hours`` are crash residue and reclaimed; the
-    TTL protects live writers mid-stage."""
+    keep time travel. ``retain_hours`` (round 11, Delta's retention
+    spelling) ADDITIONALLY keeps every version committed inside the
+    trailing window — commit-count and wall-clock retention compose,
+    a version expires only when it fails BOTH. ``_staging`` dirs
+    (append_with_retry) older than ``staging_ttl_hours`` are crash
+    residue and reclaimed; the TTL protects live writers mid-stage."""
     if keep_last < 2:
         raise ValueError("keep_last must be >= 2 (replay reads n-1)")
     ids = snapshot_ids(spark, table_dir)
@@ -4156,7 +4160,19 @@ def vacuum_snapshots(
     # delete_tag releases them to the next vacuum.
     tagged = set(list_tags(spark, table_dir).values())
     expired = [i for i in ids[:-keep_last] if i not in tagged]
-    kept = [i for i in ids if i in set(ids[-keep_last:]) | tagged]
+    if retain_hours is not None and expired:
+        import time as _rt
+
+        horizon_ms = (_rt.time() - retain_hours * 3600) * 1000
+        recent = {
+            sid
+            for sid, man in _read_manifests(
+                spark, table_dir, expired
+            ).items()
+            if int(man.get("committed_at_ms") or 0) >= horizon_ms
+        }
+        expired = [i for i in expired if i not in recent]
+    kept = [i for i in ids if i not in set(expired)]
     newest = ids[-1] if ids else -1
     live_gens = set()
     live_deletes = set()

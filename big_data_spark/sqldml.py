@@ -144,7 +144,8 @@ _OPTIMIZE_RE = re.compile(
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
-    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS?)?\s*;?\s*$",
+    r"^\s*VACUUM\s+(\w+)"
+    r"(?:\s+RETAIN\s+(\d+)\s+(SNAPSHOTS?|HOURS?))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _RESTORE_RE = re.compile(
@@ -163,7 +164,7 @@ def route_statement(
     """The catalog's dispatch: ``execute_dml``'s result when the
     statement is snapshot-table DML this module handles, a DataFrame
     for DESCRIBE HISTORY, a stats dict for the maintenance
-    statements (OPTIMIZE / VACUUM [RETAIN n SNAPSHOTS] /
+    statements (OPTIMIZE / VACUUM [RETAIN n SNAPSHOTS | n HOURS] /
     RESTORE TABLE ... TO VERSION AS OF n) and for the table-lifecycle
     statements (CREATE TABLE [PARTITIONED BY (...)] [LOCATION '...']
     AS SELECT — round 11 — and DROP TABLE [IF EXISTS]), else None —
@@ -282,10 +283,24 @@ def route_statement(
     if m and m.group(1) in tables:
         from big_data_spark.io.snapshot import vacuum_snapshots
 
+        unit = (m.group(3) or "SNAPSHOTS").upper()
+        # VACUUM t RETAIN n SNAPSHOTS (commit-count retention) or
+        # RETAIN n HOURS (wall-clock retention, Delta's spelling,
+        # round 11) — hours keep the keep_last=2 replay floor and
+        # additionally pin the trailing time window.
         st = vacuum_snapshots(
             spark,
             tables[m.group(1)],
-            keep_last=int(m.group(2)) if m.group(2) else 2,
+            keep_last=(
+                int(m.group(2))
+                if m.group(2) and unit.startswith("SNAPSHOT")
+                else 2
+            ),
+            retain_hours=(
+                float(m.group(2))
+                if m.group(2) and unit.startswith("HOUR")
+                else None
+            ),
         )
         return {"statement_type": "VACUUM", "table": m.group(1), **st}
     m = _RESTORE_RE.match(statement)

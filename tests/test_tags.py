@@ -273,3 +273,35 @@ def test_rollback_across_fold_emits_no_phantom_deletes(spark, tmp_path):
     assert len(dels) == 9 and len(ins) == 9
     assert sorted(r["k"] for r in dels) == sorted(r["k"] for r in ins)
     assert 7 not in {r["k"] for r in ins}
+
+
+def test_vacuum_retain_hours_keeps_recent_versions(spark, tmp_path):
+    """Wall-clock retention (round 11, Delta's spelling): versions
+    committed inside the trailing window survive vacuum even past the
+    keep_last commit-count floor; RETAIN 0 HOURS restores pure
+    commit-count behavior."""
+    from big_data_spark.catalog import SnapshotCatalog
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        snapshot_ids,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "ret")
+    write_snapshot(spark.range(3).selectExpr("id AS k"), t)
+    for _ in range(4):
+        append_snapshot(spark.range(2).selectExpr("id AS k"), t)
+    assert snapshot_ids(spark, t) == [0, 1, 2, 3, 4]
+    # everything was committed seconds ago: a 1-hour window keeps all
+    st = vacuum_snapshots(spark, t, keep_last=2, retain_hours=1.0)
+    assert snapshot_ids(spark, t) == [0, 1, 2, 3, 4]
+    assert st.get("expired_manifests", st.get("expired", 0)) in (0, [])
+    # SQL spelling
+    c = SnapshotCatalog(spark)
+    c.register("ret_t", t)
+    c.sql("VACUUM ret_t RETAIN 1 HOURS")
+    assert snapshot_ids(spark, t) == [0, 1, 2, 3, 4]
+    # a zero-hour window falls back to commit-count retention
+    vacuum_snapshots(spark, t, keep_last=2, retain_hours=0.0)
+    assert snapshot_ids(spark, t) == [3, 4]
