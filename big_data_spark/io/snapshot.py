@@ -492,10 +492,20 @@ def _render_part_value(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
+        # Python repr and Java's Double.toString agree in the
+        # plain-decimal range (both print the shortest decimal
+        # there), so common float keys like 1.5 keep working on
+        # existing tables. Outside it Java switches to E-notation at
+        # different thresholds ('1.0E-7' vs '1e-07') — refuse rather
+        # than silently match nothing. NaN/inf refuse too.
+        if v == v and (v == 0.0 or 1e-3 <= abs(v) < 1e7):
+            return repr(v)
         raise ValueError(
-            f"float partition key value {v!r} cannot round-trip "
-            "Spark's Java-format dir rendering — partition on "
-            "int/string/date columns instead"
+            f"float partition key value {v!r} is outside the "
+            "plain-decimal range where Python and Spark render dirs "
+            "identically (Java E-notation diverges) — pass the "
+            "exact dir string instead, or partition on "
+            "int/string/date columns"
         )
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
@@ -3168,6 +3178,19 @@ def analyze_table(
     man = latest_manifest(spark, table_dir)
     if man is None:
         raise ValueError(f"no committed snapshots under {table_dir!r}")
+    if stats_columns is not None:
+        # Validate against the committed schema BEFORE committing: a
+        # typo'd column would otherwise silently replace a working
+        # stats block with an all-None one that every later commit
+        # carries forward (review finding, round 11). Spark's own
+        # ANALYZE validates column existence the same way.
+        known = {f["name"] for f in man.get("schema") or []}
+        bad = [c for c in stats_columns if not c or c not in known]
+        if bad or not stats_columns:
+            raise ValueError(
+                f"analyze_table: unknown stats column(s) {bad!r} — "
+                f"committed schema has {sorted(known)!r}"
+            )
     prev_stats = man.get("stats")
     live_gens = sorted(
         {
@@ -4160,18 +4183,22 @@ def vacuum_snapshots(
     # delete_tag releases them to the next vacuum.
     tagged = set(list_tags(spark, table_dir).values())
     expired = [i for i in ids[:-keep_last] if i not in tagged]
+    retained_mans: dict[int, dict] = {}
     if retain_hours is not None and expired:
         import time as _rt
 
         horizon_ms = (_rt.time() - retain_hours * 3600) * 1000
-        recent = {
-            sid
-            for sid, man in _read_manifests(
-                spark, table_dir, expired
-            ).items()
+        cand = _read_manifests(spark, table_dir, expired)
+        # Keep the rescued manifests in hand — the _mark_live pass
+        # below would otherwise re-read every one of them from
+        # storage (the exact many-recent-versions case retain_hours
+        # exists for).
+        retained_mans = {
+            sid: man
+            for sid, man in cand.items()
             if int(man.get("committed_at_ms") or 0) >= horizon_ms
         }
-        expired = [i for i in expired if i not in recent]
+        expired = [i for i in expired if i not in retained_mans]
     kept = [i for i in ids if i not in set(expired)]
     newest = ids[-1] if ids else -1
     live_gens = set()
@@ -4187,7 +4214,14 @@ def vacuum_snapshots(
         if man.get("cdf"):
             live_cdf.add(man["cdf"].split("/")[1])
 
-    for man in _read_manifests(spark, table_dir, kept).values():
+    for man in {
+        **_read_manifests(
+            spark,
+            table_dir,
+            [i for i in kept if i not in retained_mans],
+        ),
+        **retained_mans,
+    }.values():
         _mark_live(man)
     # Close the pin-vs-vacuum race from THIS side (round-9 verdict
     # directive #5): re-read the tags AFTER computing the kill list —

@@ -245,7 +245,7 @@ def footer_file_stats(
                         "min": None,
                         "max": None,
                         "kind": None,
-                        "present": p is not None and p in name_to_idx,
+                        "present": False,
                     }
                 )
                 continue

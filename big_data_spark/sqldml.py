@@ -242,7 +242,14 @@ def route_statement(
         from big_data_spark.io.snapshot import analyze_table
 
         cols = (
-            [c.strip().strip("`") for c in m.group(2).split(",")]
+            [
+                c
+                for c in (
+                    x.strip().strip("`")
+                    for x in m.group(2).split(",")
+                )
+                if c
+            ]
             if m.group(2)
             else None
         )
@@ -252,6 +259,20 @@ def route_statement(
         st["statement_type"] = "ANALYZE"
         st["table"] = m.group(1)
         return st
+    m = re.match(
+        r"^\s*ANALYZE\s+TABLE\s+(\w+)\b", statement, re.IGNORECASE
+    )
+    if m and m.group(1) in tables:
+        # A registered snapshot table with an ANALYZE clause outside
+        # the supported subset (FOR ALL COLUMNS / NOSCAN /
+        # PARTITION(...)) — raising here beats handing it to
+        # spark.sql, whose TABLE_OR_VIEW_NOT_FOUND for a table this
+        # catalog owns would point the user at the wrong problem.
+        raise ValueError(
+            "unsupported ANALYZE clause for snapshot table "
+            f"{m.group(1)!r} — supported: ANALYZE TABLE t "
+            "[COMPUTE STATISTICS [FOR COLUMNS c1, c2, ...]]"
+        )
     m = _OPTIMIZE_RE.match(statement)
     if m and m.group(1) in tables:
         if m.group(2):

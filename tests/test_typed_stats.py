@@ -756,3 +756,36 @@ def test_empty_in_list_refuses(spark, tmp_path, typed_df):
     typed_df.limit(10).write.parquet(src)
     with pytest.raises(ValueError, match="empty IN-list"):
         read_pruned(spark, src, {"key": []})
+
+
+def test_analyze_validates_stats_columns(spark, tmp_path):
+    from big_data_spark.catalog import SnapshotCatalog
+    from big_data_spark.io.snapshot import analyze_table
+
+    t = str(tmp_path / "anval")
+    write_snapshot(spark.range(10).selectExpr("id AS k"), t)
+    with pytest.raises(ValueError, match="unknown stats column"):
+        analyze_table(spark, t, stats_columns=["kk"])
+    c = SnapshotCatalog(spark)
+    c.register("anval", t)
+    with pytest.raises(ValueError, match="unknown stats column"):
+        c.sql("ANALYZE TABLE anval COMPUTE STATISTICS FOR COLUMNS typo")
+    # out-of-subset ANALYZE clauses raise the clear unsupported error
+    # instead of a confusing spark.sql TABLE_OR_VIEW_NOT_FOUND
+    with pytest.raises(ValueError, match="unsupported ANALYZE clause"):
+        c.sql("ANALYZE TABLE anval COMPUTE STATISTICS NOSCAN")
+
+
+def test_plain_float_partition_keys_round_trip(spark, tmp_path):
+    """Floats in the plain-decimal range render identically in
+    Python and Java, so existing float-partitioned tables keep
+    working; only exponent-range values refuse."""
+    from big_data_spark.io.snapshot import write_snapshot_partial
+
+    t = str(tmp_path / "fplain")
+    df = spark.createDataFrame(
+        [(1.5, 1), (2.5, 2)], "f double, v int"
+    )
+    write_snapshot_partial(df, t, 0, "f", touched_keys=[1.5, 2.5])
+    got = read_snapshot(spark, t, partitions={"f": 1.5})
+    assert [r["v"] for r in got.collect()] == [1]

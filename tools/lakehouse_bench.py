@@ -102,6 +102,43 @@ def main() -> None:
         .agg(F.count(F.lit(1)), F.sum("o_totalprice"))
         .collect()
     )
+
+    # Typed skipping (round 11, second batch): an event-time range on
+    # a ts-clustered events table, decided from manifest stats vs the
+    # forced footer sweep — the dominant fact-table predicate shape.
+    t2 = os.path.join(tempfile.gettempdir(), "bds_lakebench_ts")
+    shutil.rmtree(t2, ignore_errors=True)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    res["typed_write_snapshot"], _ = timed(
+        lambda: write_snapshot(
+            events.repartitionByRange(16, "ts").sortWithinPartitions(
+                "ts"
+            ),
+            t2,
+        )
+    )
+    man2 = latest_manifest(spark, t2)
+    pred2 = {"ts": ("2024-01-08 00:00:00", "2024-01-15 00:00:00")}
+
+    def typed_read(stats):
+        df = read_entries(
+            spark,
+            t2,
+            man2["entries"],
+            predicate=pred2,
+            schema_fields=man2.get("schema"),
+            stats=stats,
+        )
+        return df.agg(F.count(F.lit(1)), F.sum("value")).collect()
+
+    typed_read(man2.get("stats"))
+    res["typed_pruned_read_manifest_stats"] = med3(
+        lambda: typed_read(man2.get("stats"))
+    )
+    res["typed_pruned_read_footer_sweep"] = med3(lambda: typed_read(None))
+    shutil.rmtree(t2, ignore_errors=True)
     res = {
         k: (round(v, 3) if isinstance(v, float) else v)
         for k, v in res.items()
