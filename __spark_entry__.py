@@ -8,11 +8,15 @@ extensions (dedup, ANN, multimodal, text analysis, decontamination,
 MERGE INTO / CDC apply, the data-quality gate, streaming incl. a
 watermarked stream-stream interval join, range join, SQL time
 travel over the engine's own snapshot tables) with DuckDB oracles.
-The registry holds 105 oracle-paired queries in total (round 11
+The registry holds 106 oracle-paired queries in total (round 11
 added partitioned_prune — a two-level manifest+commit-time-stats
 pruned read over a multi-column (status, priority) partitioned
 snapshot table with a partial leaf replace, the oracle re-deriving
-the rollup from raw orders — and rotated hybrid_search plus the
+the rollup from raw orders — and typed_prune — typed data skipping:
+a timestamp+string predicate rollup answered from the commit-time
+manifest stats block on a ts-clustered events snapshot table,
+pytest-oracle gated past the 50-row driver cap — and rotated
+hybrid_search plus the
 long-unslotted pmi_cooccur/cube_sales/unpivot_metrics/percentiles/
 pivot_status/agg_collect_sorted/events_funnel/string_tokens into
 driver slots; round 10
@@ -39,7 +43,7 @@ packing over a distributed global prefix sum, and shard_summary,
 deterministic balanced training-shard export, and
 weighted_sample, exact-integer deterministic PPS sampling — and
 snapshot_delete, copy-on-write DELETE over the table format);
-the 55 past the 50-row driver cap are oracle-checked in pytest (tests/test_oracle.py) and by the
+the 56 past the 50-row driver cap are oracle-checked in pytest (tests/test_oracle.py) and by the
 full gate mirror (tools/gate_sim.py) at sf0.001/0.01/0.1, rotating
 into driver slots across rounds (COVERAGE.md "Round-1 note" and the
 rotation log in queries/__init__.py; round 7 rotated in the seven
