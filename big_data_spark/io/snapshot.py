@@ -1285,13 +1285,18 @@ def evolve_schema(
                 }
                 for g, files in (stats.get("gens") or {}).items()
             },
-            # The version marker rides along: values are untouched,
-            # so a v2 (typed-canonical) block stays v2 — dropping it
-            # here would silently disable typed pruning forever after
-            # one rename (every later commit carries the unversioned
-            # block forward).
+            # The version marker and the per-file row counts ride
+            # along: values are untouched by renames, so a v2
+            # (typed-canonical) block stays v2 and COUNT(*) metadata
+            # stays valid — dropping either here would silently
+            # disable typed pruning / metadata aggregates forever
+            # after one rename (every later commit carries the
+            # stripped block forward).
             **(
                 {"v": stats["v"]} if "v" in stats else {}
+            ),
+            **(
+                {"rows": stats["rows"]} if "rows" in stats else {}
             ),
         }
     commit_manifest(
@@ -1377,20 +1382,21 @@ def _sweep_generation_stats(
     gen_rel: str,
     columns: list[str],
     rename_log: list | None = None,
-) -> dict[str, dict]:
+) -> tuple[dict[str, dict], dict[str, int]]:
     """Per-FILE min/max for one (immutable, just-written) data
-    generation: {file_rel: {col: [min_str, max_str] | None}} — None =
-    no usable footer stats for that column in some row group
-    (unprunable, never a false drop). Small local generations read
-    their footers in a driver loop (ms per file); larger or remote
-    ones fan out through the distributed footer sweep
-    (io/stats.parquet_column_stats). Swept ONCE at commit time —
-    generations are immutable, so every later commit carries the
-    result forward as metadata."""
+    generation — ``({file_rel: {col: [min_str, max_str] | "allnull"
+    | None}}, {file_rel: n_rows})`` (None = no usable footer stats
+    for that column in some row group — unprunable, never a false
+    drop; the row counts back metadata-only COUNT(*), round 11).
+    Small local generations read their footers in a driver loop (ms
+    per file); larger or remote ones fan out through the distributed
+    footer sweep (io/stats.parquet_column_stats). Swept ONCE at
+    commit time — generations are immutable, so every later commit
+    carries the result forward as metadata."""
     gen_dir = f"{table_dir}/{gen_rel}"
     fs, gp = hadoop_fs(spark, gen_dir)
     if not fs.exists(gp):
-        return {}
+        return {}, {}
     files: list[str] = []
     it = fs.listFiles(gp, True)
     while it.hasNext():
@@ -1400,7 +1406,7 @@ def _sweep_generation_stats(
             continue
         files.append(st.getPath().toString())
     if not files:
-        return {}
+        return {}, {}
     prefix = bare_path(f"{table_dir}/").rstrip("/") + "/"
 
     def _rel(uri: str) -> str:
@@ -1431,14 +1437,17 @@ def _sweep_generation_stats(
         # the all-null / no-stats / canonicalization rules, pinned
         # equal across the two paths in tests.
         from big_data_spark.io.stats import (
+            file_row_count,
             fold_footer_rows,
             footer_file_stats,
         )
 
+        nrows: dict[str, int] = {}
         for f in files:
             rows = footer_file_stats(bare_path(f), columns, phys)
             out[_rel(f)] = fold_footer_rows(rows, columns)
-        return out
+            nrows[_rel(f)] = file_row_count(rows)
+        return out, nrows
     from big_data_spark.io.stats import parquet_column_stats
 
     rows = (
@@ -1477,10 +1486,15 @@ def _sweep_generation_stats(
                 F.when(F.col("kind") != "allnull", F.col("kind")),
                 ignorenulls=True,
             ).alias("kind"),
+            # every column's rows repeat the row-group counts, so any
+            # single column's sum is the file's row count
+            F.sum("n_rows").alias("rows_sum"),
         )
         .collect()
     )
+    nrows: dict[str, int] = {}
     for r in rows:
+        nrows.setdefault(_rel(r["file"]), int(r["rows_sum"] or 0))
         per_col = out.setdefault(_rel(r["file"]), {})
         if r["nostats"] == 1:
             per_col[r["column"]] = None
@@ -1492,7 +1506,7 @@ def _sweep_generation_stats(
             per_col[r["column"]] = [str(r["mn_d"]), str(r["mx_d"])]
         else:
             per_col[r["column"]] = [r["mn_s"], r["mx_s"]]
-    return out
+    return out, nrows
 
 
 def _auto_commit_stats(
@@ -1539,14 +1553,21 @@ def _auto_commit_stats(
         )
     if not columns:
         return None
+    prev_rows = (prev_stats or {}).get("rows") or {}
     out_gens: dict[str, dict] = {}
+    out_rows: dict[str, dict] = {}
     carried = False
     for g in gens:
-        if g in prev_gens:
+        if g in prev_gens and g in prev_rows:
             out_gens[g] = prev_gens[g]
+            out_rows[g] = prev_rows[g]
             carried = True
         else:
-            out_gens[g] = _sweep_generation_stats(
+            # Not carried when the generation lacks ROW COUNTS too
+            # (a block written before counts existed): one re-sweep
+            # backfills them — generations are immutable, so this
+            # happens at most once per generation.
+            out_gens[g], out_rows[g] = _sweep_generation_stats(
                 spark,
                 table_dir,
                 f"{_DATA_DIR}/{g}",
@@ -1560,7 +1581,7 @@ def _auto_commit_stats(
     # numeric columns only, exactly as before (a legacy timestamp
     # string without fixed-width microseconds could otherwise
     # false-drop on the prefix-equal edge).
-    out = {"columns": columns, "gens": out_gens}
+    out = {"columns": columns, "gens": out_gens, "rows": out_rows}
     if (prev_stats or {}).get("v") == 2 or prev_stats is None or not carried:
         out["v"] = 2
     return out
@@ -3212,7 +3233,11 @@ def analyze_table(
     covered_before = (
         0
         if fresh
-        else len(set(prev_stats.get("gens") or {}) & set(live_gens))
+        else len(
+            set(prev_stats.get("gens") or {})
+            & set(prev_stats.get("rows") or {})
+            & set(live_gens)
+        )
     )
     if not fresh and covered_before == len(live_gens):
         return {
@@ -3561,6 +3586,200 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
         "n_columns int, added_columns array<string>, "
         "committed_at_ms long",
     )
+
+
+def _live_stat_files(man: dict) -> list[tuple[str, str]]:
+    """(generation, file_rel) for every file the manifest's stats
+    block covers that lies under a LIVE entry — the same
+    parent-walk owner resolution read_entries uses, so metadata
+    aggregates and pruned reads agree on liveness (a partially-live
+    partitioned generation keeps only its live leaves)."""
+    stats = man.get("stats") or {}
+    live_rels = set(man["entries"].values())
+    out: list[tuple[str, str]] = []
+    for g, files in (stats.get("gens") or {}).items():
+        rels_here = {
+            r for r in live_rels if r.startswith(f"{_DATA_DIR}/{g}")
+        }
+        if not rels_here:
+            continue
+        owner_cache: dict[str, bool] = {}
+        for file_rel in files:
+            parent = file_rel.rsplit("/", 1)[0]
+            if parent not in owner_cache:
+                probe, owned = parent, False
+                while True:
+                    if probe in rels_here:
+                        owned = True
+                        break
+                    if "/" not in probe:
+                        break
+                    probe = probe.rsplit("/", 1)[0]
+                owner_cache[parent] = owned
+            if owner_cache[parent]:
+                out.append((g, file_rel))
+    return out
+
+
+def metadata_aggregate(
+    spark: SparkSession,
+    table_dir: str,
+    columns: list[str] | None = None,
+) -> dict:
+    """COUNT(*) and per-column MIN/MAX answered from the MANIFEST
+    alone — zero data reads, zero footer opens (round 11; the
+    Iceberg/Delta metadata-aggregate trick). Returns
+    ``{"rows": N, "min": {col: value}, "max": {col: value},
+    "files": n, "snapshot_id": id}`` with values parsed back to
+    Python types per the committed schema kind.
+
+    REFUSES (ValueError) whenever metadata cannot answer EXACTLY —
+    callers fall back to the real query:
+    - merge-on-read delete vectors present (masked rows would count,
+      and a masked row may hold a column's extreme) — fold_deletes
+      first;
+    - a live file without recorded stats/row counts (legacy
+      generation: run ``analyze_table``);
+    - a requested column outside the recorded stats set, without
+      footer stats in some file, or non-numeric under an unversioned
+      (pre-typed) block;
+    - partition columns (their values live in entry keys, not
+      footers).
+    ``columns=None`` aggregates every recorded stats column. An
+    entirely-NULL column returns None min/max (SQL's MIN/MAX over
+    all-NULL). Deleted-but-carried generations never count: liveness
+    follows the same owner walk as pruned reads."""
+    import datetime as _dt
+
+    man = latest_manifest(spark, table_dir)
+    if man is None:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    if man.get("deletes"):
+        raise ValueError(
+            "metadata_aggregate: merge-on-read delete vectors present "
+            "— masked rows would be counted (and could hold extremes); "
+            "run fold_deletes first or use a real query"
+        )
+    stats = man.get("stats") or {}
+    rows_block = stats.get("rows") or {}
+    stat_cols = stats.get("columns") or []
+    if not man["entries"]:
+        return {
+            "rows": 0,
+            "min": {c: None for c in columns or stat_cols},
+            "max": {c: None for c in columns or stat_cols},
+            "files": 0,
+            "snapshot_id": man["snapshot_id"],
+        }
+    if not stats or not rows_block:
+        raise ValueError(
+            "metadata_aggregate: no per-file stats/row counts in the "
+            "manifest — run analyze_table (or commit once) to record "
+            "them"
+        )
+    # Every live data file must be covered by stats AND row counts.
+    if any(
+        not rel.startswith(f"{_DATA_DIR}/")
+        for rel in man["entries"].values()
+    ):
+        raise ValueError(
+            "metadata_aggregate: table has entries outside the "
+            "standard generation layout — stats cannot prove "
+            "coverage; use a real query"
+        )
+    live = _live_stat_files(man)
+    covered_gens = set(stats.get("gens") or {}) & set(rows_block)
+    live_gens = {
+        rel.split("/")[1]
+        for rel in man["entries"].values()
+        if rel.startswith(f"{_DATA_DIR}/")
+    }
+    if not live_gens <= covered_gens:
+        raise ValueError(
+            "metadata_aggregate: generations without recorded stats "
+            f"{sorted(live_gens - covered_gens)!r} — run analyze_table"
+        )
+    from big_data_spark.io.stats import stat_kind
+
+    cols = list(columns) if columns is not None else list(stat_cols)
+    pcols = set(_pcols(man.get("partition_col")) or [])
+    kinds: dict[str, str] = {}
+    types = {f["name"]: f["type"] for f in man.get("schema") or []}
+    v2 = stats.get("v") == 2
+    for c in cols:
+        if c in pcols:
+            raise ValueError(
+                f"metadata_aggregate: {c!r} is a partition column — "
+                "its values live in entry keys, not footers; use "
+                "show_partitions"
+            )
+        if c not in stat_cols:
+            raise ValueError(
+                f"metadata_aggregate: {c!r} not in the recorded stats "
+                f"columns {stat_cols!r} — run analyze_table with "
+                "stats_columns"
+            )
+        k = stat_kind(types.get(c, ""))
+        if k is None:
+            raise ValueError(
+                f"metadata_aggregate: column {c!r} has no orderable "
+                "stats kind"
+            )
+        if k != "numeric" and not v2:
+            raise ValueError(
+                f"metadata_aggregate: {c!r} is non-numeric and the "
+                "stats block predates typed normalization — run "
+                "analyze_table to upgrade"
+            )
+        kinds[c] = k
+
+    def parse(k: str, s: str):
+        if k == "numeric":
+            return float(s)
+        if k == "date":
+            return _dt.date.fromisoformat(s)
+        if k in ("timestamp", "timestamp_ntz"):
+            return _dt.datetime.fromisoformat(s)
+        return s
+
+    total = 0
+    mins: dict[str, object] = {c: None for c in cols}
+    maxs: dict[str, object] = {c: None for c in cols}
+    gens = stats["gens"]
+    for g, file_rel in live:
+        nr = rows_block.get(g, {}).get(file_rel)
+        per_col = gens.get(g, {}).get(file_rel)
+        if nr is None or per_col is None:
+            raise ValueError(
+                f"metadata_aggregate: live file {file_rel!r} has no "
+                "recorded stats/row count — run analyze_table"
+            )
+        total += int(nr)
+        if int(nr) == 0:
+            continue  # empty file: no row groups, nothing to fold
+        for c in cols:
+            v = per_col.get(c)
+            if v == "allnull":
+                continue  # contributes nothing to MIN/MAX (SQL NULLs)
+            if v is None:
+                raise ValueError(
+                    f"metadata_aggregate: file {file_rel!r} has no "
+                    f"usable footer stats for {c!r} — fall back to a "
+                    "real query"
+                )
+            k = kinds[c]
+            lo, hi = parse(k, v[0]), parse(k, v[1])
+            if mins[c] is None or lo < mins[c]:
+                mins[c] = lo
+            if maxs[c] is None or hi > maxs[c]:
+                maxs[c] = hi
+    return {
+        "rows": total,
+        "min": mins,
+        "max": maxs,
+        "files": len(live),
+        "snapshot_id": man["snapshot_id"],
+    }
 
 
 def show_partitions(spark: SparkSession, table_dir: str) -> DataFrame:

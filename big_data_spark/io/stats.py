@@ -331,6 +331,19 @@ def fold_footer_rows(
     return out
 
 
+def file_row_count(rows: list[dict]) -> int:
+    """Row count of one file from its footer_file_stats rows: every
+    column repeats its row group's n_rows, so summing ONE column's
+    entries (the first in scan order) counts the file — the number
+    behind metadata-only COUNT(*) (round 11)."""
+    if not rows:
+        return 0
+    first_col = rows[0]["column"]
+    return int(
+        sum(r["n_rows"] for r in rows if r["column"] == first_col)
+    )
+
+
 def _file_gen_id(path: str) -> int | None:
     """Snapshot-generation id of a data file — delegates to the ONE
     parser of the ``_data/s=<id>`` layout (io/snapshot.py), so the

@@ -545,10 +545,16 @@ def test_local_and_distributed_sweep_agree(spark, tmp_path, monkeypatch):
         "/".join(rel.split("/")[:2]) for rel in man["entries"].values()
     }
     # both paths over the SAME immutable generation dir
-    local = snap._sweep_generation_stats(spark, t1, gen_rel, cols)
+    local, local_rows = snap._sweep_generation_stats(
+        spark, t1, gen_rel, cols
+    )
     monkeypatch.setattr(snap, "_LOCAL_SWEEP_MAX_FILES", 0)
-    dist = snap._sweep_generation_stats(spark, t1, gen_rel, cols)
+    dist, dist_rows = snap._sweep_generation_stats(
+        spark, t1, gen_rel, cols
+    )
     assert local == dist
+    assert local_rows == dist_rows
+    assert sum(local_rows.values()) == 2000
     assert any(
         pc.get("dead") == "allnull" for pc in local.values()
     )
@@ -789,3 +795,91 @@ def test_plain_float_partition_keys_round_trip(spark, tmp_path):
     write_snapshot_partial(df, t, 0, "f", touched_keys=[1.5, 2.5])
     got = read_snapshot(spark, t, partitions={"f": 1.5})
     assert [r["v"] for r in got.collect()] == [1]
+
+
+# ------------------------------------------- metadata-only aggregates
+
+def test_metadata_aggregate_matches_real_query(spark, tmp_path, typed_df):
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        metadata_aggregate,
+    )
+
+    t = str(tmp_path / "magg")
+    write_snapshot(
+        typed_df.repartitionByRange(4, "ts").sortWithinPartitions("ts"), t
+    )
+    append_snapshot(
+        typed_df.limit(500).repartition(2), t
+    )
+    got = metadata_aggregate(spark, t)
+    real = read_snapshot(spark, t)
+    agg = real.agg(
+        F.count(F.lit(1)),
+        F.min("id"), F.max("id"),
+        F.min("key"), F.max("key"),
+        F.min("d"), F.max("d"),
+        F.min("ts"), F.max("ts"),
+    ).collect()[0]
+    assert got["rows"] == agg[0] == 4500
+    assert got["min"]["id"] == float(agg[1])
+    assert got["max"]["id"] == float(agg[2])
+    assert got["min"]["key"] == agg[3] and got["max"]["key"] == agg[4]
+    assert got["min"]["d"] == agg[5] and got["max"]["d"] == agg[6]
+    assert got["min"]["ts"] == agg[7] and got["max"]["ts"] == agg[8]
+
+
+def test_metadata_aggregate_counts_partial_replace_exactly(
+    spark, tmp_path
+):
+    """A partial leaf replace leaves its generation partially live;
+    the owner walk must count only live leaves."""
+    from big_data_spark.io.snapshot import (
+        metadata_aggregate,
+        write_snapshot_partial,
+    )
+
+    t = str(tmp_path / "maggp")
+    df = spark.createDataFrame(
+        [("a", i) for i in range(30)] + [("b", i) for i in range(20)],
+        "part string, v int",
+    )
+    write_snapshot_partial(df, t, 0, "part", touched_keys=["a", "b"])
+    write_snapshot_partial(
+        spark.createDataFrame([("a", 99)], "part string, v int"),
+        t, 1, "part", touched_keys=["a"],
+    )
+    got = metadata_aggregate(spark, t, columns=["v"])
+    real = read_snapshot(spark, t)
+    assert got["rows"] == real.count() == 21
+    lo, hi = real.agg(F.min("v"), F.max("v")).collect()[0]
+    assert got["min"]["v"] == float(lo) and got["max"]["v"] == float(hi)
+
+
+def test_metadata_aggregate_all_null_column(spark, tmp_path):
+    from big_data_spark.io.snapshot import metadata_aggregate
+
+    t = str(tmp_path / "maggn")
+    df = spark.range(10).selectExpr(
+        "id AS k", "CAST(NULL AS DOUBLE) AS v"
+    )
+    write_snapshot(df, t)
+    got = metadata_aggregate(spark, t)
+    assert got["rows"] == 10
+    assert got["min"]["v"] is None and got["max"]["v"] is None
+    assert got["min"]["k"] == 0.0 and got["max"]["k"] == 9.0
+
+
+def test_metadata_aggregate_refusals(spark, tmp_path, typed_df):
+    from big_data_spark.io.snapshot import (
+        delete_where as dw,
+        metadata_aggregate,
+    )
+
+    t = str(tmp_path / "maggr")
+    write_snapshot(typed_df.repartition(4), t)
+    with pytest.raises(ValueError, match="not in the recorded stats"):
+        metadata_aggregate(spark, t, columns=["v"])  # 5th col, cap=4
+    dw(spark, t, "id % 7 = 0", mode="mor")
+    with pytest.raises(ValueError, match="delete vectors"):
+        metadata_aggregate(spark, t)
