@@ -1519,6 +1519,7 @@ def _auto_commit_stats(
     layout_by: str | None,
     stats_columns: list[str] | None,
     rename_log: list | None = None,
+    backfill_rows: bool = False,
 ) -> dict | None:
     """The commit's ``stats`` block: carry every already-covered live
     generation forward (metadata-only), sweep only the NEW ones —
@@ -1558,15 +1559,20 @@ def _auto_commit_stats(
     out_rows: dict[str, dict] = {}
     carried = False
     for g in gens:
-        if g in prev_gens and g in prev_rows:
+        if g in prev_gens and (
+            g in prev_rows or not backfill_rows
+        ):
+            # Ordinary commits carry covered generations even when
+            # they predate ROW COUNTS — a commit must stay O(new
+            # files), never a surprise full-table re-sweep (review
+            # finding). analyze_table passes backfill_rows=True to
+            # close the gap explicitly (at most once per generation;
+            # they are immutable).
             out_gens[g] = prev_gens[g]
-            out_rows[g] = prev_rows[g]
+            if g in prev_rows:
+                out_rows[g] = prev_rows[g]
             carried = True
         else:
-            # Not carried when the generation lacks ROW COUNTS too
-            # (a block written before counts existed): one re-sweep
-            # backfills them — generations are immutable, so this
-            # happens at most once per generation.
             out_gens[g], out_rows[g] = _sweep_generation_stats(
                 spark,
                 table_dir,
@@ -1995,22 +2001,13 @@ def read_entries(
         # segments UP to the deepest live entry rel — O(#files +
         # #parents x depth), not O(#entries x #files): a 5k-leaf
         # partitioned generation would otherwise cost ~25M substring
-        # probes per pruned read on the driver.
+        # probes per pruned read on the driver. ONE shared walk
+        # (_owning_entry_rel) with metadata_aggregate's liveness, so
+        # the two can never drift.
         for g, rels_here in rels_by_gen.items():
             owner_cache: dict[str, str | None] = {}
             for file_rel, per_col in stat_gens[g].items():
-                parent = file_rel.rsplit("/", 1)[0]
-                if parent not in owner_cache:
-                    probe, owner = parent, None
-                    while True:
-                        if probe in rels_here:
-                            owner = probe
-                            break
-                        if "/" not in probe:
-                            break
-                        probe = probe.rsplit("/", 1)[0]
-                    owner_cache[parent] = owner
-                owner = owner_cache[parent]
+                owner = _owning_entry_rel(file_rel, rels_here, owner_cache)
                 if owner is None:
                     continue  # dead leaf of a partially-live generation
                 if _stats_keep(
@@ -3262,6 +3259,7 @@ def analyze_table(
         man.get("layout_by"),
         stats_columns,
         rename_log=man.get("rename_log"),
+        backfill_rows=True,  # ANALYZE is the explicit gap-closer
     )
     if stats is None:
         # No stat-capable columns: nothing to record, nothing to commit.
@@ -3588,35 +3586,62 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def _owning_entry_rel(
+    file_rel: str, rels_here: set[str], cache: dict[str, str | None]
+) -> str | None:
+    """The deepest live entry rel owning ``file_rel`` (walking parent
+    segments up), or None for a dead leaf of a partially-live
+    generation — THE liveness resolution, shared by read_entries'
+    pruning and metadata_aggregate so the two can never disagree.
+    ``cache`` memoizes per parent dir (caller-owned, per
+    generation)."""
+    parent = file_rel.rsplit("/", 1)[0]
+    if parent not in cache:
+        probe, owner = parent, None
+        while True:
+            if probe in rels_here:
+                owner = probe
+                break
+            if "/" not in probe:
+                break
+            probe = probe.rsplit("/", 1)[0]
+        cache[parent] = owner
+    return cache[parent]
+
+
+def _live_gens(entries: dict[str, str]) -> set[str]:
+    """Live ``s=<id>`` generation names referenced by manifest
+    entries — ONE derivation for commit stats, ANALYZE coverage,
+    metadata aggregates and DESCRIBE DETAIL."""
+    return {
+        rel.split("/")[1]
+        for rel in entries.values()
+        if rel.startswith(f"{_DATA_DIR}/")
+    }
+
+
 def _live_stat_files(man: dict) -> list[tuple[str, str]]:
     """(generation, file_rel) for every file the manifest's stats
     block covers that lies under a LIVE entry — the same
-    parent-walk owner resolution read_entries uses, so metadata
-    aggregates and pruned reads agree on liveness (a partially-live
-    partitioned generation keeps only its live leaves)."""
+    parent-walk owner resolution (_owning_entry_rel) read_entries
+    uses, so metadata aggregates and pruned reads agree on liveness
+    (a partially-live partitioned generation keeps only its live
+    leaves)."""
     stats = man.get("stats") or {}
     live_rels = set(man["entries"].values())
     out: list[tuple[str, str]] = []
     for g, files in (stats.get("gens") or {}).items():
+        prefix = f"{_DATA_DIR}/{g}/"
         rels_here = {
-            r for r in live_rels if r.startswith(f"{_DATA_DIR}/{g}")
+            r
+            for r in live_rels
+            if r == f"{_DATA_DIR}/{g}" or r.startswith(prefix)
         }
         if not rels_here:
             continue
-        owner_cache: dict[str, bool] = {}
+        cache: dict[str, str | None] = {}
         for file_rel in files:
-            parent = file_rel.rsplit("/", 1)[0]
-            if parent not in owner_cache:
-                probe, owned = parent, False
-                while True:
-                    if probe in rels_here:
-                        owned = True
-                        break
-                    if "/" not in probe:
-                        break
-                    probe = probe.rsplit("/", 1)[0]
-                owner_cache[parent] = owned
-            if owner_cache[parent]:
+            if _owning_entry_rel(file_rel, rels_here, cache) is not None:
                 out.append((g, file_rel))
     return out
 
@@ -3663,11 +3688,54 @@ def metadata_aggregate(
     stats = man.get("stats") or {}
     rows_block = stats.get("rows") or {}
     stat_cols = stats.get("columns") or []
+    from big_data_spark.io.stats import stat_kind
+
+    # Column validation FIRST — an empty table must refuse unknown /
+    # partition / unanswerable columns exactly like a populated one
+    # (a None "min" for a column that does not exist would read as a
+    # real SQL NULL).
+    cols = list(columns) if columns is not None else list(stat_cols)
+    pcols = set(_pcols(man.get("partition_col")) or [])
+    kinds: dict[str, str] = {}
+    types = {f["name"]: f["type"] for f in man.get("schema") or []}
+    v2 = stats.get("v") == 2
+    for c in cols:
+        if c in pcols:
+            raise ValueError(
+                f"metadata_aggregate: {c!r} is a partition column — "
+                "its values live in entry keys, not footers; use "
+                "show_partitions"
+            )
+        if c not in stat_cols:
+            raise ValueError(
+                f"metadata_aggregate: {c!r} not in the recorded stats "
+                f"columns {stat_cols!r} — run analyze_table with "
+                "stats_columns"
+            )
+        if types.get(c, "").split("(")[0].strip().lower() == "decimal":
+            raise ValueError(
+                f"metadata_aggregate: {c!r} is decimal-typed — the "
+                "stats fold stores doubles, which cannot represent "
+                "every decimal exactly; use a real query"
+            )
+        k = stat_kind(types.get(c, ""))
+        if k is None:
+            raise ValueError(
+                f"metadata_aggregate: column {c!r} has no orderable "
+                "stats kind"
+            )
+        if k != "numeric" and not v2:
+            raise ValueError(
+                f"metadata_aggregate: {c!r} is non-numeric and the "
+                "stats block predates typed normalization — run "
+                "analyze_table to upgrade"
+            )
+        kinds[c] = k
     if not man["entries"]:
         return {
             "rows": 0,
-            "min": {c: None for c in columns or stat_cols},
-            "max": {c: None for c in columns or stat_cols},
+            "min": {c: None for c in cols},
+            "max": {c: None for c in cols},
             "files": 0,
             "snapshot_id": man["snapshot_id"],
         }
@@ -3689,56 +3757,39 @@ def metadata_aggregate(
         )
     live = _live_stat_files(man)
     covered_gens = set(stats.get("gens") or {}) & set(rows_block)
-    live_gens = {
-        rel.split("/")[1]
-        for rel in man["entries"].values()
-        if rel.startswith(f"{_DATA_DIR}/")
-    }
-    if not live_gens <= covered_gens:
+    if not _live_gens(man["entries"]) <= covered_gens:
         raise ValueError(
             "metadata_aggregate: generations without recorded stats "
-            f"{sorted(live_gens - covered_gens)!r} — run analyze_table"
+            f"{sorted(_live_gens(man['entries']) - covered_gens)!r} — "
+            "run analyze_table"
         )
-    from big_data_spark.io.stats import stat_kind
 
-    cols = list(columns) if columns is not None else list(stat_cols)
-    pcols = set(_pcols(man.get("partition_col")) or [])
-    kinds: dict[str, str] = {}
-    types = {f["name"]: f["type"] for f in man.get("schema") or []}
-    v2 = stats.get("v") == 2
-    for c in cols:
-        if c in pcols:
-            raise ValueError(
-                f"metadata_aggregate: {c!r} is a partition column — "
-                "its values live in entry keys, not footers; use "
-                "show_partitions"
-            )
-        if c not in stat_cols:
-            raise ValueError(
-                f"metadata_aggregate: {c!r} not in the recorded stats "
-                f"columns {stat_cols!r} — run analyze_table with "
-                "stats_columns"
-            )
-        k = stat_kind(types.get(c, ""))
-        if k is None:
-            raise ValueError(
-                f"metadata_aggregate: column {c!r} has no orderable "
-                "stats kind"
-            )
-        if k != "numeric" and not v2:
-            raise ValueError(
-                f"metadata_aggregate: {c!r} is non-numeric and the "
-                "stats block predates typed normalization — run "
-                "analyze_table to upgrade"
-            )
-        kinds[c] = k
-
-    def parse(k: str, s: str):
+    def parse(k: str, s: str, col: str):
         if k == "numeric":
-            return float(s)
+            v = float(s)
+            # doubles hold integers exactly only below 2^53: a
+            # snowflake-style bigint id would silently round —
+            # exactness over availability (review finding).
+            if abs(v) >= 2**53:
+                raise ValueError(
+                    f"metadata_aggregate: {col!r} value {s} exceeds "
+                    "exact double range (2^53) — use a real query"
+                )
+            return v
         if k == "date":
             return _dt.date.fromisoformat(s)
-        if k in ("timestamp", "timestamp_ntz"):
+        if k == "timestamp":
+            # Stats store canonical naive-UTC; PySpark's collect()
+            # renders session timestamps in the DRIVER's local zone —
+            # convert so metadata and real-query results agree on
+            # non-UTC drivers (review finding).
+            return (
+                _dt.datetime.fromisoformat(s)
+                .replace(tzinfo=_dt.timezone.utc)
+                .astimezone()
+                .replace(tzinfo=None)
+            )
+        if k == "timestamp_ntz":
             return _dt.datetime.fromisoformat(s)
         return s
 
@@ -3768,7 +3819,7 @@ def metadata_aggregate(
                     "real query"
                 )
             k = kinds[c]
-            lo, hi = parse(k, v[0]), parse(k, v[1])
+            lo, hi = parse(k, v[0], c), parse(k, v[1], c)
             if mins[c] is None or lo < mins[c]:
                 mins[c] = lo
             if maxs[c] is None or hi > maxs[c]:

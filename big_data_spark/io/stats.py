@@ -231,6 +231,26 @@ def footer_file_stats(
         meta.schema.column(i).name: i for i in range(meta.num_columns)
     }
     out: list[dict] = []
+    if meta.num_row_groups == 0:
+        # Spark routinely writes empty part files (0 row groups).
+        # Emit one no-stats row per column so BOTH sweep paths record
+        # the file — with 0 rows and no bounds — instead of the
+        # distributed path silently omitting it (review finding: the
+        # two paths must fold identically).
+        for c in cols:
+            out.append(
+                {
+                    "row_group": 0,
+                    "column": c,
+                    "n_rows": 0,
+                    "n_nulls": None,
+                    "min": None,
+                    "max": None,
+                    "kind": None,
+                    "present": True,
+                }
+            )
+        return out
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
         for c in cols:

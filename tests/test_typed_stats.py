@@ -883,3 +883,66 @@ def test_metadata_aggregate_refusals(spark, tmp_path, typed_df):
     dw(spark, t, "id % 7 = 0", mode="mor")
     with pytest.raises(ValueError, match="delete vectors"):
         metadata_aggregate(spark, t)
+
+
+def test_sweep_paths_agree_on_empty_files(spark, tmp_path, monkeypatch):
+    """Spark routinely writes 0-row-group part files; both sweep
+    paths must record them (0 rows, no bounds) identically."""
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = str(tmp_path / "empf")
+    write_snapshot(df.repartition(4), t)  # 3 empty part files
+    man = snap.latest_manifest(spark, t)
+    (gen_rel,) = {
+        "/".join(rel.split("/")[:2]) for rel in man["entries"].values()
+    }
+    cols = man["stats"]["columns"]
+    local, local_rows = snap._sweep_generation_stats(
+        spark, t, gen_rel, cols
+    )
+    monkeypatch.setattr(snap, "_LOCAL_SWEEP_MAX_FILES", 0)
+    dist, dist_rows = snap._sweep_generation_stats(
+        spark, t, gen_rel, cols
+    )
+    assert local == dist and local_rows == dist_rows
+    # at least one genuinely EMPTY part file must be recorded
+    assert 0 in local_rows.values() and sum(local_rows.values()) == 1
+    # and the metadata count over them is exact
+    from big_data_spark.io.snapshot import metadata_aggregate
+
+    assert metadata_aggregate(spark, t)["rows"] == 1
+
+
+def test_metadata_aggregate_exactness_refusals(spark, tmp_path):
+    from big_data_spark.io.snapshot import metadata_aggregate
+
+    # bigint beyond 2^53: doubles round silently -> refuse
+    t = str(tmp_path / "bigid")
+    write_snapshot(
+        spark.createDataFrame(
+            [(2**53 + 1,), (5,)], "k long"
+        ).coalesce(1),
+        t,
+    )
+    with pytest.raises(ValueError, match="exceeds exact double"):
+        metadata_aggregate(spark, t)
+    # decimal columns refuse up front
+    t2 = str(tmp_path / "decs")
+    write_snapshot(
+        spark.createDataFrame([(1,)], "k int").selectExpr(
+            "CAST(k AS DECIMAL(38,2)) AS d"
+        ),
+        t2,
+    )
+    with pytest.raises(ValueError, match="decimal-typed"):
+        metadata_aggregate(spark, t2)
+    # empty table still validates requested columns
+    t3 = str(tmp_path / "emptyv")
+    df = spark.createDataFrame([(1,)], "k int")
+    write_snapshot(df, t3)
+    from big_data_spark.io.snapshot import delete_where as dw
+
+    dw(spark, t3, "k = 1")
+    got = metadata_aggregate(spark, t3)
+    assert got["rows"] == 0
+    with pytest.raises(ValueError, match="not in the recorded stats"):
+        metadata_aggregate(spark, t3, columns=["nope"])
