@@ -852,6 +852,24 @@ def _run_typed_predicate_walk(spark, tmp_path, seed):
             f"(+{got - want} -{want - got})"
         )
 
+    def check_metadata_agg():
+        """metadata_aggregate vs the model — when it answers, it must
+        answer exactly; refusals (MOR vectors live, etc.) are legal."""
+        from big_data_spark.io.snapshot import metadata_aggregate
+
+        try:
+            got = metadata_aggregate(spark, t, columns=["k"])
+        except ValueError:
+            return
+        assert got["rows"] == len(model), (
+            f"seed={seed}: metadata COUNT(*) {got['rows']} != model "
+            f"{len(model)}"
+        )
+        if model:
+            ks = [k for k in model]
+            assert got["min"]["k"] == float(min(ks))
+            assert got["max"]["k"] == float(max(ks))
+
     do_append()
     snap_model()
     ops = [do_append, do_delete, do_update, do_binpack, do_rollback]
@@ -860,6 +878,7 @@ def _run_typed_predicate_walk(spark, tmp_path, seed):
         rng.choices(ops, weights)[0]()
         snap_model()
         check_predicate()
+        check_metadata_agg()
 
 
 @pytest.mark.parametrize("seed", [11, 42])
