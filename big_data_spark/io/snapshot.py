@@ -2239,6 +2239,7 @@ def read_changes(
     table_dir: str,
     after_id: int,
     until_id: int | None = None,
+    predicate: dict | None = None,
 ) -> DataFrame:
     """Change feed between table versions: every row inserted or
     deleted by the commits in ``(after_id, until_id]`` (``until_id``
@@ -2267,6 +2268,18 @@ def read_changes(
     Retention: the feed reads OLD generations, so ``after_id`` must
     still be within ``vacuum_snapshots``' kept window — expired
     ranges raise on read like any other time travel.
+
+    ``predicate`` (round 11; same shape as ``read_snapshot`` — {col:
+    (lo, hi)} ranges or {col: [v1, ...]} IN-lists, typed bounds)
+    restricts the feed to matching CHANGE ROWS, exactly
+    ``read_changes(...).filter(...)`` — the range-shard consumer's
+    primitive (a downstream sync holding keys [a, b) reads only its
+    slice). File-level skipping applies through each side's OWN
+    manifest stats before any scan; rows whose side lacks the column
+    (pre-evolution) read as NULL and are excluded, like any filter.
+    An update-CDF commit whose row moves INTO the range shows only
+    the postimage insert (and out-of-range preimages drop) — the
+    shard consumer's correct view of a row migrating across shards.
     """
     ids = snapshot_ids(spark, table_dir)
     if until_id is None:
@@ -2296,7 +2309,7 @@ def read_changes(
         prev_entries = prev_man["entries"]
         prev_deletes = prev_man.get("deletes") or []
 
-    def _vector_rows(vecs, entries_map, schema, rlog, masked_by):
+    def _vector_rows(vecs, entries_map, schema, rlog, masked_by, stats):
         """Rows the position vectors in ``vecs`` name, read from the
         LIVE entries of ``entries_map`` (touched generations only —
         the vectors name their files, so this is O(masked
@@ -2327,10 +2340,12 @@ def read_changes(
             spark,
             table_dir,
             touched,
+            predicate=predicate,
             deletes=masked_by or None,
             with_positions=True,
             schema_fields=schema,
             rename_log=rlog,
+            stats=stats,
         )
         out = rows.join(
             F.broadcast(pos),
@@ -2355,6 +2370,13 @@ def read_changes(
             # because non-matched rows of rewritten generations are
             # carried unchanged.
             cdf_df = spark.read.parquet(f"{table_dir}/{man['cdf']}")
+            if predicate:
+                from big_data_spark.io.stats import range_predicate
+
+                # The sidecar is one commit's bounded change set —
+                # a row filter is the right grain (no file pruning
+                # to win).
+                cdf_df = cdf_df.filter(range_predicate(predicate))
             parts.append(
                 cdf_df.withColumn("_commit_id", F.lit(sid).cast("int"))
             )
@@ -2404,19 +2426,29 @@ def read_changes(
             both = {
                 k: v for k, v in cur.items() if v in prev_vals
             }
-            for vecs, kind, schema, rlog, masked_by in (
-                (new_dv, "delete", prev_schema, prev_rlog, prev_deletes),
+            for vecs, kind, schema, rlog, masked_by, side_stats in (
+                (
+                    new_dv,
+                    "delete",
+                    prev_schema,
+                    prev_rlog,
+                    prev_deletes,
+                    (prev_man or {}).get("stats"),
+                ),
                 (
                     dropped_dv,
                     "insert",
                     man.get("schema"),
                     man.get("rename_log"),
                     cur_deletes,
+                    man.get("stats"),
                 ),
             ):
                 if not vecs or not both:
                     continue
-                dv_rows = _vector_rows(vecs, both, schema, rlog, masked_by)
+                dv_rows = _vector_rows(
+                    vecs, both, schema, rlog, masked_by, side_stats
+                )
                 if dv_rows is None:
                     continue
                 parts.append(
@@ -2424,13 +2456,14 @@ def read_changes(
                         "_change_type", F.lit(kind)
                     ).withColumn("_commit_id", F.lit(sid).cast("int"))
                 )
-            for entries, kind, dv, schema, rlog in (
+            for entries, kind, dv, schema, rlog, side_stats in (
                 (
                     removed,
                     "delete",
                     prev_deletes,
                     prev_schema,
                     prev_rlog,
+                    (prev_man or {}).get("stats"),
                 ),
                 (
                     added,
@@ -2438,6 +2471,7 @@ def read_changes(
                     cur_deletes,
                     man.get("schema"),
                     man.get("rename_log"),
+                    man.get("stats"),
                 ),
             ):
                 if not entries:
@@ -2449,9 +2483,11 @@ def read_changes(
                     spark,
                     table_dir,
                     entries,
+                    predicate=predicate,
                     deletes=dv or None,
                     schema_fields=schema,
                     rename_log=rlog,
+                    stats=side_stats,
                 )
                 if schema:
                     # Present each side in ITS version's schema,
@@ -3465,7 +3501,10 @@ def _match_rels(hit_dirs, rels) -> set:
 
 
 def follow_changes(
-    spark: SparkSession, table_dir: str, cursor_dir: str
+    spark: SparkSession,
+    table_dir: str,
+    cursor_dir: str,
+    predicate: dict | None = None,
 ):
     """Incremental-consumer loop step over the change feed: read the
     durable cursor under ``cursor_dir`` (last commit consumed; -1 =
@@ -3500,7 +3539,10 @@ def follow_changes(
     until = ids[-1]
     if until <= cursor:
         return None, None
-    feed = read_changes(spark, table_dir, after_id=cursor, until_id=until)
+    feed = read_changes(
+        spark, table_dir, after_id=cursor, until_id=until,
+        predicate=predicate,
+    )
 
     def commit() -> int:
         body = json.dumps({"last_commit": until})

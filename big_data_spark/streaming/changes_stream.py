@@ -40,6 +40,7 @@ def stream_changes(
     max_batches: int | None = None,
     max_idle_s: float | None = None,
     track_rows: bool = False,
+    predicate: dict | None = None,
 ) -> dict:
     """Drive ``process(feed_df, epoch_id)`` over successive change-feed
     windows of the snapshot table at ``table_dir``.
@@ -57,6 +58,10 @@ def stream_changes(
       been processed, or — ``max_idle_s`` — until no new commits have
       arrived for that many seconds (the unsupervised-pipeline escape
       hatch; with both None it polls forever — supervise externally).
+      ``predicate=`` (round 11) restricts every window to matching
+      change rows — the range-shard consumer (same typed bounds /
+      IN-lists as ``read_snapshot``; file-level skipping through each
+      side's manifest stats).
       A table with NO commits yet is "no new commits", not an error:
       a consumer may legitimately start before the producer's first
       commit.
@@ -85,7 +90,9 @@ def stream_changes(
 
     while True:
         try:
-            feed, commit = follow_changes(spark, table_dir, cursor_dir)
+            feed, commit = follow_changes(
+                spark, table_dir, cursor_dir, predicate=predicate
+            )
         except ValueError as exc:
             if "no committed snapshots" not in str(exc):
                 raise

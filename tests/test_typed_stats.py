@@ -946,3 +946,54 @@ def test_metadata_aggregate_exactness_refusals(spark, tmp_path):
     assert got["rows"] == 0
     with pytest.raises(ValueError, match="not in the recorded stats"):
         metadata_aggregate(spark, t3, columns=["nope"])
+
+
+# ------------------------------------------------ change-feed predicate
+
+def test_read_changes_predicate_equals_post_filter(spark, tmp_path):
+    """Feed predicate contract: read_changes(predicate=P) returns
+    EXACTLY read_changes().filter(P), across every commit kind the
+    feed distinguishes — append, COW delete (file-level diff), MOR
+    delete (vector rows), row-CDF update (sidecar), rollback."""
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        read_changes,
+        rollback_snapshot,
+        update_where,
+    )
+    from big_data_spark.io.stats import range_predicate
+
+    t = str(tmp_path / "feedp")
+    df = spark.range(0, 400).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v",
+        "format_string('g%02d', CAST(id % 7 AS INT)) AS grp",
+    )
+    write_snapshot(df.repartitionByRange(4, "k"), t)
+    append_snapshot(
+        spark.range(400, 500).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v",
+            "format_string('g%02d', CAST(id % 7 AS INT)) AS grp",
+        ),
+        t,
+    )
+    delete_where(spark, t, "k % 5 = 0")                  # COW
+    delete_where(spark, t, "k % 7 = 3", mode="mor")      # MOR vectors
+    update_where(spark, t, "k % 9 = 2", {"v": "v + 1000.0"}, row_cdf=True)
+    rollback_snapshot(spark, t, 2)
+
+    for pred in (
+        {"k": (100.0, 260.0)},
+        {"grp": ("g02", "g04")},
+        {"grp": ["g01", "g05"]},
+    ):
+        got = read_changes(spark, t, after_id=-1, predicate=pred)
+        want = read_changes(spark, t, after_id=-1).filter(
+            range_predicate(pred)
+        )
+        key = lambda r: (  # noqa: E731
+            r["_commit_id"], r["_change_type"], r["k"], r["v"]
+        )
+        assert sorted(map(key, got.collect())) == sorted(
+            map(key, want.collect())
+        ), pred
+        assert got.count() > 0
