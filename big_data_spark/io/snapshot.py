@@ -3806,6 +3806,8 @@ def metadata_aggregate(
             "run analyze_table"
         )
 
+    int_heads = {"tinyint", "smallint", "int", "bigint"}
+
     def parse(k: str, s: str, col: str):
         if k == "numeric":
             v = float(s)
@@ -3817,6 +3819,14 @@ def metadata_aggregate(
                     f"metadata_aggregate: {col!r} value {s} exceeds "
                     "exact double range (2^53) — use a real query"
                 )
+            # Integer-kind columns parse back to Python int — the
+            # contract is "what collect() on the equivalent real query
+            # returns", and a bigint's MIN is 5, not 5.0 (round-12
+            # directive #3). The 2^53 refusal above guarantees the
+            # intermediate double is exact.
+            head = types.get(col, "").split("(")[0].strip().lower()
+            if head in int_heads:
+                return int(v)
             return v
         if k == "date":
             return _dt.date.fromisoformat(s)

@@ -867,8 +867,14 @@ def _run_typed_predicate_walk(spark, tmp_path, seed):
         )
         if model:
             ks = [k for k in model]
-            assert got["min"]["k"] == float(min(ks))
-            assert got["max"]["k"] == float(max(ks))
+            # Type equality, not just ==: the k column is committed
+            # long, so the metadata path must answer Python int —
+            # exactly what collect() on the real query returns
+            # (round-12 directive #3).
+            assert got["min"]["k"] == min(ks)
+            assert got["max"]["k"] == max(ks)
+            assert type(got["min"]["k"]) is int
+            assert type(got["max"]["k"]) is int
 
     do_append()
     snap_model()

@@ -822,8 +822,10 @@ def test_metadata_aggregate_matches_real_query(spark, tmp_path, typed_df):
         F.min("ts"), F.max("ts"),
     ).collect()[0]
     assert got["rows"] == agg[0] == 4500
-    assert got["min"]["id"] == float(agg[1])
-    assert got["max"]["id"] == float(agg[2])
+    # id is committed bigint: the metadata answer must be a Python
+    # int, matching collect() on the real query (round-12 #3).
+    assert got["min"]["id"] == agg[1] and type(got["min"]["id"]) is int
+    assert got["max"]["id"] == agg[2] and type(got["max"]["id"]) is int
     assert got["min"]["key"] == agg[3] and got["max"]["key"] == agg[4]
     assert got["min"]["d"] == agg[5] and got["max"]["d"] == agg[6]
     assert got["min"]["ts"] == agg[7] and got["max"]["ts"] == agg[8]
@@ -853,7 +855,9 @@ def test_metadata_aggregate_counts_partial_replace_exactly(
     real = read_snapshot(spark, t)
     assert got["rows"] == real.count() == 21
     lo, hi = real.agg(F.min("v"), F.max("v")).collect()[0]
-    assert got["min"]["v"] == float(lo) and got["max"]["v"] == float(hi)
+    # v is committed int: exact Python ints back (round-12 #3).
+    assert got["min"]["v"] == lo and type(got["min"]["v"]) is int
+    assert got["max"]["v"] == hi and type(got["max"]["v"]) is int
 
 
 def test_metadata_aggregate_all_null_column(spark, tmp_path):
@@ -867,7 +871,10 @@ def test_metadata_aggregate_all_null_column(spark, tmp_path):
     got = metadata_aggregate(spark, t)
     assert got["rows"] == 10
     assert got["min"]["v"] is None and got["max"]["v"] is None
-    assert got["min"]["k"] == 0.0 and got["max"]["k"] == 9.0
+    # k comes from spark.range -> bigint: this is the probe from the
+    # round-11 verdict (0, not 0.0).
+    assert got["min"]["k"] == 0 and type(got["min"]["k"]) is int
+    assert got["max"]["k"] == 9 and type(got["max"]["k"]) is int
 
 
 def test_metadata_aggregate_refusals(spark, tmp_path, typed_df):
