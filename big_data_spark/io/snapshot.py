@@ -33,12 +33,15 @@ the replay deletes and rewrites the generation before committing.
 ``vacuum_snapshots`` reclaims expired manifests and unreferenced
 generations.
 
-Scale: the manifest is O(#partitions) driver-side JSON — the same
-bounded-metadata budget as a table format's manifest list; data moves
-only through normal distributed writes. Readers open one parquet scan
-per live generation (partition pruning and pushdown intact via
-``basePath``) and union them; compaction folds many generations back
-into one.
+Scale: the manifest is O(#partitions + #generations) driver-side
+JSON — the same bounded-metadata budget as a table format's manifest
+list; per-FILE column stats live in immutable per-generation sidecar
+files under ``_manifests/stats/`` referenced by path (round 12 — the
+Iceberg manifest-file split), loaded lazily and only for generations
+a query actually touches. Data moves only through normal distributed
+writes. Readers open one parquet scan per live generation (partition
+pruning and pushdown intact via ``basePath``) and union them;
+compaction folds many generations back into one.
 """
 
 from __future__ import annotations
@@ -59,6 +62,16 @@ _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "_data"
 _DELETES_DIR = "_deletes"
 _CDF_DIR = "_cdf"
+# Per-generation column-stats sidecars (round-12 directive #1): the
+# manifest itself carries only {generation: sidecar rel path} — the
+# per-FILE min/max + row counts live in one immutable JSON per
+# generation under this dir, written once when the generation is
+# first swept and referenced by path forever after. This keeps the
+# manifest O(#generations) where the round-11 inline layout was
+# O(live files) serialized per commit and parsed per read (the
+# Iceberg manifest-file / manifest-list split, Delta's checkpoint
+# sidecars).
+_STATS_SIDE_DIR = f"{_MANIFEST_DIR}/stats"
 
 
 def _bare_expr(col):
@@ -232,6 +245,174 @@ def latest_manifest(
     if not ids:
         return None
     return read_manifest(spark, table_dir, ids[-1])
+
+
+# Sidecar files are IMMUTABLE (a fresh uuid name per write, the
+# manifest references them by path), so a small per-process cache is
+# always coherent — it saves the JSON read when many queries touch
+# the same generations, and the write path primes it so the writing
+# session never re-reads its own sidecars.
+_SIDECAR_CACHE: dict[tuple[str, str], dict] = {}
+_SIDECAR_CACHE_LOCK = threading.Lock()
+_SIDECAR_CACHE_MAX = 64
+
+
+def _write_stats_sidecar(
+    spark: SparkSession,
+    table_dir: str,
+    gen: str,
+    files: dict[str, dict],
+    rows: dict[str, int] | None,
+    names_at: int,
+) -> str:
+    """Persist one generation's per-file stats as an immutable sidecar
+    under ``_manifests/stats/`` and return its table-relative path.
+    ``rows`` None = row counts genuinely unknown (a legacy inline
+    block migrated without them) — the aggregate path refuses until
+    analyze_table backfills. ``names_at`` pins which rename-log
+    events are already reflected in the column keys (the max event
+    commit id at sweep time); readers replay only LATER events, so a
+    rename after the sweep stays metadata-only — no sidecar rewrite
+    (round-12 directive #1; Iceberg gets the same via field ids).
+
+    No temp-then-rename: the name is unique (uuid) and the file is
+    referenced only by a manifest committed strictly AFTER this write
+    returns — a crash mid-write leaves an unreferenced orphan that
+    vacuum reclaims, never a torn live file."""
+    rel = f"{_STATS_SIDE_DIR}/{gen}-{uuid.uuid4().hex}.json"
+    body = json.dumps(
+        {"gen": gen, "files": files, "rows": rows, "names_at": names_at},
+        sort_keys=True,
+    )
+    fs, dpath = hadoop_fs(spark, f"{table_dir}/{_STATS_SIDE_DIR}")
+    fs.mkdirs(dpath)
+    _, fpath = hadoop_fs(spark, f"{table_dir}/{rel}")
+    out = fs.create(fpath, True)
+    try:
+        out.write(bytearray(body.encode("utf-8")))
+    finally:
+        out.close()
+    with _SIDECAR_CACHE_LOCK:
+        if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
+            _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
+        _SIDECAR_CACHE[(table_dir, rel)] = {
+            "files": files,
+            "rows": rows,
+            "names_at": names_at,
+        }
+    return rel
+
+
+def _read_sidecar(spark: SparkSession, table_dir: str, rel: str) -> dict:
+    key = (table_dir, rel)
+    with _SIDECAR_CACHE_LOCK:
+        hit = _SIDECAR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    doc = _read_json(spark, f"{table_dir}/{rel}")
+    with _SIDECAR_CACHE_LOCK:
+        if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
+            _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
+        _SIDECAR_CACHE[key] = doc
+    return doc
+
+
+def _rlog_max_id(rename_log: list | None) -> int:
+    """Newest schema-evolution event commit id — the ``names_at``
+    stamp for sidecars swept now: every event <= it is already
+    reflected in the swept column keys."""
+    return max((int(ev[0]) for ev in rename_log or []), default=0)
+
+
+def _replay_sidecar_names(
+    files: dict[str, dict], rename_log: list | None, names_at: int
+) -> dict[str, dict]:
+    """Remap a sidecar's per-file column keys through the evolution
+    events committed AFTER its ``names_at`` stamp — renames follow,
+    drops disappear. Keyed per event id, so a NEW column re-using a
+    dropped/renamed column's former name is never confused with it:
+    newer sidecars carry a higher names_at and skip the old events."""
+    events = [
+        ev for ev in (rename_log or []) if int(ev[0]) > names_at
+    ]
+    if not events:
+        return files
+    keys = {c for per_col in files.values() for c in per_col}
+    key_map: dict[str, str | None] = {}
+    for k in keys:
+        name: str | None = k
+        for cid, kind, old, new in events:
+            if kind == "rename" and name == old:
+                name = new
+            elif kind == "drop" and name == old:
+                name = None
+                break
+        key_map[k] = name
+    if all(key_map[k] == k for k in keys):
+        return files
+    return {
+        f: {
+            key_map[c]: v
+            for c, v in per_col.items()
+            if key_map[c] is not None
+        }
+        for f, per_col in files.items()
+    }
+
+
+def _stats_covered(stats: dict | None) -> set[str]:
+    """Generations the stats block covers with per-file MIN/MAX —
+    sidecar paths (round 12) or inline ``gens`` (round-11 layout,
+    still readable)."""
+    return set((stats or {}).get("sidecars") or {}) | set(
+        (stats or {}).get("gens") or {}
+    )
+
+
+def _load_gen_stats(
+    spark: SparkSession,
+    table_dir: str,
+    stats: dict | None,
+    gen: str,
+    rename_log: list | None = None,
+) -> tuple[dict | None, dict | None]:
+    """One generation's ``({file_rel: {col: stat}}, {file_rel: rows})``
+    from the stats block — LAZILY: sidecar layouts read one small JSON
+    (cached) only when a query actually needs this generation, inline
+    layouts return the embedded dicts. ``(None, None)`` = uncovered.
+    The second element is None when row counts were never recorded
+    (aggregates refuse; pruning is unaffected)."""
+    side = (stats or {}).get("sidecars") or {}
+    if gen in side:
+        doc = _read_sidecar(spark, table_dir, side[gen])
+        files = _replay_sidecar_names(
+            doc.get("files") or {},
+            rename_log,
+            int(doc.get("names_at") or 0),
+        )
+        return files, doc.get("rows")
+    inline = (stats or {}).get("gens") or {}
+    if gen in inline:
+        rows_block = (stats or {}).get("rows") or {}
+        return inline[gen], rows_block.get(gen)
+    return None, None
+
+
+def load_generation_stats(
+    spark: SparkSession, table_dir: str, man: dict, gen: str
+) -> tuple[dict | None, dict | None]:
+    """Public spelling of the lazy per-generation stats load — the
+    (per-file column stats, per-file row counts) a manifest records
+    for ``gen``, resolved through sidecars or the legacy inline
+    layout. Tools and tests use this instead of reaching into the
+    manifest dict, so the storage layout can evolve freely."""
+    return _load_gen_stats(
+        spark,
+        table_dir,
+        man.get("stats"),
+        gen,
+        rename_log=man.get("rename_log"),
+    )
 
 
 _TAGS_DIR = "_tags"
@@ -1272,33 +1453,49 @@ def evolve_schema(
         for old, new in (renames or {}).items():
             if old in key_map:
                 key_map[old] = new
-        stats = {
-            "columns": [key_map[c] for c in stats["columns"] if c in key_map],
-            "gens": {
-                g: {
-                    f: {
-                        key_map[c]: v
-                        for c, v in per_col.items()
-                        if c in key_map
+        new_cols = [
+            key_map[c] for c in stats["columns"] if c in key_map
+        ]
+        if stats.get("sidecars"):
+            # Sidecar layout (round 12): only the COLUMNS list remaps
+            # eagerly — the immutable per-generation sidecars carry
+            # forward by path, and readers replay the rename-log
+            # events committed after each sidecar's names_at stamp
+            # onto its keys at load time. A rename on a million-file
+            # table rewrites zero stats bytes.
+            stats = {
+                "columns": new_cols,
+                "sidecars": dict(stats["sidecars"]),
+                **({"v": stats["v"]} if "v" in stats else {}),
+            }
+        else:
+            stats = {
+                "columns": new_cols,
+                "gens": {
+                    g: {
+                        f: {
+                            key_map[c]: v
+                            for c, v in per_col.items()
+                            if c in key_map
+                        }
+                        for f, per_col in files.items()
                     }
-                    for f, per_col in files.items()
-                }
-                for g, files in (stats.get("gens") or {}).items()
-            },
-            # The version marker and the per-file row counts ride
-            # along: values are untouched by renames, so a v2
-            # (typed-canonical) block stays v2 and COUNT(*) metadata
-            # stays valid — dropping either here would silently
-            # disable typed pruning / metadata aggregates forever
-            # after one rename (every later commit carries the
-            # stripped block forward).
-            **(
-                {"v": stats["v"]} if "v" in stats else {}
-            ),
-            **(
-                {"rows": stats["rows"]} if "rows" in stats else {}
-            ),
-        }
+                    for g, files in (stats.get("gens") or {}).items()
+                },
+                # The version marker and the per-file row counts ride
+                # along: values are untouched by renames, so a v2
+                # (typed-canonical) block stays v2 and COUNT(*)
+                # metadata stays valid — dropping either here would
+                # silently disable typed pruning / metadata aggregates
+                # forever after one rename (every later commit carries
+                # the stripped block forward).
+                **(
+                    {"v": stats["v"]} if "v" in stats else {}
+                ),
+                **(
+                    {"rows": stats["rows"]} if "rows" in stats else {}
+                ),
+            }
     commit_manifest(
         spark,
         table_dir,
@@ -1522,9 +1719,17 @@ def _auto_commit_stats(
     backfill_rows: bool = False,
 ) -> dict | None:
     """The commit's ``stats`` block: carry every already-covered live
-    generation forward (metadata-only), sweep only the NEW ones —
-    O(new files) per commit, the Iceberg write-side trade. Returns
-    None when no stat-worthy columns exist."""
+    generation forward (an O(1) sidecar-path copy per generation —
+    pure metadata, nothing loaded), sweep only the NEW ones into
+    fresh sidecars — O(new files) per commit, the Iceberg write-side
+    trade, and since round 12 the manifest itself stays
+    O(#generations). Returns None when no stat-worthy columns exist.
+
+    Legacy inline blocks (round-11 layout) MIGRATE as they are
+    carried: each covered generation's inline dicts are written out
+    once as a sidecar — a one-time O(live files) metadata copy on the
+    first commit after upgrade, after which every commit is O(new)
+    again."""
     gens = sorted(
         {
             rel.split("/")[1]
@@ -1532,13 +1737,15 @@ def _auto_commit_stats(
             if rel.startswith(f"{_DATA_DIR}/")
         }
     )
+    prev_side = (prev_stats or {}).get("sidecars") or {}
     prev_gens = (prev_stats or {}).get("gens") or {}
+    prev_cov = set(prev_side) | set(prev_gens)
     if stats_columns is not None:
         columns = list(stats_columns)
         if (
             prev_stats
             and prev_stats.get("columns") != columns
-            and any(g in prev_gens for g in gens)
+            and any(g in prev_cov for g in gens)
         ):
             raise ValueError(
                 "stats_columns differ from the table's recorded stats "
@@ -1555,30 +1762,58 @@ def _auto_commit_stats(
     if not columns:
         return None
     prev_rows = (prev_stats or {}).get("rows") or {}
-    out_gens: dict[str, dict] = {}
-    out_rows: dict[str, dict] = {}
+    names_at = _rlog_max_id(rename_log)
+    out_side: dict[str, str] = {}
     carried = False
     for g in gens:
-        if g in prev_gens and (
-            g in prev_rows or not backfill_rows
-        ):
-            # Ordinary commits carry covered generations even when
-            # they predate ROW COUNTS — a commit must stay O(new
-            # files), never a surprise full-table re-sweep (review
-            # finding). analyze_table passes backfill_rows=True to
-            # close the gap explicitly (at most once per generation;
-            # they are immutable).
-            out_gens[g] = prev_gens[g]
-            if g in prev_rows:
-                out_rows[g] = prev_rows[g]
+        if g in prev_side:
+            if backfill_rows:
+                # ANALYZE closes row-count gaps: a sidecar migrated
+                # from a rows-less legacy block records rows=None —
+                # load it (cached, one small JSON) and re-sweep if so.
+                _, rows = _load_gen_stats(
+                    spark, table_dir, prev_stats, g
+                )
+                if rows is None:
+                    files, nrows = _sweep_generation_stats(
+                        spark,
+                        table_dir,
+                        f"{_DATA_DIR}/{g}",
+                        columns,
+                        rename_log=rename_log,
+                    )
+                    out_side[g] = _write_stats_sidecar(
+                        spark, table_dir, g, files, nrows, names_at
+                    )
+                    continue
+            # Ordinary commits carry covered generations by PATH —
+            # O(1) per generation, nothing loaded, never a surprise
+            # full-table re-sweep (review finding, kept from r11).
+            out_side[g] = prev_side[g]
+            carried = True
+        elif g in prev_gens and (g in prev_rows or not backfill_rows):
+            # Inline legacy block: migrate this generation's embedded
+            # dicts into a sidecar once (rows=None marks genuinely
+            # unrecorded counts for analyze_table to backfill).
+            out_side[g] = _write_stats_sidecar(
+                spark,
+                table_dir,
+                g,
+                prev_gens[g],
+                prev_rows.get(g),
+                names_at,
+            )
             carried = True
         else:
-            out_gens[g], out_rows[g] = _sweep_generation_stats(
+            files, nrows = _sweep_generation_stats(
                 spark,
                 table_dir,
                 f"{_DATA_DIR}/{g}",
                 columns,
                 rename_log=rename_log,
+            )
+            out_side[g] = _write_stats_sidecar(
+                spark, table_dir, g, files, nrows, names_at
             )
     # "v": 2 marks values normalized to the round-11 canonical typed
     # forms (io/stats.norm_stat_value) — the read path applies typed
@@ -1586,8 +1821,9 @@ def _auto_commit_stats(
     # carrying any pre-typed generation stays unversioned and prunes
     # numeric columns only, exactly as before (a legacy timestamp
     # string without fixed-width microseconds could otherwise
-    # false-drop on the prefix-equal edge).
-    out = {"columns": columns, "gens": out_gens, "rows": out_rows}
+    # false-drop on the prefix-equal edge). The layout (sidecars vs
+    # inline) is orthogonal to this value-format marker.
+    out = {"columns": columns, "sidecars": out_side}
     if (prev_stats or {}).get("v") == 2 or prev_stats is None or not carried:
         out["v"] = 2
     return out
@@ -1958,8 +2194,13 @@ def read_entries(
         # whose generation is covered by the commit-time stats block
         # prune as pure driver-side metadata — zero footer opens, zero
         # file listings. Only stat-less legacy generations fall back
-        # to the distributed footer sweep.
-        stat_gens = (stats or {}).get("gens") or {}
+        # to the distributed footer sweep. Since round 12 the per-file
+        # stats live in per-generation SIDECARS loaded lazily below —
+        # only for generations that actually reach this read (entries
+        # are already partition-pruned upstream), so a
+        # partition-selective query on a million-file table touches
+        # only its own generations' sidecar JSONs.
+        covered_gens = _stats_covered(stats)
         stat_cols = (stats or {}).get("columns") or []
         # Typed compares (round 11) need the committed schema's kind
         # per column AND the v2 canonical value forms; unversioned
@@ -1983,7 +2224,7 @@ def read_entries(
         # read: stats serve only when they can answer every hinted
         # column.
         if not set(predicate) <= set(stat_cols):
-            stat_gens = {}
+            covered_gens = set()
         swept_paths: list[str] = []
         rels_by_gen: dict[str, set[str]] = {}
         path_of: dict[str, str] = {}
@@ -1992,7 +2233,7 @@ def read_entries(
             gen = rel.split("/")[1] if rel.startswith(
                 f"{_DATA_DIR}/"
             ) else None
-            if gen is None or gen not in stat_gens:
+            if gen is None or gen not in covered_gens:
                 swept_paths.append(p)
                 continue
             rels_by_gen.setdefault(gen, set()).add(rel)
@@ -2006,7 +2247,10 @@ def read_entries(
         # the two can never drift.
         for g, rels_here in rels_by_gen.items():
             owner_cache: dict[str, str | None] = {}
-            for file_rel, per_col in stat_gens[g].items():
+            gen_files, _ = _load_gen_stats(
+                spark, table_dir, stats, g, rename_log
+            )
+            for file_rel, per_col in (gen_files or {}).items():
                 owner = _owning_entry_rel(file_rel, rels_here, owner_cache)
                 if owner is None:
                     continue  # dead leaf of a partially-live generation
@@ -3263,16 +3507,29 @@ def analyze_table(
         or cols_differ
         or prev_stats.get("v") != 2
     )
-    covered_before = (
-        0
-        if fresh
-        else len(
-            set(prev_stats.get("gens") or {})
-            & set(prev_stats.get("rows") or {})
-            & set(live_gens)
-        )
+    if fresh:
+        covered_before = 0
+    else:
+        # Covered = stats AND row counts recorded. Inline layouts say
+        # so in the block itself; a sidecar must be loaded (cached,
+        # one small JSON each) to see whether its rows are None — a
+        # migrated rows-less legacy generation. ANALYZE is the
+        # explicit gap-closer, so O(live generations) loads here are
+        # its job, never the ordinary commit path's.
+        covered_before = 0
+        for g in set(_stats_covered(prev_stats)) & set(live_gens):
+            _, rows = _load_gen_stats(spark, table_dir, prev_stats, g)
+            if rows is not None:
+                covered_before += 1
+    # A live generation still covered INLINE (round-11 layout) makes
+    # ANALYZE worth a commit even when fully covered: the commit
+    # migrates the embedded dicts into per-generation sidecars, so a
+    # read-mostly table stops paying the monolithic-manifest parse
+    # without waiting for its next data commit.
+    inline_live = not fresh and bool(
+        set(prev_stats.get("gens") or {}) & set(live_gens)
     )
-    if not fresh and covered_before == len(live_gens):
+    if not fresh and not inline_live and covered_before == len(live_gens):
         return {
             "analyzed_generations": 0,
             "covered_generations": covered_before,
@@ -3662,17 +3919,18 @@ def _live_gens(entries: dict[str, str]) -> set[str]:
     }
 
 
-def _live_stat_files(man: dict) -> list[tuple[str, str]]:
-    """(generation, file_rel) for every file the manifest's stats
-    block covers that lies under a LIVE entry — the same
-    parent-walk owner resolution (_owning_entry_rel) read_entries
-    uses, so metadata aggregates and pruned reads agree on liveness
-    (a partially-live partitioned generation keeps only its live
-    leaves)."""
-    stats = man.get("stats") or {}
+def _live_stat_files(
+    man: dict, gen_files: dict[str, dict]
+) -> list[tuple[str, str]]:
+    """(generation, file_rel) for every stats-covered file (per-gen
+    file dicts in ``gen_files``, already lazily loaded) that lies
+    under a LIVE entry — the same parent-walk owner resolution
+    (_owning_entry_rel) read_entries uses, so metadata aggregates and
+    pruned reads agree on liveness (a partially-live partitioned
+    generation keeps only its live leaves)."""
     live_rels = set(man["entries"].values())
     out: list[tuple[str, str]] = []
-    for g, files in (stats.get("gens") or {}).items():
+    for g, files in gen_files.items():
         prefix = f"{_DATA_DIR}/{g}/"
         rels_here = {
             r
@@ -3682,7 +3940,7 @@ def _live_stat_files(man: dict) -> list[tuple[str, str]]:
         if not rels_here:
             continue
         cache: dict[str, str | None] = {}
-        for file_rel in files:
+        for file_rel in files or {}:
             if _owning_entry_rel(file_rel, rels_here, cache) is not None:
                 out.append((g, file_rel))
     return out
@@ -3693,9 +3951,10 @@ def metadata_aggregate(
     table_dir: str,
     columns: list[str] | None = None,
 ) -> dict:
-    """COUNT(*) and per-column MIN/MAX answered from the MANIFEST
-    alone — zero data reads, zero footer opens (round 11; the
-    Iceberg/Delta metadata-aggregate trick). Returns
+    """COUNT(*) and per-column MIN/MAX answered from the manifest
+    plus its per-generation stats sidecars — zero data reads, zero
+    footer opens (round 11; the Iceberg/Delta metadata-aggregate
+    trick). Returns
     ``{"rows": N, "min": {col: value}, "max": {col: value},
     "files": n, "snapshot_id": id}`` with values parsed back to
     Python types per the committed schema kind.
@@ -3728,7 +3987,6 @@ def metadata_aggregate(
             "run fold_deletes first or use a real query"
         )
     stats = man.get("stats") or {}
-    rows_block = stats.get("rows") or {}
     stat_cols = stats.get("columns") or []
     from big_data_spark.io.stats import stat_kind
 
@@ -3781,7 +4039,7 @@ def metadata_aggregate(
             "files": 0,
             "snapshot_id": man["snapshot_id"],
         }
-    if not stats or not rows_block:
+    if not stats or not _stats_covered(stats):
         raise ValueError(
             "metadata_aggregate: no per-file stats/row counts in the "
             "manifest — run analyze_table (or commit once) to record "
@@ -3797,14 +4055,25 @@ def metadata_aggregate(
             "standard generation layout — stats cannot prove "
             "coverage; use a real query"
         )
-    live = _live_stat_files(man)
-    covered_gens = set(stats.get("gens") or {}) & set(rows_block)
-    if not _live_gens(man["entries"]) <= covered_gens:
+    covered_gens = _stats_covered(stats)
+    live_gen_set = _live_gens(man["entries"])
+    if not live_gen_set <= covered_gens:
         raise ValueError(
             "metadata_aggregate: generations without recorded stats "
-            f"{sorted(_live_gens(man['entries']) - covered_gens)!r} — "
+            f"{sorted(live_gen_set - covered_gens)!r} — "
             "run analyze_table"
         )
+    # Load every LIVE generation's stats — for sidecar layouts this
+    # is the one place that reads them all (COUNT(*) needs every
+    # file's row count); each is a small cached JSON, and the
+    # manifest parse itself stayed O(#generations).
+    loaded = {
+        g: _load_gen_stats(
+            spark, table_dir, stats, g, man.get("rename_log")
+        )
+        for g in sorted(live_gen_set)
+    }
+    live = _live_stat_files(man, {g: fr[0] for g, fr in loaded.items()})
 
     int_heads = {"tinyint", "smallint", "int", "bigint"}
 
@@ -3848,10 +4117,10 @@ def metadata_aggregate(
     total = 0
     mins: dict[str, object] = {c: None for c in cols}
     maxs: dict[str, object] = {c: None for c in cols}
-    gens = stats["gens"]
     for g, file_rel in live:
-        nr = rows_block.get(g, {}).get(file_rel)
-        per_col = gens.get(g, {}).get(file_rel)
+        gen_files, gen_rows = loaded[g]
+        nr = (gen_rows or {}).get(file_rel)
+        per_col = (gen_files or {}).get(file_rel)
         if nr is None or per_col is None:
             raise ValueError(
                 f"metadata_aggregate: live file {file_rel!r} has no "
@@ -3975,7 +4244,7 @@ def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
         if rel.startswith(f"{_DATA_DIR}/")
     }
     stats = man.get("stats") or {}
-    covered = len(set(stats.get("gens") or {}) & gens)
+    covered = len(_stats_covered(stats) & gens)
     row = (
         table_dir,
         int(man["snapshot_id"]),
@@ -4526,6 +4795,7 @@ def vacuum_snapshots(
     live_gens = set()
     live_deletes = set()
     live_cdf = set()
+    live_sidecars = set()
     def _mark_live(man: dict) -> None:
         for rel in man["entries"].values():
             parts = rel.split("/")
@@ -4535,6 +4805,10 @@ def vacuum_snapshots(
             live_deletes.add(rel.split("/")[1])
         if man.get("cdf"):
             live_cdf.add(man["cdf"].split("/")[1])
+        for rel in (
+            (man.get("stats") or {}).get("sidecars") or {}
+        ).values():
+            live_sidecars.add(rel.rsplit("/", 1)[-1])
 
     for man in {
         **_read_manifests(
@@ -4658,6 +4932,23 @@ def vacuum_snapshots(
                     continue
             fs.delete(st.getPath(), True)
             removed_cdf.append(name)
+    removed_sidecars = []
+    stdir = f"{table_dir}/{_STATS_SIDE_DIR}"
+    fs, stpath = hadoop_fs(spark, stdir)
+    if fs.exists(stpath):
+        for st in fs.listStatus(stpath):
+            name = st.getPath().getName()
+            if st.isDirectory() or name in live_sidecars:
+                continue
+            # A sidecar is written BEFORE the manifest that references
+            # it — a fresh unreferenced file may belong to a committer
+            # mid claim->commit window. The staging TTL that protects
+            # in-flight generations protects these too; older
+            # unreferenced ones are crash/retry orphans.
+            if st.getModificationTime() >= stale_cutoff:
+                continue
+            fs.delete(st.getPath(), False)
+            removed_sidecars.append(name)
     removed_staging = []
     sdir = f"{table_dir}/_staging"
     fs, spath = hadoop_fs(spark, sdir)
@@ -4671,5 +4962,6 @@ def vacuum_snapshots(
         "removed_generations": removed,
         "removed_delete_vectors": removed_dv,
         "removed_cdf": removed_cdf,
+        "removed_stat_sidecars": removed_sidecars,
         "removed_staging": removed_staging,
     }

