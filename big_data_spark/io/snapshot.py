@@ -264,6 +264,8 @@ def _write_stats_sidecar(
     files: dict[str, dict],
     rows: dict[str, int] | None,
     names_at: int,
+    sums: dict[str, dict] | None = None,
+    nonnull: dict[str, dict] | None = None,
 ) -> str:
     """Persist one generation's per-file stats as an immutable sidecar
     under ``_manifests/stats/`` and return its table-relative path.
@@ -280,10 +282,18 @@ def _write_stats_sidecar(
     returns — a crash mid-write leaves an unreferenced orphan that
     vacuum reclaims, never a torn live file."""
     rel = f"{_STATS_SIDE_DIR}/{gen}-{uuid.uuid4().hex}.json"
-    body = json.dumps(
-        {"gen": gen, "files": files, "rows": rows, "names_at": names_at},
-        sort_keys=True,
-    )
+    doc = {
+        "gen": gen,
+        "files": files,
+        "rows": rows,
+        "names_at": names_at,
+        # Per-file exact integer sums + non-null counts (round-12
+        # directive #8): None = never recorded (legacy migration —
+        # ANALYZE re-sweeps), {} = swept with no sum-capable columns.
+        "sums": sums,
+        "nonnull": nonnull,
+    }
+    body = json.dumps(doc, sort_keys=True)
     fs, dpath = hadoop_fs(spark, f"{table_dir}/{_STATS_SIDE_DIR}")
     fs.mkdirs(dpath)
     _, fpath = hadoop_fs(spark, f"{table_dir}/{rel}")
@@ -295,11 +305,7 @@ def _write_stats_sidecar(
     with _SIDECAR_CACHE_LOCK:
         if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
             _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
-        _SIDECAR_CACHE[(table_dir, rel)] = {
-            "files": files,
-            "rows": rows,
-            "names_at": names_at,
-        }
+        _SIDECAR_CACHE[(table_dir, rel)] = doc
     return rel
 
 
@@ -375,27 +381,49 @@ def _load_gen_stats(
     stats: dict | None,
     gen: str,
     rename_log: list | None = None,
-) -> tuple[dict | None, dict | None]:
-    """One generation's ``({file_rel: {col: stat}}, {file_rel: rows})``
-    from the stats block — LAZILY: sidecar layouts read one small JSON
-    (cached) only when a query actually needs this generation, inline
-    layouts return the embedded dicts. ``(None, None)`` = uncovered.
-    The second element is None when row counts were never recorded
-    (aggregates refuse; pruning is unaffected)."""
+) -> dict | None:
+    """One generation's recorded stats from the stats block — LAZILY:
+    sidecar layouts read one small JSON (cached) only when a query
+    actually needs this generation, inline layouts return the
+    embedded dicts. None = uncovered; otherwise a dict with:
+
+    - ``files``: {file_rel: {col: [min,max] | "allnull" | None}}
+    - ``rows``:  {file_rel: n_rows}, or None if never recorded
+    - ``sums``:  {file_rel: {col: exact-int-string | None}} for the
+      INTEGER stat columns (round 12), or None if never recorded
+    - ``nonnull``: {file_rel: {col: non-null count}}, paired with
+      ``sums``
+
+    Column keys in every per-file dict are replayed through the
+    evolution events committed after the sidecar's names_at stamp."""
     side = (stats or {}).get("sidecars") or {}
     if gen in side:
         doc = _read_sidecar(spark, table_dir, side[gen])
-        files = _replay_sidecar_names(
-            doc.get("files") or {},
-            rename_log,
-            int(doc.get("names_at") or 0),
-        )
-        return files, doc.get("rows")
+        at = int(doc.get("names_at") or 0)
+
+        def rp(block):
+            return (
+                None
+                if block is None
+                else _replay_sidecar_names(block, rename_log, at)
+            )
+
+        return {
+            "files": rp(doc.get("files") or {}),
+            "rows": doc.get("rows"),
+            "sums": rp(doc.get("sums")),
+            "nonnull": rp(doc.get("nonnull")),
+        }
     inline = (stats or {}).get("gens") or {}
     if gen in inline:
         rows_block = (stats or {}).get("rows") or {}
-        return inline[gen], rows_block.get(gen)
-    return None, None
+        return {
+            "files": inline[gen],
+            "rows": rows_block.get(gen),
+            "sums": None,  # inline layout predates sum recording
+            "nonnull": None,
+        }
+    return None
 
 
 def load_generation_stats(
@@ -406,13 +434,16 @@ def load_generation_stats(
     for ``gen``, resolved through sidecars or the legacy inline
     layout. Tools and tests use this instead of reaching into the
     manifest dict, so the storage layout can evolve freely."""
-    return _load_gen_stats(
+    doc = _load_gen_stats(
         spark,
         table_dir,
         man.get("stats"),
         gen,
         rename_log=man.get("rename_log"),
     )
+    if doc is None:
+        return None, None
+    return doc["files"], doc["rows"]
 
 
 _TAGS_DIR = "_tags"
@@ -1706,6 +1737,144 @@ def _sweep_generation_stats(
     return out, nrows
 
 
+_SUM_INT_HEADS = ("tinyint", "smallint", "int", "bigint")
+
+
+def _sum_columns(
+    columns: list[str], schema_fields: list[dict] | None
+) -> list[str]:
+    """The stats columns metadata SUM/AVG covers: INTEGER types only
+    (round 12). Exactness is the contract — integer sums fold in
+    unbounded Python ints; float/double sums are order-dependent in
+    Spark itself and decimals are already refused by the stats
+    fold — so non-integer columns simply never record sums."""
+    types = {f["name"]: f["type"] for f in schema_fields or []}
+    return [
+        c
+        for c in columns
+        if types.get(c, "").split("(")[0].strip().lower()
+        in _SUM_INT_HEADS
+    ]
+
+
+def _sweep_generation_sums(
+    spark: SparkSession,
+    table_dir: str,
+    gen_rel: str,
+    sum_cols: list[str],
+    rename_log: list | None = None,
+) -> tuple[dict[str, dict], dict[str, dict]]:
+    """Per-FILE exact column sums + non-null counts for the INTEGER
+    stat columns of one just-written generation —
+    ``({file_rel: {col: sum_str | None}}, {file_rel: {col: n}})``.
+    Parquet footers carry no sums, so this is the one stats sweep
+    that reads DATA — column-pruned to the integer stat columns of
+    the NEW generation only, once, at commit time (round-12 directive
+    #8; Delta records per-file sums the same way at write time).
+    Sums accumulate as decimal(38,0) (exact; an overflowing file
+    records None and the aggregate refuses); a file's all-null column
+    records (None, 0) — zero non-null rows, distinguishable from
+    overflow by the count. Columns a generation physically lacks
+    (pre-evolution) are simply unrecorded — the aggregate omits or
+    refuses, never guesses."""
+    gen_dir = f"{table_dir}/{gen_rel}"
+    fs, gp = hadoop_fs(spark, gen_dir)
+    if not fs.exists(gp) or not sum_cols:
+        return {}, {}
+    files: list[str] = []
+    it = fs.listFiles(gp, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        files.append(st.getPath().toString())
+    if not files:
+        return {}, {}
+    prefix = bare_path(f"{table_dir}/").rstrip("/") + "/"
+
+    def _rel(uri: str) -> str:
+        b = bare_path(uri)
+        return b[len(prefix):] if b.startswith(prefix) else uri
+
+    gen_id = _gen_id_of(gen_rel)
+    if rename_log:
+        from big_data_spark.io.stats import _physical_name
+
+        phys = {
+            c: _physical_name(c, [list(e) for e in rename_log], gen_id)
+            for c in sum_cols
+        }
+    else:
+        phys = {c: c for c in sum_cols}
+    phys = {c: p for c, p in phys.items() if p is not None}
+    if not phys:
+        return {}, {}
+    sums: dict[str, dict] = {}
+    nnn: dict[str, dict] = {}
+    local = (fs.getUri().getScheme() or "file") == "file"
+    if local and len(files) <= _LOCAL_SWEEP_MAX_FILES:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for f in files:
+            rel = _rel(f)
+            sums[rel] = {}
+            nnn[rel] = {}
+            pqf = pq.ParquetFile(bare_path(f))
+            names = set(pqf.schema_arrow.names)
+            want = [p for p in phys.values() if p in names]
+            if not want or pqf.metadata.num_rows == 0:
+                continue
+            tbl = pq.read_table(bare_path(f), columns=want)
+            for c, p in phys.items():
+                if p not in names:
+                    continue
+                col = tbl.column(p)
+                n = len(col) - col.null_count
+                nnn[rel][c] = int(n)
+                if n == 0:
+                    sums[rel][c] = None  # all-null: contributes nothing
+                    continue
+                s = pc.sum(col.cast(pa.decimal128(38, 0))).as_py()
+                sums[rel][c] = str(int(s))
+        return sums, nnn
+    df = spark.read.parquet(gen_dir)
+    present = {c: p for c, p in phys.items() if p in df.columns}
+    if not present:
+        return {}, {}
+    aggs = []
+    for c, p in present.items():
+        aggs.append(
+            F.sum(F.col(p).cast("decimal(38,0)")).alias(f"__s_{c}")
+        )
+        aggs.append(F.count(F.col(p)).alias(f"__n_{c}"))
+    rows = (
+        df.groupBy(F.col("_metadata.file_path").alias("__f"))
+        .agg(*aggs)
+        .collect()
+    )
+    for r in rows:
+        rel = _rel(r["__f"])
+        per_s = sums.setdefault(rel, {})
+        per_n = nnn.setdefault(rel, {})
+        for c in present:
+            n = int(r[f"__n_{c}"] or 0)
+            per_n[c] = n
+            s = r[f"__s_{c}"]
+            # decimal(38,0) overflow folds to NULL with n > 0 —
+            # recorded as None so the aggregate refuses, never wraps.
+            per_s[c] = None if (s is None or n == 0) else str(int(s))
+    # Empty part files (0 rows) emit no groupBy row: record them
+    # explicitly so coverage checks see the generation as complete.
+    for f in files:
+        rel = _rel(f)
+        sums.setdefault(rel, {})
+        nnn.setdefault(rel, {})
+    return sums, nnn
+
+
 def _auto_commit_stats(
     spark: SparkSession,
     table_dir: str,
@@ -1763,28 +1932,46 @@ def _auto_commit_stats(
         return None
     prev_rows = (prev_stats or {}).get("rows") or {}
     names_at = _rlog_max_id(rename_log)
+    sum_cols = _sum_columns(columns, schema_fields)
     out_side: dict[str, str] = {}
     carried = False
+
+    def sweep(g: str) -> str:
+        files, nrows = _sweep_generation_stats(
+            spark,
+            table_dir,
+            f"{_DATA_DIR}/{g}",
+            columns,
+            rename_log=rename_log,
+        )
+        sums, nnn = (
+            _sweep_generation_sums(
+                spark,
+                table_dir,
+                f"{_DATA_DIR}/{g}",
+                sum_cols,
+                rename_log=rename_log,
+            )
+            if sum_cols and files
+            else ({}, {})
+        )
+        return _write_stats_sidecar(
+            spark, table_dir, g, files, nrows, names_at,
+            sums=sums, nonnull=nnn,
+        )
+
     for g in gens:
         if g in prev_side:
             if backfill_rows:
-                # ANALYZE closes row-count gaps: a sidecar migrated
-                # from a rows-less legacy block records rows=None —
-                # load it (cached, one small JSON) and re-sweep if so.
-                _, rows = _load_gen_stats(
-                    spark, table_dir, prev_stats, g
-                )
-                if rows is None:
-                    files, nrows = _sweep_generation_stats(
-                        spark,
-                        table_dir,
-                        f"{_DATA_DIR}/{g}",
-                        columns,
-                        rename_log=rename_log,
-                    )
-                    out_side[g] = _write_stats_sidecar(
-                        spark, table_dir, g, files, nrows, names_at
-                    )
+                # ANALYZE closes recording gaps: a sidecar migrated
+                # from a legacy block records rows=None (and sidecars
+                # from before sum recording carry sums=None) — load
+                # it (cached, one small JSON) and re-sweep if so.
+                doc = _load_gen_stats(spark, table_dir, prev_stats, g)
+                if doc is None or doc["rows"] is None or (
+                    sum_cols and doc["sums"] is None
+                ):
+                    out_side[g] = sweep(g)
                     continue
             # Ordinary commits carry covered generations by PATH —
             # O(1) per generation, nothing loaded, never a surprise
@@ -1793,8 +1980,9 @@ def _auto_commit_stats(
             carried = True
         elif g in prev_gens and (g in prev_rows or not backfill_rows):
             # Inline legacy block: migrate this generation's embedded
-            # dicts into a sidecar once (rows=None marks genuinely
-            # unrecorded counts for analyze_table to backfill).
+            # dicts into a sidecar once (rows=None / sums=None mark
+            # genuinely unrecorded data for analyze_table to
+            # backfill).
             out_side[g] = _write_stats_sidecar(
                 spark,
                 table_dir,
@@ -1805,16 +1993,7 @@ def _auto_commit_stats(
             )
             carried = True
         else:
-            files, nrows = _sweep_generation_stats(
-                spark,
-                table_dir,
-                f"{_DATA_DIR}/{g}",
-                columns,
-                rename_log=rename_log,
-            )
-            out_side[g] = _write_stats_sidecar(
-                spark, table_dir, g, files, nrows, names_at
-            )
+            out_side[g] = sweep(g)
     # "v": 2 marks values normalized to the round-11 canonical typed
     # forms (io/stats.norm_stat_value) — the read path applies typed
     # (string/date/timestamp) compares ONLY to v2 blocks; a block
@@ -2247,10 +2426,11 @@ def read_entries(
         # the two can never drift.
         for g, rels_here in rels_by_gen.items():
             owner_cache: dict[str, str | None] = {}
-            gen_files, _ = _load_gen_stats(
+            gen_doc = _load_gen_stats(
                 spark, table_dir, stats, g, rename_log
             )
-            for file_rel, per_col in (gen_files or {}).items():
+            gen_files = (gen_doc or {}).get("files") or {}
+            for file_rel, per_col in gen_files.items():
                 owner = _owning_entry_rel(file_rel, rels_here, owner_cache)
                 if owner is None:
                     continue  # dead leaf of a partially-live generation
@@ -3517,9 +3697,16 @@ def analyze_table(
         # explicit gap-closer, so O(live generations) loads here are
         # its job, never the ordinary commit path's.
         covered_before = 0
+        need_sums = bool(
+            _sum_columns(prev_stats["columns"], man.get("schema"))
+        )
         for g in set(_stats_covered(prev_stats)) & set(live_gens):
-            _, rows = _load_gen_stats(spark, table_dir, prev_stats, g)
-            if rows is not None:
+            doc = _load_gen_stats(spark, table_dir, prev_stats, g)
+            if (
+                doc is not None
+                and doc["rows"] is not None
+                and (not need_sums or doc["sums"] is not None)
+            ):
                 covered_before += 1
     # A live generation still covered INLINE (round-11 layout) makes
     # ANALYZE worth a commit even when fully covered: the commit
@@ -3950,14 +4137,31 @@ def metadata_aggregate(
     spark: SparkSession,
     table_dir: str,
     columns: list[str] | None = None,
+    require_sums: bool = False,
 ) -> dict:
-    """COUNT(*) and per-column MIN/MAX answered from the manifest
-    plus its per-generation stats sidecars — zero data reads, zero
-    footer opens (round 11; the Iceberg/Delta metadata-aggregate
-    trick). Returns
+    """COUNT(*), per-column MIN/MAX, and (round 12) SUM/AVG for
+    integer columns, answered from the manifest plus its
+    per-generation stats sidecars — zero data reads, zero footer
+    opens (the Iceberg/Delta metadata-aggregate trick). Returns
     ``{"rows": N, "min": {col: value}, "max": {col: value},
-    "files": n, "snapshot_id": id}`` with values parsed back to
-    Python types per the committed schema kind.
+    "sum": {col: int|None}, "avg": {col: float|None},
+    "nonnull": {col: n}, "files": n, "snapshot_id": id}`` with values
+    parsed back to Python types per the committed schema kind.
+
+    SUM/AVG cover only columns whose CURRENT committed type is an
+    integer kind (exact unbounded-int folding; float sums are
+    order-dependent in Spark itself and decimals are refused
+    upstream). A column appears in ``sum``/``avg``/``nonnull`` only
+    when every live file recorded sums (tables written before round
+    12 have not — ``analyze_table`` backfills); with
+    ``require_sums=True`` a requested integer column lacking coverage
+    raises instead of being omitted. A per-file decimal(38,0)
+    overflow at sweep time, or a fold total at/beyond 2^63 (where the
+    real query's bigint SUM itself overflows), always raises —
+    exactness over availability. SUM of an all-NULL column is None
+    (SQL semantics); ``avg`` is the exact integer sum divided once in
+    float — identical to Spark for totals inside 2^53, and within one
+    ulp of Spark's double accumulation beyond it.
 
     REFUSES (ValueError) whenever metadata cannot answer EXACTLY —
     callers fall back to the real query:
@@ -4031,11 +4235,20 @@ def metadata_aggregate(
                 "analyze_table to upgrade"
             )
         kinds[c] = k
+    int_cols = [
+        c
+        for c in cols
+        if types.get(c, "").split("(")[0].strip().lower()
+        in _SUM_INT_HEADS
+    ]
     if not man["entries"]:
         return {
             "rows": 0,
             "min": {c: None for c in cols},
             "max": {c: None for c in cols},
+            "sum": {c: None for c in int_cols},
+            "avg": {c: None for c in int_cols},
+            "nonnull": {c: 0 for c in int_cols},
             "files": 0,
             "snapshot_id": man["snapshot_id"],
         }
@@ -4073,7 +4286,9 @@ def metadata_aggregate(
         )
         for g in sorted(live_gen_set)
     }
-    live = _live_stat_files(man, {g: fr[0] for g, fr in loaded.items()})
+    live = _live_stat_files(
+        man, {g: (doc or {}).get("files") or {} for g, doc in loaded.items()}
+    )
 
     int_heads = {"tinyint", "smallint", "int", "bigint"}
 
@@ -4118,9 +4333,9 @@ def metadata_aggregate(
     mins: dict[str, object] = {c: None for c in cols}
     maxs: dict[str, object] = {c: None for c in cols}
     for g, file_rel in live:
-        gen_files, gen_rows = loaded[g]
-        nr = (gen_rows or {}).get(file_rel)
-        per_col = (gen_files or {}).get(file_rel)
+        doc = loaded[g]
+        nr = (doc["rows"] or {}).get(file_rel)
+        per_col = (doc["files"] or {}).get(file_rel)
         if nr is None or per_col is None:
             raise ValueError(
                 f"metadata_aggregate: live file {file_rel!r} has no "
@@ -4145,10 +4360,73 @@ def metadata_aggregate(
                 mins[c] = lo
             if maxs[c] is None or hi > maxs[c]:
                 maxs[c] = hi
+    # SUM/AVG fold (round 12): exact Python-int accumulation over the
+    # per-file decimal sums; a column is answered only when EVERY
+    # live file recorded it.
+    sums_out: dict[str, object] = {}
+    avg_out: dict[str, object] = {}
+    nnn_out: dict[str, int] = {}
+    for c in int_cols:
+        tot = 0
+        n_tot = 0
+        covered = True
+        for g, file_rel in live:
+            doc = loaded[g]
+            nr = (doc["rows"] or {}).get(file_rel)
+            if nr is not None and int(nr) == 0:
+                continue  # empty file: contributes nothing
+            per_s = doc["sums"]
+            per_n = doc["nonnull"]
+            if (
+                per_s is None
+                or per_n is None
+                or c not in per_s.get(file_rel, {})
+                or c not in per_n.get(file_rel, {})
+            ):
+                covered = False  # sums never recorded for this file
+                break
+            n = int(per_n[file_rel][c])
+            s = per_s[file_rel][c]
+            if n == 0:
+                continue  # all-null column in this file
+            if s is None:
+                raise ValueError(
+                    f"metadata_aggregate: {c!r} overflowed the exact "
+                    f"sum range in file {file_rel!r} at sweep time — "
+                    "use a real query"
+                )
+            tot += int(s)
+            n_tot += n
+        if not covered:
+            if require_sums:
+                raise ValueError(
+                    f"metadata_aggregate: {c!r} has live files without "
+                    "recorded sums (table written before sum "
+                    "recording) — run analyze_table"
+                )
+            continue  # omitted: metadata cannot answer this column
+        if n_tot == 0:
+            sums_out[c] = None  # SQL SUM/AVG over all NULLs
+            avg_out[c] = None
+            nnn_out[c] = 0
+            continue
+        if abs(tot) >= 2**63:
+            # The real query's bigint SUM would overflow here too —
+            # both sides must go through a wider explicit cast.
+            raise ValueError(
+                f"metadata_aggregate: SUM({c!r}) = {tot} exceeds "
+                "bigint range — use a real query with a decimal cast"
+            )
+        sums_out[c] = tot
+        avg_out[c] = float(tot) / n_tot
+        nnn_out[c] = n_tot
     return {
         "rows": total,
         "min": mins,
         "max": maxs,
+        "sum": sums_out,
+        "avg": avg_out,
+        "nonnull": nnn_out,
         "files": len(live),
         "snapshot_id": man["snapshot_id"],
     }

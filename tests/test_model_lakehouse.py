@@ -875,6 +875,16 @@ def _run_typed_predicate_walk(spark, tmp_path, seed):
             assert got["max"]["k"] == max(ks)
             assert type(got["min"]["k"]) is int
             assert type(got["max"]["k"]) is int
+            # SUM/AVG cross-check (round-12 directive #8): every
+            # table this walk builds is post-sum-recording, so the
+            # integer column must be COVERED, exact, and int-typed.
+            assert got["sum"]["k"] == sum(ks), (
+                f"seed={seed}: metadata SUM {got['sum']} != model "
+                f"{sum(ks)}"
+            )
+            assert type(got["sum"]["k"]) is int
+            assert got["nonnull"]["k"] == len(ks)
+            assert got["avg"]["k"] == float(sum(ks)) / len(ks)
 
     do_append()
     snap_model()

@@ -1005,3 +1005,108 @@ def test_read_changes_predicate_equals_post_filter(spark, tmp_path):
             map(key, want.collect())
         ), pred
         assert got.count() > 0
+
+
+# -------------------------------------- metadata SUM/AVG (round 12)
+
+def test_metadata_sum_avg_matches_real_query(spark, tmp_path):
+    from big_data_spark.io.snapshot import (
+        append_snapshot,
+        metadata_aggregate,
+    )
+
+    df = spark.range(0, 3000).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 7 = 0 THEN CAST(NULL AS INT) "
+        "ELSE CAST(id % 100 AS INT) END AS v",
+        "CAST(id AS DOUBLE) AS f",
+    )
+    t = str(tmp_path / "msum")
+    write_snapshot(df.repartitionByRange(4, "k"), t)
+    append_snapshot(df.limit(500).repartition(2), t)
+    got = metadata_aggregate(spark, t)
+    real = read_snapshot(spark, t).agg(
+        F.sum("k"), F.avg("k"), F.count("k"),
+        F.sum("v"), F.avg("v"), F.count("v"),
+    ).collect()[0]
+    assert got["sum"]["k"] == real[0] and type(got["sum"]["k"]) is int
+    assert got["avg"]["k"] == real[1]
+    assert got["nonnull"]["k"] == real[2]
+    # nullable int column: SUM skips NULLs, AVG divides by COUNT(col)
+    assert got["sum"]["v"] == real[3] and type(got["sum"]["v"]) is int
+    assert got["avg"]["v"] == real[4]
+    assert got["nonnull"]["v"] == real[5] < got["rows"]
+    # double column: sums are integer-only — never recorded, never
+    # returned (Spark's own double SUM is order-dependent).
+    assert "f" not in got["sum"] and "f" not in got["avg"]
+    # but its MIN/MAX still answer
+    assert got["min"]["f"] == 0.0
+
+
+def test_metadata_sum_all_null_column_is_sql_null(spark, tmp_path):
+    from big_data_spark.io.snapshot import metadata_aggregate
+
+    t = str(tmp_path / "msumnull")
+    df = spark.range(10).selectExpr(
+        "id AS k", "CAST(NULL AS BIGINT) AS v"
+    )
+    write_snapshot(df, t)
+    got = metadata_aggregate(spark, t)
+    assert got["sum"]["v"] is None and got["avg"]["v"] is None
+    assert got["nonnull"]["v"] == 0
+    assert got["sum"]["k"] == 45
+
+
+def test_metadata_sum_overflow_refuses(spark, tmp_path):
+    from big_data_spark.io.snapshot import metadata_aggregate
+
+    t = str(tmp_path / "msumovf")
+    # Each value is well inside 2^53 (min/max parse fine) but the
+    # total hits 2^63 — where the real query's bigint SUM overflows.
+    df = spark.range(2048).selectExpr(
+        f"CAST({2**52} AS BIGINT) AS big", "id AS k"
+    )
+    write_snapshot(df.coalesce(2), t)
+    got = metadata_aggregate(spark, t, columns=["k"])
+    assert got["sum"]["k"] == 2048 * 2047 // 2
+    with pytest.raises(ValueError, match="bigint range"):
+        metadata_aggregate(spark, t, columns=["big"])
+
+
+def test_metadata_sum_uncovered_omits_or_refuses(spark, tmp_path):
+    """A sidecar written without sums (legacy migration) leaves the
+    column out of sum/avg by default, raises under require_sums, and
+    ANALYZE backfills by re-sweeping."""
+    from big_data_spark.io.snapshot import (
+        analyze_table,
+        metadata_aggregate,
+    )
+
+    t = str(tmp_path / "msumcov")
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    write_snapshot(df.coalesce(2), t)
+    man = snap.latest_manifest(spark, t)
+    # Strip the sums from the committed sidecar, simulating a table
+    # written before round-12 sum recording.
+    import os
+
+    rel = man["stats"]["sidecars"]["s=0"]
+    p = f"{t}/{rel}"
+    doc = json.loads(open(p).read())
+    doc["sums"] = None
+    doc["nonnull"] = None
+    open(p, "w").write(json.dumps(doc, sort_keys=True))
+    crc = f"{os.path.dirname(p)}/.{os.path.basename(p)}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    snap._SIDECAR_CACHE.clear()  # the write primed the old content
+    got = metadata_aggregate(spark, t)
+    assert got["rows"] == 100  # COUNT and MIN/MAX still answer
+    assert got["min"]["k"] == 0
+    assert "k" not in got["sum"]  # omitted, not guessed
+    with pytest.raises(ValueError, match="analyze_table"):
+        metadata_aggregate(spark, t, require_sums=True)
+    st = analyze_table(spark, t)
+    assert st["covered_generations"] == 1
+    got2 = metadata_aggregate(spark, t, require_sums=True)
+    assert got2["sum"]["k"] == 4950 and got2["sum"]["v"] == 9900
