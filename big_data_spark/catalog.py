@@ -194,9 +194,110 @@ class SnapshotCatalog:
         self.versions = versions
         self.base_dir = base_dir  # roots CTAS without LOCATION
         self.tables: dict[str, str] = {}
+        # Names whose bindings PERSIST in the warehouse registry file
+        # (round-12 directive #2): CREATE TABLE's effect must survive
+        # the session — a SQL user who CTAS'd yesterday finds the
+        # table today by constructing the catalog on the same
+        # base_dir. `register()` stays ad-hoc (session-only) unless
+        # asked to persist.
+        self._persisted: set[str] = set()
+        if base_dir is not None:
+            self._load_registry()
 
-    def register(self, name: str, table_dir: str) -> list[str]:
+    # ----------------------------------------- warehouse registry
+
+    def _registry_path(self) -> str:
+        return f"{self.base_dir.rstrip('/')}/_catalog.json"
+
+    def _load_registry(self) -> None:
+        """Bind (and register views for) every table the warehouse
+        registry file records. A recorded dir that is missing or has
+        no committed snapshots keeps its BINDING (so DROP TABLE can
+        still clean it up) but registers no views — loud on first
+        SELECT rather than silently unlisted."""
+        from big_data_spark.io.compact import hadoop_fs
+        from big_data_spark.io.snapshot import _read_json
+
+        fs, p = hadoop_fs(self.spark, self._registry_path())
+        if not fs.exists(p):
+            return
+        doc = _read_json(self.spark, self._registry_path())
+        for name, table_dir in sorted(
+            (doc.get("tables") or {}).items()
+        ):
+            self.tables[name] = table_dir
+            self._persisted.add(name)
+            try:
+                register_snapshot_views(
+                    self.spark, table_dir, name, versions=self.versions
+                )
+            except ValueError:
+                pass  # no commits yet / dir gone: binding kept
+
+    def _save_registry(self) -> None:
+        """Write the persisted bindings atomically (write-temp +
+        rename, the tag-pin pattern): at every instant the registry
+        file is either the old complete document or the new one.
+        Concurrent catalogs on one warehouse are last-writer-wins on
+        the WHOLE file — the table dirs themselves stay the source of
+        truth (CTAS claims dirs, DROP deletes them); the registry is
+        the name->dir binding layer."""
+        import json as _json
+        import uuid as _uuid
+
+        from big_data_spark.io.compact import hadoop_fs
+        from big_data_spark.io.snapshot import _atomic_overwrite_local
+
+        body = _json.dumps(
+            {
+                "v": 1,
+                "tables": {
+                    n: self.tables[n]
+                    for n in sorted(self._persisted)
+                    if n in self.tables
+                },
+            },
+            sort_keys=True,
+        )
+        base = self.base_dir.rstrip("/")
+        fs, bp = hadoop_fs(self.spark, base)
+        fs.mkdirs(bp)
+        tmp = f"{base}/._catalog-tmp-{_uuid.uuid4().hex}"
+        _, tmp_path = hadoop_fs(self.spark, tmp)
+        out = fs.create(tmp_path, True)
+        try:
+            out.write(bytearray(body.encode("utf-8")))
+        finally:
+            out.close()
+        _, final = hadoop_fs(self.spark, self._registry_path())
+        if (fs.getUri().getScheme() or "file") == "file":
+            _atomic_overwrite_local(
+                self.spark, fs, base, tmp_path, final, "_catalog"
+            )
+        else:
+            # Object stores without overwrite-rename: the documented
+            # delete-then-rename window (same trade as moving a tag).
+            if fs.exists(final):
+                fs.delete(final, False)
+            if not fs.rename(tmp_path, final):
+                fs.delete(tmp_path, False)
+                raise OSError(
+                    f"could not publish catalog registry at "
+                    f"{self._registry_path()!r}"
+                )
+
+    def register(
+        self, name: str, table_dir: str, persist: bool = False
+    ) -> list[str]:
         self.tables[name] = table_dir
+        if persist:
+            if self.base_dir is None:
+                raise ValueError(
+                    "register(persist=True) needs a catalog "
+                    "constructed with base_dir="
+                )
+            self._persisted.add(name)
+            self._save_registry()
         return register_snapshot_views(
             self.spark, table_dir, name, versions=self.versions
         )
@@ -254,7 +355,20 @@ class SnapshotCatalog:
         if st is not None:
             if st.get("statement_type") == "DROP TABLE":
                 self._drop_views(st["table"])
+                if self.base_dir is not None and (
+                    st["table"] in self._persisted
+                ):
+                    self._persisted.discard(st["table"])
+                    self._save_registry()
             else:
+                if (
+                    st.get("statement_type") == "CREATE TABLE"
+                    and self.base_dir is not None
+                ):
+                    # CTAS persists: the binding survives the session
+                    # (round-12 directive #2).
+                    self._persisted.add(st["table"])
+                    self._save_registry()
                 # CREATE TABLE registered the name into self.tables
                 # inside the dispatcher; refresh covers both the new
                 # table's first views and every post-DML refresh.

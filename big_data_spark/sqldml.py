@@ -755,6 +755,18 @@ def _execute_drop(
 
     name = m.group(2)
     table_dir = tables[name]
+    fs, root_probe = hadoop_fs(spark, table_dir)
+    if not fs.exists(root_probe):
+        # The dir is already gone (removed out-of-band): DROP still
+        # releases the binding — a persistent-registry entry must not
+        # become permanently un-droppable (round 12).
+        del tables[name]
+        return {
+            "statement_type": "DROP TABLE",
+            "table": name,
+            "table_dir": table_dir,
+            "dropped": False,
+        }
     fs, mp = hadoop_fs(spark, f"{table_dir}/_manifests")
     if not fs.exists(mp):
         raise ValueError(

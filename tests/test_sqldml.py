@@ -722,3 +722,76 @@ def test_show_partitions_unregistered_passes_through(spark):
     spark.range(3).createOrReplaceTempView("showp_view")
     with pytest.raises(Exception):
         c.sql("SHOW PARTITIONS showp_view")
+
+
+# -------------------------------------- persistent catalog (round 12)
+
+def test_persistent_catalog_survives_sessions(spark, tmp_path):
+    """Round-12 directive #2 done-criterion: CTAS in one
+    catalog/session, SELECT + DROP in a FRESH one — the warehouse
+    registry file (base_dir/_catalog.json) carries the binding."""
+    import os
+
+    base = str(tmp_path / "wh")
+    cat1 = SnapshotCatalog(spark, base_dir=base)
+    st = cat1.sql(
+        "CREATE TABLE pt AS SELECT id AS k, id * 2 AS v FROM range(100)"
+    )
+    assert st["statement_type"] == "CREATE TABLE" and st["rows"] == 100
+    assert os.path.exists(f"{base}/_catalog.json")
+
+    s2 = spark.newSession()
+    cat2 = SnapshotCatalog(s2, base_dir=base)
+    assert cat2.tables["pt"] == f"{base}/pt"
+    got = cat2.sql("SELECT count(*) AS n FROM pt").collect()[0]["n"]
+    assert got == 100
+    st2 = cat2.sql("DROP TABLE pt")
+    assert st2["dropped"] is True
+
+    cat3 = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert "pt" not in cat3.tables
+    assert not os.path.isdir(f"{base}/pt")
+
+
+def test_register_is_session_only_unless_persisted(spark, tmp_path):
+    import os
+
+    base = str(tmp_path / "wh2")
+    t = str(tmp_path / "ext")
+    append_snapshot(
+        spark.range(5).selectExpr("id AS k", "id * 1.0 AS v"), t
+    )
+    cat = SnapshotCatalog(spark, base_dir=base)
+    cat.register("adhoc", t)  # session-only by default
+    fresh = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert "adhoc" not in fresh.tables
+    cat.register("pinned", t, persist=True)
+    fresh2 = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert fresh2.tables["pinned"] == t
+    assert (
+        fresh2.sql("SELECT count(*) AS n FROM pinned").collect()[0]["n"]
+        == 5
+    )
+    # persist without a base_dir refuses loudly
+    nocat = SnapshotCatalog(spark)
+    with pytest.raises(ValueError, match="base_dir"):
+        nocat.register("x", t, persist=True)
+    assert os.path.exists(f"{base}/_catalog.json")
+
+
+def test_persistent_catalog_tolerates_vanished_dir(spark, tmp_path):
+    """A registry entry whose dir was removed out-of-band still loads
+    (binding kept, no views) and DROP releases it instead of wedging
+    the registry forever."""
+    import shutil
+
+    base = str(tmp_path / "wh3")
+    cat = SnapshotCatalog(spark, base_dir=base)
+    cat.sql("CREATE TABLE ghost AS SELECT id FROM range(3)")
+    shutil.rmtree(f"{base}/ghost")
+    cat2 = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert "ghost" in cat2.tables  # binding survives, loudly broken
+    st = cat2.sql("DROP TABLE ghost")
+    assert st["dropped"] is False  # nothing to delete; binding freed
+    cat3 = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert "ghost" not in cat3.tables
