@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from big_data_spark.io.readers import parallelize_small_scan, read_table
 from big_data_spark.lineage import truncate_lineage
+from big_data_spark.queries.relational import fixture_dir
 from big_data_spark.session import ensure_executor_package
 
 # Shared tokenizer fragment (Spark) — keep in lockstep with _SQL_TOKENS.
@@ -703,8 +704,7 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_neardup_clusters,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    idx = os.path.join(tempfile.gettempdir(), f"bds_ndinc_{tag}")
+    idx = fixture_dir("bds_ndinc", sf_dir)
     shutil.rmtree(idx, ignore_errors=True)
     docs = _docs(spark, sf_dir)
     for b in range(3):
@@ -1904,8 +1904,7 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_semdedup_prune,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    idx = os.path.join(tempfile.gettempdir(), f"bds_sdinc_{tag}")
+    idx = fixture_dir("bds_sdinc", sf_dir)
     shutil.rmtree(idx, ignore_errors=True)
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     for b in range(3):

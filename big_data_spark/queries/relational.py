@@ -30,6 +30,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def fixture_dir(prefix: str, sf_dir: str) -> str:
+    """Scratch dir for a SELF-FIXTURING query (the snapshot-table
+    rows build a small table under /tmp, then query it). Keyed by
+    (prefix, sf_dir, PROCESS): the per-process component means two
+    concurrent harnesses at the same sf — a gate_sim next to a bench
+    — can never shutil.rmtree each other's fixture mid-read (round-12
+    directive #6). ``BDS_FIXTURE_SUFFIX`` overrides the pid for
+    runners that want a stable, resumable location."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    suffix = os.environ.get("BDS_FIXTURE_SUFFIX") or str(os.getpid())
+    return os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{tag}_{suffix}"
+    )
+
+
 # --------------------------------------------------------------------
 # Aggregations over a single fact table (SURVEY §2.4 A1-A12, §2.6 O1)
 # --------------------------------------------------------------------
@@ -2443,8 +2462,7 @@ def q_sql_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_spark.catalog import SnapshotCatalog
     from big_data_spark.io.snapshot import read_manifest, write_snapshot
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tdir = os.path.join(tempfile.gettempdir(), f"bds_sqlsnap_{tag}")
+    tdir = fixture_dir("bds_sqlsnap", sf_dir)
     shutil.rmtree(tdir, ignore_errors=True)
     base = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
     price = F.col("o_totalprice").cast("decimal(18,2)")
@@ -2493,8 +2511,7 @@ def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tdir = os.path.join(tempfile.gettempdir(), f"bds_feed_{tag}")
+    tdir = fixture_dir("bds_feed", sf_dir)
     shutil.rmtree(tdir, ignore_errors=True)
     price = F.col("o_totalprice").cast("decimal(18,2)")
     base = _t(spark, sf_dir, "orders").select(
@@ -2580,8 +2597,7 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot_partial,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tdir = os.path.join(tempfile.gettempdir(), f"bds_pprune_{tag}")
+    tdir = fixture_dir("bds_pprune", sf_dir)
     shutil.rmtree(tdir, ignore_errors=True)
     price = F.col("o_totalprice").cast("decimal(18,2)")
     base = _t(spark, sf_dir, "orders").select(
@@ -2665,8 +2681,7 @@ def q_typed_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from big_data_spark.io.snapshot import read_snapshot, write_snapshot
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tdir = os.path.join(tempfile.gettempdir(), f"bds_tprune_{tag}")
+    tdir = fixture_dir("bds_tprune", sf_dir)
     shutil.rmtree(tdir, ignore_errors=True)
     # read_table canonicalizes events.ts to epoch-NANOSECOND longs;
     # rebuild the real timestamp column (exact: the generator writes
@@ -2741,8 +2756,7 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from big_data_spark.io.snapshot import write_snapshot
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tdir = os.path.join(tempfile.gettempdir(), f"bds_point_{tag}")
+    tdir = fixture_dir("bds_point", sf_dir)
     shutil.rmtree(tdir, ignore_errors=True)
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -2788,8 +2802,7 @@ def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_snapshot,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tdir = os.path.join(tempfile.gettempdir(), f"bds_del_{tag}")
+    tdir = fixture_dir("bds_del", sf_dir)
     shutil.rmtree(tdir, ignore_errors=True)
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -2866,8 +2879,7 @@ def q_snapshot_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_where,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tdir = os.path.join(tempfile.gettempdir(), f"bds_ucdf_{tag}")
+    tdir = fixture_dir("bds_ucdf", sf_dir)
     shutil.rmtree(tdir, ignore_errors=True)
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -2932,9 +2944,8 @@ def q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_spark.catalog import SnapshotCatalog
     from big_data_spark.io.snapshot import append_snapshot, read_snapshot
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    name = f"bds_dml_{tag}"
-    tdir = os.path.join(tempfile.gettempdir(), name)
+    tdir = fixture_dir("bds_dml", sf_dir)
+    name = os.path.basename(tdir)
     shutil.rmtree(tdir, ignore_errors=True)
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -3009,8 +3020,7 @@ def q_snapshot_tag_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag_snapshot,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tdir = os.path.join(tempfile.gettempdir(), f"bds_tag_{tag}")
+    tdir = fixture_dir("bds_tag", sf_dir)
     shutil.rmtree(tdir, ignore_errors=True)
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -3086,8 +3096,7 @@ def q_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_snapshot,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tdir = os.path.join(tempfile.gettempdir(), f"bds_evo_{tag}")
+    tdir = fixture_dir("bds_evo", sf_dir)
     shutil.rmtree(tdir, ignore_errors=True)
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
