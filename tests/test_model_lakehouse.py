@@ -662,11 +662,19 @@ def _concurrent_writer(spark, t, seed, lo, model, errors):
             model.pop(k, None)
 
     def op_maintenance():
+        from big_data_spark.io.snapshot import analyze_table
+
         try:
-            if rng.random() < 0.5:
+            r = rng.random()
+            if r < 0.34:
                 binpack(spark, t, small_bytes=1 << 30)
-            else:
+            elif r < 0.67:
                 fold_deletes(spark, t)
+            else:
+                # ANALYZE racing writers (round-12 directive #7):
+                # losing the commit race must surface as
+                # SnapshotConflict, never a corrupted stats block.
+                analyze_table(spark, t)
         except SnapshotConflict:
             pass  # a peer won the id — maintenance is optional work
 
@@ -900,3 +908,163 @@ def _run_typed_predicate_walk(spark, tmp_path, seed):
 @pytest.mark.parametrize("seed", [11, 42])
 def test_typed_predicate_walk_matches_model(spark, tmp_path, seed):
     _run_typed_predicate_walk(spark, tmp_path, seed)
+
+
+# ---- ANALYZE / CTAS / DROP under concurrency (round-12 directive
+# #7): ANALYZE racing a writer must lose its commit race gracefully
+# (SnapshotConflict, retried — never a corrupt or stale-overwriting
+# stats block), and DROP racing a reader must fail loudly, never
+# return a torn result. ----
+
+
+@pytest.mark.parametrize("seed", [5, 21, 77])
+def test_analyze_races_writer_gracefully(spark, tmp_path, seed):
+    import threading
+
+    import big_data_spark.io.snapshot as snap_mod
+    from big_data_spark.io.snapshot import (
+        SnapshotConflict,
+        analyze_table,
+        append_with_retry,
+        metadata_aggregate,
+    )
+
+    rng = random.Random(seed)
+    t = str(tmp_path / f"anrace_{seed}")
+    # A statless base generation gives ANALYZE real backfill work.
+    orig = snap_mod._auto_commit_stats
+    snap_mod._auto_commit_stats = lambda *a, **k: None
+    try:
+        append_snapshot(
+            spark.createDataFrame(
+                [(0, 0.0), (1, 1.0)], "k long, v double"
+            ),
+            t,
+            snapshot_id=0,
+        )
+    finally:
+        snap_mod._auto_commit_stats = orig
+    model = {0: 0.0, 1: 1.0}
+    errors: list = []
+    analyze_outcomes = {"ok": 0, "lost": 0}
+
+    def writer():
+        next_key = 100
+        try:
+            for _ in range(6):
+                n = rng.randint(3, 8)
+                batch = [
+                    (next_key + i, float(next_key + i)) for i in range(n)
+                ]
+                append_with_retry(
+                    spark.createDataFrame(batch, "k long, v double"),
+                    t,
+                    attempts=30,
+                )
+                model.update(dict(batch))
+                next_key += n
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("writer", exc))
+
+    def analyzer():
+        try:
+            for _ in range(6):
+                try:
+                    analyze_table(spark, t)
+                    analyze_outcomes["ok"] += 1
+                except SnapshotConflict:
+                    analyze_outcomes["lost"] += 1  # graceful loss
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("analyzer", exc))
+
+    threads = [
+        threading.Thread(target=writer),
+        threading.Thread(target=analyzer),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert analyze_outcomes["ok"] + analyze_outcomes["lost"] == 6
+    got = {
+        (r["k"], r["v"]) for r in read_snapshot(spark, t).collect()
+    }
+    assert got == set(model.items()), f"seed={seed}: content diverged"
+    # One quiet ANALYZE closes any remaining gap; the metadata
+    # aggregate then answers exactly — whatever interleaving ran.
+    analyze_table(spark, t)
+    agg = metadata_aggregate(spark, t, columns=["k"])
+    ks = [k for k, _ in model.items()]
+    assert agg["rows"] == len(model)
+    assert agg["min"]["k"] == min(ks) and agg["max"]["k"] == max(ks)
+    assert agg["sum"]["k"] == sum(ks)
+
+
+@pytest.mark.parametrize("seed", [9, 31, 63])
+def test_drop_racing_reader_fails_loudly_never_torn(
+    spark, tmp_path, seed
+):
+    """CREATE/DROP cycles in one thread while a reader hammers the
+    table dir: every read either returns EXACTLY the table's one
+    committed content or raises — a torn/partial result is the one
+    forbidden outcome."""
+    import threading
+
+    from big_data_spark.catalog import SnapshotCatalog
+
+    base = str(tmp_path / f"wh_{seed}")
+    cat = SnapshotCatalog(spark, versions="lazy", base_dir=base)
+    expected = {(i, i * 2) for i in range(40)}
+    tdir = f"{base}/rt"
+    stop = threading.event() if hasattr(threading, "event") else None
+    done = threading.Event()
+    torn: list = []
+    read_counts = {"ok": 0, "raised": 0}
+    errors: list = []
+
+    def cycler():
+        try:
+            for _ in range(5):
+                cat.sql(
+                    "CREATE TABLE rt AS "
+                    "SELECT id AS k, id * 2 AS v FROM range(40)"
+                )
+                cat.sql("DROP TABLE rt")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("cycler", exc))
+        finally:
+            done.set()
+
+    def reader():
+        while not done.is_set():
+            try:
+                got = {
+                    (r["k"], r["v"])
+                    for r in read_snapshot(spark, tdir).collect()
+                }
+            except Exception:  # noqa: BLE001 — loud is the contract
+                read_counts["raised"] += 1
+                continue
+            read_counts["ok"] += 1
+            if got != expected:
+                torn.append(got)
+
+    threads = [
+        threading.Thread(target=cycler),
+        threading.Thread(target=reader),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert not torn, (
+        f"seed={seed}: reader saw a torn result "
+        f"({len(torn)} bad reads, first: {sorted(torn[0])[:5]})"
+    )
+    # the race genuinely exercised both outcomes across the cycles
+    assert read_counts["ok"] + read_counts["raised"] > 0
+    # registry is clean at the end (DROP was last in every cycle)
+    cat2 = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert "rt" not in cat2.tables
