@@ -5017,6 +5017,150 @@ def write_snapshot_partial(
         raise
 
 
+def repartition_table(
+    spark: SparkSession,
+    table_dir: str,
+    partition_by: str | list[str] | None,
+) -> dict:
+    """Partition-SPEC evolution as ONE explicit, atomic maintenance
+    rewrite (round-12 directive #4 — option b, decided over Iceberg's
+    metadata-forward per-generation specs): read the current
+    snapshot, rewrite it hive-partitioned on the NEW column list (or
+    unpartitioned for None), and publish with a single manifest
+    rename carrying the new ``partition_col``.
+
+    Why the rewrite, not metadata-forward: manifests here key ENTRIES
+    by partition value, and partial replaces / WAP / DML reconcile
+    against those keys — generations keyed under two specs at once
+    would make "replace partition (ds=1, region=eu)" ambiguous
+    against an old ds=1 entry that spans every region. Iceberg avoids
+    the rewrite via field-id partition specs per manifest file, at
+    the cost of per-spec split planning and residual-filter
+    complexity on every read. This engine already carries the spec
+    PER MANIFEST, so history is naturally preserved: time travel to
+    pre-change versions reads (and prunes) under their own old spec,
+    with zero read-side reconciliation code. The rewrite cost is
+    explicit, one-shot, and O(table) — the same bill Iceberg defers
+    to its slow path; a 100 TB table pays it as one partitioned
+    distributed write.
+
+    Contract: content is UNCHANGED (the change feed skips the commit
+    — maintenance=True); merge-on-read delete vectors are
+    materialized into the rewrite and cleared; the evolution log is
+    cleared (files are written in current names); stats re-derive for
+    the new layout (recorded columns minus the new partition
+    columns). Concurrent commits during the rewrite lose nothing:
+    the id is derived from the manifest read BEFORE the rewrite, so
+    a racing writer makes this raise SnapshotConflict — retry.
+    Returns {snapshot_id, partition_col, n_entries}."""
+    man = latest_manifest(spark, table_dir)
+    if man is None:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    new_pcols = _pcols(partition_by)
+    cur_pcols = _pcols(man.get("partition_col"))
+    if new_pcols == cur_pcols and not (
+        new_pcols is None and man.get("layout_by")
+    ):
+        raise ValueError(
+            f"repartition_table: table is already partitioned on "
+            f"{cur_pcols!r} — nothing to change"
+        )
+    next_id = man["snapshot_id"] + 1
+    _claim_check(spark, table_dir, next_id)
+    prev_stats = man.get("stats")
+    if prev_stats:
+        stats_columns = [
+            c
+            for c in prev_stats["columns"]
+            if c not in set(new_pcols or [])
+        ] or None
+    else:
+        stats_columns = None
+    if not man["entries"]:
+        # Fully-emptied table: the spec change is pure metadata.
+        commit_manifest(
+            spark,
+            table_dir,
+            next_id,
+            {},
+            partition_col=partition_by,
+            schema_fields=man.get("schema"),
+            maintenance=True,
+            deletes=None,
+            rename_log=None,
+            prev_man=man,
+            stats_columns=stats_columns,
+        )
+        return {
+            "snapshot_id": next_id,
+            "partition_col": new_pcols,
+            "n_entries": 0,
+        }
+    df = read_snapshot(spark, table_dir, as_of=man["snapshot_id"])
+    fields = _schema_fields(df)
+    if new_pcols:
+        missing = [c for c in new_pcols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"repartition_table: partition column(s) {missing} "
+                f"not in the table's columns {df.columns}"
+            )
+        gdir = _stage_and_claim(
+            spark,
+            table_dir,
+            next_id,
+            lambda to: df.write.mode("error")
+            .partitionBy(*new_pcols)
+            .parquet(to),
+        )
+        try:
+            written = (
+                _walk_partition_leaves(spark, gdir, new_pcols)
+                if gdir
+                else {}
+            )
+        except ValueError:
+            # NULL partition values: loud refusal, claim released.
+            _unclaim(spark, gdir)
+            raise
+        entries = {
+            key: posixpath.join(_DATA_DIR, f"s={next_id}", suffix)
+            for key, suffix in written.items()
+        }
+    else:
+        gdir = _stage_and_claim(
+            spark,
+            table_dir,
+            next_id,
+            lambda to: df.write.mode("error").parquet(to),
+        )
+        entries = (
+            {"": f"{_DATA_DIR}/s={next_id}"} if gdir is not None else {}
+        )
+    try:
+        commit_manifest(
+            spark,
+            table_dir,
+            next_id,
+            entries,
+            partition_col=partition_by,
+            schema_fields=fields,
+            maintenance=True,
+            deletes=None,
+            rename_log=None,
+            prev_man=man,
+            stats_columns=stats_columns,
+        )
+    except SnapshotConflict:
+        _unclaim(spark, gdir if entries else None)
+        raise
+    return {
+        "snapshot_id": next_id,
+        "partition_col": new_pcols,
+        "n_entries": len(entries),
+    }
+
+
 def _resolve_carry(value, prev: dict | None, key: str):
     """Resolve a ``"carry"``-defaulted manifest-metadata parameter:
     the sentinel takes the predecessor's value, a list/None is used

@@ -264,6 +264,18 @@ def _run_partitioned_walk(spark, tmp_path, seed):
     def do_compact():
         compact_snapshot(spark, t)  # partitioned maintenance branch
 
+    def do_respec():
+        # Partition-spec evolution MID-WALK (round-12 directive #4):
+        # flatten to unpartitioned, then re-partition on 'part' —
+        # two content-neutral maintenance rewrites interleaved with
+        # DML/WAP/rollback; every later op must keep working against
+        # the re-laid-out table and the feed must stay silent for
+        # both commits (read_changes replay below proves it).
+        from big_data_spark.io.snapshot import repartition_table
+
+        repartition_table(spark, t, None)
+        repartition_table(spark, t, "part")
+
     def do_rollback():
         target = rng.choice(sorted(history))
         rollback_snapshot(spark, t, target)
@@ -286,8 +298,8 @@ def _run_partitioned_walk(spark, tmp_path, seed):
     tag_snapshot(spark, t, "pwalk-checkpoint", snapshot_id=checkpoint_id)
 
     ops = [do_partial_replace, do_wap_append, do_delete, do_update,
-           do_fold, do_compact, do_rollback]
-    weights = [3, 3, 3, 3, 1, 1, 1]
+           do_fold, do_compact, do_rollback, do_respec]
+    weights = [3, 3, 3, 3, 1, 1, 1, 1]
     for step in range(N_PART_STEPS):
         op = rng.choices(ops, weights)[0]
         op()
