@@ -4173,8 +4173,10 @@ def metadata_aggregate(
     - a requested column outside the recorded stats set, without
       footer stats in some file, or non-numeric under an unversioned
       (pre-typed) block;
-    - partition columns (their values live in entry keys, not
-      footers).
+    - a TIMESTAMP partition column (dir values render through the
+      session; other partition columns answer MIN/MAX from the live
+      entry keys themselves — round-12 #10 — and never enter
+      SUM/AVG).
     ``columns=None`` aggregates every recorded stats column. An
     entirely-NULL column returns None min/max (SQL's MIN/MAX over
     all-NULL). Deleted-but-carried generations never count: liveness
@@ -4203,13 +4205,26 @@ def metadata_aggregate(
     kinds: dict[str, str] = {}
     types = {f["name"]: f["type"] for f in man.get("schema") or []}
     v2 = stats.get("v") == 2
+    part_cols: list[str] = []
     for c in cols:
         if c in pcols:
-            raise ValueError(
-                f"metadata_aggregate: {c!r} is a partition column — "
-                "its values live in entry keys, not footers; use "
-                "show_partitions"
-            )
+            # Partition columns answer MIN/MAX from the ENTRY KEYS
+            # themselves (round-12 #10 — composing show_partitions'
+            # source instead of refusing): every live entry IS a
+            # value occurrence. Kinds that order reliably from the
+            # raw dir strings only; timestamp partition values render
+            # through the session and are refused (rare; loud).
+            k = stat_kind(types.get(c, ""))
+            if k not in ("numeric", "string", "date"):
+                raise ValueError(
+                    f"metadata_aggregate: partition column {c!r} has "
+                    f"type {types.get(c)!r} — only numeric/string/"
+                    "date partition keys order reliably from entry "
+                    "values; use a real query"
+                )
+            kinds[c] = k
+            part_cols.append(c)
+            continue
         if c not in stat_cols:
             raise ValueError(
                 f"metadata_aggregate: {c!r} not in the recorded stats "
@@ -4238,7 +4253,8 @@ def metadata_aggregate(
     int_cols = [
         c
         for c in cols
-        if types.get(c, "").split("(")[0].strip().lower()
+        if c not in pcols
+        and types.get(c, "").split("(")[0].strip().lower()
         in _SUM_INT_HEADS
     ]
     if not man["entries"]:
@@ -4345,6 +4361,8 @@ def metadata_aggregate(
         if int(nr) == 0:
             continue  # empty file: no row groups, nothing to fold
         for c in cols:
+            if c in part_cols:
+                continue  # folded from entry keys below
             v = per_col.get(c)
             if v == "allnull":
                 continue  # contributes nothing to MIN/MAX (SQL NULLs)
@@ -4360,6 +4378,19 @@ def metadata_aggregate(
                 mins[c] = lo
             if maxs[c] is None or hi > maxs[c]:
                 maxs[c] = hi
+    # Partition-column MIN/MAX from the live entry keys (round-12
+    # #10): one parsed value per LIVE entry — every entry has data by
+    # construction (empty partitions drop out of the manifest).
+    if part_cols:
+        pcols_list = _pcols(man.get("partition_col")) or []
+        for key in man["entries"]:
+            vals = entry_partition_values(spark, pcols_list, key)
+            for c in part_cols:
+                pv = parse(kinds[c], vals[c], c)
+                if mins[c] is None or pv < mins[c]:
+                    mins[c] = pv
+                if maxs[c] is None or pv > maxs[c]:
+                    maxs[c] = pv
     # SUM/AVG fold (round 12): exact Python-int accumulation over the
     # per-file decimal sums; a column is answered only when EVERY
     # live file recorded it.

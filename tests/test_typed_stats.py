@@ -1110,3 +1110,55 @@ def test_metadata_sum_uncovered_omits_or_refuses(spark, tmp_path):
     assert st["covered_generations"] == 1
     got2 = metadata_aggregate(spark, t, require_sums=True)
     assert got2["sum"]["k"] == 4950 and got2["sum"]["v"] == 9900
+
+
+def test_metadata_aggregate_partition_columns_from_entry_keys(
+    spark, tmp_path
+):
+    """Partition-column MIN/MAX composes from the live ENTRY KEYS
+    (round-12 #10) instead of refusing; values follow the committed
+    type (a zero-padded string key stays a string, an int key parses
+    to int), and a dropped partition leaves the fold."""
+    from big_data_spark.io.snapshot import (
+        metadata_aggregate,
+        write_snapshot_partial,
+    )
+
+    df = spark.createDataFrame(
+        [(d, s, v) for d in (3, 11, 20) for s in ("a", "b")
+         for v in range(4)],
+        "d int, s string, v int",
+    )
+    t = str(tmp_path / "maggpart")
+    write_snapshot_partial(
+        df, t, 0, ["d", "s"],
+        touched_keys=[(d, s) for d in (3, 11, 20) for s in ("a", "b")],
+    )
+    got = metadata_aggregate(spark, t, columns=["d", "s", "v"])
+    assert got["min"]["d"] == 3 and got["max"]["d"] == 20
+    assert type(got["min"]["d"]) is int
+    assert got["min"]["s"] == "a" and got["max"]["s"] == "b"
+    assert got["min"]["v"] == 0 and got["max"]["v"] == 3
+    # partition cols never enter sum/avg (values live in dir names)
+    assert "d" not in got["sum"] and got["sum"]["v"] == sum(
+        r["v"] for r in df.collect()
+    )
+    # replace away d=20 entirely: the fold follows the LIVE entries
+    empty = spark.createDataFrame([], "d int, s string, v int")
+    write_snapshot_partial(
+        empty, t, 1, ["d", "s"], touched_keys=[(20, "a"), (20, "b")]
+    )
+    got2 = metadata_aggregate(spark, t, columns=["d"])
+    assert got2["max"]["d"] == 11
+    # timestamp partition keys refuse loudly (session-rendered dirs)
+    import datetime as dtm
+
+    df_ts = spark.createDataFrame(
+        [(dtm.datetime(2026, 1, 1), 1)], "ts timestamp, v int"
+    )
+    t2 = str(tmp_path / "maggts")
+    write_snapshot_partial(
+        df_ts, t2, 0, "ts", touched_keys=[dtm.datetime(2026, 1, 1)]
+    )
+    with pytest.raises(ValueError, match="order reliably"):
+        metadata_aggregate(spark, t2, columns=["ts"])
