@@ -140,15 +140,8 @@ _PYTEST_ONLY = (
     # merge_upsert (back per optional #9), and the NEW round-10 row
     # snapshot_update_cdf (row-level update CDF). Swapped OUT — each
     # family keeps at least one driver row:
-    "snapshot_delete",  # lakehouse DML: sql_dml (statement DELETE routes delete_where) + snapshot_update_cdf + snapshot_changes stay
-    "quality_gopher",  # text family: text_quality + lm_perplexity + pii_scrub + doc_chunks stay
-    "events_resample",  # §2.5: window_running_sum + cohort_retention + temporal_join stay
     "dedup_exact",  # dedup family: dedup_minhash_lsh + dedup_ngram_jaccard + dedup_semantic + dedup_clusters + dedup_segments + both incremental rows stay
-    "ann_recall",  # ANN family: ann_hyperplane_lsh + semantic_search (exact cosine top-k) + dedup_semantic stay
-    "decontaminate",  # postings/inverted-index family: bm25_search (same broadcast-postings shape) + dedup_ngram_jaccard stay
-    "shortest_paths",  # graph family: pagerank_topn + triangle_count + community_lpa + dedup_clusters (CC) stay
     "cdc_apply",  # lakehouse writes: merge_upsert (same merge_snapshot core) + sql_dml stay
-    "mv_refresh",  # §2.11/incremental: stream_stream_join + snapshot_changes (the feed an MV syncs from) stay
     "scd2_intervals",  # temporal family: temporal_join (SCD2 temporal join) + window_running_sum stay
     # hybrid_search (round 10): reciprocal-rank fusion of the BM25 and
     # IVF-ANN hit lists — the RAG retrieval composition; oracle fuses
@@ -164,18 +157,28 @@ _PYTEST_ONLY = (
     "bm25_search",  # search family: semantic_search + hybrid_search (fuses a BM25 list) stay
     "doc_fingerprint",  # fingerprint family: dedup_segments (same HOF fold) stays
     "lm_perplexity",  # text family: text_quality + pii_scrub + doc_chunks stay
-    "cohort_retention",  # §2.5 window family: window_running_sum + events_funnel stay
     "snapshot_tag_travel",  # travel family: sql_snapshot_asof (both SQL spellings) stays
     "grouping_sets",  # rollup family: cube_sales + pivot_status + unpivot_metrics + percentiles stay
     "map_roundtrip",  # §2.8 scalar family: string_tokens stays
     "first_min_by",  # A-family: pricing_summary + set_ops + agg_collect_sorted stay
     "stratified_sample",  # sampling family: weighted_sample stays
     "evolved_read",  # lakehouse family: sql_snapshot_asof + snapshot_changes + point_lookup + snapshot_update_cdf + sql_dml + merge_upsert + partitioned_prune stay
-    # typed_prune (round 11, added after the rotation landed): typed
-    # data skipping — timestamp + string predicate ranges answered
-    # from the commit-time manifest stats block. Pytest-oracle gated
-    # past the 50-cap; rotation candidate for round 12.
-    "typed_prune",
+    # Round-12 rotation (round-11 verdict directive #5): swapped IN —
+    # typed_prune (the round-11 pytest-only addition) plus the eight
+    # long-unslotted rows snapshot_delete, shortest_paths,
+    # quality_gopher, events_resample, ann_recall, mv_refresh,
+    # decontaminate, cohort_retention (all driver-certified in
+    # earlier rounds, re-certified this round). Swapped OUT — every
+    # family keeps at least one driver row:
+    "hybrid_search",  # search family: semantic_search stays; ann_recall (IN) exercises the same IVF+rescore
+    "pmi_cooccur",  # text-statistics family: text_quality + quality_gopher (IN) stay
+    "cube_sales",  # rollup/pivot family: pivot_status stays
+    "unpivot_metrics",  # reshape family: pivot_status stays
+    "percentiles",  # agg family: pricing_summary + set_ops stay
+    "agg_collect_sorted",  # A-family: pricing_summary + set_ops + string_tokens (A2-shape map fold) stay
+    "events_funnel",  # §2.5 window family: window_running_sum + events_resample (IN) + cohort_retention (IN) stay
+    "community_lpa",  # graph family: pagerank_topn + triangle_count + shortest_paths (IN) + dedup_clusters (CC) stay
+    "dedup_segments",  # dedup/fingerprint family: dedup_minhash_lsh + dedup_ngram_jaccard + dedup_semantic + dedup_clusters + both incremental rows stay
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}
