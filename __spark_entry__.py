@@ -13,8 +13,8 @@ rotated typed_prune plus the long-unslotted snapshot_delete/
 shortest_paths/quality_gopher/events_resample/ann_recall/mv_refresh/
 decontaminate/cohort_retention into driver slots, releasing
 hybrid_search/pmi_cooccur/cube_sales/unpivot_metrics/percentiles/
-agg_collect_sorted/events_funnel/community_lpa/dedup_segments to the
-pytest gate with every family keeping a driver sibling; round 11
+agg_collect_sorted/events_funnel/community_lpa/sql_portable_revenue
+to the pytest gate with every family keeping a driver sibling; round 11
 added partitioned_prune — a two-level manifest+commit-time-stats
 pruned read over a multi-column (status, priority) partitioned
 snapshot table with a partial leaf replace, the oracle re-deriving

@@ -210,13 +210,18 @@ class SnapshotCatalog:
         return f"{self.base_dir.rstrip('/')}/_catalog.json"
 
     def _load_registry(self) -> None:
-        """Bind (and register views for) every table the warehouse
-        registry file records. A recorded dir that is missing or has
-        no committed snapshots keeps its BINDING (so DROP TABLE can
-        still clean it up) but registers no views — loud on first
+        """Bind every table the warehouse registry file records and
+        register its HEAD view only (one manifest read per table) —
+        the full fan-out (per-version, tag, history, changes views)
+        costs O(versions) manifest reads per table and is deferred to
+        the first ``refresh``/DML on that table; SELECT-side time
+        travel registers version views on demand through
+        rewrite_time_travel. A recorded dir that is missing or has no
+        committed snapshots keeps its BINDING (so DROP TABLE can
+        still clean it up) but registers no view — loud on first
         SELECT rather than silently unlisted."""
         from big_data_spark.io.compact import hadoop_fs
-        from big_data_spark.io.snapshot import _read_json
+        from big_data_spark.io.snapshot import _read_json, read_snapshot
 
         fs, p = hadoop_fs(self.spark, self._registry_path())
         if not fs.exists(p):
@@ -228,9 +233,9 @@ class SnapshotCatalog:
             self.tables[name] = table_dir
             self._persisted.add(name)
             try:
-                register_snapshot_views(
-                    self.spark, table_dir, name, versions=self.versions
-                )
+                read_snapshot(
+                    self.spark, table_dir
+                ).createOrReplaceTempView(name)
             except ValueError:
                 pass  # no commits yet / dir gone: binding kept
 
@@ -289,6 +294,22 @@ class SnapshotCatalog:
     def register(
         self, name: str, table_dir: str, persist: bool = False
     ) -> list[str]:
+        if (
+            not persist
+            and name in self._persisted
+            and self.tables.get(name) != table_dir
+        ):
+            # A session-only rebind of a PERSISTED name would leak
+            # into the registry on the next save (any later CTAS/DROP
+            # writes the whole binding map) — and a later DROP TABLE
+            # would then recursively delete the rebound dir. Refuse;
+            # rebinding a durable name is an explicit act.
+            raise ValueError(
+                f"register: {name!r} is persisted in the warehouse "
+                f"registry (at {self.tables[name]!r}) — pass "
+                "persist=True to rebind it durably, or DROP TABLE "
+                "first"
+            )
         self.tables[name] = table_dir
         if persist:
             if self.base_dir is None:

@@ -4400,7 +4400,7 @@ def metadata_aggregate(
     for c in int_cols:
         tot = 0
         n_tot = 0
-        covered = True
+        covered: bool | str = True
         for g, file_rel in live:
             doc = loaded[g]
             nr = (doc["rows"] or {}).get(file_rel)
@@ -4408,13 +4408,20 @@ def metadata_aggregate(
                 continue  # empty file: contributes nothing
             per_s = doc["sums"]
             per_n = doc["nonnull"]
-            if (
-                per_s is None
-                or per_n is None
-                or c not in per_s.get(file_rel, {})
-                or c not in per_n.get(file_rel, {})
+            if per_s is None or per_n is None:
+                # Never recorded (pre-round-12 sidecar / migrated
+                # inline block): ANALYZE backfills by re-sweeping.
+                covered = "unrecorded"
+                break
+            if c not in per_s.get(file_rel, {}) or c not in per_n.get(
+                file_rel, {}
             ):
-                covered = False  # sums never recorded for this file
+                # Recorded sweep that could not record THIS column
+                # for THIS file (physically absent: added by a later
+                # schema evolution) — no maintenance can conjure the
+                # values; only a real query (NULL-padding the column)
+                # answers.
+                covered = "absent"
                 break
             n = int(per_n[file_rel][c])
             s = per_s[file_rel][c]
@@ -4428,12 +4435,18 @@ def metadata_aggregate(
                 )
             tot += int(s)
             n_tot += n
-        if not covered:
+        if covered is not True:
             if require_sums:
                 raise ValueError(
-                    f"metadata_aggregate: {c!r} has live files without "
-                    "recorded sums (table written before sum "
-                    "recording) — run analyze_table"
+                    f"metadata_aggregate: {c!r} has live files "
+                    "without recorded sums — "
+                    + (
+                        "run analyze_table to backfill"
+                        if covered == "unrecorded"
+                        else "the column is physically absent from "
+                        "some files (added by schema evolution); "
+                        "use a real query"
+                    )
                 )
             continue  # omitted: metadata cannot answer this column
         if n_tot == 0:

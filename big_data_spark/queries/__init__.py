@@ -178,7 +178,7 @@ _PYTEST_ONLY = (
     "agg_collect_sorted",  # A-family: pricing_summary + set_ops + string_tokens (A2-shape map fold) stay
     "events_funnel",  # §2.5 window family: window_running_sum + events_resample (IN) + cohort_retention (IN) stay
     "community_lpa",  # graph family: pagerank_topn + triangle_count + shortest_paths (IN) + dedup_clusters (CC) stay
-    "dedup_segments",  # dedup/fingerprint family: dedup_minhash_lsh + dedup_ngram_jaccard + dedup_semantic + dedup_clusters + both incremental rows stay
+    "sql_portable_revenue",  # SQL-door family: sql_snapshot_asof + sql_dml stay (both deeper spellings)
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -44,9 +44,33 @@ def fixture_dir(prefix: str, sf_dir: str) -> str:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     suffix = os.environ.get("BDS_FIXTURE_SUFFIX") or str(os.getpid())
-    return os.path.join(
-        tempfile.gettempdir(), f"{prefix}_{tag}_{suffix}"
-    )
+    tmp = tempfile.gettempdir()
+    # Reap DEAD siblings (same prefix+sf, pid no longer alive): the
+    # per-process keying means each run leaves its fixtures behind,
+    # so without this a long-lived host accumulates one snapshot
+    # table per past harness process. Live pids (a concurrent
+    # harness) and non-pid suffixes (env overrides) are never
+    # touched; best-effort — a lost race just leaves the dir for the
+    # next caller.
+    import shutil
+
+    lead = f"{prefix}_{tag}_"
+    try:
+        for name in os.listdir(tmp):
+            if not name.startswith(lead):
+                continue
+            rest = name[len(lead):]
+            if rest == suffix or not rest.isdigit():
+                continue
+            try:
+                os.kill(int(rest), 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            except (PermissionError, OSError):
+                pass  # alive under another uid / unknowable: keep
+    except OSError:
+        pass
+    return os.path.join(tmp, f"{prefix}_{tag}_{suffix}")
 
 
 # --------------------------------------------------------------------

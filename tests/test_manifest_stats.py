@@ -446,7 +446,8 @@ def test_vacuum_reclaims_orphan_sidecars(spark, tmp_path):
     # Pruned reads still exact after vacuum.
     got = read_snapshot(spark, t, predicate={"k": (12.0, 27.0)})
     assert {r["k"] for r in got.collect()} == set(range(12, 28))
-    assert all_before <= after - {"s=8-cafebabe.json"} or True
+    # Every pre-existing (referenced) sidecar survived untouched.
+    assert all_before <= after
 
 
 def test_rowsless_inline_migration_refuses_then_analyze_backfills(

@@ -1029,7 +1029,6 @@ def test_drop_racing_reader_fails_loudly_never_torn(
     cat = SnapshotCatalog(spark, versions="lazy", base_dir=base)
     expected = {(i, i * 2) for i in range(40)}
     tdir = f"{base}/rt"
-    stop = threading.event() if hasattr(threading, "event") else None
     done = threading.Event()
     torn: list = []
     read_counts = {"ok": 0, "raised": 0}
