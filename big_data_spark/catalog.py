@@ -369,7 +369,11 @@ class SnapshotCatalog:
         )
 
         st = route_statement(
-            self.spark, statement, self.tables, base_dir=self.base_dir
+            self.spark,
+            statement,
+            self.tables,
+            base_dir=self.base_dir,
+            persisted=self._persisted,
         )
         if isinstance(st, DataFrame):
             return st  # DESCRIBE HISTORY — a read, nothing to refresh

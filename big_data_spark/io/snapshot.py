@@ -375,12 +375,47 @@ def _stats_covered(stats: dict | None) -> set[str]:
     )
 
 
+def _prefetch_sidecars(
+    spark: SparkSession,
+    table_dir: str,
+    stats: dict | None,
+    gens,
+) -> dict[str, dict]:
+    """Bulk-read the UNCACHED sidecars of many generations in ONE
+    distributed whole-file text scan (the _read_manifests trade, same
+    threshold): metadata aggregates touch every live generation, and
+    a 10k-generation table would otherwise pay 10k serial object-
+    store round trips before answering. Returns {gen: doc}; below the
+    threshold returns {} and callers fall back to the serial cached
+    loop."""
+    side = (stats or {}).get("sidecars") or {}
+    with _SIDECAR_CACHE_LOCK:
+        need = [
+            side[g]
+            for g in gens
+            if g in side and (table_dir, side[g]) not in _SIDECAR_CACHE
+        ]
+    if len(need) <= _BULK_MANIFEST_THRESHOLD:
+        return {}
+    rows = (
+        spark.read.option("wholetext", "true")
+        .text([f"{table_dir}/{r}" for r in need])
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        doc = json.loads(r["value"])
+        out[doc["gen"]] = doc
+    return out
+
+
 def _load_gen_stats(
     spark: SparkSession,
     table_dir: str,
     stats: dict | None,
     gen: str,
     rename_log: list | None = None,
+    _doc: dict | None = None,
 ) -> dict | None:
     """One generation's recorded stats from the stats block — LAZILY:
     sidecar layouts read one small JSON (cached) only when a query
@@ -398,7 +433,11 @@ def _load_gen_stats(
     evolution events committed after the sidecar's names_at stamp."""
     side = (stats or {}).get("sidecars") or {}
     if gen in side:
-        doc = _read_sidecar(spark, table_dir, side[gen])
+        doc = (
+            _doc
+            if _doc is not None
+            else _read_sidecar(spark, table_dir, side[gen])
+        )
         at = int(doc.get("names_at") or 0)
 
         def rp(block):
@@ -4296,9 +4335,15 @@ def metadata_aggregate(
     # is the one place that reads them all (COUNT(*) needs every
     # file's row count); each is a small cached JSON, and the
     # manifest parse itself stayed O(#generations).
+    pre = _prefetch_sidecars(spark, table_dir, stats, live_gen_set)
     loaded = {
         g: _load_gen_stats(
-            spark, table_dir, stats, g, man.get("rename_log")
+            spark,
+            table_dir,
+            stats,
+            g,
+            man.get("rename_log"),
+            _doc=pre.get(g),
         )
         for g in sorted(live_gen_set)
     }

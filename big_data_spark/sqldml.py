@@ -153,6 +153,14 @@ _RESTORE_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
+_SHOW_TABLES_RE = re.compile(
+    r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE
+)
+_REPARTITION_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+REPARTITION\s+BY\s+"
+    r"(?:\(\s*([\w\s,`]+?)\s*\)|NONE)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def route_statement(
@@ -160,6 +168,7 @@ def route_statement(
     statement: str,
     tables: dict[str, str],
     base_dir: str | None = None,
+    persisted: set | None = None,
 ):
     """The catalog's dispatch: ``execute_dml``'s result when the
     statement is snapshot-table DML this module handles, a DataFrame
@@ -205,6 +214,27 @@ def route_statement(
         m = _INSERT_RE.match(statement)
         if m and m.group(2) in tables:
             return execute_dml(spark, statement, tables)
+        m = _REPARTITION_RE.match(statement)
+        if m and m.group(1) in tables:
+            # ALTER TABLE t REPARTITION BY (c1, c2) | NONE — the SQL
+            # spelling of the one-call partition-spec rewrite
+            # (round 12); checked BEFORE the generic ALTER claim so
+            # the clause never reaches _execute_alter's rename/drop/
+            # type parser.
+            from big_data_spark.io.snapshot import repartition_table
+
+            cols = m.group(2)
+            spec = (
+                [c.strip().strip("`") for c in cols.split(",") if c.strip()]
+                if cols
+                else None
+            )
+            st = repartition_table(spark, tables[m.group(1)], spec)
+            return {
+                "statement_type": "REPARTITION",
+                "table": m.group(1),
+                **st,
+            }
         m = _ALTER_RE.match(statement)
         if m and m.group(1) in tables:
             return execute_dml(spark, statement, tables)
@@ -232,6 +262,19 @@ def route_statement(
         from big_data_spark.io.snapshot import show_partitions
 
         return show_partitions(spark, tables[m.group(1)])
+    if _SHOW_TABLES_RE.match(statement):
+        # SHOW TABLES (round 12): the catalog's registered snapshot
+        # tables — name, dir, and whether the binding persists in the
+        # warehouse registry. Metadata-only; bindings are the
+        # driver-side dict, no storage reads.
+        rows = [
+            (n, tables[n], n in (persisted or set()))
+            for n in sorted(tables)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "table_name string, table_dir string, persisted boolean",
+        )
     m = _ANALYZE_RE.match(statement)
     if m and m.group(1) in tables:
         # ANALYZE TABLE t [COMPUTE STATISTICS [FOR COLUMNS c1, c2]]

@@ -488,3 +488,36 @@ def test_rowsless_inline_migration_refuses_then_analyze_backfills(
     st = analyze_table(spark, t)
     assert st["covered_generations"] == 2
     assert metadata_aggregate(spark, t)["rows"] == 250
+
+
+def test_metadata_aggregate_bulk_prefetches_many_generations(
+    spark, tmp_path, monkeypatch
+):
+    """Past the bulk threshold, metadata aggregates fetch all
+    uncached sidecars in ONE distributed text scan instead of a
+    serial driver loop — the _read_manifests trade applied to the
+    stats layer (a 10k-generation table would otherwise pay 10k
+    object-store round trips per aggregate)."""
+    from big_data_spark.io.snapshot import metadata_aggregate
+
+    t = str(tmp_path / "bulk")
+    n = snap._BULK_MANIFEST_THRESHOLD + 3
+    for i in range(n):
+        append_snapshot(_mk(spark, i * 10, (i + 1) * 10), t, snapshot_id=i)
+    snap._SIDECAR_CACHE.clear()
+    serial_reads: list = []
+    real = snap._read_sidecar
+
+    def counting(spark_, td, rel):
+        serial_reads.append(rel)
+        return real(spark_, td, rel)
+
+    monkeypatch.setattr(snap, "_read_sidecar", counting)
+    got = metadata_aggregate(spark, t)
+    assert got["rows"] == n * 10
+    assert got["min"]["k"] == 0 and got["max"]["k"] == n * 10 - 1
+    assert got["sum"]["k"] == (n * 10 - 1) * (n * 10) // 2
+    assert serial_reads == [], (
+        f"bulk prefetch must cover every sidecar; serial reads: "
+        f"{serial_reads[:3]}"
+    )

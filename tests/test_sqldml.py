@@ -795,3 +795,40 @@ def test_persistent_catalog_tolerates_vanished_dir(spark, tmp_path):
     assert st["dropped"] is False  # nothing to delete; binding freed
     cat3 = SnapshotCatalog(spark.newSession(), base_dir=base)
     assert "ghost" not in cat3.tables
+
+
+def test_show_tables_and_alter_repartition(spark, tmp_path):
+    base = str(tmp_path / "wh4")
+    cat = SnapshotCatalog(spark, versions="lazy", base_dir=base)
+    cat.sql(
+        "CREATE TABLE rt PARTITIONED BY (ds) AS "
+        "SELECT CAST(id % 3 AS STRING) AS ds, id AS k, id * 2 AS v "
+        "FROM range(90)"
+    )
+    t2 = str(tmp_path / "ext4")
+    append_snapshot(spark.range(4).selectExpr("id AS k"), t2)
+    cat.register("adhoc", t2)
+    rows = {
+        (r["table_name"], r["persisted"])
+        for r in cat.sql("SHOW TABLES").collect()
+    }
+    assert rows == {("rt", True), ("adhoc", False)}
+    # widen the spec through SQL: one atomic maintenance rewrite
+    st = cat.sql("ALTER TABLE rt REPARTITION BY (ds, k)")
+    assert st["statement_type"] == "REPARTITION"
+    assert st["partition_col"] == ["ds", "k"]
+    assert (
+        cat.sql("SELECT count(*) AS n FROM rt").collect()[0]["n"] == 90
+    )
+    st2 = cat.sql("ALTER TABLE rt REPARTITION BY NONE")
+    assert st2["partition_col"] is None and st2["n_entries"] == 1
+    assert (
+        cat.sql("SELECT sum(v) AS s FROM rt").collect()[0]["s"]
+        == sum(i * 2 for i in range(90))
+    )
+    # column-evolution ALTERs still route to evolve_schema unharmed
+    cat.sql("ALTER TABLE rt RENAME COLUMN v TO val")
+    assert (
+        cat.sql("SELECT sum(val) AS s FROM rt").collect()[0]["s"]
+        == sum(i * 2 for i in range(90))
+    )
