@@ -2463,10 +2463,11 @@ def read_entries(
         # probes per pruned read on the driver. ONE shared walk
         # (_owning_entry_rel) with metadata_aggregate's liveness, so
         # the two can never drift.
+        pre = _prefetch_sidecars(spark, table_dir, stats, rels_by_gen)
         for g, rels_here in rels_by_gen.items():
             owner_cache: dict[str, str | None] = {}
             gen_doc = _load_gen_stats(
-                spark, table_dir, stats, g, rename_log
+                spark, table_dir, stats, g, rename_log, _doc=pre.get(g)
             )
             gen_files = (gen_doc or {}).get("files") or {}
             for file_rel, per_col in gen_files.items():
