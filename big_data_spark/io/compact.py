@@ -301,6 +301,7 @@ def compact_snapshot(
     zorder_by: list[str] | None = None,
     zorder_bits: int = 16,
     size_ratio: float = 1.0,
+    partitions: dict | None = None,
 ) -> dict:
     """Compact a SNAPSHOT table (io/snapshot.py) in place, atomically:
     read the current snapshot, rewrite it as one fresh data
@@ -315,10 +316,21 @@ def compact_snapshot(
     preserving the partition column — after many touched-bucket
     batches this is the pass that caps the number of live generations
     a read must union.
+
+    ``partitions`` ({col: value | list-of-values}, the read_snapshot
+    spelling) scopes the rewrite to MATCHING partitions of a
+    partitioned table (round 12 — Delta's ``OPTIMIZE ... WHERE``):
+    only their entries are read and rewritten (cost O(selected), the
+    only affordable shape at 100 TB — a day's hot partitions, not
+    the table); untouched partitions carry by reference, delete
+    vectors and the evolution log carry forward (rewritten files'
+    vector rows go inert; untouched partitions' masks still apply),
+    and the commit is maintenance (change feed silent).
     """
     from big_data_spark.io.snapshot import (
         latest_manifest,
         read_snapshot,
+        select_partition_entries,
         write_snapshot,
         write_snapshot_partial,
     )
@@ -326,8 +338,26 @@ def compact_snapshot(
     man = latest_manifest(spark, table_dir)
     if man is None:
         raise ValueError(f"no committed snapshots under {table_dir!r}")
+    touched_keys = list(man["entries"].keys())
+    scoped = partitions is not None
+    if scoped:
+        if man.get("partition_col") is None:
+            raise ValueError(
+                "compact_snapshot(partitions=): table is not "
+                "partitioned — omit partitions for the full rewrite"
+            )
+        kept, _ = select_partition_entries(spark, man, partitions)
+        if not kept:
+            raise ValueError(
+                f"compact_snapshot(partitions=): no live partitions "
+                f"match {partitions!r}"
+            )
+        touched_keys = list(kept.keys())
+        inv_entries = set(kept.values())
+    else:
+        inv_entries = set(man["entries"].values())
     inv = {"n_files": 0, "total_bytes": 0, "n_small_files": 0}
-    for rel in set(man["entries"].values()):
+    for rel in inv_entries:
         part = parquet_inventory(spark, f"{table_dir}/{rel}")
         for k in inv:
             inv[k] += part[k]
@@ -341,7 +371,12 @@ def compact_snapshot(
     # (long) rewrite then collides on the id and raises
     # SnapshotConflict instead of being silently dropped (lost-update
     # race; one version, inventory + data + touched keys).
-    df = read_snapshot(spark, table_dir, as_of=man["snapshot_id"])
+    df = read_snapshot(
+        spark,
+        table_dir,
+        as_of=man["snapshot_id"],
+        partitions=partitions,
+    )
     next_id = man["snapshot_id"] + 1
     from big_data_spark.io.snapshot import _claim_check
 
@@ -393,14 +428,19 @@ def compact_snapshot(
             table_dir,
             next_id,
             man.get("partition_col"),
-            list(man["entries"].keys()),
+            touched_keys,
             maintenance=True,
             # Full rewrite of every partition from the masked,
             # committed-schema read: vectors and the evolution log
             # are materialized into the new files — clear both (the
             # unpartitioned branch's write_snapshot does the same).
-            deletes=None,
-            rename_log=None,
+            # A SCOPED rewrite must CARRY both instead: untouched
+            # partitions still need their masks and their rename
+            # replay (the rewritten files' vector rows go inert with
+            # the replaced generations; the new generation's id is
+            # above every logged event, so no replay applies to it).
+            deletes="carry" if scoped else None,
+            rename_log="carry" if scoped else None,
             claim=True,
         )
     elif man.get("layout_by"):

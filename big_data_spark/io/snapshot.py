@@ -2211,6 +2211,42 @@ def commit_manifest(
         )
 
 
+def select_partition_entries(
+    spark: SparkSession, man: dict, partitions: dict
+) -> tuple[dict[str, str], dict[str, set]]:
+    """The manifest entries whose partition values match
+    ``{col: value | list-of-values}`` (conjunction over columns,
+    disjunction within a list), plus the rendered want-sets for
+    row-level residual checks — the ONE manifest-level partition
+    filter shared by read_snapshot and partition-scoped maintenance
+    (values compare as the string forms Spark wrote to dir names)."""
+    pcols = _pcols(man.get("partition_col"))
+    if pcols is None:
+        raise ValueError(
+            "partitions=: table is not partitioned "
+            "— use predicate= (footer skipping) or a plain filter"
+        )
+    unknown = sorted(set(partitions) - set(pcols))
+    if unknown:
+        raise ValueError(
+            f"partitions=: {unknown} not in the "
+            f"table's partition columns {pcols!r}"
+        )
+    want = {
+        c: {
+            _render_part_value(x)
+            for x in (v if isinstance(v, (list, tuple, set)) else [v])
+        }
+        for c, v in partitions.items()
+    }
+    kept: dict[str, str] = {}
+    for key, rel in man["entries"].items():
+        vals = entry_partition_values(spark, pcols, key)
+        if all(vals[c] in want[c] for c in want):
+            kept[key] = rel
+    return kept, want
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -2292,30 +2328,9 @@ def read_snapshot(
         raise ValueError(f"no committed snapshots under {table_dir!r}")
     residual_parts = None
     if partitions:
-        pcols = _pcols(man.get("partition_col"))
-        if pcols is None:
-            raise ValueError(
-                "read_snapshot(partitions=): table is not partitioned "
-                "— use predicate= (footer skipping) or a plain filter"
-            )
-        unknown = sorted(set(partitions) - set(pcols))
-        if unknown:
-            raise ValueError(
-                f"read_snapshot(partitions=): {unknown} not in the "
-                f"table's partition columns {pcols!r}"
-            )
-        want = {
-            c: {
-                _render_part_value(x)
-                for x in (v if isinstance(v, (list, tuple, set)) else [v])
-            }
-            for c, v in partitions.items()
-        }
-        kept_entries = {}
-        for key, rel in man["entries"].items():
-            vals = entry_partition_values(spark, pcols, key)
-            if all(vals[c] in want[c] for c in want):
-                kept_entries[key] = rel
+        kept_entries, want = select_partition_entries(
+            spark, man, partitions
+        )
         man = {**man, "entries": kept_entries}
         # Row-level re-check (cheap: partition columns are constant
         # per dir) so the contract is exact even if a dir value's

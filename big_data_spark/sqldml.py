@@ -140,8 +140,14 @@ _DROP_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)"
+    r"(?:\s+PARTITION\s*\(\s*([^)]+?)\s*\))?"
     r"(?:\s+ZORDER\s+BY\s+\(\s*([\w\s,`]+?)\s*\))?\s*;?\s*$",
     re.IGNORECASE,
+)
+# one `col = literal` pair of a PARTITION (...) clause: single-quoted
+# strings ('' escapes) or bare numeric literals.
+_PART_PAIR_RE = re.compile(
+    r"^\s*`?(\w+)`?\s*=\s*(?:'((?:[^']|'')*)'|(-?\d+(?:\.\d+)?))\s*$"
 )
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(\w+)"
@@ -318,25 +324,57 @@ def route_statement(
         )
     m = _OPTIMIZE_RE.match(statement)
     if m and m.group(1) in tables:
+        parts = None
         if m.group(2):
-            # OPTIMIZE t ZORDER BY (c1, c2): the SQL spelling of the
-            # z-order rewrite (io/compact.py compact_snapshot) —
-            # one atomic full-table rewrite clustered on the
-            # interleaved key (round-9 verdict directive #3).
+            # OPTIMIZE t PARTITION (ds = '2026-01-01', region = 'eu')
+            # (round 12 — Delta's OPTIMIZE ... WHERE, Hive's clause
+            # spelling): scope the rewrite to the matching partitions
+            # — the only affordable shape at 100 TB. Literal pairs
+            # only; anything else fails loudly here rather than
+            # silently rewriting the whole table.
+            parts = {}
+            for pair in m.group(2).split(","):
+                pm = _PART_PAIR_RE.match(pair)
+                if not pm:
+                    raise ValueError(
+                        f"OPTIMIZE PARTITION: cannot parse {pair!r} — "
+                        "use `col = 'string'` or `col = number` pairs"
+                    )
+                col = pm.group(1)
+                val = (
+                    pm.group(2).replace("''", "'")
+                    if pm.group(2) is not None
+                    else pm.group(3)
+                )
+                parts[col] = val
+        if m.group(3) or parts is not None:
+            # OPTIMIZE t [PARTITION (...)] ZORDER BY (c1, c2): the
+            # SQL spelling of the (optionally partition-scoped)
+            # z-order / compaction rewrite (io/compact.py
+            # compact_snapshot) — one atomic rewrite clustered on the
+            # interleaved key (round-9 directive #3; scoping round 12).
             from big_data_spark.io.compact import compact_snapshot
 
-            cols = [
-                c.strip().strip("`")
-                for c in m.group(2).split(",")
-                if c.strip()
-            ]
+            cols = (
+                [
+                    c.strip().strip("`")
+                    for c in m.group(3).split(",")
+                    if c.strip()
+                ]
+                if m.group(3)
+                else None
+            )
             st = compact_snapshot(
-                spark, tables[m.group(1)], zorder_by=cols
+                spark,
+                tables[m.group(1)],
+                zorder_by=cols,
+                partitions=parts,
             )
             return {
                 "statement_type": "OPTIMIZE",
                 "table": m.group(1),
                 "zorder_by": cols,
+                **({"partitions": parts} if parts else {}),
                 **st,
             }
         from big_data_spark.io.compact import maintain_table

@@ -501,3 +501,67 @@ def test_zorder_rejects_unorderable_types(spark):
     df = spark.createDataFrame([([1, 2], 1)], "arr array<int>, v int")
     with _pytest.raises(ValueError, match="numeric, string, date or"):
         _with_zorder_key(df, ["arr", "v"], 8)
+
+
+# ----------------------------- partition-scoped compaction (round 12)
+
+def test_compact_snapshot_scoped_to_partitions(spark, tmp_path):
+    """OPTIMIZE-WHERE shape: only the selected partitions rewrite
+    (cost O(selected)); untouched partitions carry BY REFERENCE
+    (byte-identical files), MOR masks on untouched partitions still
+    apply, and the change feed stays silent."""
+    import glob
+
+    from big_data_spark.io.compact import compact_snapshot
+    from big_data_spark.io.snapshot import (
+        delete_where,
+        latest_manifest,
+        read_changes,
+        read_snapshot,
+        write_snapshot,
+        write_snapshot_partial,
+    )
+
+    t = str(tmp_path / "scoped")
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(300)],
+        "k long, part string, v double",
+    )
+    # Fragment partition 'a' across several generations.
+    write_snapshot_partial(df, t, 0, "part", ["a", "b", "c"])
+    for sid in (1, 2, 3):
+        patch = df.filter("part = 'a'").withColumn(
+            "v", F.col("v") + sid
+        ).repartition(4)
+        write_snapshot_partial(patch, t, sid, "part", ["a"])
+    # MOR mask on an UNTOUCHED partition must survive the rewrite.
+    delete_where(spark, t, "part = 'b' AND k % 10 = 0", mode="mor")
+    man = latest_manifest(spark, t)
+    before = read_snapshot(spark, t)
+    want = {(r["k"], r["part"], r["v"]) for r in before.collect()}
+    b_files = sorted(glob.glob(f"{t}/{man['entries']['b']}/*.parquet"))
+    st = compact_snapshot(spark, t, partitions={"part": "a"})
+    assert st["n_files"] >= 4  # only partition a's files counted
+    man2 = latest_manifest(spark, t)
+    # b and c carried by reference — same entry rels, same bytes.
+    assert man2["entries"]["b"] == man["entries"]["b"]
+    assert man2["entries"]["c"] == man["entries"]["c"]
+    assert sorted(
+        glob.glob(f"{t}/{man2['entries']['b']}/*.parquet")
+    ) == b_files
+    # a replaced by the new generation.
+    assert man2["entries"]["a"] != man["entries"]["a"]
+    got = {
+        (r["k"], r["part"], r["v"])
+        for r in read_snapshot(spark, t).collect()
+    }
+    assert got == want  # incl. MOR masks on b still applied
+    assert man2["deletes"] == man["deletes"]  # carried, not dropped
+    assert read_changes(spark, t, after_id=man["snapshot_id"]).count() == 0
+    # refusals: unpartitioned tables and non-matching selections
+    with pytest.raises(ValueError, match="not .*partitioned|not\\b"):
+        t2 = str(tmp_path / "flat")
+        write_snapshot(spark.range(5).selectExpr("id AS k"), t2)
+        compact_snapshot(spark, t2, partitions={"k": 1})
+    with pytest.raises(ValueError, match="no live partitions"):
+        compact_snapshot(spark, t, partitions={"part": "zz"})

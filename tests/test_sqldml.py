@@ -832,3 +832,37 @@ def test_show_tables_and_alter_repartition(spark, tmp_path):
         cat.sql("SELECT sum(val) AS s FROM rt").collect()[0]["s"]
         == sum(i * 2 for i in range(90))
     )
+
+
+def test_optimize_partition_scoped(spark, tmp_path):
+    """OPTIMIZE t PARTITION (ds = 'x') [ZORDER BY (...)] — the SQL
+    spelling of the partition-scoped rewrite: only the selected
+    partition's entry changes; the rest carry by reference."""
+    from big_data_spark.io.snapshot import (
+        latest_manifest,
+        write_snapshot_partial,
+    )
+
+    base = str(tmp_path / "wh5")
+    cat = SnapshotCatalog(spark, versions="lazy", base_dir=base)
+    df = spark.createDataFrame(
+        [(i, ["x", "y"][i % 2], float(i)) for i in range(100)],
+        "k long, ds string, v double",
+    )
+    tdir = f"{base}/ot"
+    write_snapshot_partial(df, tdir, 0, "ds", ["x", "y"])
+    write_snapshot_partial(
+        df.filter("ds = 'x'").repartition(6), tdir, 1, "ds", ["x"]
+    )
+    cat.register("ot", tdir)
+    man = latest_manifest(spark, tdir)
+    st = cat.sql("OPTIMIZE ot PARTITION (ds = 'x') ZORDER BY (k, v)")
+    assert st["statement_type"] == "OPTIMIZE"
+    assert st["partitions"] == {"ds": "x"}
+    man2 = latest_manifest(spark, tdir)
+    assert man2["entries"]["y"] == man["entries"]["y"]  # carried
+    assert man2["entries"]["x"] != man["entries"]["x"]  # rewritten
+    got = cat.sql("SELECT sum(v) AS s FROM ot").collect()[0]["s"]
+    assert got == sum(float(i) for i in range(100))
+    with pytest.raises(ValueError, match="cannot parse"):
+        cat.sql("OPTIMIZE ot PARTITION (ds = x)")  # bare identifier
