@@ -162,6 +162,13 @@ _RESTORE_RE = re.compile(
 _SHOW_TABLES_RE = re.compile(
     r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE
 )
+# Bare COUNT(*) over one registered table, no WHERE/GROUP/anything:
+# the only SELECT shape the metadata fast path may claim.
+_COUNT_STAR_RE = re.compile(
+    r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(\w+))?"
+    r"\s+FROM\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _REPARTITION_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+REPARTITION\s+BY\s+"
     r"(?:\(\s*([\w\s,`]+?)\s*\)|NONE)\s*;?\s*$",
@@ -268,6 +275,36 @@ def route_statement(
         from big_data_spark.io.snapshot import show_partitions
 
         return show_partitions(spark, tables[m.group(1)])
+    m = _COUNT_STAR_RE.match(statement)
+    if m and m.group(2) in tables:
+        # Metadata-only COUNT(*) fast path (round 12 — the optimizer
+        # rewrite Delta/Iceberg do in OptimizeMetadataOnlyQuery,
+        # spelled driver-side): a bare COUNT(*) over a registered
+        # snapshot table answers from the manifest + stats sidecars
+        # in milliseconds, zero Spark jobs. metadata_aggregate's
+        # exactness refusals (MOR vectors live, stat-less
+        # generations) fall through to the real query — identical
+        # result either way, only the cost differs.
+        from big_data_spark.io.snapshot import metadata_aggregate
+
+        try:
+            agg = metadata_aggregate(
+                spark, tables[m.group(2)], columns=[]
+            )
+        except ValueError:
+            pass  # refusal: plain spark.sql runs the real count
+        else:
+            # A literal one-row SELECT, not createDataFrame: no RDD,
+            # one py4j round trip. On LOCAL disk the two paths are
+            # within fixed-overhead noise of each other (~0.1-0.4 s
+            # either way); the point is the object-store/100 TB shape
+            # — the scan term grows with the table, this one never
+            # does (driver JSON reads only).
+            name = m.group(1) or "count(1)"
+            return spark.sql(
+                f"SELECT CAST({int(agg['rows'])} AS BIGINT) "
+                f"AS `{name}`"
+            )
     if _SHOW_TABLES_RE.match(statement):
         # SHOW TABLES (round 12): the catalog's registered snapshot
         # tables — name, dir, and whether the binding persists in the

@@ -866,3 +866,38 @@ def test_optimize_partition_scoped(spark, tmp_path):
     assert got == sum(float(i) for i in range(100))
     with pytest.raises(ValueError, match="cannot parse"):
         cat.sql("OPTIMIZE ot PARTITION (ds = x)")  # bare identifier
+
+
+def test_count_star_metadata_fast_path(spark, tmp_path):
+    """A bare SELECT COUNT(*) over a registered snapshot table
+    answers from metadata (zero jobs) with the SAME result and column
+    name as the real query; refusal cases (MOR masks) silently fall
+    through to spark.sql."""
+    import big_data_spark.io.stats as stats_mod
+
+    from big_data_spark.io.snapshot import delete_where
+
+    t = str(tmp_path / "cnt")
+    append_snapshot(
+        spark.range(123).selectExpr("id AS k", "id * 2 AS v"), t
+    )
+    cat = SnapshotCatalog(spark, versions="lazy")
+    cat.register("cnt", t)
+    real = spark.sql("SELECT COUNT(*) FROM cnt")
+    got = cat.sql("SELECT COUNT(*) FROM cnt")
+    assert got.columns == real.columns == ["count(1)"]
+    assert got.collect()[0][0] == real.collect()[0][0] == 123
+    assert cat.sql(
+        "select count( * ) as n from cnt"
+    ).collect()[0]["n"] == 123
+    # zero scan work: the fast path builds a local one-row DataFrame
+    assert got.inputFiles() == []
+    # anything beyond the bare shape passes through untouched
+    assert (
+        cat.sql("SELECT COUNT(*) FROM cnt WHERE k < 10").collect()[0][0]
+        == 10
+    )
+    # MOR masks refuse metadata -> the real query answers, exactly
+    delete_where(spark, t, "k % 2 = 0", mode="mor")
+    cat.refresh("cnt")
+    assert cat.sql("SELECT COUNT(*) FROM cnt").collect()[0][0] == 61
