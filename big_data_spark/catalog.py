@@ -201,6 +201,13 @@ class SnapshotCatalog:
         # base_dir. `register()` stays ad-hoc (session-only) unless
         # asked to persist.
         self._persisted: set[str] = set()
+        # Snapshot id each table's HEAD view was registered at (None
+        # = unknown, e.g. a commit raced the registration): the
+        # COUNT(*) metadata fast path answers ONLY when the latest
+        # manifest still matches this, so it can never disagree with
+        # what a simultaneous SELECT * through the pinned view
+        # returns (round-12 review finding).
+        self._view_sid: dict[str, int | None] = {}
         if base_dir is not None:
             self._load_registry()
 
@@ -221,7 +228,11 @@ class SnapshotCatalog:
         still clean it up) but registers no view — loud on first
         SELECT rather than silently unlisted."""
         from big_data_spark.io.compact import hadoop_fs
-        from big_data_spark.io.snapshot import _read_json, read_snapshot
+        from big_data_spark.io.snapshot import (
+            _read_json,
+            latest_manifest,
+            read_snapshot,
+        )
 
         fs, p = hadoop_fs(self.spark, self._registry_path())
         if not fs.exists(p):
@@ -233,11 +244,17 @@ class SnapshotCatalog:
             self.tables[name] = table_dir
             self._persisted.add(name)
             try:
+                man = latest_manifest(self.spark, table_dir)
+                if man is None:
+                    continue  # no commits yet: binding kept, no view
+                # Pin the head view to the EXACT id just read, so
+                # _view_sid is authoritative (no registration race).
                 read_snapshot(
-                    self.spark, table_dir
+                    self.spark, table_dir, as_of=man["snapshot_id"]
                 ).createOrReplaceTempView(name)
+                self._view_sid[name] = int(man["snapshot_id"])
             except ValueError:
-                pass  # no commits yet / dir gone: binding kept
+                pass  # dir gone mid-read: binding kept, loud later
 
     def _save_registry(self) -> None:
         """Write the persisted bindings atomically (write-temp +
@@ -319,14 +336,36 @@ class SnapshotCatalog:
                 )
             self._persisted.add(name)
             self._save_registry()
-        return register_snapshot_views(
-            self.spark, table_dir, name, versions=self.versions
-        )
+        return self._register_views_tracked(name)
 
-    def refresh(self, name: str) -> None:
-        register_snapshot_views(
+    def _latest_sid(self, name: str) -> int | None:
+        from big_data_spark.io.snapshot import latest_manifest
+
+        try:
+            man = latest_manifest(self.spark, self.tables[name])
+        except Exception:  # noqa: BLE001 — tracking only, never fatal
+            return None
+        return None if man is None else int(man["snapshot_id"])
+
+    def _register_views_tracked(self, name: str) -> list[str]:
+        """Register the views and BRACKET-check which snapshot the
+        head view reflects: the manifest id read before registration
+        equals the one read after only if no commit raced the view
+        build — on a race (or any read failure) record None, and the
+        COUNT(*) fast path simply declines (the passthrough query
+        through the pinned view stays authoritative)."""
+        sid0 = self._latest_sid(name)
+        names = register_snapshot_views(
             self.spark, self.tables[name], name, versions=self.versions
         )
+        sid1 = self._latest_sid(name)
+        self._view_sid[name] = (
+            sid1 if sid1 is not None and sid0 == sid1 else None
+        )
+        return names
+
+    def refresh(self, name: str) -> None:
+        self._register_views_tracked(name)
 
     def as_of(self, name: str, version: int) -> DataFrame:
         return as_of(self.spark, self.tables[name], version, name=name)
@@ -364,9 +403,40 @@ class SnapshotCatalog:
 
     def sql(self, statement: str):
         from big_data_spark.sqldml import (
+            _COUNT_STAR_RE,
             rewrite_time_travel,
             route_statement,
         )
+
+        m = _COUNT_STAR_RE.match(statement)
+        if m and m.group(2) in self.tables:
+            # Metadata-only COUNT(*) fast path (round 12 — the
+            # optimizer rewrite Delta/Iceberg do in
+            # OptimizeMetadataOnlyQuery, spelled driver-side): zero
+            # scan jobs WHEN the answer provably matches what the
+            # pinned head view would return — metadata_aggregate's
+            # snapshot_id must equal the id the view was registered
+            # at; any drift (external writer, raced registration) or
+            # exactness refusal (MOR masks, stat-less generations)
+            # falls through to the real query. Locally both paths sit
+            # in fixed py4j overhead; the shape matters at object-
+            # store scale where the scan term grows with the table.
+            from big_data_spark.io.snapshot import metadata_aggregate
+
+            view_sid = self._view_sid.get(m.group(2))
+            if view_sid is not None:
+                try:
+                    agg = metadata_aggregate(
+                        self.spark, self.tables[m.group(2)], columns=[]
+                    )
+                except ValueError:
+                    agg = None
+                if agg is not None and agg["snapshot_id"] == view_sid:
+                    name = m.group(1) or "count(1)"
+                    return self.spark.sql(
+                        f"SELECT CAST({int(agg['rows'])} AS BIGINT) "
+                        f"AS `{name}`"
+                    )
 
         st = route_statement(
             self.spark,
@@ -380,6 +450,7 @@ class SnapshotCatalog:
         if st is not None:
             if st.get("statement_type") == "DROP TABLE":
                 self._drop_views(st["table"])
+                self._view_sid.pop(st["table"], None)
                 if self.base_dir is not None and (
                     st["table"] in self._persisted
                 ):

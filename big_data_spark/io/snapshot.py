@@ -254,7 +254,12 @@ def latest_manifest(
 # session never re-reads its own sidecars.
 _SIDECAR_CACHE: dict[tuple[str, str], dict] = {}
 _SIDECAR_CACHE_LOCK = threading.Lock()
-_SIDECAR_CACHE_MAX = 64
+# Sized so tables up to a few hundred live generations reach pure
+# cache hits on repeated aggregates/pruned reads (each doc is
+# O(files-per-generation) — bounded driver memory); beyond it the
+# bulk prefetch re-reads per query, trading repeat cost for a
+# bounded footprint.
+_SIDECAR_CACHE_MAX = 512
 
 
 def _write_stats_sidecar(
@@ -406,6 +411,15 @@ def _prefetch_sidecars(
     for r in rows:
         doc = json.loads(r["value"])
         out[doc["gen"]] = doc
+    # Prime the cache from the bulk read (up to the cap): tables
+    # whose generations fit become pure cache hits on every repeat
+    # query — without this the bulk scan re-ran per aggregate forever
+    # (review finding); oversized tables keep the bounded footprint.
+    with _SIDECAR_CACHE_LOCK:
+        for g, doc in out.items():
+            if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
+                break
+            _SIDECAR_CACHE.setdefault((table_dir, side[g]), doc)
     return out
 
 

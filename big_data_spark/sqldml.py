@@ -139,8 +139,13 @@ _DROP_RE = re.compile(
     re.IGNORECASE,
 )
 _OPTIMIZE_RE = re.compile(
+    # The PARTITION group is QUOTE-AWARE: a ')' or ',' inside a
+    # single-quoted value ('a)b', 'Washington, DC') stays part of the
+    # clause instead of ending it; unquoted parens (function calls)
+    # keep the whole statement unclaimed — spark.sql then rejects
+    # OPTIMIZE loudly.
     r"^\s*OPTIMIZE\s+(\w+)"
-    r"(?:\s+PARTITION\s*\(\s*([^)]+?)\s*\))?"
+    r"(?:\s+PARTITION\s*\(\s*((?:'(?:[^']|'')*'|[^()'])*?)\s*\))?"
     r"(?:\s+ZORDER\s+BY\s+\(\s*([\w\s,`]+?)\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -159,11 +164,20 @@ _RESTORE_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
+# SHOW *SNAPSHOT* TABLES on purpose: bare SHOW TABLES passed through
+# to spark.sql (temp views + session catalog, its own schema) before
+# round 12 and must keep working — claiming it would silently swap
+# the result schema and hide non-snapshot views (review finding).
 _SHOW_TABLES_RE = re.compile(
-    r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE
+    r"^\s*SHOW\s+SNAPSHOT\s+TABLES\s*;?\s*$", re.IGNORECASE
 )
 # Bare COUNT(*) over one registered table, no WHERE/GROUP/anything:
-# the only SELECT shape the metadata fast path may claim.
+# the only SELECT shape the metadata fast path may claim. Consumed by
+# SnapshotCatalog.sql, NOT route_statement — the fast path must only
+# answer when the catalog's pinned head view and the latest manifest
+# agree (the catalog tracks that; a bare dispatcher cannot), or a
+# stale registration would count rows a simultaneous SELECT * does
+# not return (review finding).
 _COUNT_STAR_RE = re.compile(
     r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(\w+))?"
     r"\s+FROM\s+(\w+)\s*;?\s*$",
@@ -275,41 +289,12 @@ def route_statement(
         from big_data_spark.io.snapshot import show_partitions
 
         return show_partitions(spark, tables[m.group(1)])
-    m = _COUNT_STAR_RE.match(statement)
-    if m and m.group(2) in tables:
-        # Metadata-only COUNT(*) fast path (round 12 — the optimizer
-        # rewrite Delta/Iceberg do in OptimizeMetadataOnlyQuery,
-        # spelled driver-side): a bare COUNT(*) over a registered
-        # snapshot table answers from the manifest + stats sidecars
-        # in milliseconds, zero Spark jobs. metadata_aggregate's
-        # exactness refusals (MOR vectors live, stat-less
-        # generations) fall through to the real query — identical
-        # result either way, only the cost differs.
-        from big_data_spark.io.snapshot import metadata_aggregate
-
-        try:
-            agg = metadata_aggregate(
-                spark, tables[m.group(2)], columns=[]
-            )
-        except ValueError:
-            pass  # refusal: plain spark.sql runs the real count
-        else:
-            # A literal one-row SELECT, not createDataFrame: no RDD,
-            # one py4j round trip. On LOCAL disk the two paths are
-            # within fixed-overhead noise of each other (~0.1-0.4 s
-            # either way); the point is the object-store/100 TB shape
-            # — the scan term grows with the table, this one never
-            # does (driver JSON reads only).
-            name = m.group(1) or "count(1)"
-            return spark.sql(
-                f"SELECT CAST({int(agg['rows'])} AS BIGINT) "
-                f"AS `{name}`"
-            )
     if _SHOW_TABLES_RE.match(statement):
-        # SHOW TABLES (round 12): the catalog's registered snapshot
-        # tables — name, dir, and whether the binding persists in the
-        # warehouse registry. Metadata-only; bindings are the
-        # driver-side dict, no storage reads.
+        # SHOW SNAPSHOT TABLES (round 12): the catalog's registered
+        # snapshot tables — name, dir, and whether the binding
+        # persists in the warehouse registry. Metadata-only; bindings
+        # are the driver-side dict, no storage reads. (Bare SHOW
+        # TABLES stays spark.sql's.)
         rows = [
             (n, tables[n], n in (persisted or set()))
             for n in sorted(tables)
@@ -370,7 +355,7 @@ def route_statement(
             # only; anything else fails loudly here rather than
             # silently rewriting the whole table.
             parts = {}
-            for pair in m.group(2).split(","):
+            for pair in _split_top_level(m.group(2)):
                 pm = _PART_PAIR_RE.match(pair)
                 if not pm:
                     raise ValueError(

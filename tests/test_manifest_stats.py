@@ -521,3 +521,12 @@ def test_metadata_aggregate_bulk_prefetches_many_generations(
         f"bulk prefetch must cover every sidecar; serial reads: "
         f"{serial_reads[:3]}"
     )
+    # The bulk read PRIMED the cache: a repeat aggregate needs no
+    # distributed scan at all (review finding — it used to re-pay
+    # the text job on every call).
+    man = latest_manifest(spark, t)
+    gens = set(man["stats"]["sidecars"])
+    assert (
+        snap._prefetch_sidecars(spark, t, man["stats"], gens) == {}
+    )
+    assert metadata_aggregate(spark, t)["rows"] == n * 10

@@ -810,7 +810,7 @@ def test_show_tables_and_alter_repartition(spark, tmp_path):
     cat.register("adhoc", t2)
     rows = {
         (r["table_name"], r["persisted"])
-        for r in cat.sql("SHOW TABLES").collect()
+        for r in cat.sql("SHOW SNAPSHOT TABLES").collect()
     }
     assert rows == {("rt", True), ("adhoc", False)}
     # widen the spec through SQL: one atomic maintenance rewrite
@@ -901,3 +901,26 @@ def test_count_star_metadata_fast_path(spark, tmp_path):
     delete_where(spark, t, "k % 2 = 0", mode="mor")
     cat.refresh("cnt")
     assert cat.sql("SELECT COUNT(*) FROM cnt").collect()[0][0] == 61
+
+
+def test_count_star_fast_path_declines_on_stale_view(spark, tmp_path):
+    """An external writer advancing the table WITHOUT cat.refresh()
+    must not desynchronize COUNT(*) from the pinned view: the fast
+    path declines (snapshot-id mismatch) and the passthrough count
+    equals exactly what SELECT * through the stale view returns."""
+    t = str(tmp_path / "stale")
+    append_snapshot(spark.range(10).selectExpr("id AS k"), t)
+    cat = SnapshotCatalog(spark, versions="lazy")
+    cat.register("stale", t)
+    assert cat.sql("SELECT COUNT(*) FROM stale").collect()[0][0] == 10
+    append_snapshot(spark.range(5).selectExpr("id + 100 AS k"), t)
+    # no refresh: the pinned view still shows 10 rows — and so must
+    # the count (metadata would say 15; the fast path must decline).
+    n = cat.sql("SELECT COUNT(*) FROM stale").collect()[0][0]
+    rows = cat.sql("SELECT * FROM stale").count()
+    assert n == rows == 10
+    cat.refresh("stale")
+    assert cat.sql("SELECT COUNT(*) FROM stale").collect()[0][0] == 15
+    # bare SHOW TABLES still belongs to spark.sql (temp views listing)
+    plain = cat.sql("SHOW TABLES")
+    assert "tableName" in plain.columns
