@@ -212,12 +212,38 @@ class SnapshotCatalog:
             self._load_registry()
 
     # ----------------------------------------- warehouse registry
+    #
+    # Layout (round 13): ONE binding file per table name under
+    # ``base_dir/_catalog/<quoted-name>.json`` — concurrent catalogs
+    # on one warehouse touch DISJOINT files for disjoint names, so a
+    # session's CTAS can never erase another session's binding (the
+    # round-12 last-writer-wins-on-the-whole-file defect). The only
+    # remaining write-write race is two sessions persisting the SAME
+    # name, where last-writer-wins is the correct semantics anyway.
+    # The pre-round-13 whole-file ``_catalog.json`` is still READ for
+    # backward compatibility (per-table files overlay it); DROP of a
+    # legacy-recorded name also rewrites the legacy file so the name
+    # cannot resurrect on the next load.
 
     def _registry_path(self) -> str:
         return f"{self.base_dir.rstrip('/')}/_catalog.json"
 
+    def _bindings_dir(self) -> str:
+        return f"{self.base_dir.rstrip('/')}/_catalog"
+
+    @staticmethod
+    def _binding_file(name: str) -> str:
+        """Filesystem-safe, reversible file name for a binding: every
+        character outside [A-Za-z0-9_.-] percent-encodes ('%' itself
+        included), so two distinct table names can never share a
+        file. The authoritative name is ALSO stored inside the file —
+        the loader trusts the payload, not the decode."""
+        from urllib.parse import quote
+
+        return quote(name, safe="_.-") + ".json"
+
     def _load_registry(self) -> None:
-        """Bind every table the warehouse registry file records and
+        """Bind every table the warehouse registry records and
         register its HEAD view only (one manifest read per table) —
         the full fan-out (per-version, tag, history, changes views)
         costs O(versions) manifest reads per table and is deferred to
@@ -234,13 +260,32 @@ class SnapshotCatalog:
             read_snapshot,
         )
 
+        bound: dict[str, str] = {}
+        # Legacy whole-file registry first (pre-round-13 warehouses).
         fs, p = hadoop_fs(self.spark, self._registry_path())
-        if not fs.exists(p):
-            return
-        doc = _read_json(self.spark, self._registry_path())
-        for name, table_dir in sorted(
-            (doc.get("tables") or {}).items()
-        ):
+        if fs.exists(p):
+            doc = _read_json(self.spark, self._registry_path())
+            bound.update(doc.get("tables") or {})
+        # Per-table binding files overlay (newer layout wins a name).
+        fs, cdir = hadoop_fs(self.spark, self._bindings_dir())
+        if fs.exists(cdir):
+            for st in fs.listStatus(cdir):
+                fname = st.getPath().getName()
+                if not fname.endswith(".json") or fname.startswith("."):
+                    continue  # temp files / crc sidecars
+                try:
+                    doc = _read_json(
+                        self.spark, st.getPath().toString()
+                    )
+                except Exception:  # noqa: BLE001
+                    # Vanished between list and read (a concurrent
+                    # DROP): behaves as dropped. Binding files are
+                    # published by atomic rename, so a listed file
+                    # that READS is always complete.
+                    continue
+                if doc.get("name") and doc.get("dir"):
+                    bound[doc["name"]] = doc["dir"]
+        for name, table_dir in sorted(bound.items()):
             self.tables[name] = table_dir
             self._persisted.add(name)
             try:
@@ -256,14 +301,11 @@ class SnapshotCatalog:
             except ValueError:
                 pass  # dir gone mid-read: binding kept, loud later
 
-    def _save_registry(self) -> None:
-        """Write the persisted bindings atomically (write-temp +
-        rename, the tag-pin pattern): at every instant the registry
-        file is either the old complete document or the new one.
-        Concurrent catalogs on one warehouse are last-writer-wins on
-        the WHOLE file — the table dirs themselves stay the source of
-        truth (CTAS claims dirs, DROP deletes them); the registry is
-        the name->dir binding layer."""
+    def _save_binding(self, name: str) -> None:
+        """Persist ONE name->dir binding as its own file (write-temp
+        + atomic rename, the tag-pin pattern): at every instant the
+        file is either absent, the old binding, or the new one —
+        and no other name's binding is ever touched."""
         import json as _json
         import uuid as _uuid
 
@@ -271,30 +313,24 @@ class SnapshotCatalog:
         from big_data_spark.io.snapshot import _atomic_overwrite_local
 
         body = _json.dumps(
-            {
-                "v": 1,
-                "tables": {
-                    n: self.tables[n]
-                    for n in sorted(self._persisted)
-                    if n in self.tables
-                },
-            },
+            {"v": 2, "name": name, "dir": self.tables[name]},
             sort_keys=True,
         )
-        base = self.base_dir.rstrip("/")
-        fs, bp = hadoop_fs(self.spark, base)
-        fs.mkdirs(bp)
-        tmp = f"{base}/._catalog-tmp-{_uuid.uuid4().hex}"
+        cdir = self._bindings_dir()
+        fs, cpath = hadoop_fs(self.spark, cdir)
+        fs.mkdirs(cpath)
+        fname = self._binding_file(name)
+        tmp = f"{cdir}/.{fname}.tmp-{_uuid.uuid4().hex}"
         _, tmp_path = hadoop_fs(self.spark, tmp)
         out = fs.create(tmp_path, True)
         try:
             out.write(bytearray(body.encode("utf-8")))
         finally:
             out.close()
-        _, final = hadoop_fs(self.spark, self._registry_path())
+        _, final = hadoop_fs(self.spark, f"{cdir}/{fname}")
         if (fs.getUri().getScheme() or "file") == "file":
             _atomic_overwrite_local(
-                self.spark, fs, base, tmp_path, final, "_catalog"
+                self.spark, fs, cdir, tmp_path, final, fname[:-5]
             )
         else:
             # Object stores without overwrite-rename: the documented
@@ -304,8 +340,65 @@ class SnapshotCatalog:
             if not fs.rename(tmp_path, final):
                 fs.delete(tmp_path, False)
                 raise OSError(
-                    f"could not publish catalog registry at "
-                    f"{self._registry_path()!r}"
+                    f"could not publish catalog binding for {name!r} "
+                    f"under {cdir!r}"
+                )
+
+    def _remove_binding(self, name: str) -> None:
+        """Unpersist ONE binding: delete its file (checksum sidecar
+        goes with it — ChecksumFileSystem.delete), and if the legacy
+        whole-file registry still records the name, rewrite that file
+        without it so the binding cannot resurrect on the next load.
+        The legacy rewrite is read-modify-write — it races only among
+        sessions still holding pre-round-13 bindings, a strictly
+        narrower window than the old layout's every-save race."""
+        import json as _json
+        import uuid as _uuid
+
+        from big_data_spark.io.compact import hadoop_fs
+        from big_data_spark.io.snapshot import (
+            _atomic_overwrite_local,
+            _read_json,
+        )
+
+        cdir = self._bindings_dir()
+        fs, fpath = hadoop_fs(
+            self.spark, f"{cdir}/{self._binding_file(name)}"
+        )
+        if fs.exists(fpath):
+            fs.delete(fpath, False)
+        legacy = self._registry_path()
+        fs, lpath = hadoop_fs(self.spark, legacy)
+        if not fs.exists(lpath):
+            return
+        doc = _read_json(self.spark, legacy)
+        tables = doc.get("tables") or {}
+        if name not in tables:
+            return
+        del tables[name]
+        body = _json.dumps(
+            {"v": 1, "tables": tables}, sort_keys=True
+        )
+        base = self.base_dir.rstrip("/")
+        tmp = f"{base}/._catalog-tmp-{_uuid.uuid4().hex}"
+        _, tmp_path = hadoop_fs(self.spark, tmp)
+        out = fs.create(tmp_path, True)
+        try:
+            out.write(bytearray(body.encode("utf-8")))
+        finally:
+            out.close()
+        if (fs.getUri().getScheme() or "file") == "file":
+            _atomic_overwrite_local(
+                self.spark, fs, base, tmp_path, lpath, "_catalog"
+            )
+        else:
+            if fs.exists(lpath):
+                fs.delete(lpath, False)
+            if not fs.rename(tmp_path, lpath):
+                fs.delete(tmp_path, False)
+                raise OSError(
+                    f"could not rewrite legacy catalog registry at "
+                    f"{legacy!r}"
                 )
 
     def register(
@@ -335,7 +428,7 @@ class SnapshotCatalog:
                     "constructed with base_dir="
                 )
             self._persisted.add(name)
-            self._save_registry()
+            self._save_binding(name)
         return self._register_views_tracked(name)
 
     def _latest_sid(self, name: str) -> int | None:
@@ -455,7 +548,7 @@ class SnapshotCatalog:
                     st["table"] in self._persisted
                 ):
                     self._persisted.discard(st["table"])
-                    self._save_registry()
+                    self._remove_binding(st["table"])
             else:
                 if (
                     st.get("statement_type") == "CREATE TABLE"
@@ -464,7 +557,7 @@ class SnapshotCatalog:
                     # CTAS persists: the binding survives the session
                     # (round-12 directive #2).
                     self._persisted.add(st["table"])
-                    self._save_registry()
+                    self._save_binding(st["table"])
                 # CREATE TABLE registered the name into self.tables
                 # inside the dispatcher; refresh covers both the new
                 # table's first views and every post-DML refresh.

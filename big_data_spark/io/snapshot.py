@@ -5188,11 +5188,17 @@ def repartition_table(
     _claim_check(spark, table_dir, next_id)
     prev_stats = man.get("stats")
     if prev_stats:
+        # Keep an EMPTY filtered list as [] (meaning: record no
+        # stats), never collapse it to None: None means "derive
+        # defaults", and _auto_commit_stats would fall back to
+        # prev_stats['columns'] — re-recording stats for the very
+        # partition columns this filter excludes (footerless in the
+        # hive-partitioned data files; round-12 advice).
         stats_columns = [
             c
             for c in prev_stats["columns"]
             if c not in set(new_pcols or [])
-        ] or None
+        ]
     else:
         stats_columns = None
     if not man["entries"]:

@@ -170,15 +170,22 @@ _PYTEST_ONLY = (
     # decontaminate, cohort_retention (all driver-certified in
     # earlier rounds, re-certified this round). Swapped OUT — every
     # family keeps at least one driver row:
-    "hybrid_search",  # search family: semantic_search stays; ann_recall (IN) exercises the same IVF+rescore
-    "pmi_cooccur",  # text-statistics family: text_quality + quality_gopher (IN) stay
-    "cube_sales",  # rollup/pivot family: pivot_status stays
-    "unpivot_metrics",  # reshape family: pivot_status stays
-    "percentiles",  # agg family: pricing_summary + set_ops stay
-    "agg_collect_sorted",  # A-family: pricing_summary + set_ops + string_tokens (A2-shape map fold) stay
-    "events_funnel",  # §2.5 window family: window_running_sum + events_resample (IN) + cohort_retention (IN) stay
-    "community_lpa",  # graph family: pagerank_topn + triangle_count + shortest_paths (IN) + dedup_clusters (CC) stay
-    "sql_portable_revenue",  # SQL-door family: sql_snapshot_asof + sql_dml stay (both deeper spellings)
+    # Round-13 rotation (round-12 verdict directive #3): the nine rows
+    # released in round 12 come back IN — agg_collect_sorted,
+    # community_lpa, cube_sales, events_funnel, hybrid_search,
+    # percentiles, pmi_cooccur, sql_portable_revenue, unpivot_metrics.
+    # Released: nine twice-plus-slotted rows (2-12 prior driver
+    # rounds each, per the CORRECTNESS_r* history); every family keeps
+    # at least one driver row:
+    "dedup_ngram_jaccard",  # dedup family (12 rounds): dedup_minhash_lsh + dedup_semantic + dedup_clusters + dedup_segments + both incremental rows stay
+    "ann_hyperplane_lsh",  # ANN family (12 rounds): ann_recall (IVF + exact rescore) + semantic_search + hybrid_search (IN) stay
+    "text_quality",  # text family (12 rounds): quality_gopher + pii_scrub + pmi_cooccur (IN) stay
+    "join_self_theta",  # J family (12 rounds): join_multiway (J1) stays; J6/P8 shape stays pytest-oracle gated
+    "stream_stream_join",  # §2.11 streaming family (11 rounds): mv_refresh + stream-adjacent cdc mirrors stay
+    "temporal_join",  # timeseries family (6 rounds): range_join_bands stays (same interval machinery)
+    "pivot_status",  # pivot/reshape family (6 rounds): cube_sales + unpivot_metrics (both IN) stay
+    "merge_upsert",  # lakehouse-write family (7 rounds): sql_dml + snapshot_delete + snapshot_update_cdf stay
+    "triangle_count",  # graph family (7 rounds): pagerank_topn + shortest_paths + community_lpa (IN) + dedup_clusters (CC) stay
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

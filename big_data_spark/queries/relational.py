@@ -43,24 +43,31 @@ def fixture_dir(prefix: str, sf_dir: str) -> str:
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    suffix = os.environ.get("BDS_FIXTURE_SUFFIX") or str(os.getpid())
+    # Namespace the suffix by its ORIGIN so the reaper can tell them
+    # apart: pid-derived dirs are "p<pid>", env overrides are
+    # "u<value>". Without the prefix a NUMERIC BDS_FIXTURE_SUFFIX is
+    # indistinguishable from a pid and another process would rmtree
+    # that stable fixture the moment no live process holds that pid
+    # (round-12 advice).
+    override = os.environ.get("BDS_FIXTURE_SUFFIX")
+    suffix = f"u{override}" if override else f"p{os.getpid()}"
     tmp = tempfile.gettempdir()
-    # Reap DEAD siblings (same prefix+sf, pid no longer alive): the
-    # per-process keying means each run leaves its fixtures behind,
-    # so without this a long-lived host accumulates one snapshot
-    # table per past harness process. Live pids (a concurrent
-    # harness) and non-pid suffixes (env overrides) are never
-    # touched; best-effort — a lost race just leaves the dir for the
-    # next caller.
+    # Reap DEAD siblings (same prefix+sf, pid-namespaced, pid no
+    # longer alive): the per-process keying means each run leaves its
+    # fixtures behind, so without this a long-lived host accumulates
+    # one snapshot table per past harness process. Live pids (a
+    # concurrent harness) and "u"-namespaced env-override dirs are
+    # never touched; best-effort — a lost race just leaves the dir
+    # for the next caller.
     import shutil
 
-    lead = f"{prefix}_{tag}_"
+    lead = f"{prefix}_{tag}_p"
     try:
         for name in os.listdir(tmp):
             if not name.startswith(lead):
                 continue
             rest = name[len(lead):]
-            if rest == suffix or not rest.isdigit():
+            if f"p{rest}" == suffix or not rest.isdigit():
                 continue
             try:
                 os.kill(int(rest), 0)

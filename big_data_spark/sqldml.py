@@ -772,6 +772,15 @@ def _execute_create(
                 "CREATE TABLE needs LOCATION '<dir>' (or a catalog "
                 "constructed with base_dir=) to place the table"
             )
+        if name.lower() == "_catalog":
+            # Reserved: <base_dir>/_catalog is the warehouse's
+            # per-table binding directory (round 13) — a data table
+            # there would interleave with registry files.
+            raise ValueError(
+                "CREATE TABLE: '_catalog' is reserved for the "
+                "warehouse registry — pick another name or an "
+                "explicit LOCATION"
+            )
         location = f"{base_dir.rstrip('/')}/{name}"
     fs, lp = hadoop_fs(spark, location)
     if fs.exists(lp) and fs.listStatus(lp):

@@ -113,6 +113,33 @@ def test_repartition_materializes_mor_vectors(spark, tmp_path):
     assert agg["sum"]["k"] == sum(r[0] for r in got)
 
 
+def test_repartition_all_stats_cols_become_partition_cols(spark, tmp_path):
+    """When EVERY recorded stats column becomes a partition column,
+    the rewrite records NO stats instead of collapsing the empty
+    filter result to None — which would re-derive the old set and
+    record stats for the very columns the filter excluded
+    (footerless in hive-partitioned data files; round-12 advice)."""
+    t = str(tmp_path / "rp5")
+    df = _mk(spark)
+    write_snapshot(df, t, stats_columns=["d", "region"])
+    assert latest_manifest(spark, t)["stats"]["columns"] == ["d", "region"]
+    st = repartition_table(spark, t, ["d", "region"])
+    man = latest_manifest(spark, t)
+    assert man["partition_col"] == ["d", "region"]
+    assert man.get("stats") is None
+    assert _rows(read_snapshot(spark, t)) == _rows(df)
+    # metadata aggregates refuse loudly (no silent partition-column
+    # stats), and analyze_table can re-establish stats on data columns
+    with pytest.raises(ValueError, match="no per-file stats"):
+        metadata_aggregate(spark, t, columns=[])
+    from big_data_spark.io.snapshot import analyze_table
+
+    analyze_table(spark, t, stats_columns=["k", "v"])
+    agg = metadata_aggregate(spark, t, columns=["k"])
+    assert agg["rows"] == 120 and agg["min"]["k"] == 0
+    assert st["n_entries"] == 6
+
+
 def test_repartition_refuses_noop_and_races_loudly(
     spark, tmp_path, monkeypatch
 ):

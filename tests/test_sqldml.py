@@ -729,7 +729,8 @@ def test_show_partitions_unregistered_passes_through(spark):
 def test_persistent_catalog_survives_sessions(spark, tmp_path):
     """Round-12 directive #2 done-criterion: CTAS in one
     catalog/session, SELECT + DROP in a FRESH one — the warehouse
-    registry file (base_dir/_catalog.json) carries the binding."""
+    registry (one binding file per table under base_dir/_catalog/,
+    round 13) carries the binding."""
     import os
 
     base = str(tmp_path / "wh")
@@ -738,7 +739,7 @@ def test_persistent_catalog_survives_sessions(spark, tmp_path):
         "CREATE TABLE pt AS SELECT id AS k, id * 2 AS v FROM range(100)"
     )
     assert st["statement_type"] == "CREATE TABLE" and st["rows"] == 100
-    assert os.path.exists(f"{base}/_catalog.json")
+    assert os.path.exists(f"{base}/_catalog/pt.json")
 
     s2 = spark.newSession()
     cat2 = SnapshotCatalog(s2, base_dir=base)
@@ -776,7 +777,7 @@ def test_register_is_session_only_unless_persisted(spark, tmp_path):
     nocat = SnapshotCatalog(spark)
     with pytest.raises(ValueError, match="base_dir"):
         nocat.register("x", t, persist=True)
-    assert os.path.exists(f"{base}/_catalog.json")
+    assert os.path.exists(f"{base}/_catalog/pinned.json")
 
 
 def test_persistent_catalog_tolerates_vanished_dir(spark, tmp_path):
@@ -795,6 +796,136 @@ def test_persistent_catalog_tolerates_vanished_dir(spark, tmp_path):
     assert st["dropped"] is False  # nothing to delete; binding freed
     cat3 = SnapshotCatalog(spark.newSession(), base_dir=base)
     assert "ghost" not in cat3.tables
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_concurrent_ctas_both_bindings_survive(spark, tmp_path, seed):
+    """Round-12 verdict directive #1 done-criterion: two catalogs on
+    ONE warehouse CTAS different names CONCURRENTLY — both bindings
+    survive a fresh SnapshotCatalog(base_dir=) load. Per-table
+    binding files make the writes disjoint; the old whole-file layout
+    lost whichever save landed first."""
+    import threading
+
+    base = str(tmp_path / f"whc{seed}")
+    names = (f"ca{seed}", f"cb{seed}")
+    gate = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def ctas(name: str) -> None:
+        try:
+            c = SnapshotCatalog(spark.newSession(), base_dir=base)
+            gate.wait(timeout=60)
+            c.sql(
+                f"CREATE TABLE {name} AS "
+                f"SELECT id + {seed} AS k FROM range(50)"
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=ctas, args=(n,)) for n in names
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs, errs
+    fresh = SnapshotCatalog(spark.newSession(), base_dir=base)
+    for n in names:
+        assert fresh.tables[n] == f"{base}/{n}"
+        assert (
+            fresh.sql(f"SELECT count(*) AS n FROM {n}").collect()[0]["n"]
+            == 50
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_drop_racing_ctas_loses_neither(spark, tmp_path, seed):
+    """DROP TABLE of one name racing a CTAS of ANOTHER name: the drop
+    releases exactly its own binding and the concurrent CTAS's
+    binding survives (the old layout let the dropper's whole-file
+    save erase the CTAS)."""
+    import threading
+
+    base = str(tmp_path / f"whd{seed}")
+    setup = SnapshotCatalog(spark.newSession(), base_dir=base)
+    setup.sql(f"CREATE TABLE dead{seed} AS SELECT id FROM range(10)")
+
+    gate = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def run(stmt: str) -> None:
+        try:
+            c = SnapshotCatalog(spark.newSession(), base_dir=base)
+            gate.wait(timeout=60)
+            c.sql(stmt)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=run, args=(f"DROP TABLE dead{seed}",)),
+        threading.Thread(
+            target=run,
+            args=(
+                f"CREATE TABLE live{seed} AS SELECT id FROM range(20)",
+            ),
+        ),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs, errs
+    fresh = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert f"dead{seed}" not in fresh.tables
+    assert fresh.tables[f"live{seed}"] == f"{base}/live{seed}"
+    assert (
+        fresh.sql(f"SELECT count(*) AS n FROM live{seed}").collect()[0][
+            "n"
+        ]
+        == 20
+    )
+
+
+def test_legacy_whole_file_registry_still_loads(spark, tmp_path):
+    """Pre-round-13 warehouses carry one _catalog.json: its bindings
+    load, a new CTAS lands as a per-table file WITHOUT rewriting the
+    legacy file, and DROP of a legacy-recorded name rewrites the
+    legacy file so the binding cannot resurrect."""
+    import json
+    import os
+
+    base = str(tmp_path / "whl")
+    os.makedirs(base)
+    old = str(tmp_path / "oldtab")
+    append_snapshot(spark.range(7).selectExpr("id AS k"), old)
+    with open(f"{base}/_catalog.json", "w") as fh:
+        json.dump({"v": 1, "tables": {"oldtab": old}}, fh)
+
+    cat = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert cat.tables["oldtab"] == old
+    assert (
+        cat.sql("SELECT count(*) AS n FROM oldtab").collect()[0]["n"]
+        == 7
+    )
+    cat.sql("CREATE TABLE newtab AS SELECT id FROM range(3)")
+    assert os.path.exists(f"{base}/_catalog/newtab.json")
+    legacy = json.load(open(f"{base}/_catalog.json"))
+    assert legacy["tables"] == {"oldtab": old}  # untouched by CTAS
+    st = cat.sql("DROP TABLE oldtab")
+    assert st["dropped"] is True
+    legacy = json.load(open(f"{base}/_catalog.json"))
+    assert "oldtab" not in legacy["tables"]
+    fresh = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert "oldtab" not in fresh.tables and "newtab" in fresh.tables
+
+
+def test_ctas_refuses_reserved_catalog_name(spark, tmp_path):
+    base = str(tmp_path / "whr")
+    cat = SnapshotCatalog(spark, base_dir=base)
+    with pytest.raises(ValueError, match="reserved"):
+        cat.sql("CREATE TABLE _catalog AS SELECT id FROM range(3)")
 
 
 def test_show_tables_and_alter_repartition(spark, tmp_path):
