@@ -8,7 +8,13 @@ extensions (dedup, ANN, multimodal, text analysis, decontamination,
 MERGE INTO / CDC apply, the data-quality gate, streaming incl. a
 watermarked stream-stream interval join, range join, SQL time
 travel over the engine's own snapshot tables) with DuckDB oracles.
-The registry holds 106 oracle-paired queries in total (round 12
+The registry holds 107 oracle-paired queries in total (round 13
+added metadata_aggregates — the SQL door's metadata-only aggregate
+fast path, plan-asserted scan-free, the 57 past the
+50-row driver cap pytest-oracle gated — and rotated the nine
+round-12-released rows back into driver slots, releasing nine
+twice-plus-slotted rows with every family keeping a driver sibling;
+round 12
 rotated typed_prune plus the long-unslotted snapshot_delete/
 shortest_paths/quality_gopher/events_resample/ann_recall/mv_refresh/
 decontaminate/cohort_retention into driver slots, releasing

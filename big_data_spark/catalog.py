@@ -494,42 +494,93 @@ class SnapshotCatalog:
             ):
                 self.spark.catalog.dropTempView(tbl.name)
 
+    def _metadata_select(self, name: str, items) -> DataFrame | None:
+        """Answer a parse_metadata_select shape from metadata only —
+        one local literal row, zero scan jobs (the optimizer rewrite
+        Delta/Iceberg do in OptimizeMetadataOnlyQuery, spelled
+        driver-side) — or None to fall through to the real query.
+        Answers ONLY when the result provably matches what the pinned
+        head view would return: metadata_aggregate's snapshot_id must
+        equal the id the view was registered at; any drift (external
+        writer, raced registration), any exactness refusal (MOR
+        masks, stat-less generations, decimal/2^53 limits), and any
+        SUM/AVG over a non-integer or sums-uncovered column falls
+        through. Locally both paths sit in fixed py4j overhead; the
+        shape matters at object-store scale where the scan term grows
+        with the table."""
+        from big_data_spark.io.snapshot import metadata_aggregate
+
+        view_sid = self._view_sid.get(name)
+        if view_sid is None:
+            return None
+        cols = sorted({c for _, c, _ in items if c})
+        try:
+            agg = metadata_aggregate(
+                self.spark, self.tables[name], columns=cols
+            )
+        except ValueError:
+            return None
+        if agg["snapshot_id"] != view_sid:
+            return None
+        from pyspark.sql.types import StructField, StructType
+
+        values: list = []
+        fields: list[StructField] = []
+        for func, col, out in items:
+            if func == "count":
+                values.append(int(agg["rows"]))
+                typ = "bigint"
+            elif func in ("min", "max"):
+                typ = agg["types"].get(col)
+                if not typ:
+                    return None
+                values.append(agg[func][col])
+            elif func == "sum":
+                # Covered integer columns only — metadata_aggregate
+                # OMITS (rather than raises) non-integer and
+                # sums-uncovered columns, so absence means "real
+                # query decides".
+                if col not in agg["sum"]:
+                    return None
+                values.append(agg["sum"][col])
+                typ = "bigint"  # Spark's SUM over any integer kind
+            else:  # avg
+                if col not in agg["avg"]:
+                    return None
+                values.append(agg["avg"][col])
+                typ = "double"
+            # COUNT is the one non-nullable aggregate — mirror the
+            # real plan's schema exactly, nullability included.
+            fields.append(
+                StructField(
+                    out,
+                    StructType.fromDDL(f"`c` {typ}").fields[0].dataType,
+                    nullable=func != "count",
+                )
+            )
+        # A local one-row relation: createDataFrame round-trips every
+        # committed kind faithfully (naive timestamps convert through
+        # the session zone exactly as the real query's collect would).
+        return self.spark.createDataFrame(
+            [tuple(values)], StructType(fields)
+        )
+
     def sql(self, statement: str):
         from big_data_spark.sqldml import (
-            _COUNT_STAR_RE,
+            parse_metadata_select,
             rewrite_time_travel,
             route_statement,
         )
 
-        m = _COUNT_STAR_RE.match(statement)
-        if m and m.group(2) in self.tables:
-            # Metadata-only COUNT(*) fast path (round 12 — the
-            # optimizer rewrite Delta/Iceberg do in
-            # OptimizeMetadataOnlyQuery, spelled driver-side): zero
-            # scan jobs WHEN the answer provably matches what the
-            # pinned head view would return — metadata_aggregate's
-            # snapshot_id must equal the id the view was registered
-            # at; any drift (external writer, raced registration) or
-            # exactness refusal (MOR masks, stat-less generations)
-            # falls through to the real query. Locally both paths sit
-            # in fixed py4j overhead; the shape matters at object-
-            # store scale where the scan term grows with the table.
-            from big_data_spark.io.snapshot import metadata_aggregate
-
-            view_sid = self._view_sid.get(m.group(2))
-            if view_sid is not None:
-                try:
-                    agg = metadata_aggregate(
-                        self.spark, self.tables[m.group(2)], columns=[]
-                    )
-                except ValueError:
-                    agg = None
-                if agg is not None and agg["snapshot_id"] == view_sid:
-                    name = m.group(1) or "count(1)"
-                    return self.spark.sql(
-                        f"SELECT CAST({int(agg['rows'])} AS BIGINT) "
-                        f"AS `{name}`"
-                    )
+        parsed = parse_metadata_select(statement)
+        if parsed is not None and parsed[0] in self.tables:
+            # Metadata-only fast path (round 12: bare COUNT(*);
+            # round 13, directive #2: any bare COUNT(*)/MIN/MAX/
+            # SUM/AVG list) — None means fall through to the
+            # passthrough below, which stays authoritative.
+            fast = self._metadata_select(parsed[0], parsed[1])
+            if fast is not None:
+                return fast
 
         st = route_statement(
             self.spark,

@@ -4214,8 +4214,9 @@ def metadata_aggregate(
     opens (the Iceberg/Delta metadata-aggregate trick). Returns
     ``{"rows": N, "min": {col: value}, "max": {col: value},
     "sum": {col: int|None}, "avg": {col: float|None},
-    "nonnull": {col: n}, "files": n, "snapshot_id": id}`` with values
-    parsed back to Python types per the committed schema kind.
+    "nonnull": {col: n}, "files": n, "snapshot_id": id,
+    "types": {col: committed type string}}`` with values parsed back
+    to Python types per the committed schema kind.
 
     SUM/AVG cover only columns whose CURRENT committed type is an
     integer kind (exact unbounded-int folding; float sums are
@@ -4336,6 +4337,7 @@ def metadata_aggregate(
             "nonnull": {c: 0 for c in int_cols},
             "files": 0,
             "snapshot_id": man["snapshot_id"],
+            "types": {c: types.get(c) for c in cols},
         }
     if not stats or not _stats_covered(stats):
         raise ValueError(
@@ -4548,6 +4550,10 @@ def metadata_aggregate(
         "nonnull": nnn_out,
         "files": len(live),
         "snapshot_id": man["snapshot_id"],
+        # Committed type per requested column — callers rendering the
+        # answer as a literal row (the SQL-door fast path) need the
+        # exact output dtype of the equivalent real aggregate.
+        "types": {c: types.get(c) for c in cols},
     }
 
 

@@ -186,6 +186,10 @@ _PYTEST_ONLY = (
     "pivot_status",  # pivot/reshape family (6 rounds): cube_sales + unpivot_metrics (both IN) stay
     "merge_upsert",  # lakehouse-write family (7 rounds): sql_dml + snapshot_delete + snapshot_update_cdf stay
     "triangle_count",  # graph family (7 rounds): pagerank_topn + shortest_paths + community_lpa (IN) + dedup_clusters (CC) stay
+    # NEW round-13 row past the cap (pytest-oracle gated, r14
+    # driver-slot candidate per the round-12 verdict): the SQL door's
+    # metadata-only aggregate fast path, plan-asserted scan-free.
+    "metadata_aggregates",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

@@ -2761,6 +2761,97 @@ ORDER BY event_type
 """
 
 
+METADATA_AGG_SQL = (
+    "SELECT COUNT(*) AS n_orders, "
+    "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key, "
+    "SUM(o_orderkey) AS sum_key, AVG(o_custkey) AS avg_cust, "
+    "MIN(o_orderstatus) AS min_status, MAX(o_orderstatus) AS max_status, "
+    "MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price, "
+    "MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date "
+    "FROM meta_orders"
+)
+
+
+def q_metadata_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates through the SQL door (round-13
+    directive #2): publish an orders snapshot with stats on five
+    columns spanning every stat kind (bigint, string, double,
+    timestamp), then answer one SELECT holding COUNT(*), MIN/MAX over
+    each kind, an exact integer SUM and an AVG — entirely from the
+    manifest's per-generation stats sidecars, zero data-file reads
+    (the plan is asserted scan-free: a silent fall-through to the
+    real query would defeat what this row certifies). The oracle
+    re-derives every aggregate relationally from raw ``orders``, so
+    a wrong stats fold (lossy min/max normalization, off-by-one row
+    counts, inexact sums) hash-mismatches immediately. AVG is
+    spelled SUM/COUNT on the oracle side — both engines then divide
+    the SAME exact-integer double, IEEE-identical (module header
+    convention).
+
+    Scale: this is the planning-query shape (`SELECT MIN(d), MAX(d)
+    FROM t`) that must NOT scan a 100 TB table — cost is
+    O(#generations) sidecar reads, independent of data volume."""
+    import shutil
+
+    from big_data_spark.catalog import SnapshotCatalog
+    from big_data_spark.io.snapshot import write_snapshot
+
+    tdir = fixture_dir("bds_magg", sf_dir)
+    shutil.rmtree(tdir, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+    )
+    write_snapshot(
+        orders,
+        tdir,
+        stats_columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+        ],
+    )
+    cat = SnapshotCatalog(spark, versions="lazy")
+    cat.register("meta_orders", tdir)
+    out = cat.sql(METADATA_AGG_SQL)
+    if out.inputFiles():
+        raise AssertionError(
+            "metadata_aggregates: the SQL door fell through to a "
+            "scan — the metadata fast path must answer this shape"
+        )
+    return out.select(
+        "n_orders",
+        "min_key",
+        "max_key",
+        "sum_key",
+        "avg_cust",
+        "min_status",
+        "max_status",
+        "min_price",
+        "max_price",
+        F.unix_timestamp("min_date").alias("min_date"),
+        F.unix_timestamp("max_date").alias("max_date"),
+    )
+
+
+ORACLE_METADATA_AGGREGATES = """
+SELECT COUNT(*) AS n_orders,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(o_custkey) AS DOUBLE) / COUNT(o_custkey) AS avg_cust,
+       MIN(o_orderstatus) AS min_status, MAX(o_orderstatus) AS max_status,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       CAST(floor(epoch(MIN(o_orderdate))) AS BIGINT) AS min_date,
+       CAST(floor(epoch(MAX(o_orderdate))) AS BIGINT) AS max_date
+FROM orders
+"""
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-match point lookup through the per-file Bloom index
     (io/fileindex.py): publish an orders snapshot clustered on
@@ -3420,6 +3511,7 @@ QUERIES = {
     "snapshot_changes": q_snapshot_changes,
     "partitioned_prune": q_partitioned_prune,
     "typed_prune": q_typed_prune,
+    "metadata_aggregates": q_metadata_aggregates,
     "point_lookup": q_point_lookup,
     "snapshot_delete": q_snapshot_delete,
     "snapshot_update_cdf": q_snapshot_update_cdf,
@@ -3509,6 +3601,7 @@ ORDER BY version, o_custkey
     "snapshot_changes": ORACLE_SNAPSHOT_CHANGES,
     "partitioned_prune": ORACLE_PARTITIONED_PRUNE,
     "typed_prune": ORACLE_TYPED_PRUNE,
+    "metadata_aggregates": ORACLE_METADATA_AGGREGATES,
     "point_lookup": ORACLE_POINT_LOOKUP,
     "snapshot_delete": ORACLE_SNAPSHOT_DELETE,
     "snapshot_update_cdf": ORACLE_SNAPSHOT_UPDATE_CDF,

@@ -183,6 +183,51 @@ _COUNT_STAR_RE = re.compile(
     r"\s+FROM\s+(\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# Round 13 (round-12 directive #2): the general metadata-answerable
+# SELECT shape — a comma list where EVERY item is COUNT(*) / MIN(col)
+# / MAX(col) / SUM(col) / AVG(col) with an optional alias, over ONE
+# registered table, nothing else (no WHERE/GROUP/expressions — the
+# planning query `SELECT MIN(d), MAX(d) FROM t`, not a general
+# optimizer). Parsed by parse_metadata_select; answered by
+# SnapshotCatalog under the same _view_sid bracket as COUNT(*).
+_META_SELECT_RE = re.compile(
+    r"^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_META_ITEM_RE = re.compile(
+    r"^(?:COUNT\s*\(\s*\*\s*\)|(MIN|MAX|SUM|AVG)\s*\(\s*(\w+)\s*\))"
+    r"(?:\s+AS\s+(\w+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_metadata_select(
+    statement: str,
+) -> tuple[str, list[tuple[str, str | None, str]]] | None:
+    """``(table, [(func, col|None, out_name), ...])`` when the whole
+    statement is a bare aggregate list the metadata layer COULD
+    answer, else None. ``func`` is lowercased (count/min/max/sum/
+    avg); ``out_name`` is the alias or Spark's default output name
+    for the bare call (``count(1)`` / ``min(col)`` ...), so a
+    metadata answer and the passthrough query are column-for-column
+    indistinguishable. Claiming is the CALLER's job — this only
+    recognizes the shape; whether metadata may answer (view bracket,
+    refusals) is decided against the live table."""
+    m = _META_SELECT_RE.match(statement)
+    if not m:
+        return None
+    items: list[tuple[str, str | None, str]] = []
+    for raw in m.group(1).split(","):
+        im = _META_ITEM_RE.match(raw.strip())
+        if not im:
+            return None
+        func = (im.group(1) or "count").lower()
+        col = im.group(2)
+        out = im.group(3) or (
+            "count(1)" if func == "count" else f"{func}({col})"
+        )
+        items.append((func, col, out))
+    return m.group(2), items
 _REPARTITION_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+REPARTITION\s+BY\s+"
     r"(?:\(\s*([\w\s,`]+?)\s*\)|NONE)\s*;?\s*$",
