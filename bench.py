@@ -61,10 +61,126 @@ HEADLINE = [
     # harness, not the plan. Their cost evidence lives in PERF.md
     # (write-amplification and skip-ratio A/Bs) instead.
     "pack_sequences",
+    # Round 13 (round-12 verdict directive #4): the lakehouse hot
+    # paths enter the headline as BENCH-LOCAL rows whose fixture (a
+    # range-clustered orders snapshot table + catalog registration)
+    # builds ONCE per process during the untimed priming run — the
+    # timed body is purely the read/aggregate/merge, so these numbers
+    # track the table-format code, not fixture construction.
+    # Baselines in PERF.md (round-13 section).
+    "lake_pruned_read",
+    "lake_metadata_agg",
+    "lake_merge",
 ]
+
+# ---- bench-local lakehouse rows (not registry queries: they share a
+# prebuilt fixture, which the driver's per-query oracle harness
+# cannot; the registry twins partitioned_prune / metadata_aggregates /
+# merge_upsert carry the correctness certification). ----
+
+_LAKE_FIX: dict = {}
+
+
+def _lake(spark, sf_dir):
+    """Once per (process, sf_dir): a 32-file range-clustered orders
+    snapshot table with commit-time stats, registered in a catalog.
+    Built during the untimed priming pass."""
+    if sf_dir in _LAKE_FIX:
+        return _LAKE_FIX[sf_dir]
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import SnapshotCatalog
+    from big_data_spark.io.snapshot import write_snapshot
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    t = os.path.join(
+        tempfile.gettempdir(), f"bds_bench_lake_{tag}_p{os.getpid()}"
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    write_snapshot(orders.repartitionByRange(32, "o_orderkey"), t)
+    cat = SnapshotCatalog(spark, versions="lazy")
+    name = f"bench_lake_{tag}"
+    cat.register(name, t)
+    _LAKE_FIX[sf_dir] = (t, cat, name)
+    return _LAKE_FIX[sf_dir]
+
+
+def lake_pruned_read(spark, sf_dir):
+    """Range predicate on the clustered key: the manifest-stats prune
+    decides from sidecars which of the 32 files to open (most drop),
+    then aggregates the survivors."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.io.snapshot import read_snapshot
+
+    t, _, _ = _lake(spark, sf_dir)
+    return read_snapshot(
+        spark, t, predicate={"o_orderkey": (500_000.0, 520_000.0)}
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").alias("total"),
+    )
+
+
+def lake_metadata_agg(spark, sf_dir):
+    """The planning-query shape through the SQL door: answered
+    entirely from manifest metadata (round-13 fast path) — the row
+    measures the driver-side metadata fold, and raises if the fast
+    path ever silently falls through to a scan."""
+    _, cat, name = _lake(spark, sf_dir)
+    df = cat.sql(
+        f"SELECT COUNT(*) AS n, MIN(o_orderkey) AS lo, "
+        f"MAX(o_orderkey) AS hi, SUM(o_custkey) AS s, "
+        f"AVG(o_custkey) AS a FROM {name}"
+    )
+    if df.inputFiles():
+        raise AssertionError(
+            "lake_metadata_agg: fast path fell through to a scan"
+        )
+    return df
+
+
+def lake_merge(spark, sf_dir):
+    """SQL MERGE INTO through the catalog: a 10k-key upsert source
+    (prices bumped, matched->UPDATE, unmatched->INSERT) against the
+    clustered table — COW rewrite of only the touched files plus the
+    view refresh, the steady-state CDC-apply shape."""
+    t, cat, name = _lake(spark, sf_dir)
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "CAST(o_totalprice AS DOUBLE) + 1.0 AS o_totalprice",
+    ).limit(10_000)
+    src.createOrReplaceTempView("bench_lake_src")
+    cat.sql(
+        f"MERGE INTO {name} AS t USING bench_lake_src AS s "
+        f"ON t.o_orderkey = s.o_orderkey "
+        f"WHEN MATCHED THEN UPDATE SET * "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+    return spark.range(1).selectExpr("id AS done")
+
+
+LAKE_ROWS = {
+    "lake_pruned_read": lake_pruned_read,
+    "lake_metadata_agg": lake_metadata_agg,
+    "lake_merge": lake_merge,
+}
 
 
 def main() -> None:
+    runners = {**QUERIES, **LAKE_ROWS}
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Iteration/noise-study aid: run a comma-separated subset of the
     # headline list. The driver never sets this, so the recorded
@@ -107,7 +223,7 @@ def main() -> None:
     if os.path.isdir(warm_sf):
         for name in headline:
             try:
-                QUERIES[name](spark, warm_sf).write.format("noop").mode(
+                runners[name](spark, warm_sf).write.format("noop").mode(
                     "overwrite"
                 ).save()
             except Exception:
@@ -129,7 +245,7 @@ def main() -> None:
                 # first sf-dir execution still pays codepath-specific
                 # JIT + page-cache fill. Steady state is the contract
                 # (see the warm-up comment above), so exclude it.
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                runners[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 # GC settle (untimed): the previous query's garbage
@@ -140,7 +256,7 @@ def main() -> None:
                 time.sleep(0.2)
                 for _ in range(repeats):
                     start = time.perf_counter()
-                    df = QUERIES[name](spark, sf_dir)
+                    df = runners[name](spark, sf_dir)
                     df.write.format("noop").mode("overwrite").save()
                     runs.append(time.perf_counter() - start)
                 timings[name] = round(statistics.median(runs), 3)

@@ -314,7 +314,14 @@ def _write_stats_sidecar(
     return rel
 
 
+# Cache-miss sidecar file reads this process has paid (monotonic;
+# tests and the consolidation probe read it — a consolidated table's
+# repeat aggregate must stay at O(1) reads, not O(generations)).
+_SIDECAR_FS_READS = 0
+
+
 def _read_sidecar(spark: SparkSession, table_dir: str, rel: str) -> dict:
+    global _SIDECAR_FS_READS
     key = (table_dir, rel)
     with _SIDECAR_CACHE_LOCK:
         hit = _SIDECAR_CACHE.get(key)
@@ -322,6 +329,7 @@ def _read_sidecar(spark: SparkSession, table_dir: str, rel: str) -> dict:
         return hit
     doc = _read_json(spark, f"{table_dir}/{rel}")
     with _SIDECAR_CACHE_LOCK:
+        _SIDECAR_FS_READS += 1
         if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
             _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
         _SIDECAR_CACHE[key] = doc
@@ -395,11 +403,19 @@ def _prefetch_sidecars(
     loop."""
     side = (stats or {}).get("sidecars") or {}
     with _SIDECAR_CACHE_LOCK:
-        need = [
-            side[g]
-            for g in gens
-            if g in side and (table_dir, side[g]) not in _SIDECAR_CACHE
-        ]
+        # DISTINCT uncached files: a consolidated sidecar (round 13)
+        # is referenced by MANY generations but read once.
+        need: list[str] = []
+        seen: set[str] = set()
+        for g in gens:
+            rel = side.get(g)
+            if (
+                rel is not None
+                and rel not in seen
+                and (table_dir, rel) not in _SIDECAR_CACHE
+            ):
+                seen.add(rel)
+                need.append(rel)
     if len(need) <= _BULK_MANIFEST_THRESHOLD:
         return {}
     rows = (
@@ -408,18 +424,30 @@ def _prefetch_sidecars(
         .collect()
     )
     out: dict[str, dict] = {}
+    raw_by_rel: dict[str, dict] = {}
     for r in rows:
         doc = json.loads(r["value"])
-        out[doc["gen"]] = doc
+        if "gens" in doc:
+            # Consolidated file: expand to per-generation docs for
+            # the caller; cache the RAW file under its one rel.
+            out.update(doc["gens"])
+            rel = next(
+                (side[g] for g in doc["gens"] if g in side), None
+            )
+        else:
+            out[doc["gen"]] = doc
+            rel = side.get(doc["gen"])
+        if rel is not None:
+            raw_by_rel[rel] = doc
     # Prime the cache from the bulk read (up to the cap): tables
     # whose generations fit become pure cache hits on every repeat
     # query — without this the bulk scan re-ran per aggregate forever
     # (review finding); oversized tables keep the bounded footprint.
     with _SIDECAR_CACHE_LOCK:
-        for g, doc in out.items():
+        for rel, doc in raw_by_rel.items():
             if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
                 break
-            _SIDECAR_CACHE.setdefault((table_dir, side[g]), doc)
+            _SIDECAR_CACHE.setdefault((table_dir, rel), doc)
     return out
 
 
@@ -452,6 +480,14 @@ def _load_gen_stats(
             if _doc is not None
             else _read_sidecar(spark, table_dir, side[gen])
         )
+        if "gens" in doc:
+            # Consolidated sidecar (round 13): ONE file carries many
+            # generations' docs — extract this generation's. The raw
+            # file is what's cached, so every sibling generation is a
+            # pure cache hit after the first read.
+            doc = doc["gens"].get(gen)
+            if doc is None:
+                return None  # torn consolidation: behave as uncovered
         at = int(doc.get("names_at") or 0)
 
         def rp(block):
@@ -3786,11 +3822,18 @@ def analyze_table(
         set(prev_stats.get("gens") or {}) & set(live_gens)
     )
     if not fresh and not inline_live and covered_before == len(live_gens):
+        # Fully covered: the one remaining maintenance is sidecar
+        # FRAGMENTATION (round-13 directive #6) — an append-heavy
+        # table holds one file per commit, and past the process cache
+        # cap every aggregate re-pays the bulk scan. Fold them into
+        # one consolidated file; below the threshold, a true no-op.
+        con = consolidate_stats(spark, table_dir)
         return {
             "analyzed_generations": 0,
             "covered_generations": covered_before,
             "stats_columns": list(prev_stats["columns"]),
-            "snapshot_id": man["snapshot_id"],
+            "snapshot_id": con["snapshot_id"],
+            "merged_sidecars": con["merged_sidecars"],
         }
     if fresh and stats_columns is None and prev_stats is not None:
         # A version-only upgrade keeps the table's RECORDED column
@@ -3818,6 +3861,16 @@ def analyze_table(
             "stats_columns": [],
             "snapshot_id": man["snapshot_id"],
         }
+    # Consolidate the freshly built block in the SAME commit when the
+    # sidecar file count crossed the threshold (round-13 directive
+    # #6) — one metadata commit covers backfill AND defragmentation.
+    stats, merged = _consolidated_stats_block(
+        spark,
+        table_dir,
+        stats,
+        set(live_gens),
+        _CONSOLIDATE_MAX_SIDECARS,
+    )
     next_id = man["snapshot_id"] + 1
     _claim_check(spark, table_dir, next_id)
     commit_manifest(
@@ -3839,7 +3892,118 @@ def analyze_table(
         "covered_generations": len(live_gens),
         "stats_columns": list(stats["columns"]),
         "snapshot_id": next_id,
+        "merged_sidecars": merged,
     }
+
+
+# Live sidecar FILES past this, ANALYZE folds them into one
+# consolidated file (same bound as the bulk-prefetch threshold: below
+# it the serial cached loop is already cheap).
+_CONSOLIDATE_MAX_SIDECARS = _BULK_MANIFEST_THRESHOLD
+
+
+def _consolidated_stats_block(
+    spark: SparkSession,
+    table_dir: str,
+    stats: dict,
+    live_gens: set[str],
+    max_sidecars: int,
+) -> tuple[dict, int]:
+    """(new stats block, merged file count): collapse the live
+    generations' per-generation sidecar FILES into ONE consolidated
+    file ({"gens": {gen: doc}}) when more than ``max_sidecars``
+    distinct files are referenced, else return the block unchanged
+    with 0. Docs are copied RAW (names_at stamps preserved) so rename
+    replay semantics are untouched; the old files become unreferenced
+    once the new manifest commits and fall to vacuum."""
+    side = (stats or {}).get("sidecars") or {}
+    covered = [g for g in sorted(live_gens) if g in side]
+    distinct = {side[g] for g in covered}
+    if len(distinct) <= max_sidecars:
+        return stats, 0
+    pre = _prefetch_sidecars(spark, table_dir, stats, covered)
+    gens_doc: dict[str, dict] = {}
+    for g in covered:
+        doc = pre.get(g)
+        if doc is None:
+            raw = _read_sidecar(spark, table_dir, side[g])
+            doc = raw["gens"].get(g) if "gens" in raw else raw
+        if doc is None:
+            # Torn reference: leave the block alone — analyze_table's
+            # backfill is the repair path, not consolidation.
+            return stats, 0
+        gens_doc[g] = doc
+    rel = f"{_STATS_SIDE_DIR}/consolidated-{uuid.uuid4().hex}.json"
+    body = json.dumps({"gens": gens_doc}, sort_keys=True)
+    fs, dpath = hadoop_fs(spark, f"{table_dir}/{_STATS_SIDE_DIR}")
+    fs.mkdirs(dpath)
+    _, fpath = hadoop_fs(spark, f"{table_dir}/{rel}")
+    out_stream = fs.create(fpath, True)
+    try:
+        out_stream.write(bytearray(body.encode("utf-8")))
+    finally:
+        out_stream.close()
+    raw_doc = {"gens": gens_doc}
+    with _SIDECAR_CACHE_LOCK:
+        if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
+            _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
+        _SIDECAR_CACHE[(table_dir, rel)] = raw_doc
+    new_side = {
+        g: (rel if g in gens_doc else side[g]) for g in side
+    }
+    out = dict(stats)
+    out["sidecars"] = new_side
+    return out, len(distinct)
+
+
+def consolidate_stats(
+    spark: SparkSession,
+    table_dir: str,
+    max_sidecars: int | None = None,
+) -> dict:
+    """Maintenance: fold the live generations' stats sidecar FILES
+    into one consolidated file and commit a metadata-only manifest
+    referencing it (round-13 directive #6). An append-heavy table
+    accumulates one sidecar per commit; past the process cache cap
+    (``_SIDECAR_CACHE_MAX``) every metadata aggregate re-pays a bulk
+    distributed scan of them ALL — after consolidation the whole
+    working set is ONE small JSON, read once per process regardless
+    of generation count. ``analyze_table`` runs this automatically;
+    this is the explicit spelling. Below ``max_sidecars`` distinct
+    files it is a NO-OP (no commit). Returns
+    ``{merged_sidecars, snapshot_id}``."""
+    if max_sidecars is None:
+        # Resolved at CALL time so tests (and operators) can tune the
+        # module threshold without re-binding a default.
+        max_sidecars = _CONSOLIDATE_MAX_SIDECARS
+    man = latest_manifest(spark, table_dir)
+    if man is None:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    stats = man.get("stats")
+    if not stats or not stats.get("sidecars"):
+        return {"merged_sidecars": 0, "snapshot_id": man["snapshot_id"]}
+    new_stats, merged = _consolidated_stats_block(
+        spark, table_dir, stats, _live_gens(man["entries"]), max_sidecars
+    )
+    if merged == 0:
+        return {"merged_sidecars": 0, "snapshot_id": man["snapshot_id"]}
+    next_id = man["snapshot_id"] + 1
+    _claim_check(spark, table_dir, next_id)
+    commit_manifest(
+        spark,
+        table_dir,
+        next_id,
+        man["entries"],
+        partition_col=man.get("partition_col"),
+        schema_fields=man.get("schema"),
+        layout_by=man.get("layout_by"),
+        maintenance=True,
+        deletes=man.get("deletes"),
+        rename_log=man.get("rename_log"),
+        prev_man=man,
+        stats=new_stats,
+    )
+    return {"merged_sidecars": merged, "snapshot_id": next_id}
 
 
 def fold_deletes(spark: SparkSession, table_dir: str) -> dict:

@@ -1,0 +1,140 @@
+"""Stats-sidecar consolidation (round-13 directive #6): an
+append-heavy table accumulates one stats sidecar file per commit;
+past the process cache cap every metadata aggregate re-pays a bulk
+scan of them all. ``consolidate_stats`` (and ``analyze_table``, which
+runs it automatically) folds the live files into ONE consolidated
+JSON — after it, a fresh process answers aggregates with a single
+sidecar read regardless of generation count, and every other
+behavior (values, time travel, rename replay, later appends, DML)
+is unchanged."""
+
+from __future__ import annotations
+
+import pytest
+
+import big_data_spark.io.snapshot as snap
+from big_data_spark.io.snapshot import (
+    analyze_table,
+    append_snapshot,
+    consolidate_stats,
+    delete_where,
+    latest_manifest,
+    metadata_aggregate,
+    read_snapshot,
+)
+
+
+def _mk_generations(spark, t, n, rows_per=5):
+    for i in range(n):
+        append_snapshot(
+            spark.range(i * rows_per, (i + 1) * rows_per).selectExpr(
+                "id AS k", "CAST(id AS INT) AS v"
+            ),
+            t,
+        )
+
+
+def _distinct_live_sidecars(spark, t):
+    man = latest_manifest(spark, t)
+    side = (man.get("stats") or {}).get("sidecars") or {}
+    return set(side.values())
+
+
+def test_consolidate_folds_files_and_preserves_aggregates(
+    spark, tmp_path
+):
+    t = str(tmp_path / "con1")
+    _mk_generations(spark, t, 12)
+    before = metadata_aggregate(spark, t, columns=["k", "v"])
+    assert len(_distinct_live_sidecars(spark, t)) == 12
+    st = consolidate_stats(spark, t, max_sidecars=8)
+    assert st["merged_sidecars"] == 12
+    rels = _distinct_live_sidecars(spark, t)
+    assert len(rels) == 1 and "consolidated-" in next(iter(rels))
+    after = metadata_aggregate(spark, t, columns=["k", "v"])
+    assert after["snapshot_id"] == before["snapshot_id"] + 1
+    for key in ("rows", "min", "max", "sum", "avg", "nonnull"):
+        assert after[key] == before[key], key
+    # content untouched, commit is maintenance (feed-silent)
+    assert read_snapshot(spark, t).count() == 60
+    man = latest_manifest(spark, t)
+    assert man["maintenance"] is True
+    # idempotent: a second call is a no-op (1 file <= threshold)
+    st2 = consolidate_stats(spark, t, max_sidecars=8)
+    assert st2["merged_sidecars"] == 0
+    assert st2["snapshot_id"] == st["snapshot_id"]
+
+
+def test_fresh_process_pays_one_sidecar_read(spark, tmp_path):
+    """The directive's probe shape at test scale: consolidate, clear
+    the process cache (a fresh process), re-aggregate — exactly ONE
+    sidecar file read serves every generation."""
+    t = str(tmp_path / "con2")
+    _mk_generations(spark, t, 10)
+    consolidate_stats(spark, t, max_sidecars=4)
+    snap._SIDECAR_CACHE.clear()
+    base = snap._SIDECAR_FS_READS
+    agg = metadata_aggregate(spark, t, columns=["k"])
+    assert agg["rows"] == 50 and agg["min"]["k"] == 0
+    assert snap._SIDECAR_FS_READS - base == 1
+    # repeat aggregates are pure cache hits
+    metadata_aggregate(spark, t, columns=["k"])
+    assert snap._SIDECAR_FS_READS - base == 1
+
+
+def test_below_threshold_is_noop(spark, tmp_path):
+    t = str(tmp_path / "con3")
+    _mk_generations(spark, t, 3)
+    st = consolidate_stats(spark, t)  # default threshold 32
+    assert st["merged_sidecars"] == 0
+    assert len(_distinct_live_sidecars(spark, t)) == 3
+
+
+def test_analyze_consolidates_automatically(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(snap, "_CONSOLIDATE_MAX_SIDECARS", 6)
+    t = str(tmp_path / "con4")
+    _mk_generations(spark, t, 9)
+    # fully covered table: ANALYZE's no-op branch now consolidates
+    st = analyze_table(spark, t)
+    assert st["merged_sidecars"] == 9
+    assert len(_distinct_live_sidecars(spark, t)) == 1
+    agg = metadata_aggregate(spark, t, columns=["k"])
+    assert agg["rows"] == 45
+
+
+def test_appends_and_dml_after_consolidation(spark, tmp_path):
+    t = str(tmp_path / "con5")
+    _mk_generations(spark, t, 10)
+    consolidate_stats(spark, t, max_sidecars=4)
+    # later appends carry the consolidated reference and add their own
+    append_snapshot(
+        spark.range(1000, 1010).selectExpr(
+            "id AS k", "CAST(id AS INT) AS v"
+        ),
+        t,
+    )
+    rels = _distinct_live_sidecars(spark, t)
+    assert len(rels) == 2  # one consolidated + the new generation's
+    agg = metadata_aggregate(spark, t, columns=["k"])
+    assert agg["rows"] == 60 and agg["max"]["k"] == 1009
+    # COW delete rewrites affected generations; aggregate stays exact
+    delete_where(spark, t, "k >= 1000")
+    agg2 = metadata_aggregate(spark, t, columns=["k"])
+    assert agg2["rows"] == 50 and agg2["max"]["k"] == 49
+    # time travel to the pre-consolidation version still prunes and
+    # counts under its own per-generation sidecars
+    v_pre = read_snapshot(spark, t, as_of=9)
+    assert v_pre.count() == 50
+
+
+def test_rename_replay_survives_consolidation(spark, tmp_path):
+    from big_data_spark.io.snapshot import evolve_schema
+
+    t = str(tmp_path / "con6")
+    _mk_generations(spark, t, 8)
+    consolidate_stats(spark, t, max_sidecars=4)
+    evolve_schema(spark, t, renames={"k": "key"})
+    agg = metadata_aggregate(spark, t, columns=["key"])
+    assert agg["min"]["key"] == 0 and agg["max"]["key"] == 39
+    with pytest.raises(ValueError, match="not in the recorded stats"):
+        metadata_aggregate(spark, t, columns=["k"])

@@ -271,10 +271,23 @@ def _run_partitioned_walk(spark, tmp_path, seed):
         # DML/WAP/rollback; every later op must keep working against
         # the re-laid-out table and the feed must stay silent for
         # both commits (read_changes replay below proves it).
-        from big_data_spark.io.snapshot import repartition_table
+        from big_data_spark.io.snapshot import (
+            metadata_aggregate,
+            repartition_table,
+        )
 
         repartition_table(spark, t, None)
         repartition_table(spark, t, "part")
+        # Metadata-aggregate cross-check right after the spec change
+        # (round-12 directive #7): the rewrite materialized any MOR
+        # vectors and re-derived stats for the new layout, so the
+        # fold must answer — and agree with the model exactly.
+        agg = metadata_aggregate(spark, t, columns=["k"])
+        assert agg["rows"] == len(model)
+        if model:
+            assert agg["min"]["k"] == min(model)
+            assert agg["max"]["k"] == max(model)
+            assert agg["sum"]["k"] == sum(model)
 
     def do_rollback():
         target = rng.choice(sorted(history))
@@ -451,6 +464,30 @@ def _run_multicol_walk(spark, tmp_path, seed):
             {k: (p, s, v) for k, p, s, v in history[target]}
         )
 
+    def do_respec_multi():
+        # Spec change through DIFFERENT column lists (round-12
+        # directive #7): two-column -> coarser one-column ->
+        # unpartitioned -> back, each an atomic content-neutral
+        # rewrite; a metadata-aggregate cross-check after each hop
+        # proves the re-derived stats answer exactly (the rewrite
+        # also materialized any MOR vectors).
+        from big_data_spark.io.snapshot import (
+            metadata_aggregate,
+            repartition_table,
+        )
+
+        for spec in (["part"], None, ["part", "sub"]):
+            repartition_table(spark, t, spec)
+            got = _rows4(read_snapshot(spark, t))
+            want = {(k, p, s, v) for k, (p, s, v) in model.items()}
+            assert got == want, f"respec to {spec!r} diverged"
+            agg = metadata_aggregate(spark, t, columns=["k"])
+            assert agg["rows"] == len(model)
+            if model:
+                assert agg["min"]["k"] == min(model)
+                assert agg["max"]["k"] == max(model)
+                assert agg["sum"]["k"] == sum(model)
+
     boot = [r for leaf in MPARTS for r in fresh_batch(leaf, 3)]
     write_snapshot_partial(
         spark.createDataFrame(boot, schema),
@@ -465,8 +502,8 @@ def _run_multicol_walk(spark, tmp_path, seed):
     tag_snapshot(spark, t, "mcwalk-checkpoint", snapshot_id=checkpoint_id)
 
     ops = [do_partial_replace, do_wap_append, do_delete, do_update,
-           do_fold, do_compact, do_rollback]
-    weights = [3, 3, 3, 3, 1, 1, 1]
+           do_fold, do_compact, do_rollback, do_respec_multi]
+    weights = [3, 3, 3, 3, 1, 1, 1, 1]
     for step in range(N_PART_STEPS):
         op = rng.choices(ops, weights)[0]
         op()
@@ -697,6 +734,117 @@ def _concurrent_writer(spark, t, seed, lo, model, errors):
             rng.choices(ops, weights)[0]()
     except Exception as exc:  # noqa: BLE001
         errors.append((seed, exc))
+
+
+@pytest.mark.parametrize("seed", [5, 21, 77])
+def test_repartition_racing_appender_never_tears(spark, tmp_path, seed):
+    """Round-12 directive #7: a REAL two-thread race between
+    repartition_table and a concurrent appender. Every interleaving
+    must end loud-or-clean: the rewrite either commits or raises
+    SnapshotConflict (and a retry succeeds); an append either commits
+    (and its rows are in the final table) or raises the documented
+    partitioned-table refusal AFTER the spec change — never a torn
+    table, never a silently dropped commit."""
+    import threading
+    import time as _time
+
+    from big_data_spark.io.snapshot import (
+        SnapshotConflict,
+        append_with_retry,
+        latest_manifest,
+        metadata_aggregate,
+        repartition_table,
+    )
+
+    t = str(tmp_path / f"rrace_{seed}")
+    boot = [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)]
+    append_snapshot(
+        spark.createDataFrame(boot, "k long, d string, v double"),
+        t,
+        snapshot_id=0,
+    )
+    model = set(boot)
+    gate = threading.Barrier(2)
+    errors: list = []
+    conflicts: list = []
+    refused: list = []
+    committed: list[list] = []
+
+    def respec():
+        try:
+            gate.wait(timeout=60)
+            _time.sleep(random.Random(seed).random() * 0.05)
+            for attempt in range(6):
+                try:
+                    repartition_table(spark, t, "d")
+                    return
+                except SnapshotConflict:
+                    # An append won the id — loud, clean; retry.
+                    conflicts.append(attempt)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("respec", exc))
+
+    def appender():
+        try:
+            gate.wait(timeout=60)
+            rng = random.Random(seed + 1)
+            for j in range(5):
+                base = 1000 * (j + 1)
+                batch = [
+                    (base + i, ["a", "b", "c"][i % 3], float(base + i))
+                    for i in range(rng.randint(2, 5))
+                ]
+                try:
+                    append_with_retry(
+                        spark.createDataFrame(
+                            batch, "k long, d string, v double"
+                        ),
+                        t,
+                        attempts=30,
+                    )
+                except ValueError as exc:
+                    # The spec change landed first: appends to a
+                    # partitioned table refuse loudly by contract.
+                    assert "partitioned on" in str(exc)
+                    refused.append(j)
+                    return
+                committed.append(batch)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("appender", exc))
+
+    threads = [
+        threading.Thread(target=respec),
+        threading.Thread(target=appender),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=180)
+    assert not errors, errors
+    for batch in committed:
+        model.update(batch)
+    got = {
+        (r["k"], r["d"], r["v"])
+        for r in read_snapshot(spark, t).collect()
+    }
+    assert got == model, (
+        f"seed={seed}: torn table "
+        f"(+{sorted(got - model)[:5]} -{sorted(model - got)[:5]}, "
+        f"conflicts={len(conflicts)}, refused={refused})"
+    )
+    man = latest_manifest(spark, t)
+    assert man["partition_col"] == "d"  # the rewrite always lands
+    # pruning and the metadata fold agree with the model post-race
+    a_rows = {r for r in model if r[1] == "a"}
+    assert {
+        (r["k"], r["d"], r["v"])
+        for r in read_snapshot(
+            spark, t, partitions={"d": "a"}
+        ).collect()
+    } == a_rows
+    agg = metadata_aggregate(spark, t, columns=["k"])
+    assert agg["rows"] == len(model)
+    assert agg["sum"]["k"] == sum(r[0] for r in model)
 
 
 @pytest.mark.parametrize("seed", [13, 47])
