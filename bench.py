@@ -89,17 +89,17 @@ def _lake(spark, sf_dir):
         return _LAKE_FIX[sf_dir]
     import hashlib
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from big_data_spark.catalog import SnapshotCatalog
     from big_data_spark.io.snapshot import write_snapshot
+    from big_data_spark.queries.relational import fixture_dir
 
+    # fixture_dir keys by (prefix, sf, pid) AND reaps dead siblings —
+    # past bench processes' leftover tables don't accumulate.
+    t = fixture_dir("bds_bench_lake", sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    t = os.path.join(
-        tempfile.gettempdir(), f"bds_bench_lake_{tag}_p{os.getpid()}"
-    )
     shutil.rmtree(t, ignore_errors=True)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey",

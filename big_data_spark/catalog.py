@@ -283,7 +283,11 @@ class SnapshotCatalog:
                     # published by atomic rename, so a listed file
                     # that READS is always complete.
                     continue
-                if doc.get("name") and doc.get("dir"):
+                if doc.get("name") and doc.get("dropped"):
+                    # Tombstone: a DROP of a legacy-recorded name —
+                    # suppress the legacy entry (per-name, race-free).
+                    bound.pop(doc["name"], None)
+                elif doc.get("name") and doc.get("dir"):
                     bound[doc["name"]] = doc["dir"]
         for name, table_dir in sorted(bound.items()):
             self.tables[name] = table_dir
@@ -307,15 +311,21 @@ class SnapshotCatalog:
         file is either absent, the old binding, or the new one —
         and no other name's binding is ever touched."""
         import json as _json
+
+        self._write_binding_doc(
+            name,
+            _json.dumps(
+                {"v": 2, "name": name, "dir": self.tables[name]},
+                sort_keys=True,
+            ),
+        )
+
+    def _write_binding_doc(self, name: str, body: str) -> None:
         import uuid as _uuid
 
         from big_data_spark.io.compact import hadoop_fs
         from big_data_spark.io.snapshot import _atomic_overwrite_local
 
-        body = _json.dumps(
-            {"v": 2, "name": name, "dir": self.tables[name]},
-            sort_keys=True,
-        )
         cdir = self._bindings_dir()
         fs, cpath = hadoop_fs(self.spark, cdir)
         fs.mkdirs(cpath)
@@ -345,61 +355,42 @@ class SnapshotCatalog:
                 )
 
     def _remove_binding(self, name: str) -> None:
-        """Unpersist ONE binding: delete its file (checksum sidecar
-        goes with it — ChecksumFileSystem.delete), and if the legacy
-        whole-file registry still records the name, rewrite that file
-        without it so the binding cannot resurrect on the next load.
-        The legacy rewrite is read-modify-write — it races only among
-        sessions still holding pre-round-13 bindings, a strictly
-        narrower window than the old layout's every-save race."""
+        """Unpersist ONE binding. If the name also lives in the
+        legacy whole-file registry, a per-name TOMBSTONE binding file
+        is written instead of deleting ours — the loader's overlay
+        then suppresses the legacy entry. Tombstones keep every
+        registry write per-name (no read-modify-write anywhere): two
+        sessions dropping different legacy names can never resurrect
+        each other's drop, which a legacy-file rewrite would allow
+        (round-13 review finding). Without a legacy entry the binding
+        file (and its checksum sidecar — ChecksumFileSystem.delete)
+        is simply removed."""
         import json as _json
-        import uuid as _uuid
 
         from big_data_spark.io.compact import hadoop_fs
-        from big_data_spark.io.snapshot import (
-            _atomic_overwrite_local,
-            _read_json,
-        )
+        from big_data_spark.io.snapshot import _read_json
 
+        legacy = self._registry_path()
+        fs, lpath = hadoop_fs(self.spark, legacy)
+        in_legacy = False
+        if fs.exists(lpath):
+            doc = _read_json(self.spark, legacy)
+            in_legacy = name in (doc.get("tables") or {})
+        if in_legacy:
+            self._write_binding_doc(
+                name,
+                _json.dumps(
+                    {"v": 2, "name": name, "dropped": True},
+                    sort_keys=True,
+                ),
+            )
+            return
         cdir = self._bindings_dir()
         fs, fpath = hadoop_fs(
             self.spark, f"{cdir}/{self._binding_file(name)}"
         )
         if fs.exists(fpath):
             fs.delete(fpath, False)
-        legacy = self._registry_path()
-        fs, lpath = hadoop_fs(self.spark, legacy)
-        if not fs.exists(lpath):
-            return
-        doc = _read_json(self.spark, legacy)
-        tables = doc.get("tables") or {}
-        if name not in tables:
-            return
-        del tables[name]
-        body = _json.dumps(
-            {"v": 1, "tables": tables}, sort_keys=True
-        )
-        base = self.base_dir.rstrip("/")
-        tmp = f"{base}/._catalog-tmp-{_uuid.uuid4().hex}"
-        _, tmp_path = hadoop_fs(self.spark, tmp)
-        out = fs.create(tmp_path, True)
-        try:
-            out.write(bytearray(body.encode("utf-8")))
-        finally:
-            out.close()
-        if (fs.getUri().getScheme() or "file") == "file":
-            _atomic_overwrite_local(
-                self.spark, fs, base, tmp_path, lpath, "_catalog"
-            )
-        else:
-            if fs.exists(lpath):
-                fs.delete(lpath, False)
-            if not fs.rename(tmp_path, lpath):
-                fs.delete(tmp_path, False)
-                raise OSError(
-                    f"could not rewrite legacy catalog registry at "
-                    f"{legacy!r}"
-                )
 
     def register(
         self, name: str, table_dir: str, persist: bool = False
@@ -508,11 +499,35 @@ class SnapshotCatalog:
         through. Locally both paths sit in fixed py4j overhead; the
         shape matters at object-store scale where the scan term grows
         with the table."""
-        from big_data_spark.io.snapshot import metadata_aggregate
+        from big_data_spark.io.snapshot import (
+            latest_manifest,
+            metadata_aggregate,
+        )
 
         view_sid = self._view_sid.get(name)
         if view_sid is None:
             return None
+        sum_avg_cols = {
+            c for f, c, _ in items if c and f in ("sum", "avg")
+        }
+        if sum_avg_cols:
+            # Metadata SUM/AVG covers integer kinds only — decide
+            # from the committed schema (one manifest read) BEFORE
+            # paying the full sidecar fold for a shape that can never
+            # answer (round-13 review finding).
+            try:
+                man = latest_manifest(self.spark, self.tables[name])
+            except Exception:  # noqa: BLE001 — passthrough decides
+                return None
+            types = {
+                f["name"]: f["type"]
+                for f in (man or {}).get("schema") or []
+            }
+            int_heads = ("tinyint", "smallint", "int", "bigint")
+            for c in sum_avg_cols:
+                head = types.get(c, "").split("(")[0].strip().lower()
+                if head not in int_heads:
+                    return None
         cols = sorted({c for _, c, _ in items if c})
         try:
             agg = metadata_aggregate(
@@ -546,6 +561,15 @@ class SnapshotCatalog:
                 typ = "bigint"  # Spark's SUM over any integer kind
             else:  # avg
                 if col not in agg["avg"]:
+                    return None
+                # Beyond 2^53 the metadata AVG (one exact-int->double
+                # conversion, then divide) can differ from Spark's
+                # incremental double accumulation in the last ulp —
+                # the fast path promises EXACT passthrough agreement,
+                # so it declines there (metadata_aggregate itself
+                # documents the within-one-ulp tolerance).
+                s = agg["sum"].get(col)
+                if s is not None and abs(s) >= 2**53:
                     return None
                 values.append(agg["avg"][col])
                 typ = "double"

@@ -3860,6 +3860,7 @@ def analyze_table(
             "covered_generations": 0,
             "stats_columns": [],
             "snapshot_id": man["snapshot_id"],
+            "merged_sidecars": 0,
         }
     # Consolidate the freshly built block in the SAME commit when the
     # sidecar file count crossed the threshold (round-13 directive
@@ -4543,6 +4544,18 @@ def metadata_aggregate(
         )
         for g in sorted(live_gen_set)
     }
+    # A covered-but-unloadable generation (its consolidated file lost
+    # this gen's doc: partial replication, hand-restored backup) must
+    # REFUSE — silently dropping the generation from the fold would
+    # serve a wrong COUNT/MIN/MAX while the coverage gate above
+    # passed (round-13 review finding).
+    torn = [g for g, doc in loaded.items() if doc is None]
+    if torn:
+        raise ValueError(
+            f"metadata_aggregate: generations {torn!r} are referenced "
+            "by the stats block but their recorded docs are missing — "
+            "run analyze_table to re-sweep; use a real query meanwhile"
+        )
     live = _live_stat_files(
         man, {g: (doc or {}).get("files") or {} for g, doc in loaded.items()}
     )

@@ -61,16 +61,23 @@ def fixture_dir(prefix: str, sf_dir: str) -> str:
     # for the next caller.
     import shutil
 
-    lead = f"{prefix}_{tag}_p"
+    lead = f"{prefix}_{tag}_"
     try:
         for name in os.listdir(tmp):
             if not name.startswith(lead):
                 continue
             rest = name[len(lead):]
-            if f"p{rest}" == suffix or not rest.isdigit():
+            if rest == suffix:
+                continue
+            # "p<pid>" is the current layout; a BARE digit suffix is
+            # the pre-round-13 layout (no namespace) — also
+            # pid-derived, also reapable. Anything else ("u<...>"
+            # overrides) stays.
+            pid_s = rest[1:] if rest.startswith("p") else rest
+            if not pid_s.isdigit():
                 continue
             try:
-                os.kill(int(rest), 0)
+                os.kill(int(pid_s), 0)
             except ProcessLookupError:
                 shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
             except (PermissionError, OSError):

@@ -171,25 +171,17 @@ _RESTORE_RE = re.compile(
 _SHOW_TABLES_RE = re.compile(
     r"^\s*SHOW\s+SNAPSHOT\s+TABLES\s*;?\s*$", re.IGNORECASE
 )
-# Bare COUNT(*) over one registered table, no WHERE/GROUP/anything:
-# the only SELECT shape the metadata fast path may claim. Consumed by
-# SnapshotCatalog.sql, NOT route_statement — the fast path must only
-# answer when the catalog's pinned head view and the latest manifest
-# agree (the catalog tracks that; a bare dispatcher cannot), or a
-# stale registration would count rows a simultaneous SELECT * does
-# not return (review finding).
-_COUNT_STAR_RE = re.compile(
-    r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(\w+))?"
-    r"\s+FROM\s+(\w+)\s*;?\s*$",
-    re.IGNORECASE,
-)
-# Round 13 (round-12 directive #2): the general metadata-answerable
-# SELECT shape — a comma list where EVERY item is COUNT(*) / MIN(col)
-# / MAX(col) / SUM(col) / AVG(col) with an optional alias, over ONE
-# registered table, nothing else (no WHERE/GROUP/expressions — the
-# planning query `SELECT MIN(d), MAX(d) FROM t`, not a general
-# optimizer). Parsed by parse_metadata_select; answered by
-# SnapshotCatalog under the same _view_sid bracket as COUNT(*).
+# Round 13 (round-12 directive #2; subsumes round 12's bare-COUNT(*)
+# regex): the general metadata-answerable SELECT shape — a comma list
+# where EVERY item is COUNT(*) / MIN(col) / MAX(col) / SUM(col) /
+# AVG(col) with an optional alias, over ONE registered table, nothing
+# else (no WHERE/GROUP/expressions — the planning query
+# `SELECT MIN(d), MAX(d) FROM t`, not a general optimizer). Parsed by
+# parse_metadata_select, consumed by SnapshotCatalog.sql, NOT
+# route_statement — the fast path must only answer when the catalog's
+# pinned head view and the latest manifest agree (the catalog tracks
+# that; a bare dispatcher cannot), or a stale registration would
+# return rows a simultaneous SELECT * does not.
 _META_SELECT_RE = re.compile(
     r"^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,

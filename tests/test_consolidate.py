@@ -127,6 +127,39 @@ def test_appends_and_dml_after_consolidation(spark, tmp_path):
     assert v_pre.count() == 50
 
 
+def test_torn_consolidated_reference_refuses_loudly(spark, tmp_path):
+    """A generation referenced by the stats block whose doc vanished
+    from the consolidated file (partial replication, restored backup)
+    must make metadata_aggregate REFUSE — never silently exclude the
+    generation's rows from the fold — and analyze_table must repair."""
+    import json
+
+    t = str(tmp_path / "con7")
+    _mk_generations(spark, t, 6)
+    consolidate_stats(spark, t, max_sidecars=2)
+    man = latest_manifest(spark, t)
+    rel = next(iter(man["stats"]["sidecars"].values()))
+    path = f"{t}/{rel}"
+    doc = json.loads(open(path).read())
+    victim = sorted(doc["gens"])[0]
+    del doc["gens"][victim]
+    crc = f"{t}/{rel.rsplit('/', 1)[0]}/.{rel.rsplit('/', 1)[1]}.crc"
+    import os
+
+    if os.path.exists(crc):
+        os.remove(crc)
+    with open(path, "w") as fh:
+        fh.write(json.dumps(doc, sort_keys=True))
+    snap._SIDECAR_CACHE.clear()
+    with pytest.raises(ValueError, match="docs are missing"):
+        metadata_aggregate(spark, t, columns=["k"])
+    # ANALYZE re-sweeps the torn generation and the aggregate answers
+    st = analyze_table(spark, t)
+    assert st["analyzed_generations"] >= 1
+    agg = metadata_aggregate(spark, t, columns=["k"])
+    assert agg["rows"] == 30
+
+
 def test_rename_replay_survives_consolidation(spark, tmp_path):
     from big_data_spark.io.snapshot import evolve_schema
 

@@ -890,9 +890,11 @@ def test_drop_racing_ctas_loses_neither(spark, tmp_path, seed):
 
 def test_legacy_whole_file_registry_still_loads(spark, tmp_path):
     """Pre-round-13 warehouses carry one _catalog.json: its bindings
-    load, a new CTAS lands as a per-table file WITHOUT rewriting the
-    legacy file, and DROP of a legacy-recorded name rewrites the
-    legacy file so the binding cannot resurrect."""
+    load, a new CTAS lands as a per-table file WITHOUT touching the
+    legacy file, and DROP of a legacy-recorded name writes a per-name
+    TOMBSTONE (never a legacy rewrite — read-modify-write could
+    resurrect a concurrent drop) that suppresses the entry on every
+    later load. A later CTAS of the same name replaces the tombstone."""
     import json
     import os
 
@@ -915,10 +917,63 @@ def test_legacy_whole_file_registry_still_loads(spark, tmp_path):
     assert legacy["tables"] == {"oldtab": old}  # untouched by CTAS
     st = cat.sql("DROP TABLE oldtab")
     assert st["dropped"] is True
+    # the legacy file is NEVER rewritten; a tombstone overlays it
     legacy = json.load(open(f"{base}/_catalog.json"))
-    assert "oldtab" not in legacy["tables"]
+    assert legacy["tables"] == {"oldtab": old}
+    tomb = json.load(open(f"{base}/_catalog/oldtab.json"))
+    assert tomb["dropped"] is True
     fresh = SnapshotCatalog(spark.newSession(), base_dir=base)
     assert "oldtab" not in fresh.tables and "newtab" in fresh.tables
+    # CTAS of the tombstoned name replaces the tombstone with a
+    # live binding
+    fresh.sql("CREATE TABLE oldtab AS SELECT id FROM range(4)")
+    again = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert (
+        again.sql("SELECT count(*) AS n FROM oldtab").collect()[0]["n"]
+        == 4
+    )
+
+
+def test_concurrent_legacy_drops_never_resurrect(spark, tmp_path):
+    """Two sessions dropping DIFFERENT legacy-recorded names
+    concurrently: both drops stick (the per-name tombstones make the
+    writes disjoint; the old legacy-file rewrite let the last writer
+    re-record the other's dropped name)."""
+    import json
+    import os
+    import threading
+
+    base = str(tmp_path / "whl2")
+    os.makedirs(base)
+    dirs = {}
+    for n in ("la", "lb"):
+        d = str(tmp_path / f"leg_{n}")
+        append_snapshot(spark.range(3).selectExpr("id AS k"), d)
+        dirs[n] = d
+    with open(f"{base}/_catalog.json", "w") as fh:
+        json.dump({"v": 1, "tables": dirs}, fh)
+
+    gate = threading.Barrier(2)
+    errs: list = []
+
+    def drop(n: str) -> None:
+        try:
+            c = SnapshotCatalog(spark.newSession(), base_dir=base)
+            gate.wait(timeout=60)
+            c.sql(f"DROP TABLE {n}")
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=drop, args=(n,)) for n in ("la", "lb")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs, errs
+    fresh = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert "la" not in fresh.tables and "lb" not in fresh.tables
 
 
 def test_ctas_refuses_reserved_catalog_name(spark, tmp_path):
