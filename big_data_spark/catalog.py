@@ -485,7 +485,9 @@ class SnapshotCatalog:
             ):
                 self.spark.catalog.dropTempView(tbl.name)
 
-    def _metadata_select(self, name: str, items) -> DataFrame | None:
+    def _metadata_select(
+        self, name: str, items, as_of: int | None = None
+    ) -> DataFrame | None:
         """Answer a parse_metadata_select shape from metadata only —
         one local literal row, zero scan jobs (the optimizer rewrite
         Delta/Iceberg do in OptimizeMetadataOnlyQuery, spelled
@@ -504,13 +506,14 @@ class SnapshotCatalog:
             metadata_aggregate,
         )
 
-        view_sid = self._view_sid.get(name)
-        if view_sid is None:
-            return None
+        if as_of is None:
+            view_sid = self._view_sid.get(name)
+            if view_sid is None:
+                return None
         sum_avg_cols = {
             c for f, c, _ in items if c and f in ("sum", "avg")
         }
-        if sum_avg_cols:
+        if sum_avg_cols and as_of is None:
             # Metadata SUM/AVG covers integer kinds only — decide
             # from the committed schema (one manifest read) BEFORE
             # paying the full sidecar fold for a shape that can never
@@ -531,11 +534,14 @@ class SnapshotCatalog:
         cols = sorted({c for _, c, _ in items if c})
         try:
             agg = metadata_aggregate(
-                self.spark, self.tables[name], columns=cols
+                self.spark, self.tables[name], columns=cols, as_of=as_of
             )
         except ValueError:
             return None
-        if agg["snapshot_id"] != view_sid:
+        if as_of is None and agg["snapshot_id"] != view_sid:
+            # A pinned version (as_of) is immutable — no drift
+            # bracket needed; the HEAD answer must match the pinned
+            # head view exactly.
             return None
         from pyspark.sql.types import StructField, StructType
 
@@ -597,14 +603,29 @@ class SnapshotCatalog:
         )
 
         parsed = parse_metadata_select(statement)
-        if parsed is not None and parsed[0] in self.tables:
+        if parsed is not None:
             # Metadata-only fast path (round 12: bare COUNT(*);
-            # round 13, directive #2: any bare COUNT(*)/MIN/MAX/
-            # SUM/AVG list) — None means fall through to the
-            # passthrough below, which stays authoritative.
-            fast = self._metadata_select(parsed[0], parsed[1])
-            if fast is not None:
-                return fast
+            # round 13 directive #2: any bare COUNT(*)/MIN/MAX/
+            # SUM/AVG list; round 13 optional #9: time travel via
+            # `t VERSION AS OF n` or the `t_vN` view spelling) —
+            # None means fall through to the passthrough below,
+            # which stays authoritative. An exactly-registered name
+            # always wins over the `_vN` interpretation (a real
+            # table literally named `orders_v2` beside `orders`).
+            import re as _re
+
+            tbl, items, version = parsed
+            base = as_of = None
+            if tbl in self.tables:
+                base, as_of = tbl, version
+            elif version is None:
+                m = _re.match(r"^(\w+?)_v(\d+)$", tbl)
+                if m and m.group(1) in self.tables:
+                    base, as_of = m.group(1), int(m.group(2))
+            if base is not None:
+                fast = self._metadata_select(base, items, as_of=as_of)
+                if fast is not None:
+                    return fast
 
         st = route_statement(
             self.spark,

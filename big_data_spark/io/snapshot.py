@@ -4372,6 +4372,7 @@ def metadata_aggregate(
     table_dir: str,
     columns: list[str] | None = None,
     require_sums: bool = False,
+    as_of: int | None = None,
 ) -> dict:
     """COUNT(*), per-column MIN/MAX, and (round 12) SUM/AVG for
     integer columns, answered from the manifest plus its
@@ -4418,7 +4419,21 @@ def metadata_aggregate(
     follows the same owner walk as pruned reads."""
     import datetime as _dt
 
-    man = latest_manifest(spark, table_dir)
+    if as_of is not None:
+        # Time travel (round-13 optional #9): the fold's math works
+        # on ANY manifest — a pinned version's stats sidecars stay
+        # referenced (and vacuum-protected) as long as its manifest
+        # is retained. Raises the standard refusal on an expired or
+        # never-committed id so callers fall back to a real query.
+        try:
+            man = read_manifest(spark, table_dir, as_of)
+        except Exception as exc:  # noqa: BLE001 — normalize refusal
+            raise ValueError(
+                f"metadata_aggregate: no readable manifest for "
+                f"snapshot {as_of} under {table_dir!r}"
+            ) from exc
+    else:
+        man = latest_manifest(spark, table_dir)
     if man is None:
         raise ValueError(f"no committed snapshots under {table_dir!r}")
     if man.get("deletes"):
@@ -4825,6 +4840,12 @@ def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
     }
     stats = man.get("stats") or {}
     covered = len(_stats_covered(stats) & gens)
+    # Distinct sidecar FILES serving the live generations (round-13
+    # optional #9): the fragmentation signal behind metadata-
+    # aggregate latency — `consolidate_stats`/`ANALYZE` folds a large
+    # count to 1. Cheap: manifest values only, nothing loaded.
+    side = stats.get("sidecars") or {}
+    n_side_files = len({side[g] for g in side if g in gens})
     row = (
         table_dir,
         int(man["snapshot_id"]),
@@ -4839,6 +4860,7 @@ def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
         bool(man.get("cdf")),
         covered,
         list(stats.get("columns") or []),
+        n_side_files,
         len(list_tags(spark, table_dir)),
         len(man.get("schema") or []),
     )
@@ -4849,7 +4871,7 @@ def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
         "n_entries int, n_generations int, n_data_files int, "
         "total_bytes long, n_delete_vectors int, has_row_cdf boolean, "
         "stats_covered_generations int, stats_columns array<string>, "
-        "n_tags int, n_columns int",
+        "stats_sidecar_files int, n_tags int, n_columns int",
     )
 
 

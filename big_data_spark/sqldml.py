@@ -183,7 +183,8 @@ _SHOW_TABLES_RE = re.compile(
 # that; a bare dispatcher cannot), or a stale registration would
 # return rows a simultaneous SELECT * does not.
 _META_SELECT_RE = re.compile(
-    r"^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s*;?\s*$",
+    r"^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _META_ITEM_RE = re.compile(
@@ -195,16 +196,18 @@ _META_ITEM_RE = re.compile(
 
 def parse_metadata_select(
     statement: str,
-) -> tuple[str, list[tuple[str, str | None, str]]] | None:
-    """``(table, [(func, col|None, out_name), ...])`` when the whole
-    statement is a bare aggregate list the metadata layer COULD
-    answer, else None. ``func`` is lowercased (count/min/max/sum/
-    avg); ``out_name`` is the alias or Spark's default output name
-    for the bare call (``count(1)`` / ``min(col)`` ...), so a
+) -> tuple[str, list[tuple[str, str | None, str]], int | None] | None:
+    """``(table, [(func, col|None, out_name), ...], version|None)``
+    when the whole statement is a bare aggregate list the metadata
+    layer COULD answer, else None. ``func`` is lowercased (count/min/
+    max/sum/avg); ``out_name`` is the alias or Spark's default output
+    name for the bare call (``count(1)`` / ``min(col)`` ...), so a
     metadata answer and the passthrough query are column-for-column
-    indistinguishable. Claiming is the CALLER's job — this only
-    recognizes the shape; whether metadata may answer (view bracket,
-    refusals) is decided against the live table."""
+    indistinguishable; ``version`` carries a trailing ``VERSION AS OF
+    n`` time-travel clause (round-13 optional #9). Claiming is the
+    CALLER's job — this only recognizes the shape; whether metadata
+    may answer (view bracket, refusals) is decided against the live
+    table."""
     m = _META_SELECT_RE.match(statement)
     if not m:
         return None
@@ -219,7 +222,8 @@ def parse_metadata_select(
             "count(1)" if func == "count" else f"{func}({col})"
         )
         items.append((func, col, out))
-    return m.group(2), items
+    version = m.group(3)
+    return m.group(2), items, None if version is None else int(version)
 _REPARTITION_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+REPARTITION\s+BY\s+"
     r"(?:\(\s*([\w\s,`]+?)\s*\)|NONE)\s*;?\s*$",

@@ -1188,6 +1188,70 @@ def test_metadata_aggregate_fast_path_fallthroughs(spark, tmp_path):
     assert list(m.collect()[0]) == [25, 1]
 
 
+def test_metadata_fast_path_time_travel(spark, tmp_path):
+    """Round-13 optional #9: both time-travel spellings — the
+    `t_vN` view name and `t VERSION AS OF n` — answer bare aggregate
+    lists from the PINNED version's manifest with a literal plan;
+    a literal table whose NAME ends in _vN still wins over the
+    interpretation, and a nonexistent version falls through."""
+    t = str(tmp_path / "tt")
+    append_snapshot(spark.range(10).selectExpr("id AS k"), t)  # v0
+    append_snapshot(
+        spark.range(100, 105).selectExpr("id AS k"), t
+    )  # v1
+    cat = SnapshotCatalog(spark)  # eager: t_v0/t_v1 views exist
+    cat.register("tt", t)
+    for q, want in [
+        ("SELECT COUNT(*) AS n, MAX(k) AS hi FROM tt_v0", [10, 9]),
+        ("SELECT COUNT(*) AS n, MAX(k) AS hi FROM tt_v1", [15, 104]),
+        (
+            "SELECT COUNT(*) AS n, MAX(k) AS hi FROM tt "
+            "VERSION AS OF 0",
+            [10, 9],
+        ),
+        ("SELECT COUNT(*) AS n FROM tt", [15]),
+    ]:
+        df = cat.sql(q)
+        assert df.inputFiles() == [], q  # literal plan
+        assert list(df.collect()[0]) == want, q
+    # matches the real view query exactly
+    assert (
+        cat.sql("SELECT COUNT(*) FROM tt_v0").collect()[0][0]
+        == spark.sql("SELECT COUNT(*) FROM tt_v0").collect()[0][0]
+    )
+    # a REAL registered table literally named with a _vN suffix wins
+    t2 = str(tmp_path / "tt_v9")
+    append_snapshot(spark.range(3).selectExpr("id AS k"), t2)
+    cat.register("tt_v9", t2)
+    assert (
+        cat.sql("SELECT COUNT(*) AS n FROM tt_v9").collect()[0]["n"]
+        == 3
+    )
+    # nonexistent version: metadata refuses, passthrough decides
+    # (here: no such view -> AnalysisException, same as before)
+    with pytest.raises(Exception):
+        cat.sql("SELECT COUNT(*) FROM tt_v7").collect()
+
+
+def test_describe_detail_exposes_sidecar_file_count(spark, tmp_path):
+    from big_data_spark.io.snapshot import consolidate_stats
+
+    t = str(tmp_path / "dd13")
+    for i in range(5):
+        append_snapshot(
+            spark.range(i * 4, (i + 1) * 4).selectExpr("id AS k"), t
+        )
+    cat = SnapshotCatalog(spark, versions="lazy")
+    cat.register("dd13", t)
+    d = cat.sql("DESCRIBE DETAIL dd13").collect()[0]
+    assert d["stats_sidecar_files"] == 5
+    consolidate_stats(spark, t, max_sidecars=2)
+    cat.refresh("dd13")
+    d2 = cat.sql("DESCRIBE DETAIL dd13").collect()[0]
+    assert d2["stats_sidecar_files"] == 1
+    assert d2["stats_covered_generations"] == 5
+
+
 def test_count_star_fast_path_declines_on_stale_view(spark, tmp_path):
     """An external writer advancing the table WITHOUT cat.refresh()
     must not desynchronize COUNT(*) from the pinned view: the fast
