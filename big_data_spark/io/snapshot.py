@@ -4846,6 +4846,18 @@ def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
     # count to 1. Cheap: manifest values only, nothing loaded.
     side = stats.get("sidecars") or {}
     n_side_files = len({side[g] for g in side if g in gens})
+    # SUM/AVG coverage (the other refusal axis): live generations
+    # whose sidecars recorded per-file sums — below n_generations
+    # means SUM/AVG omit-or-refuse until ANALYZE backfills. DESCRIBE
+    # is the diagnostic surface, so the O(live generations) cached
+    # loads are its job (same trade analyze_table makes).
+    sums_covered = 0
+    for g in sorted(_stats_covered(stats) & gens):
+        doc = _load_gen_stats(
+            spark, table_dir, stats, g, man.get("rename_log")
+        )
+        if doc is not None and doc["sums"] is not None:
+            sums_covered += 1
     row = (
         table_dir,
         int(man["snapshot_id"]),
@@ -4861,6 +4873,7 @@ def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
         covered,
         list(stats.get("columns") or []),
         n_side_files,
+        sums_covered,
         len(list_tags(spark, table_dir)),
         len(man.get("schema") or []),
     )
@@ -4871,7 +4884,8 @@ def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
         "n_entries int, n_generations int, n_data_files int, "
         "total_bytes long, n_delete_vectors int, has_row_cdf boolean, "
         "stats_covered_generations int, stats_columns array<string>, "
-        "stats_sidecar_files int, n_tags int, n_columns int",
+        "stats_sidecar_files int, sums_covered_generations int, "
+        "n_tags int, n_columns int",
     )
 
 

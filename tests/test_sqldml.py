@@ -1250,6 +1250,9 @@ def test_describe_detail_exposes_sidecar_file_count(spark, tmp_path):
     d2 = cat.sql("DESCRIBE DETAIL dd13").collect()[0]
     assert d2["stats_sidecar_files"] == 1
     assert d2["stats_covered_generations"] == 5
+    # sums recorded at every commit (post-round-12 writes): the
+    # SUM/AVG refusal axis reads full coverage here
+    assert d2["sums_covered_generations"] == 5
 
 
 def test_count_star_fast_path_declines_on_stale_view(spark, tmp_path):
