@@ -595,6 +595,36 @@ class SnapshotCatalog:
             [tuple(values)], StructType(fields)
         )
 
+    def _travel_sid(self, name: str, travel) -> int | None | bool:
+        """Snapshot id for a parsed time-travel clause against a
+        registered table: None = head (no clause), an int = the
+        pinned id, False = unresolvable — the fast path declines and
+        the passthrough (rewrite_time_travel) raises its canonical
+        error for a missing tag / pre-first-commit timestamp. Tag and
+        timestamp resolution go through the SAME manifest-layer
+        functions the passthrough uses, so both paths always pin the
+        same version."""
+        if travel is None:
+            return None
+        kind, val = travel
+        from big_data_spark.io.snapshot import (
+            list_tags,
+            resolve_as_of_ts,
+        )
+        from big_data_spark.sqldml import _parse_ts_ms
+
+        try:
+            if kind == "version":
+                return int(val)
+            if kind == "tag":
+                tags = list_tags(self.spark, self.tables[name])
+                return tags[val] if val in tags else False
+            return resolve_as_of_ts(
+                self.spark, self.tables[name], _parse_ts_ms(val)
+            )
+        except Exception:  # noqa: BLE001 — decline, passthrough decides
+            return False
+
     def sql(self, statement: str):
         from big_data_spark.sqldml import (
             parse_metadata_select,
@@ -614,11 +644,13 @@ class SnapshotCatalog:
             # table literally named `orders_v2` beside `orders`).
             import re as _re
 
-            tbl, items, version = parsed
+            tbl, items, travel = parsed
             base = as_of = None
             if tbl in self.tables:
-                base, as_of = tbl, version
-            elif version is None:
+                as_of = self._travel_sid(tbl, travel)
+                if as_of is not False:
+                    base = tbl
+            elif travel is None:
                 m = _re.match(r"^(\w+?)_v(\d+)$", tbl)
                 if m and m.group(1) in self.tables:
                     base, as_of = m.group(1), int(m.group(2))

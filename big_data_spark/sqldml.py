@@ -184,7 +184,7 @@ _SHOW_TABLES_RE = re.compile(
 # return rows a simultaneous SELECT * does not.
 _META_SELECT_RE = re.compile(
     r"^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)"
-    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$",
+    r"(?:\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _META_ITEM_RE = re.compile(
@@ -196,18 +196,25 @@ _META_ITEM_RE = re.compile(
 
 def parse_metadata_select(
     statement: str,
-) -> tuple[str, list[tuple[str, str | None, str]], int | None] | None:
-    """``(table, [(func, col|None, out_name), ...], version|None)``
+) -> (
+    tuple[
+        str,
+        list[tuple[str, str | None, str]],
+        tuple[str, str] | None,
+    ]
+    | None
+):
+    """``(table, [(func, col|None, out_name), ...], travel|None)``
     when the whole statement is a bare aggregate list the metadata
     layer COULD answer, else None. ``func`` is lowercased (count/min/
     max/sum/avg); ``out_name`` is the alias or Spark's default output
     name for the bare call (``count(1)`` / ``min(col)`` ...), so a
     metadata answer and the passthrough query are column-for-column
-    indistinguishable; ``version`` carries a trailing ``VERSION AS OF
-    n`` time-travel clause (round-13 optional #9). Claiming is the
-    CALLER's job — this only recognizes the shape; whether metadata
-    may answer (view bracket, refusals) is decided against the live
-    table."""
+    indistinguishable. ``travel`` carries a trailing time-travel
+    clause (round-13 optional #9) as ``("version", "3")``,
+    ``("tag", "gold")`` or ``("ts", "2026-08-15 13:00:00")`` —
+    resolution (tag lookup, timestamp→id) is the caller's job against
+    the live table, exactly like claiming."""
     m = _META_SELECT_RE.match(statement)
     if not m:
         return None
@@ -222,8 +229,17 @@ def parse_metadata_select(
             "count(1)" if func == "count" else f"{func}({col})"
         )
         items.append((func, col, out))
-    version = m.group(3)
-    return m.group(2), items, None if version is None else int(version)
+    kind, val = m.group(3), m.group(4)
+    if kind is None:
+        travel = None
+    elif kind.upper() == "VERSION":
+        travel = (
+            ("tag", val[1:-1]) if val.startswith("'")
+            else ("version", val)
+        )
+    else:
+        travel = ("ts", val[1:-1] if val.startswith("'") else val)
+    return m.group(2), items, travel
 _REPARTITION_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+REPARTITION\s+BY\s+"
     r"(?:\(\s*([\w\s,`]+?)\s*\)|NONE)\s*;?\s*$",

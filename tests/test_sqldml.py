@@ -1219,6 +1219,20 @@ def test_metadata_fast_path_time_travel(spark, tmp_path):
         cat.sql("SELECT COUNT(*) FROM tt_v0").collect()[0][0]
         == spark.sql("SELECT COUNT(*) FROM tt_v0").collect()[0][0]
     )
+    # tag and timestamp spellings pin through the SAME resolution as
+    # the passthrough and answer metadata-only too
+    from big_data_spark.io.snapshot import read_manifest, tag_snapshot
+
+    tag_snapshot(spark, t, "gold", snapshot_id=0)
+    g = cat.sql("SELECT COUNT(*) AS n, MAX(k) AS hi FROM tt VERSION AS OF 'gold'")
+    assert g.inputFiles() == [] and list(g.collect()[0]) == [10, 9]
+    ts0 = read_manifest(spark, t, 0)["committed_at_ms"]
+    ts = cat.sql(f"SELECT COUNT(*) AS n FROM tt TIMESTAMP AS OF {ts0}")
+    assert ts.inputFiles() == [] and ts.collect()[0]["n"] == 10
+    # a missing tag declines the fast path and raises the canonical
+    # passthrough error
+    with pytest.raises(ValueError, match="not found"):
+        cat.sql("SELECT COUNT(*) FROM tt VERSION AS OF 'nope'")
     # a REAL registered table literally named with a _vN suffix wins
     t2 = str(tmp_path / "tt_v9")
     append_snapshot(spark.range(3).selectExpr("id AS k"), t2)
