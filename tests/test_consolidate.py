@@ -160,6 +160,52 @@ def test_torn_consolidated_reference_refuses_loudly(spark, tmp_path):
     assert agg["rows"] == 30
 
 
+def test_vacuum_lifecycle_with_consolidation(spark, tmp_path):
+    """Retention interplay: after consolidation the old per-gen
+    sidecars stay on disk while the pre-consolidation manifests are
+    retained (time travel reads them), and a vacuum that expires
+    those manifests reclaims exactly them — the consolidated file and
+    the aggregate survive."""
+    import os
+
+    from big_data_spark.io.snapshot import vacuum_snapshots
+
+    t = str(tmp_path / "con8")
+    _mk_generations(spark, t, 8)
+    consolidate_stats(spark, t, max_sidecars=4)
+    sdir = f"{t}/_manifests/stats"
+
+    def side_files():
+        return {
+            n for n in os.listdir(sdir)
+            if n.endswith(".json") and not n.startswith(".")
+        }
+
+    before = side_files()
+    assert len(before) == 9  # 8 per-gen + 1 consolidated
+    # pre-consolidation version still aggregates from ITS sidecars
+    pre = metadata_aggregate(spark, t, columns=["k"], as_of=5)
+    assert pre["rows"] == 30
+    # one more commit so BOTH retained manifests post-date the
+    # consolidation (keep_last >= 2 keeps the predecessor, and the
+    # pre-consolidation manifest rightly pins every per-gen sidecar)
+    append_snapshot(
+        spark.range(1000, 1005).selectExpr(
+            "id AS k", "CAST(id AS INT) AS v"
+        ),
+        t,
+    )
+    st = vacuum_snapshots(spark, t, keep_last=2, staging_ttl_hours=0.0)
+    assert st["expired_manifests"]
+    assert len(st["removed_stat_sidecars"]) == 8  # the old per-gen set
+    after = side_files()
+    assert len(after) == 2  # consolidated + the new generation's own
+    assert any("consolidated-" in n for n in after)
+    agg = metadata_aggregate(spark, t, columns=["k"])
+    assert agg["rows"] == 45 and agg["max"]["k"] == 1004
+    assert read_snapshot(spark, t).count() == 45
+
+
 def test_rename_replay_survives_consolidation(spark, tmp_path):
     from big_data_spark.io.snapshot import evolve_schema
 
