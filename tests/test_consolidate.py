@@ -206,6 +206,82 @@ def test_vacuum_lifecycle_with_consolidation(spark, tmp_path):
     assert read_snapshot(spark, t).count() == 45
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_consolidation_racing_appender_never_tears(
+    spark, tmp_path, seed
+):
+    """consolidate_stats racing a concurrent appender: the
+    consolidation either commits or loses the id race loudly
+    (SnapshotConflict — retry succeeds); every append that returned
+    success is in the final table; the final stats block answers the
+    final content exactly. Never a torn stats reference."""
+    import threading
+
+    from big_data_spark.io.snapshot import (
+        SnapshotConflict,
+        append_with_retry,
+    )
+
+    t = str(tmp_path / f"conr{seed}")
+    _mk_generations(spark, t, 6)
+    gate = threading.Barrier(2)
+    errors: list = []
+    conflicts = [0]
+
+    def consolidator():
+        try:
+            gate.wait(timeout=60)
+            for _ in range(8):
+                try:
+                    consolidate_stats(spark, t, max_sidecars=2)
+                    return
+                except SnapshotConflict:
+                    conflicts[0] += 1
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("consolidator", exc))
+
+    appended: list[int] = []
+
+    def appender():
+        try:
+            gate.wait(timeout=60)
+            import random as _r
+
+            rng = _r.Random(seed)
+            for j in range(4):
+                base = 10_000 * (j + 1)
+                n = rng.randint(2, 6)
+                append_with_retry(
+                    spark.range(base, base + n).selectExpr(
+                        "id AS k", "CAST(id AS INT) AS v"
+                    ),
+                    t,
+                    attempts=30,
+                )
+                appended.extend(range(base, base + n))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("appender", exc))
+
+    threads = [
+        threading.Thread(target=consolidator),
+        threading.Thread(target=appender),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=180)
+    assert not errors, errors
+    want = set(range(30)) | set(appended)
+    got = {r["k"] for r in read_snapshot(spark, t).collect()}
+    assert got == want, (
+        f"seed={seed} conflicts={conflicts[0]}: "
+        f"(+{sorted(got - want)[:5]} -{sorted(want - got)[:5]})"
+    )
+    snap._SIDECAR_CACHE.clear()
+    agg = metadata_aggregate(spark, t, columns=["k"])
+    assert agg["rows"] == len(want) and agg["max"]["k"] == max(want)
+
+
 def test_rename_replay_survives_consolidation(spark, tmp_path):
     from big_data_spark.io.snapshot import evolve_schema
 
