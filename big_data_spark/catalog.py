@@ -269,20 +269,44 @@ class SnapshotCatalog:
         # Per-table binding files overlay (newer layout wins a name).
         fs, cdir = hadoop_fs(self.spark, self._bindings_dir())
         if fs.exists(cdir):
-            for st in fs.listStatus(cdir):
-                fname = st.getPath().getName()
-                if not fname.endswith(".json") or fname.startswith("."):
-                    continue  # temp files / crc sidecars
-                try:
-                    doc = _read_json(
-                        self.spark, st.getPath().toString()
+            paths = [
+                st.getPath().toString()
+                for st in fs.listStatus(cdir)
+                if st.getPath().getName().endswith(".json")
+                and not st.getPath().getName().startswith(".")
+            ]  # "." filters temp files / crc sidecars
+            docs: list[dict] = []
+            if len(paths) > 32:
+                # A warehouse with many tables: ONE distributed
+                # whole-file text scan instead of N serial round
+                # trips (the sidecar bulk-prefetch trade — on an
+                # object store the serial loop is the load time).
+                import json as _json
+
+                docs = [
+                    _json.loads(r["value"])
+                    for r in self.spark.read.option(
+                        "wholetext", "true"
                     )
-                except Exception:  # noqa: BLE001
-                    # Vanished between list and read (a concurrent
-                    # DROP): behaves as dropped. Binding files are
-                    # published by atomic rename, so a listed file
-                    # that READS is always complete.
-                    continue
+                    # A file deleted between list and read (a
+                    # concurrent DROP) skips instead of failing the
+                    # whole load — same semantics as the serial loop.
+                    .option("ignoreMissingFiles", "true")
+                    .text(paths)
+                    .collect()
+                ]
+            else:
+                for p in paths:
+                    try:
+                        docs.append(_read_json(self.spark, p))
+                    except Exception:  # noqa: BLE001
+                        # Vanished between list and read (a
+                        # concurrent DROP): behaves as dropped.
+                        # Binding files are published by atomic
+                        # rename, so a listed file that READS is
+                        # always complete.
+                        continue
+            for doc in docs:
                 if doc.get("name") and doc.get("dropped"):
                     # Tombstone: a DROP of a legacy-recorded name —
                     # suppress the legacy entry (per-name, race-free).

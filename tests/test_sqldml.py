@@ -976,6 +976,40 @@ def test_concurrent_legacy_drops_never_resurrect(spark, tmp_path):
     assert "la" not in fresh.tables and "lb" not in fresh.tables
 
 
+def test_many_table_warehouse_bulk_load(spark, tmp_path):
+    """Past 32 binding files the registry loads in ONE distributed
+    text scan (a 1000-table warehouse on an object store must not
+    pay 1000 serial round trips); tombstones still suppress and the
+    bindings come back exactly."""
+    import json
+    import os
+
+    base = str(tmp_path / "whbulk")
+    cat = SnapshotCatalog(spark, versions="lazy", base_dir=base)
+    names = [f"bt{i:02d}" for i in range(36)]
+    for i, n in enumerate(names):
+        t = str(tmp_path / f"bulk_{n}")
+        append_snapshot(
+            spark.range(i + 1).selectExpr("id AS k"), t
+        )
+        cat.register(n, t, persist=True)
+    # hand-write a tombstone + a legacy file holding the same name:
+    # the bulk path must honor the suppression too
+    old = str(tmp_path / "bulk_legacy")
+    append_snapshot(spark.range(2).selectExpr("id AS k"), old)
+    with open(f"{base}/_catalog.json", "w") as fh:
+        json.dump({"v": 1, "tables": {"legacy_t": old}}, fh)
+    with open(f"{base}/_catalog/legacy_t.json", "w") as fh:
+        json.dump({"v": 2, "name": "legacy_t", "dropped": True}, fh)
+    assert len(os.listdir(f"{base}/_catalog")) >= 37
+    fresh = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert set(fresh.tables) == set(names)
+    assert (
+        fresh.sql("SELECT count(*) AS n FROM bt35").collect()[0]["n"]
+        == 36
+    )
+
+
 def test_ctas_refuses_reserved_catalog_name(spark, tmp_path):
     base = str(tmp_path / "whr")
     cat = SnapshotCatalog(spark, base_dir=base)
