@@ -774,13 +774,22 @@ def test_repartition_racing_appender_never_tears(spark, tmp_path, seed):
         try:
             gate.wait(timeout=60)
             _time.sleep(random.Random(seed).random() * 0.05)
-            for attempt in range(6):
+            # Retry until the rewrite lands: the appender commits at
+            # most 5 batches and then stops, so the rewrite wins
+            # eventually — but under a loaded host each slow rewrite
+            # attempt can lose to one more append, so the bound must
+            # comfortably exceed the appender's commit count (a
+            # 6-attempt bound flaked in the full-suite run).
+            for attempt in range(40):
                 try:
                     repartition_table(spark, t, "d")
                     return
                 except SnapshotConflict:
                     # An append won the id — loud, clean; retry.
                     conflicts.append(attempt)
+            errors.append(
+                ("respec", RuntimeError("rewrite never landed"))
+            )
         except Exception as exc:  # noqa: BLE001
             errors.append(("respec", exc))
 
@@ -819,7 +828,8 @@ def test_repartition_racing_appender_never_tears(spark, tmp_path, seed):
     for th in threads:
         th.start()
     for th in threads:
-        th.join(timeout=180)
+        th.join(timeout=600)
+    assert not any(th.is_alive() for th in threads), "threads hung"
     assert not errors, errors
     for batch in committed:
         model.update(batch)
