@@ -283,6 +283,24 @@ def main() -> None:
         if errors:
             record["errors"] = errors
         print(json.dumps(record))
+        # The driver records the stdout TAIL; a truncated capture of
+        # the full record above lost round 13's headline number
+        # entirely (BENCH_r13.json "parsed": null). Emit a COMPACT
+        # summary line LAST — headline + per-query medians, no
+        # query_runs spreads — so the tail always ends in one short
+        # complete JSON line whatever the capture window.
+        compact: dict = {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+        }
+        if errors:
+            compact["errors"] = {
+                k: v[:80] for k, v in errors.items()
+            }
+        print(json.dumps(compact))
     # Streams stopped before session drop (round-5 verdict item),
     # now via the shared session.stop_spark helper.
     stop_spark(spark)

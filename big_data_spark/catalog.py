@@ -237,10 +237,13 @@ class SnapshotCatalog:
         character outside [A-Za-z0-9_.-] percent-encodes ('%' itself
         included), so two distinct table names can never share a
         file. The authoritative name is ALSO stored inside the file —
-        the loader trusts the payload, not the decode."""
+        the loader trusts the payload, not the decode. A LEADING dot
+        percent-encodes too: '.foo.json' would be filtered by the
+        loader's temp/crc guard, silently vanishing the binding."""
         from urllib.parse import quote
 
-        return quote(name, safe="_.-") + ".json"
+        q = quote(name, safe="_.-")
+        return ("%2E" + q[1:] if q.startswith(".") else q) + ".json"
 
     def _load_registry(self) -> None:
         """Bind every table the warehouse registry records and
@@ -262,11 +265,27 @@ class SnapshotCatalog:
 
         bound: dict[str, str] = {}
         # Legacy whole-file registry first (pre-round-13 warehouses).
-        fs, p = hadoop_fs(self.spark, self._registry_path())
-        if fs.exists(p):
-            doc = _read_json(self.spark, self._registry_path())
-            bound.update(doc.get("tables") or {})
+        legacy_tables: dict[str, str] = {}
+        fs, legacy_path = hadoop_fs(self.spark, self._registry_path())
+        legacy_seen = fs.exists(legacy_path)  # observed at load START
+        legacy_exists = legacy_seen
+        if legacy_seen:
+            try:
+                doc = _read_json(self.spark, self._registry_path())
+                legacy_tables = dict(doc.get("tables") or {})
+            except Exception:  # noqa: BLE001
+                # Vanished mid-read: a concurrent load completed the
+                # migration below — its binding files (written BEFORE
+                # it retired the legacy file) cover every entry, so
+                # the overlay listing is complete. Nothing to migrate
+                # here; tombstone reclaim also waits (legacy_seen
+                # stays True) so a third session still holding the
+                # legacy content keeps its suppressions.
+                legacy_exists = False
+            bound.update(legacy_tables)
         # Per-table binding files overlay (newer layout wins a name).
+        per_table: set[str] = set()  # names with a real binding file
+        tombstoned: set[str] = set()  # names with a tombstone file
         fs, cdir = hadoop_fs(self.spark, self._bindings_dir())
         if fs.exists(cdir):
             paths = [
@@ -283,18 +302,24 @@ class SnapshotCatalog:
                 # object store the serial loop is the load time).
                 import json as _json
 
-                docs = [
-                    _json.loads(r["value"])
-                    for r in self.spark.read.option(
-                        "wholetext", "true"
-                    )
+                rows = (
+                    self.spark.read.option("wholetext", "true")
                     # A file deleted between list and read (a
                     # concurrent DROP) skips instead of failing the
                     # whole load — same semantics as the serial loop.
                     .option("ignoreMissingFiles", "true")
                     .text(paths)
                     .collect()
-                ]
+                )
+                for r in rows:
+                    try:
+                        docs.append(_json.loads(r["value"]))
+                    except ValueError:
+                        # One corrupt binding file skips, matching
+                        # the serial path's per-file tolerance — a
+                        # large warehouse must not degrade WORSE than
+                        # a small one for the same fault.
+                        continue
             else:
                 for p in paths:
                     try:
@@ -311,8 +336,61 @@ class SnapshotCatalog:
                     # Tombstone: a DROP of a legacy-recorded name —
                     # suppress the legacy entry (per-name, race-free).
                     bound.pop(doc["name"], None)
+                    tombstoned.add(doc["name"])
                 elif doc.get("name") and doc.get("dir"):
                     bound[doc["name"]] = doc["dir"]
+                    per_table.add(doc["name"])
+        # One-time forward migration (round-14 directive #5): a
+        # pre-round-13 warehouse stops paying the overlay logic.
+        # While the legacy file exists, cover every legacy entry
+        # with its own binding file (atomic-rename publish, same
+        # content from every racing session — idempotent), then
+        # retire the legacy file; tombstones are KEPT this pass (a
+        # session that read the legacy file before we deleted it
+        # still needs them to suppress dropped names). A LATER load
+        # that finds no legacy file reclaims them: with nothing left
+        # to suppress, a tombstone is dead weight.
+        import json as _json
+
+        if legacy_exists:
+            for n, d in sorted(legacy_tables.items()):
+                if n in tombstoned or n in per_table:
+                    continue
+                try:
+                    self._write_binding_doc(
+                        n,
+                        _json.dumps(
+                            {"v": 2, "name": n, "dir": d},
+                            sort_keys=True,
+                        ),
+                    )
+                except OSError:
+                    # Could not publish one binding: keep the legacy
+                    # file so no entry is lost; retry next load.
+                    break
+            else:
+                lfs, lpath = hadoop_fs(
+                    self.spark, self._registry_path()
+                )
+                lfs.delete(lpath, False)
+        elif not legacy_seen and tombstoned:
+            for n in sorted(tombstoned):
+                _, tpath = hadoop_fs(
+                    self.spark,
+                    f"{self._bindings_dir()}/{self._binding_file(n)}",
+                )
+                try:
+                    doc = _read_json(
+                        self.spark,
+                        f"{self._bindings_dir()}/{self._binding_file(n)}",
+                    )
+                except Exception:  # noqa: BLE001 — already gone
+                    continue
+                # Only reclaim what is STILL a tombstone — the name
+                # may have been re-created (a real binding) since the
+                # listing snapshot above.
+                if doc.get("dropped"):
+                    fs.delete(tpath, False)
         for name, table_dir in sorted(bound.items()):
             self.tables[name] = table_dir
             self._persisted.add(name)
@@ -419,6 +497,16 @@ class SnapshotCatalog:
     def register(
         self, name: str, table_dir: str, persist: bool = False
     ) -> list[str]:
+        if name.startswith("."):
+            # Spark itself rejects '.foo' as a view name, and a
+            # persisted leading-dot binding file would be filtered
+            # by the loader's temp/crc guard — refuse up front (the
+            # '_catalog' reservation's sibling; ADVICE r13).
+            raise ValueError(
+                f"register: table name {name!r} cannot start with "
+                "'.' (not a valid view name; the registry reserves "
+                "dot-prefixed files for temp/checksum artifacts)"
+            )
         if (
             not persist
             and name in self._persisted
@@ -537,13 +625,24 @@ class SnapshotCatalog:
         sum_avg_cols = {
             c for f, c, _ in items if c and f in ("sum", "avg")
         }
-        if sum_avg_cols and as_of is None:
+        if sum_avg_cols:
             # Metadata SUM/AVG covers integer kinds only — decide
             # from the committed schema (one manifest read) BEFORE
             # paying the full sidecar fold for a shape that can never
-            # answer (round-13 review finding).
+            # answer (round-13 review finding). A pinned version runs
+            # the same precheck against the PINNED manifest's schema
+            # (round-14 directive #6): a versioned decimal/float
+            # SUM/AVG declines at the same one-read cost as head.
+            from big_data_spark.io.snapshot import read_manifest
+
             try:
-                man = latest_manifest(self.spark, self.tables[name])
+                man = (
+                    latest_manifest(self.spark, self.tables[name])
+                    if as_of is None
+                    else read_manifest(
+                        self.spark, self.tables[name], as_of
+                    )
+                )
             except Exception:  # noqa: BLE001 — passthrough decides
                 return None
             types = {

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import re
 import threading
 import uuid
 from contextlib import contextmanager
@@ -421,24 +422,37 @@ def _prefetch_sidecars(
     rows = (
         spark.read.option("wholetext", "true")
         .text([f"{table_dir}/{r}" for r in need])
+        # The rel each doc was READ FROM travels with the row:
+        # recovering it by searching side[] for any gen the doc
+        # carries mis-attributed stale consolidated files (an older
+        # consolidated doc still naming a gen whose side[] now points
+        # at a fresher per-gen sidecar could be cached under the NEW
+        # rel and overwrite the fresh read in this very bulk — row
+        # order is arbitrary), silently dropping an ANALYZE backfill.
+        .select(F.input_file_name().alias("path"), "value")
         .collect()
     )
+    by_base = {r.rsplit("/", 1)[-1]: r for r in need}
     out: dict[str, dict] = {}
     raw_by_rel: dict[str, dict] = {}
     for r in rows:
+        # input_file_name is a URI (percent-encoded); sidecar
+        # basenames are uuid-unique hex so they round-trip exactly.
+        rel = by_base.get(unquote(r["path"].rsplit("/", 1)[-1]))
+        if rel is None:
+            continue  # defensive: a path we did not ask for
         doc = json.loads(r["value"])
+        raw_by_rel[rel] = doc
         if "gens" in doc:
-            # Consolidated file: expand to per-generation docs for
-            # the caller; cache the RAW file under its one rel.
-            out.update(doc["gens"])
-            rel = next(
-                (side[g] for g in doc["gens"] if g in side), None
-            )
-        else:
+            # Consolidated file: expand ONLY the generations whose
+            # sidecar reference actually points here — a gen carried
+            # by an old shard but re-swept since must come from its
+            # fresher per-gen file, never this copy.
+            for g, d in doc["gens"].items():
+                if side.get(g) == rel:
+                    out[g] = d
+        elif side.get(doc.get("gen")) == rel:
             out[doc["gen"]] = doc
-            rel = side.get(doc["gen"])
-        if rel is not None:
-            raw_by_rel[rel] = doc
     # Prime the cache from the bulk read (up to the cap): tables
     # whose generations fit become pure cache hits on every repeat
     # query — without this the bulk scan re-ran per aggregate forever
@@ -3897,44 +3911,61 @@ def analyze_table(
     }
 
 
-# Live sidecar FILES past this, ANALYZE folds them into one
-# consolidated file (same bound as the bulk-prefetch threshold: below
-# it the serial cached loop is already cheap).
+# Live sidecar FILES past this, ANALYZE folds them into consolidated
+# shards (same bound as the bulk-prefetch threshold: below it the
+# serial cached loop is already cheap).
 _CONSOLIDATE_MAX_SIDECARS = _BULK_MANIFEST_THRESHOLD
+# Per consolidated SHARD caps (round-14 directive #1): one shard
+# carries at most this many generations' docs, and is cut early when
+# its serialized body would exceed the byte cap (per-gen docs are
+# O(files-per-generation), so a gen count alone could still build a
+# monolithic file on a wide table). Size-capped shards keep every
+# consolidation pass — and every driver read — bounded: the round-13
+# single consolidated JSON was itself an O(live files) driver
+# read-parse-rewrite at 10^5-10^6 files, the exact monolithic-
+# metadata shape the manifest/sidecar splits exist to kill.
+_CONSOLIDATE_SHARD_GENS = 4096
+_CONSOLIDATE_SHARD_BYTES = 8 << 20
+
+# Shard filenames are self-describing: ``consolidated-f<N>-<uuid>``
+# is a FULL (sealed) shard written with N generations — never
+# rewritten while at least half of them stay live — while
+# ``consolidated-t<N>-<uuid>`` is the TAIL shard that keeps absorbing
+# the loose per-gen files until it seals. Sealed-ness must be
+# decidable from the manifest's sidecar map ALONE (no reads), so the
+# writer stamps it into the name. Legacy round-13 names
+# (``consolidated-<hex>``) carry no stamp and refold as tails.
+_SHARD_NAME_RE = re.compile(
+    r"consolidated-([ft])(\d+)-[0-9a-f]+\.json$"
+)
 
 
-def _consolidated_stats_block(
+def _shard_is_sealed(rel: str, live_count: int) -> bool:
+    """A shard stays untouched while it still earns its keep: a FULL
+    shard whose live generations dropped below half its written count
+    (mass deletes/rewrites) gets compacted with the tail instead of
+    bloating every future bulk read with dead docs."""
+    m = _SHARD_NAME_RE.search(rel)
+    if m is None or m.group(1) != "f":
+        return False
+    return live_count >= max(1, int(m.group(2)) // 2)
+
+
+def _write_consolidated_shard(
     spark: SparkSession,
     table_dir: str,
-    stats: dict,
-    live_gens: set[str],
-    max_sidecars: int,
-) -> tuple[dict, int]:
-    """(new stats block, merged file count): collapse the live
-    generations' per-generation sidecar FILES into ONE consolidated
-    file ({"gens": {gen: doc}}) when more than ``max_sidecars``
-    distinct files are referenced, else return the block unchanged
-    with 0. Docs are copied RAW (names_at stamps preserved) so rename
-    replay semantics are untouched; the old files become unreferenced
-    once the new manifest commits and fall to vacuum."""
-    side = (stats or {}).get("sidecars") or {}
-    covered = [g for g in sorted(live_gens) if g in side]
-    distinct = {side[g] for g in covered}
-    if len(distinct) <= max_sidecars:
-        return stats, 0
-    pre = _prefetch_sidecars(spark, table_dir, stats, covered)
-    gens_doc: dict[str, dict] = {}
-    for g in covered:
-        doc = pre.get(g)
-        if doc is None:
-            raw = _read_sidecar(spark, table_dir, side[g])
-            doc = raw["gens"].get(g) if "gens" in raw else raw
-        if doc is None:
-            # Torn reference: leave the block alone — analyze_table's
-            # backfill is the repair path, not consolidation.
-            return stats, 0
-        gens_doc[g] = doc
-    rel = f"{_STATS_SIDE_DIR}/consolidated-{uuid.uuid4().hex}.json"
+    gens_doc: dict[str, dict],
+    full: bool,
+) -> str:
+    """Write one immutable consolidated shard and prime the cache;
+    returns its table-relative path. Same crash contract as per-gen
+    sidecars: unique name, referenced only by a later manifest commit,
+    so a mid-write death leaves an orphan for vacuum."""
+    kind = "f" if full else "t"
+    rel = (
+        f"{_STATS_SIDE_DIR}/consolidated-{kind}{len(gens_doc)}-"
+        f"{uuid.uuid4().hex}.json"
+    )
     body = json.dumps({"gens": gens_doc}, sort_keys=True)
     fs, dpath = hadoop_fs(spark, f"{table_dir}/{_STATS_SIDE_DIR}")
     fs.mkdirs(dpath)
@@ -3944,35 +3975,131 @@ def _consolidated_stats_block(
         out_stream.write(bytearray(body.encode("utf-8")))
     finally:
         out_stream.close()
-    raw_doc = {"gens": gens_doc}
     with _SIDECAR_CACHE_LOCK:
         if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
             _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
-        _SIDECAR_CACHE[(table_dir, rel)] = raw_doc
-    new_side = {
-        g: (rel if g in gens_doc else side[g]) for g in side
-    }
+        _SIDECAR_CACHE[(table_dir, rel)] = {"gens": gens_doc}
+    return rel
+
+
+def _consolidated_stats_block(
+    spark: SparkSession,
+    table_dir: str,
+    stats: dict,
+    live_gens: set[str],
+    max_sidecars: int,
+    shard_gens: int | None = None,
+    shard_bytes: int | None = None,
+) -> tuple[dict, int]:
+    """(new stats block, merged file count): fold the live
+    generations' loose per-generation sidecar FILES — plus the
+    current tail shard and any full shard gone mostly-dead — into
+    size-capped consolidated shards when more than ``max_sidecars``
+    refoldable files are referenced, else return the block unchanged
+    with 0. INCREMENTAL by construction (round-14 directive #1):
+    sealed full shards are carried by reference, so a repeat pass
+    rewrites only the tail — each generation is re-copied O(shard
+    cap / threshold) times over its whole life, never O(passes).
+    Docs are copied RAW (names_at stamps preserved) so rename replay
+    semantics are untouched; refolded files become unreferenced once
+    the new manifest commits and fall to vacuum."""
+    if shard_gens is None:
+        shard_gens = _CONSOLIDATE_SHARD_GENS
+    if shard_bytes is None:
+        shard_bytes = _CONSOLIDATE_SHARD_BYTES
+    side = (stats or {}).get("sidecars") or {}
+    covered = [g for g in sorted(live_gens) if g in side]
+    by_rel: dict[str, list[str]] = {}
+    for g in covered:
+        by_rel.setdefault(side[g], []).append(g)
+    refold_rels = [
+        rel
+        for rel, gens_in in by_rel.items()
+        if not _shard_is_sealed(rel, len(gens_in))
+    ]
+    if len(refold_rels) <= max_sidecars:
+        return stats, 0
+    refold_set = set(refold_rels)
+    refold_gens = sorted(
+        g for rel in refold_rels for g in by_rel[rel]
+    )
+    pre = _prefetch_sidecars(spark, table_dir, stats, refold_gens)
+    gens_doc: dict[str, dict] = {}
+    for g in refold_gens:
+        doc = pre.get(g)
+        if doc is None:
+            raw = _read_sidecar(spark, table_dir, side[g])
+            doc = raw["gens"].get(g) if "gens" in raw else raw
+        if doc is None:
+            # Torn reference: leave the block alone — analyze_table's
+            # backfill is the repair path, not consolidation.
+            return stats, 0
+        gens_doc[g] = doc
+    new_side = dict(side)
+    # Greedy binpack over the sorted refold set: cut a FULL shard at
+    # the gen cap or the byte cap; the remainder becomes the tail.
+    chunk: list[str] = []
+    chunk_bytes = 0
+    for g in refold_gens:
+        sz = len(json.dumps(gens_doc[g], sort_keys=True))
+        if chunk and (
+            len(chunk) >= shard_gens
+            or chunk_bytes + sz > shard_bytes
+        ):
+            rel = _write_consolidated_shard(
+                spark,
+                table_dir,
+                {c: gens_doc[c] for c in chunk},
+                full=True,
+            )
+            for c in chunk:
+                new_side[c] = rel
+            chunk, chunk_bytes = [], 0
+        chunk.append(g)
+        chunk_bytes += sz
+    if chunk:
+        rel = _write_consolidated_shard(
+            spark,
+            table_dir,
+            {c: gens_doc[c] for c in chunk},
+            full=len(chunk) >= shard_gens,
+        )
+        for c in chunk:
+            new_side[c] = rel
+    # A gen in a refolded shard that is no longer LIVE must not keep
+    # pointing at the dropped file: remap it to the shard that now
+    # carries its generation's nearest surviving reference — simplest
+    # correct move is to drop dead-gen references to refolded rels
+    # (readers only ever resolve LIVE generations).
+    for g, rel in list(new_side.items()):
+        if rel in refold_set and g not in gens_doc:
+            del new_side[g]
     out = dict(stats)
     out["sidecars"] = new_side
-    return out, len(distinct)
+    return out, len(refold_rels)
 
 
 def consolidate_stats(
     spark: SparkSession,
     table_dir: str,
     max_sidecars: int | None = None,
+    shard_gens: int | None = None,
+    shard_bytes: int | None = None,
 ) -> dict:
-    """Maintenance: fold the live generations' stats sidecar FILES
-    into one consolidated file and commit a metadata-only manifest
-    referencing it (round-13 directive #6). An append-heavy table
-    accumulates one sidecar per commit; past the process cache cap
-    (``_SIDECAR_CACHE_MAX``) every metadata aggregate re-pays a bulk
-    distributed scan of them ALL — after consolidation the whole
-    working set is ONE small JSON, read once per process regardless
-    of generation count. ``analyze_table`` runs this automatically;
-    this is the explicit spelling. Below ``max_sidecars`` distinct
-    files it is a NO-OP (no commit). Returns
-    ``{merged_sidecars, snapshot_id}``."""
+    """Maintenance: fold the live generations' LOOSE stats sidecar
+    FILES (plus the tail shard) into size-capped consolidated shards
+    and commit a metadata-only manifest referencing them (round-13
+    directive #6; sharded + incremental per round-14 directive #1).
+    An append-heavy table accumulates one sidecar per commit; past
+    the process cache cap (``_SIDECAR_CACHE_MAX``) every metadata
+    aggregate re-pays a bulk distributed scan of them ALL — after
+    consolidation the working set is ceil(live gens / shard cap)
+    shard files, each read once per process, and a REPEAT pass
+    rewrites only the unsealed tail (sealed full shards carry by
+    reference — no O(live files) rewrite, ever). ``analyze_table``
+    runs this automatically; this is the explicit spelling. At or
+    below ``max_sidecars`` refoldable files it is a NO-OP (no
+    commit). Returns ``{merged_sidecars, snapshot_id}``."""
     if max_sidecars is None:
         # Resolved at CALL time so tests (and operators) can tune the
         # module threshold without re-binding a default.
@@ -3984,7 +4111,13 @@ def consolidate_stats(
     if not stats or not stats.get("sidecars"):
         return {"merged_sidecars": 0, "snapshot_id": man["snapshot_id"]}
     new_stats, merged = _consolidated_stats_block(
-        spark, table_dir, stats, _live_gens(man["entries"]), max_sidecars
+        spark,
+        table_dir,
+        stats,
+        _live_gens(man["entries"]),
+        max_sidecars,
+        shard_gens=shard_gens,
+        shard_bytes=shard_bytes,
     )
     if merged == 0:
         return {"merged_sidecars": 0, "snapshot_id": man["snapshot_id"]}

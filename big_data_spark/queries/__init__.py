@@ -177,19 +177,27 @@ _PYTEST_ONLY = (
     # Released: nine twice-plus-slotted rows (2-12 prior driver
     # rounds each, per the CORRECTNESS_r* history); every family keeps
     # at least one driver row:
-    "dedup_ngram_jaccard",  # dedup family (12 rounds): dedup_minhash_lsh + dedup_semantic + dedup_clusters + dedup_segments + both incremental rows stay
-    "ann_hyperplane_lsh",  # ANN family (12 rounds): ann_recall (IVF + exact rescore) + semantic_search + hybrid_search (IN) stay
-    "text_quality",  # text family (12 rounds): quality_gopher + pii_scrub + pmi_cooccur (IN) stay
-    "join_self_theta",  # J family (12 rounds): join_multiway (J1) stays; J6/P8 shape stays pytest-oracle gated
+    # (Round 14 brought back dedup_ngram_jaccard, ann_hyperplane_lsh,
+    # text_quality, join_self_theta and merge_upsert; the remaining
+    # four round-13 releases stay out until round 15:)
     "stream_stream_join",  # §2.11 streaming family (11 rounds): mv_refresh + stream-adjacent cdc mirrors stay
     "temporal_join",  # timeseries family (6 rounds): range_join_bands stays (same interval machinery)
     "pivot_status",  # pivot/reshape family (6 rounds): cube_sales + unpivot_metrics (both IN) stay
-    "merge_upsert",  # lakehouse-write family (7 rounds): sql_dml + snapshot_delete + snapshot_update_cdf stay
-    "triangle_count",  # graph family (7 rounds): pagerank_topn + shortest_paths + community_lpa (IN) + dedup_clusters (CC) stay
-    # NEW round-13 row past the cap (pytest-oracle gated, r14
-    # driver-slot candidate per the round-12 verdict): the SQL door's
-    # metadata-only aggregate fast path, plan-asserted scan-free.
-    "metadata_aggregates",
+    "triangle_count",  # graph family (7 rounds): pagerank_topn + community_lpa + dedup_clusters (CC) stay
+    # Round-14 rotation (round-13 verdict directive #3):
+    # metadata_aggregates earns its driver slot, and five of the nine
+    # rows released in round 13 come back IN — ann_hyperplane_lsh,
+    # dedup_ngram_jaccard, join_self_theta, merge_upsert,
+    # text_quality (pivot_status, stream_stream_join, temporal_join,
+    # triangle_count queue for round 15 as slots free). Released —
+    # six rows with >=2 prior driver rounds each, every family
+    # keeping at least one driver row:
+    "point_lookup",  # lakehouse reads (5 rounds): partitioned_prune + typed_prune + sql_snapshot_asof stay
+    "snapshot_changes",  # CDF family (5 rounds): snapshot_update_cdf (row-level feed) stays
+    "shortest_paths",  # graph family (3 rounds): pagerank_topn + community_lpa + dedup_clusters (CC) stay
+    "semdedup_incremental",  # incremental-dedup family (5 rounds): neardup_incremental + dedup_semantic stay
+    "shard_summary",  # packing family (5 rounds): pack_sequences + weighted_sample stay
+    "doc_chunks",  # text-segmentation family (4 rounds): dedup_segments + pii_scrub + text_quality (IN) stay
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

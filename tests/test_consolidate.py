@@ -293,3 +293,190 @@ def test_rename_replay_survives_consolidation(spark, tmp_path):
     assert agg["min"]["key"] == 0 and agg["max"]["key"] == 39
     with pytest.raises(ValueError, match="not in the recorded stats"):
         metadata_aggregate(spark, t, columns=["k"])
+
+
+# ---------------------------------------------------------------
+# Round-14 directive #1: size-capped shards + incremental tail-only
+# folding — the single consolidated JSON was itself the next
+# monolithic-metadata problem at 10^5-10^6 files.
+
+
+def test_consolidation_writes_capped_shards(spark, tmp_path):
+    t = str(tmp_path / "shard1")
+    _mk_generations(spark, t, 25)
+    st = consolidate_stats(spark, t, max_sidecars=4, shard_gens=10)
+    assert st["merged_sidecars"] == 25
+    rels = _distinct_live_sidecars(spark, t)
+    # ceil(25/10) = 3 shards: two sealed fulls + one tail.
+    assert len(rels) == 3
+    fulls = {r for r in rels if "consolidated-f10-" in r}
+    tails = rels - fulls
+    assert len(fulls) == 2 and len(tails) == 1
+    assert "consolidated-t5-" in next(iter(tails))
+    agg = metadata_aggregate(spark, t, columns=["k", "v"])
+    assert agg["rows"] == 125
+    assert agg["min"]["k"] == 0 and agg["max"]["k"] == 124
+    assert agg["sum"]["v"] == sum(range(125))
+    # Immediate repeat: only the tail is refoldable (1 <= 4) — no-op.
+    st2 = consolidate_stats(spark, t, max_sidecars=4, shard_gens=10)
+    assert st2["merged_sidecars"] == 0
+
+
+def test_repeat_consolidation_rewrites_only_the_tail(spark, tmp_path):
+    t = str(tmp_path / "shard2")
+    _mk_generations(spark, t, 25)
+    consolidate_stats(spark, t, max_sidecars=4, shard_gens=10)
+    sealed = {
+        r
+        for r in _distinct_live_sidecars(spark, t)
+        if "consolidated-f" in r
+    }
+    # 5 more loose per-gen files: tail(5 gens) + 5 loose = 6 > 4.
+    for i in range(25, 30):
+        append_snapshot(
+            spark.range(i * 5, (i + 1) * 5).selectExpr(
+                "id AS k", "CAST(id AS INT) AS v"
+            ),
+            t,
+        )
+    st = consolidate_stats(spark, t, max_sidecars=4, shard_gens=10)
+    assert st["merged_sidecars"] == 6  # tail shard + 5 loose only
+    rels = _distinct_live_sidecars(spark, t)
+    # Sealed fulls carried BY REFERENCE — byte-identical rels.
+    assert sealed <= rels
+    # Refolded 10 gens cut one new full + nothing left over.
+    assert len(rels) == 3 and len(rels - sealed) == 1
+    assert "consolidated-f10-" in next(iter(rels - sealed))
+    snap._SIDECAR_CACHE.clear()
+    agg = metadata_aggregate(spark, t, columns=["k"])
+    assert agg["rows"] == 150 and agg["max"]["k"] == 149
+
+
+def test_fresh_process_reads_at_most_shard_count_files(
+    spark, tmp_path
+):
+    t = str(tmp_path / "shard3")
+    _mk_generations(spark, t, 25)
+    consolidate_stats(spark, t, max_sidecars=4, shard_gens=10)
+    snap._SIDECAR_CACHE.clear()
+    base = snap._SIDECAR_FS_READS
+    agg = metadata_aggregate(spark, t, columns=["k"])
+    # 3 shards <= bulk threshold: the serial cached loop reads each
+    # shard file exactly once.
+    assert snap._SIDECAR_FS_READS - base <= 3
+    assert agg["rows"] == 125
+
+
+def test_byte_cap_cuts_oversized_shards(spark, tmp_path):
+    t = str(tmp_path / "shard4")
+    _mk_generations(spark, t, 6)
+    # Every per-gen doc exceeds a 10-byte cap: one gen per shard.
+    consolidate_stats(
+        spark, t, max_sidecars=2, shard_gens=100, shard_bytes=10
+    )
+    rels = _distinct_live_sidecars(spark, t)
+    assert len(rels) == 6
+    assert sum("consolidated-f1-" in r for r in rels) == 5
+    assert sum("consolidated-t1-" in r for r in rels) == 1
+    agg = metadata_aggregate(spark, t, columns=["k"])
+    assert agg["rows"] == 30 and agg["max"]["k"] == 29
+
+
+def test_mostly_dead_full_shard_gets_compacted(spark, tmp_path):
+    """A full shard whose live generations drop below half its
+    written count (mass rewrite/delete) loses its seal and folds
+    into the next pass instead of bloating every future read."""
+    t = str(tmp_path / "shard5")
+    _mk_generations(spark, t, 20)
+    consolidate_stats(spark, t, max_sidecars=2, shard_gens=10)
+    rels0 = _distinct_live_sidecars(spark, t)
+    assert len(rels0) == 2  # f10 + t10... both cut at the gen cap
+    # COW-delete most rows: generations whose every row dies go
+    # fully dead; enough deletion unseals a full shard.
+    delete_where(spark, t, "k < 80")
+    # Loose rewrite gens + unsealed shards pile up; force a pass.
+    for i in range(20, 26):
+        append_snapshot(
+            spark.range(i * 5, (i + 1) * 5).selectExpr(
+                "id AS k", "CAST(id AS INT) AS v"
+            ),
+            t,
+        )
+    st = consolidate_stats(spark, t, max_sidecars=2, shard_gens=10)
+    assert st["merged_sidecars"] >= 2
+    snap._SIDECAR_CACHE.clear()
+    agg = metadata_aggregate(spark, t, columns=["k"])
+    assert agg["rows"] == 20 + 30 and agg["min"]["k"] == 80
+
+
+def test_prefetch_attributes_docs_to_the_rel_actually_read(
+    spark, tmp_path
+):
+    """ADVICE r13 (medium): the bulk sidecar prefetch must credit
+    each doc to the file it was READ from. A stale consolidated
+    shard still carrying gen G's pre-backfill doc must never shadow
+    G's fresher per-gen sidecar (row order in the bulk read is
+    arbitrary), and must never be cached under the per-gen rel."""
+    import json
+    import os
+
+    t = str(tmp_path / "attr")
+    side: dict[str, str] = {}
+    fresh_rel = None
+    for i in range(34):
+        g = f"s={i}"
+        f_rel = f"_data/{g}/part-0.parquet"
+        rel = snap._write_stats_sidecar(
+            spark,
+            t,
+            g,
+            files={f_rel: {"k": ["0", "9"]}},
+            rows={f_rel: 10},
+            names_at=0,
+        )
+        side[g] = rel
+        if i == 0:
+            fresh_rel = rel
+    # Stale consolidated shard: carries s=0 with WRONG rows plus two
+    # gens of its own.
+    stale = {
+        "gen": "s=0",
+        "files": {"_data/s=0/part-0.parquet": {"k": ["0", "9"]}},
+        "rows": {"_data/s=0/part-0.parquet": 999},
+        "names_at": 0,
+        "sums": None,
+        "nonnull": None,
+    }
+    own = {}
+    for j in (100, 101):
+        g = f"s={j}"
+        f_rel = f"_data/{g}/part-0.parquet"
+        own[g] = {
+            "gen": g,
+            "files": {f_rel: {"k": ["0", "9"]}},
+            "rows": {f_rel: 7},
+            "names_at": 0,
+            "sums": None,
+            "nonnull": None,
+        }
+    con_rel = "_manifests/stats/consolidated-deadbeef.json"
+    os.makedirs(f"{t}/_manifests/stats", exist_ok=True)
+    with open(f"{t}/{con_rel}", "w") as fh:
+        json.dump({"gens": {"s=0": stale, **own}}, fh)
+    for g in own:
+        side[g] = con_rel
+    snap._SIDECAR_CACHE.clear()
+    out = snap._prefetch_sidecars(
+        spark, t, {"sidecars": side}, sorted(side)
+    )
+    # 36 distinct uncached files > threshold: the bulk path ran.
+    assert out["s=0"]["rows"] == {"_data/s=0/part-0.parquet": 10}
+    assert out["s=100"]["rows"] == {
+        "_data/s=100/part-0.parquet": 7
+    }
+    # Cache attribution: the per-gen rel holds the FRESH doc, the
+    # consolidated rel holds the raw consolidated doc.
+    assert snap._SIDECAR_CACHE[(t, fresh_rel)]["rows"] == {
+        "_data/s=0/part-0.parquet": 10
+    }
+    assert "gens" in snap._SIDECAR_CACHE[(t, con_rel)]

@@ -888,13 +888,13 @@ def test_drop_racing_ctas_loses_neither(spark, tmp_path, seed):
     )
 
 
-def test_legacy_whole_file_registry_still_loads(spark, tmp_path):
-    """Pre-round-13 warehouses carry one _catalog.json: its bindings
-    load, a new CTAS lands as a per-table file WITHOUT touching the
-    legacy file, and DROP of a legacy-recorded name writes a per-name
-    TOMBSTONE (never a legacy rewrite — read-modify-write could
-    resurrect a concurrent drop) that suppresses the entry on every
-    later load. A later CTAS of the same name replaces the tombstone."""
+def test_legacy_whole_file_registry_migrates_forward(spark, tmp_path):
+    """Pre-round-13 warehouses carry one _catalog.json. The FIRST
+    load migrates it forward (round-14 directive #5): every legacy
+    entry gets its own per-table binding file and the legacy file is
+    retired, so the second load takes the per-table-only path and a
+    later DROP deletes the binding file outright (no tombstone — the
+    legacy entry it would suppress is gone)."""
     import json
     import os
 
@@ -911,27 +911,65 @@ def test_legacy_whole_file_registry_still_loads(spark, tmp_path):
         cat.sql("SELECT count(*) AS n FROM oldtab").collect()[0]["n"]
         == 7
     )
-    cat.sql("CREATE TABLE newtab AS SELECT id FROM range(3)")
+    # Migration: per-table binding written, legacy file retired.
+    mig = json.load(open(f"{base}/_catalog/oldtab.json"))
+    assert mig == {"v": 2, "name": "oldtab", "dir": old}
+    assert not os.path.exists(f"{base}/_catalog.json")
+    # Second load: per-table-only path, same bindings.
+    cat2 = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert cat2.tables["oldtab"] == old
+    cat2.sql("CREATE TABLE newtab AS SELECT id FROM range(3)")
     assert os.path.exists(f"{base}/_catalog/newtab.json")
-    legacy = json.load(open(f"{base}/_catalog.json"))
-    assert legacy["tables"] == {"oldtab": old}  # untouched by CTAS
-    st = cat.sql("DROP TABLE oldtab")
+    st = cat2.sql("DROP TABLE oldtab")
     assert st["dropped"] is True
-    # the legacy file is NEVER rewritten; a tombstone overlays it
-    legacy = json.load(open(f"{base}/_catalog.json"))
-    assert legacy["tables"] == {"oldtab": old}
-    tomb = json.load(open(f"{base}/_catalog/oldtab.json"))
-    assert tomb["dropped"] is True
+    # No legacy entry left to suppress: the binding file is deleted,
+    # not tombstoned.
+    assert not os.path.exists(f"{base}/_catalog/oldtab.json")
     fresh = SnapshotCatalog(spark.newSession(), base_dir=base)
     assert "oldtab" not in fresh.tables and "newtab" in fresh.tables
-    # CTAS of the tombstoned name replaces the tombstone with a
-    # live binding
+    # CTAS of the dropped name binds it afresh.
     fresh.sql("CREATE TABLE oldtab AS SELECT id FROM range(4)")
     again = SnapshotCatalog(spark.newSession(), base_dir=base)
     assert (
         again.sql("SELECT count(*) AS n FROM oldtab").collect()[0]["n"]
         == 4
     )
+
+
+def test_legacy_migration_reclaims_tombstones(spark, tmp_path):
+    """A tombstone (DROP of a legacy-recorded name) survives the
+    migrating load — a session still holding the legacy content needs
+    the suppression — and is reclaimed by the NEXT load, which finds
+    no legacy file: the dropped name stays dropped throughout and the
+    tombstone file is deleted."""
+    import json
+    import os
+
+    base = str(tmp_path / "whlt")
+    os.makedirs(f"{base}/_catalog")
+    keep = str(tmp_path / "keeptab")
+    gone = str(tmp_path / "gonetab")
+    for d in (keep, gone):
+        append_snapshot(spark.range(5).selectExpr("id AS k"), d)
+    with open(f"{base}/_catalog.json", "w") as fh:
+        json.dump(
+            {"v": 1, "tables": {"keeptab": keep, "gonetab": gone}}, fh
+        )
+    with open(f"{base}/_catalog/gonetab.json", "w") as fh:
+        json.dump({"v": 2, "name": "gonetab", "dropped": True}, fh)
+
+    first = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert "gonetab" not in first.tables and "keeptab" in first.tables
+    # Migrating load: legacy retired, tombstone KEPT, dropped name
+    # NOT resurrected as a binding.
+    assert not os.path.exists(f"{base}/_catalog.json")
+    assert json.load(open(f"{base}/_catalog/gonetab.json"))["dropped"]
+    second = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert "gonetab" not in second.tables and "keeptab" in second.tables
+    # Post-legacy load: the tombstone is dead weight — reclaimed.
+    assert not os.path.exists(f"{base}/_catalog/gonetab.json")
+    third = SnapshotCatalog(spark.newSession(), base_dir=base)
+    assert "gonetab" not in third.tables and "keeptab" in third.tables
 
 
 def test_concurrent_legacy_drops_never_resurrect(spark, tmp_path):
@@ -1324,3 +1362,84 @@ def test_count_star_fast_path_declines_on_stale_view(spark, tmp_path):
     # bare SHOW TABLES still belongs to spark.sql (temp views listing)
     plain = cat.sql("SHOW TABLES")
     assert "tableName" in plain.columns
+
+
+def test_time_travel_sum_precheck_skips_sidecar_fold(
+    spark, tmp_path
+):
+    """Round-14 directive #6: a pinned-version SUM/AVG over a
+    non-integer column declines from the PINNED manifest's schema
+    alone — zero sidecar reads — instead of paying the full stats
+    fold before falling through; an integer column still answers
+    scan-free at the pinned version."""
+    import big_data_spark.io.snapshot as snap
+
+    t = str(tmp_path / "ttsum")
+    for i in range(3):
+        append_snapshot(
+            spark.sql(
+                f"SELECT id AS k, CAST(id AS DECIMAL(10,2)) AS dec "
+                f"FROM range({i * 10}, {(i + 1) * 10})"
+            ),
+            t,
+        )
+    cat = SnapshotCatalog(spark)
+    cat.register("ttsum", t)
+    snap._SIDECAR_CACHE.clear()
+    base = snap._SIDECAR_FS_READS
+    d = cat.sql("SELECT SUM(dec) AS s FROM ttsum VERSION AS OF 1")
+    assert snap._SIDECAR_FS_READS == base  # declined pre-fold
+    assert d.inputFiles() != []
+    assert str(d.collect()[0]["s"]) == "190.00"
+    # integer SUM at a pinned version still answers metadata-only
+    g = cat.sql("SELECT SUM(k) AS s FROM ttsum VERSION AS OF 1")
+    assert g.inputFiles() == [] and g.collect()[0]["s"] == 190
+
+
+def test_sum_overflow_declines_to_passthrough(spark, tmp_path):
+    """ADVICE r13: a table whose exact SUM exceeds bigint must fall
+    through to the real query (which keeps Spark's canonical
+    overflow semantics) — catalog.sql must not crash building a
+    literal row."""
+    big = 2**62
+    t = str(tmp_path / "ovf")
+    append_snapshot(
+        spark.createDataFrame(
+            [(big,), (big,), (big,)], "k bigint"
+        ),
+        t,
+    )
+    cat = SnapshotCatalog(spark)
+    cat.register("ovf", t)
+    df = cat.sql("SELECT SUM(k) AS s FROM ovf")
+    assert df.inputFiles() != []  # declined: passthrough plan
+    # Same behavior as querying the registered view directly —
+    # whatever Spark's SUM does on overflow, both paths agree.
+    try:
+        got = df.collect()
+    except Exception as exc:  # noqa: BLE001 — ANSI overflow raises
+        got = type(exc).__name__
+    try:
+        want = spark.sql("SELECT SUM(k) AS s FROM ovf").collect()
+    except Exception as exc:  # noqa: BLE001
+        want = type(exc).__name__
+    assert got == want
+    # COUNT/MIN/MAX alone still answer scan-free (the overflow only
+    # poisons SUM).
+    n = cat.sql("SELECT COUNT(*) AS n FROM ovf")
+    assert n.inputFiles() == [] and n.collect()[0]["n"] == 3
+
+
+def test_leading_dot_register_refused(spark, tmp_path):
+    """ADVICE r13: '.foo' can never round-trip (Spark rejects the
+    view name; a '.foo.json' binding would be filtered as a temp
+    file) — register refuses it loudly, persisted or not."""
+    t = str(tmp_path / "dot")
+    append_snapshot(spark.range(3).selectExpr("id AS k"), t)
+    base = str(tmp_path / "dotwh")
+    cat = SnapshotCatalog(spark, base_dir=base)
+    with pytest.raises(ValueError, match="cannot start with"):
+        cat.register(".foo", t, persist=True)
+    with pytest.raises(ValueError, match="cannot start with"):
+        cat.register(".foo", t)
+    assert ".foo" not in cat.tables
