@@ -8,10 +8,14 @@ extensions (dedup, ANN, multimodal, text analysis, decontamination,
 MERGE INTO / CDC apply, the data-quality gate, streaming incl. a
 watermarked stream-stream interval join, range join, SQL time
 travel over the engine's own snapshot tables) with DuckDB oracles.
-The registry holds 107 oracle-paired queries in total (round 13
+The registry holds 108 oracle-paired queries in total (round 14
+added metadata_partition_agg — partition-predicate metadata
+aggregates, plan-asserted scan-free, the 58 past the
+50-row driver cap pytest-oracle gated — slotted metadata_aggregates
+plus five returning round-13 releases and released six multi-round
+rows with every family keeping a driver sibling; round 13
 added metadata_aggregates — the SQL door's metadata-only aggregate
-fast path, plan-asserted scan-free, the 57 past the
-50-row driver cap pytest-oracle gated — and rotated the nine
+fast path, plan-asserted scan-free — and rotated the nine
 round-12-released rows back into driver slots, releasing nine
 twice-plus-slotted rows with every family keeping a driver sibling;
 round 12

@@ -597,8 +597,67 @@ class SnapshotCatalog:
             ):
                 self.spark.catalog.dropTempView(tbl.name)
 
+    @staticmethod
+    def _partition_filter(man: dict, where) -> dict | None:
+        """parse_metadata_select's WHERE conjuncts as a
+        ``read_snapshot(partitions=)`` dict — or None to decline.
+        Claims ONLY predicates metadata answers EXACTLY: every
+        column a partition column, every literal canonicalized to
+        the string Spark wrote to the dir names. Int-kind columns
+        take integer literals (canonicalized, so '05' matches the
+        '5' dir exactly as SQL's coercion would); string kinds take
+        quoted literals only (a bare numeric would SQL-coerce '05'
+        = 5 true while the dir string misses); date kinds take
+        quoted ISO dates (canonicalized). Anything else — float/
+        decimal/timestamp/boolean keys, non-partition columns —
+        declines: the rendered-string match could diverge from SQL
+        comparison semantics, and the fast path promises exact
+        passthrough agreement. Repeated conjuncts on one column
+        intersect (``a = 1 AND a = 2`` -> empty match, SQL's empty
+        aggregate row)."""
+        import datetime as _dt
+
+        from big_data_spark.io.snapshot import _pcols
+
+        pcols = set(_pcols(man.get("partition_col")) or [])
+        if not pcols:
+            return None
+        types = {
+            f["name"]: f["type"] for f in man.get("schema") or []
+        }
+        int_heads = ("tinyint", "smallint", "int", "bigint")
+        out: dict[str, set[str]] = {}
+        for col, lits in where:
+            if col not in pcols:
+                return None
+            head = types.get(col, "").split("(")[0].strip().lower()
+            vals: set[str] = set()
+            for raw, quoted in lits:
+                if head in int_heads:
+                    try:
+                        vals.add(str(int(raw)))
+                    except ValueError:
+                        return None
+                elif head in ("string", "varchar", "char"):
+                    if not quoted:
+                        return None
+                    vals.add(raw)
+                elif head == "date":
+                    if not quoted:
+                        return None
+                    try:
+                        vals.add(
+                            _dt.date.fromisoformat(raw).isoformat()
+                        )
+                    except ValueError:
+                        return None
+                else:
+                    return None
+            out[col] = vals if col not in out else out[col] & vals
+        return {c: sorted(v) for c, v in out.items()}
+
     def _metadata_select(
-        self, name: str, items, as_of: int | None = None
+        self, name: str, items, as_of: int | None = None, where=None
     ) -> DataFrame | None:
         """Answer a parse_metadata_select shape from metadata only —
         one local literal row, zero scan jobs (the optimizer rewrite
@@ -625,14 +684,14 @@ class SnapshotCatalog:
         sum_avg_cols = {
             c for f, c, _ in items if c and f in ("sum", "avg")
         }
-        if sum_avg_cols:
-            # Metadata SUM/AVG covers integer kinds only — decide
-            # from the committed schema (one manifest read) BEFORE
-            # paying the full sidecar fold for a shape that can never
-            # answer (round-13 review finding). A pinned version runs
-            # the same precheck against the PINNED manifest's schema
-            # (round-14 directive #6): a versioned decimal/float
-            # SUM/AVG declines at the same one-read cost as head.
+        man = None
+        if sum_avg_cols or where is not None:
+            # The cheap prechecks below decide from the committed
+            # schema (one manifest read) BEFORE paying the full
+            # sidecar fold for a shape that can never answer
+            # (round-13 review finding). A pinned version runs the
+            # same prechecks against the PINNED manifest (round-14
+            # directive #6) at the same one-read cost as head.
             from big_data_spark.io.snapshot import read_manifest
 
             try:
@@ -645,19 +704,37 @@ class SnapshotCatalog:
                 )
             except Exception:  # noqa: BLE001 — passthrough decides
                 return None
+            if man is None:
+                return None
+        if sum_avg_cols:
+            # Metadata SUM/AVG covers integer kinds only.
             types = {
-                f["name"]: f["type"]
-                for f in (man or {}).get("schema") or []
+                f["name"]: f["type"] for f in man.get("schema") or []
             }
             int_heads = ("tinyint", "smallint", "int", "bigint")
             for c in sum_avg_cols:
                 head = types.get(c, "").split("(")[0].strip().lower()
                 if head not in int_heads:
                     return None
+        parts = None
+        if where is not None:
+            # Partition-predicate aggregates (round-14 directive
+            # #2): `COUNT(*) ... WHERE date = '2026-08-15'` — the
+            # single most common planning query on a partitioned
+            # fact table — answers from the matching live entries'
+            # stats; any non-partition or inexactly-renderable
+            # predicate falls through.
+            parts = self._partition_filter(man, where)
+            if parts is None:
+                return None
         cols = sorted({c for _, c, _ in items if c})
         try:
             agg = metadata_aggregate(
-                self.spark, self.tables[name], columns=cols, as_of=as_of
+                self.spark,
+                self.tables[name],
+                columns=cols,
+                as_of=as_of,
+                partitions=parts,
             )
         except ValueError:
             return None
@@ -767,7 +844,7 @@ class SnapshotCatalog:
             # table literally named `orders_v2` beside `orders`).
             import re as _re
 
-            tbl, items, travel = parsed
+            tbl, items, travel, where = parsed
             base = as_of = None
             if tbl in self.tables:
                 as_of = self._travel_sid(tbl, travel)
@@ -778,7 +855,9 @@ class SnapshotCatalog:
                 if m and m.group(1) in self.tables:
                     base, as_of = m.group(1), int(m.group(2))
             if base is not None:
-                fast = self._metadata_select(base, items, as_of=as_of)
+                fast = self._metadata_select(
+                    base, items, as_of=as_of, where=where
+                )
                 if fast is not None:
                     return fast
 

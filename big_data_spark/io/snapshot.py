@@ -4506,6 +4506,7 @@ def metadata_aggregate(
     columns: list[str] | None = None,
     require_sums: bool = False,
     as_of: int | None = None,
+    partitions: dict | None = None,
 ) -> dict:
     """COUNT(*), per-column MIN/MAX, and (round 12) SUM/AVG for
     integer columns, answered from the manifest plus its
@@ -4549,7 +4550,18 @@ def metadata_aggregate(
     ``columns=None`` aggregates every recorded stats column. An
     entirely-NULL column returns None min/max (SQL's MIN/MAX over
     all-NULL). Deleted-but-carried generations never count: liveness
-    follows the same owner walk as pruned reads."""
+    follows the same owner walk as pruned reads.
+
+    ``partitions`` ({col: value | list-of-values}, the
+    read_snapshot shape — round-14 directive #2) scopes the whole
+    fold to the MATCHING live entries: ``COUNT(*) ... WHERE date =
+    '2026-08-15'`` on a partitioned fact table answers from the
+    matching partitions' stats alone. Exact because a data file
+    lives entirely inside one partition leaf, so partition-level
+    pruning loses no rows and admits no extras. An empty match
+    returns SQL's empty-aggregate row (0 / NULLs); an unknown or
+    non-partition column refuses (ValueError) like any other
+    unanswerable shape."""
     import datetime as _dt
 
     if as_of is not None:
@@ -4575,6 +4587,13 @@ def metadata_aggregate(
             "— masked rows would be counted (and could hold extremes); "
             "run fold_deletes first or use a real query"
         )
+    entries = man["entries"]
+    if partitions is not None:
+        # Manifest-level partition pruning (the read_snapshot
+        # machinery): the fold below sees only matching entries, so
+        # coverage checks, row counts, MIN/MAX and SUM/AVG all scope
+        # to the selected partitions.
+        entries, _ = select_partition_entries(spark, man, partitions)
     stats = man.get("stats") or {}
     stat_cols = stats.get("columns") or []
     from big_data_spark.io.stats import stat_kind
@@ -4640,7 +4659,7 @@ def metadata_aggregate(
         and types.get(c, "").split("(")[0].strip().lower()
         in _SUM_INT_HEADS
     ]
-    if not man["entries"]:
+    if not entries:
         return {
             "rows": 0,
             "min": {c: None for c in cols},
@@ -4661,7 +4680,7 @@ def metadata_aggregate(
     # Every live data file must be covered by stats AND row counts.
     if any(
         not rel.startswith(f"{_DATA_DIR}/")
-        for rel in man["entries"].values()
+        for rel in entries.values()
     ):
         raise ValueError(
             "metadata_aggregate: table has entries outside the "
@@ -4669,7 +4688,7 @@ def metadata_aggregate(
             "coverage; use a real query"
         )
     covered_gens = _stats_covered(stats)
-    live_gen_set = _live_gens(man["entries"])
+    live_gen_set = _live_gens(entries)
     if not live_gen_set <= covered_gens:
         raise ValueError(
             "metadata_aggregate: generations without recorded stats "
@@ -4704,8 +4723,10 @@ def metadata_aggregate(
             "by the stats block but their recorded docs are missing — "
             "run analyze_table to re-sweep; use a real query meanwhile"
         )
+    pman = man if partitions is None else {**man, "entries": entries}
     live = _live_stat_files(
-        man, {g: (doc or {}).get("files") or {} for g, doc in loaded.items()}
+        pman,
+        {g: (doc or {}).get("files") or {} for g, doc in loaded.items()},
     )
 
     int_heads = {"tinyint", "smallint", "int", "bigint"}
@@ -4785,7 +4806,7 @@ def metadata_aggregate(
     # construction (empty partitions drop out of the manifest).
     if part_cols:
         pcols_list = _pcols(man.get("partition_col")) or []
-        for key in man["entries"]:
+        for key in entries:
             vals = entry_partition_values(spark, pcols_list, key)
             for c in part_cols:
                 pv = parse(kinds[c], vals[c], c)
@@ -4978,7 +4999,16 @@ def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
     # aggregate latency — `consolidate_stats`/`ANALYZE` folds a large
     # count to 1. Cheap: manifest values only, nothing loaded.
     side = stats.get("sidecars") or {}
-    n_side_files = len({side[g] for g in side if g in gens})
+    live_rels = {side[g] for g in side if g in gens}
+    n_side_files = len(live_rels)
+    # Consolidated SHARDS among them (round-14): a user reading WHY a
+    # metadata aggregate is slow (or refused) sees the shard/loose
+    # split at a glance — many loose files = consolidation due.
+    n_shards = sum(
+        1
+        for r in live_rels
+        if r.rsplit("/", 1)[-1].startswith("consolidated-")
+    )
     # SUM/AVG coverage (the other refusal axis): live generations
     # whose sidecars recorded per-file sums — below n_generations
     # means SUM/AVG omit-or-refuse until ANALYZE backfills. DESCRIBE
@@ -5006,6 +5036,7 @@ def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
         covered,
         list(stats.get("columns") or []),
         n_side_files,
+        n_shards,
         sums_covered,
         len(list_tags(spark, table_dir)),
         len(man.get("schema") or []),
@@ -5017,7 +5048,8 @@ def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
         "n_entries int, n_generations int, n_data_files int, "
         "total_bytes long, n_delete_vectors int, has_row_cdf boolean, "
         "stats_covered_generations int, stats_columns array<string>, "
-        "stats_sidecar_files int, sums_covered_generations int, "
+        "stats_sidecar_files int, stats_consolidated_shards int, "
+        "sums_covered_generations int, "
         "n_tags int, n_columns int",
     )
 

@@ -2859,6 +2859,108 @@ FROM orders
 """
 
 
+_PMETA_AGG = (
+    "COUNT(*) AS n_orders, MIN(o_orderkey) AS min_key, "
+    "MAX(o_orderkey) AS max_key, SUM(o_orderkey) AS sum_key, "
+    "MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date"
+)
+
+
+def q_metadata_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-predicate metadata aggregates (round-14 directive
+    #2): publish orders PARTITIONED on o_orderstatus (manifest
+    entries keyed per status), then answer ``SELECT COUNT(*),
+    MIN/MAX, SUM ... WHERE o_orderstatus = 'O'`` and an
+    ``IN ('F', 'P')`` variant entirely from the MATCHING partitions'
+    live entries + stats sidecars — the single most common planning
+    query on a partitioned fact table, zero data-file reads (both
+    plans asserted scan-free; a silent fall-through would defeat
+    what this row certifies). Exact because a data file lives
+    entirely inside one partition leaf: partition-level pruning
+    loses no rows and admits no extras. The oracle re-derives both
+    filtered aggregate rows relationally from raw ``orders``, so a
+    wrong leaf selection (escaping drift, stale carried partition)
+    or a mis-scoped fold hash-mismatches immediately.
+
+    Scale: cost is O(#partitions) driver metadata to select entries
+    plus O(matching generations) sidecar reads — independent of
+    data volume, the Iceberg/Delta partition-stats planning path."""
+    import shutil
+
+    from big_data_spark.catalog import SnapshotCatalog
+    from big_data_spark.io.snapshot import write_snapshot_partial
+
+    tdir = fixture_dir("bds_pmagg", sf_dir)
+    shutil.rmtree(tdir, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    statuses = sorted(
+        r["o_orderstatus"]
+        for r in orders.select("o_orderstatus").distinct().collect()
+    )
+    write_snapshot_partial(
+        orders,
+        tdir,
+        0,
+        "o_orderstatus",
+        touched_keys=statuses,
+        stats_columns=["o_orderkey", "o_orderdate"],
+    )
+    cat = SnapshotCatalog(spark, versions="lazy")
+    cat.register("pmeta_orders", tdir)
+    probes = [
+        ("eq", "WHERE o_orderstatus = 'O'"),
+        ("in", "WHERE o_orderstatus IN ('F', 'P')"),
+    ]
+    outs = []
+    for tag, clause in probes:
+        df = cat.sql(
+            f"SELECT {_PMETA_AGG} FROM pmeta_orders {clause}"
+        )
+        if df.inputFiles():
+            raise AssertionError(
+                "metadata_partition_agg: the SQL door fell through "
+                f"to a scan on {clause!r} — the partition-predicate "
+                "fast path must answer this shape"
+            )
+        outs.append(df.select(F.lit(tag).alias("probe"), "*"))
+    return (
+        outs[0]
+        .unionByName(outs[1])
+        .select(
+            "probe",
+            "n_orders",
+            "min_key",
+            "max_key",
+            "sum_key",
+            F.unix_timestamp("min_date").alias("min_date"),
+            F.unix_timestamp("max_date").alias("max_date"),
+        )
+        .orderBy("probe")
+    )
+
+
+ORACLE_METADATA_PARTITION_AGG = """
+WITH agg AS (
+  SELECT 'eq' AS probe, COUNT(*) AS n_orders,
+         MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+         CAST(floor(epoch(MIN(o_orderdate))) AS BIGINT) AS min_date,
+         CAST(floor(epoch(MAX(o_orderdate))) AS BIGINT) AS max_date
+  FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT 'in', COUNT(*),
+         MIN(o_orderkey), MAX(o_orderkey),
+         CAST(SUM(o_orderkey) AS BIGINT),
+         CAST(floor(epoch(MIN(o_orderdate))) AS BIGINT),
+         CAST(floor(epoch(MAX(o_orderdate))) AS BIGINT)
+  FROM orders WHERE o_orderstatus IN ('F', 'P')
+)
+SELECT * FROM agg ORDER BY probe
+"""
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-match point lookup through the per-file Bloom index
     (io/fileindex.py): publish an orders snapshot clustered on
@@ -3519,6 +3621,7 @@ QUERIES = {
     "partitioned_prune": q_partitioned_prune,
     "typed_prune": q_typed_prune,
     "metadata_aggregates": q_metadata_aggregates,
+    "metadata_partition_agg": q_metadata_partition_agg,
     "point_lookup": q_point_lookup,
     "snapshot_delete": q_snapshot_delete,
     "snapshot_update_cdf": q_snapshot_update_cdf,
@@ -3609,6 +3712,7 @@ ORDER BY version, o_custkey
     "partitioned_prune": ORACLE_PARTITIONED_PRUNE,
     "typed_prune": ORACLE_TYPED_PRUNE,
     "metadata_aggregates": ORACLE_METADATA_AGGREGATES,
+    "metadata_partition_agg": ORACLE_METADATA_PARTITION_AGG,
     "point_lookup": ORACLE_POINT_LOOKUP,
     "snapshot_delete": ORACLE_SNAPSHOT_DELETE,
     "snapshot_update_cdf": ORACLE_SNAPSHOT_UPDATE_CDF,

@@ -184,7 +184,8 @@ _SHOW_TABLES_RE = re.compile(
 # return rows a simultaneous SELECT * does not.
 _META_SELECT_RE = re.compile(
     r"^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)"
-    r"(?:\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+))?\s*;?\s*$",
+    r"(?:\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+))?"
+    r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _META_ITEM_RE = re.compile(
@@ -192,6 +193,29 @@ _META_ITEM_RE = re.compile(
     r"(?:\s+AS\s+(\w+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+# One WHERE conjunct the metadata layer COULD answer (round-14
+# directive #2): `col = literal` or `col IN (lit, ...)` with
+# single-quoted-string ('' escapes) or bare numeric literals. The
+# CALLER decides whether col is actually a partition column; any
+# conjunct outside this shape unclaims the whole statement.
+_META_WHERE_EQ_RE = re.compile(
+    r"^`?(\w+)`?\s*=\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)$",
+    re.DOTALL,
+)
+_META_WHERE_IN_RE = re.compile(
+    r"^`?(\w+)`?\s+IN\s*\(\s*(.+?)\s*\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_META_LIT_RE = re.compile(r"^('(?:[^']|'')*'|-?\d+(?:\.\d+)?)$")
+_META_AND_RE = re.compile(r"\s+AND\s+", re.IGNORECASE)
+
+
+def _parse_meta_literal(raw: str) -> tuple[str, bool]:
+    """(value, quoted): a single-quoted literal unescapes '' -> ',
+    a bare numeric stays verbatim."""
+    if raw.startswith("'"):
+        return raw[1:-1].replace("''", "'"), True
+    return raw, False
 
 
 def parse_metadata_select(
@@ -201,20 +225,30 @@ def parse_metadata_select(
         str,
         list[tuple[str, str | None, str]],
         tuple[str, str] | None,
+        list[tuple[str, list[tuple[str, bool]]]] | None,
     ]
     | None
 ):
-    """``(table, [(func, col|None, out_name), ...], travel|None)``
-    when the whole statement is a bare aggregate list the metadata
-    layer COULD answer, else None. ``func`` is lowercased (count/min/
-    max/sum/avg); ``out_name`` is the alias or Spark's default output
-    name for the bare call (``count(1)`` / ``min(col)`` ...), so a
-    metadata answer and the passthrough query are column-for-column
-    indistinguishable. ``travel`` carries a trailing time-travel
-    clause (round-13 optional #9) as ``("version", "3")``,
-    ``("tag", "gold")`` or ``("ts", "2026-08-15 13:00:00")`` —
-    resolution (tag lookup, timestamp→id) is the caller's job against
-    the live table, exactly like claiming."""
+    """``(table, [(func, col|None, out_name), ...], travel|None,
+    where|None)`` when the whole statement is a bare aggregate list
+    the metadata layer COULD answer, else None. ``func`` is
+    lowercased (count/min/max/sum/avg); ``out_name`` is the alias or
+    Spark's default output name for the bare call (``count(1)`` /
+    ``min(col)`` ...), so a metadata answer and the passthrough query
+    are column-for-column indistinguishable. ``travel`` carries a
+    trailing time-travel clause (round-13 optional #9) as
+    ``("version", "3")``, ``("tag", "gold")`` or
+    ``("ts", "2026-08-15 13:00:00")`` — resolution (tag lookup,
+    timestamp→id) is the caller's job against the live table, exactly
+    like claiming. ``where`` (round-14 directive #2) is a conjunct
+    list ``[(col, [(value, quoted), ...]), ...]`` from
+    ``col = literal`` / ``col IN (...)`` clauses — whether each col
+    is a PARTITION column (the only kind metadata can answer) is the
+    caller's job too; any conjunct outside the shape unclaims the
+    whole statement (fall through to the real query, never a guess).
+    A quoted literal containing ``AND``/commas simply fails the
+    strict anchored conjunct shapes after the naive split — a safe
+    unclaim, never a mis-parse."""
     m = _META_SELECT_RE.match(statement)
     if not m:
         return None
@@ -239,7 +273,29 @@ def parse_metadata_select(
         )
     else:
         travel = ("ts", val[1:-1] if val.startswith("'") else val)
-    return m.group(2), items, travel
+    where = None
+    if m.group(5) is not None:
+        where = []
+        for conj in _META_AND_RE.split(m.group(5).strip()):
+            conj = conj.strip()
+            em = _META_WHERE_EQ_RE.match(conj)
+            if em:
+                where.append(
+                    (em.group(1), [_parse_meta_literal(em.group(2))])
+                )
+                continue
+            nm = _META_WHERE_IN_RE.match(conj)
+            if nm:
+                lits = []
+                for part in nm.group(2).split(","):
+                    lm = _META_LIT_RE.match(part.strip())
+                    if not lm:
+                        return None
+                    lits.append(_parse_meta_literal(lm.group(1)))
+                where.append((nm.group(1), lits))
+                continue
+            return None  # conjunct outside the claimable shape
+    return m.group(2), items, travel, where
 _REPARTITION_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+REPARTITION\s+BY\s+"
     r"(?:\(\s*([\w\s,`]+?)\s*\)|NONE)\s*;?\s*$",

@@ -501,9 +501,18 @@ def _run_multicol_walk(spark, tmp_path, seed):
     checkpoint_rows = set(history[checkpoint_id])
     tag_snapshot(spark, t, "mcwalk-checkpoint", snapshot_id=checkpoint_id)
 
+    def do_consolidate():
+        # Round-14 directive #7: consolidate→respec→rollback
+        # interleavings — the cross-feature orderings the dedicated
+        # races in test_consolidate.py cannot produce.
+        from big_data_spark.io.snapshot import consolidate_stats
+
+        consolidate_stats(spark, t, max_sidecars=2, shard_gens=4)
+
     ops = [do_partial_replace, do_wap_append, do_delete, do_update,
-           do_fold, do_compact, do_rollback, do_respec_multi]
-    weights = [3, 3, 3, 3, 1, 1, 1, 1]
+           do_fold, do_compact, do_rollback, do_respec_multi,
+           do_consolidate]
+    weights = [3, 3, 3, 3, 1, 1, 1, 1, 2]
     for step in range(N_PART_STEPS):
         op = rng.choices(ops, weights)[0]
         op()
@@ -552,7 +561,7 @@ def _run_multicol_walk(spark, tmp_path, seed):
     }, f"seed={seed}: multicol feed replay diverged"
 
 
-@pytest.mark.parametrize("seed", [5, 37])
+@pytest.mark.parametrize("seed", [5, 37, 58])
 def test_multicol_random_walk_matches_model(spark, tmp_path, seed):
     _run_multicol_walk(spark, tmp_path, seed)
 
@@ -987,6 +996,21 @@ def _run_typed_predicate_walk(spark, tmp_path, seed):
         model.clear()
         model.update(dict(history[target]))
 
+    def do_analyze():
+        from big_data_spark.io.snapshot import analyze_table
+
+        analyze_table(spark, t)
+
+    def do_consolidate():
+        # Stats-shard consolidation in the SAME interleavings as
+        # DML/rollback/ANALYZE (round-14 directive #7): tiny caps so
+        # shards form, seal and refold at walk scale; every step is
+        # followed by the full-content predicate check and the
+        # metadata-aggregate cross-check below.
+        from big_data_spark.io.snapshot import consolidate_stats
+
+        consolidate_stats(spark, t, max_sidecars=2, shard_gens=4)
+
     def check_predicate():
         """One random typed predicate vs the model filter."""
         kind = rng.choice(["k", "key", "ts", "v"])
@@ -1066,8 +1090,9 @@ def _run_typed_predicate_walk(spark, tmp_path, seed):
 
     do_append()
     snap_model()
-    ops = [do_append, do_delete, do_update, do_binpack, do_rollback]
-    weights = [4, 3, 3, 1, 1]
+    ops = [do_append, do_delete, do_update, do_binpack, do_rollback,
+           do_analyze, do_consolidate]
+    weights = [4, 3, 3, 1, 1, 1, 2]
     for step in range(N_STEPS):
         rng.choices(ops, weights)[0]()
         snap_model()
@@ -1075,7 +1100,7 @@ def _run_typed_predicate_walk(spark, tmp_path, seed):
         check_metadata_agg()
 
 
-@pytest.mark.parametrize("seed", [11, 42])
+@pytest.mark.parametrize("seed", [11, 42, 63])
 def test_typed_predicate_walk_matches_model(spark, tmp_path, seed):
     _run_typed_predicate_walk(spark, tmp_path, seed)
 

@@ -1331,10 +1331,12 @@ def test_describe_detail_exposes_sidecar_file_count(spark, tmp_path):
     cat.register("dd13", t)
     d = cat.sql("DESCRIBE DETAIL dd13").collect()[0]
     assert d["stats_sidecar_files"] == 5
+    assert d["stats_consolidated_shards"] == 0  # all loose per-gen
     consolidate_stats(spark, t, max_sidecars=2)
     cat.refresh("dd13")
     d2 = cat.sql("DESCRIBE DETAIL dd13").collect()[0]
     assert d2["stats_sidecar_files"] == 1
+    assert d2["stats_consolidated_shards"] == 1  # the one tail shard
     assert d2["stats_covered_generations"] == 5
     # sums recorded at every commit (post-round-12 writes): the
     # SUM/AVG refusal axis reads full coverage here
@@ -1443,3 +1445,103 @@ def test_leading_dot_register_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="cannot start with"):
         cat.register(".foo", t)
     assert ".foo" not in cat.tables
+
+
+def test_partition_predicate_metadata_aggregates(spark, tmp_path):
+    """Round-14 directive #2: WHERE over partition columns answers
+    scan-free from the matching live entries + stats, value- and
+    schema-identical to the passthrough — eq, IN, repeated-conjunct
+    intersection, quoted-int canonicalization ('05' = the 5 dir,
+    exactly as SQL coercion sees it), and the empty match."""
+    from big_data_spark.io.snapshot import write_snapshot_partial
+
+    t = str(tmp_path / "ppred")
+    df = spark.sql(
+        "SELECT id AS k, CAST(id % 3 AS INT) AS p, "
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS s "
+        "FROM range(60)"
+    )
+    write_snapshot_partial(
+        df, t, 0, "p", touched_keys=[0, 1, 2],
+        stats_columns=["k", "s"],
+    )
+    cat = SnapshotCatalog(spark, versions="lazy")
+    cat.register("ppred", t)
+    for q in [
+        "SELECT COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi, "
+        "SUM(k) AS sk FROM ppred WHERE p = 1",
+        "SELECT COUNT(*) AS n FROM ppred WHERE p IN (0, 2)",
+        "SELECT COUNT(*) AS n, MIN(p) AS mp, MAX(s) AS ms "
+        "FROM ppred WHERE p = 2",
+        "SELECT COUNT(*) AS n FROM ppred WHERE p = 1 AND p = 2",
+        "SELECT COUNT(*) AS n FROM ppred WHERE p = 9",
+        "SELECT COUNT(*) AS n FROM ppred WHERE p = '05'",
+    ]:
+        fast = cat.sql(q)
+        assert fast.inputFiles() == [], q
+        real = spark.sql(q)
+        assert fast.schema == real.schema, q
+        assert [list(r) for r in fast.collect()] == [
+            list(r) for r in real.collect()
+        ], q
+
+
+def test_partition_predicate_fallthrough_matrix(spark, tmp_path):
+    """The partition fast path must DECLINE — with the passthrough's
+    exact answer — on: a non-partition column, a mixed clause
+    (partition AND non-partition), an out-of-shape predicate, a
+    float-looking literal on an int key, an unpartitioned table,
+    and MOR delete vectors."""
+    from big_data_spark.io.snapshot import (
+        delete_where,
+        write_snapshot_partial,
+    )
+
+    t = str(tmp_path / "pfall")
+    df = spark.sql(
+        "SELECT id AS k, CAST(id % 3 AS INT) AS p, "
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS s "
+        "FROM range(60)"
+    )
+    write_snapshot_partial(
+        df, t, 0, "p", touched_keys=[0, 1, 2],
+        stats_columns=["k", "s"],
+    )
+    cat = SnapshotCatalog(spark, versions="lazy")
+    cat.register("pfall", t)
+    for q, want in [
+        # non-partition column: metadata cannot scope the fold
+        ("SELECT COUNT(*) AS n FROM pfall WHERE s = 'even'", [[30]]),
+        # mixed clause: ONE unanswerable conjunct unclaims the lot
+        (
+            "SELECT COUNT(*) AS n FROM pfall "
+            "WHERE p = 1 AND s = 'even'",
+            [[10]],
+        ),
+        # out-of-shape predicate (range)
+        ("SELECT COUNT(*) AS n FROM pfall WHERE p < 2", [[40]]),
+        # float-looking literal on an int key: SQL coerces 1.0 = 1,
+        # the dir string would miss — decline, real query answers
+        ("SELECT COUNT(*) AS n FROM pfall WHERE p = 1.0", [[20]]),
+    ]:
+        d = cat.sql(q)
+        assert d.inputFiles() != [], q
+        assert [list(r) for r in d.collect()] == want, q
+    # quoted float on an int key: the fast path declines (int('1.0')
+    # fails) and the passthrough keeps Spark's CANONICAL ANSI
+    # behavior — the string->bigint cast error, not a silent 0.
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        cat.sql(
+            "SELECT COUNT(*) AS n FROM pfall WHERE p = '1.0'"
+        ).collect()
+    # unpartitioned table: WHERE always falls through
+    t2 = str(tmp_path / "pfall_unpart")
+    append_snapshot(spark.range(10).selectExpr("id AS k"), t2)
+    cat.register("pfall_u", t2)
+    u = cat.sql("SELECT COUNT(*) AS n FROM pfall_u WHERE k = 3")
+    assert u.inputFiles() != [] and u.collect()[0]["n"] == 1
+    # MOR masks: metadata_aggregate refuses, real query answers
+    delete_where(spark, t, "k % 2 = 0", mode="mor")
+    cat.refresh("pfall")
+    m = cat.sql("SELECT COUNT(*) AS n FROM pfall WHERE p = 1")
+    assert m.inputFiles() != [] and m.collect()[0]["n"] == 10
