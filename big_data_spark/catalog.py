@@ -274,6 +274,12 @@ class SnapshotCatalog:
                 doc = _read_json(self.spark, self._registry_path())
                 legacy_tables = dict(doc.get("tables") or {})
             except Exception:  # noqa: BLE001
+                if fs.exists(legacy_path):
+                    # Still present but unreadable (corrupt file,
+                    # I/O fault): silently loading with every legacy
+                    # table missing would be far worse than the
+                    # pre-round-14 loud failure — re-raise.
+                    raise
                 # Vanished mid-read: a concurrent load completed the
                 # migration below — its binding files (written BEFORE
                 # it retired the legacy file) cover every entry, so
@@ -353,44 +359,61 @@ class SnapshotCatalog:
         import json as _json
 
         if legacy_exists:
-            for n, d in sorted(legacy_tables.items()):
-                if n in tombstoned or n in per_table:
-                    continue
-                try:
+            try:
+                for n, d in sorted(legacy_tables.items()):
+                    if n in tombstoned or n in per_table:
+                        continue
+                    # CREATE-ONLY publish (if_absent): a binding or
+                    # tombstone that appeared since the directory
+                    # listing above is FRESHER than the legacy entry
+                    # — a concurrent DROP's tombstone must never be
+                    # clobbered back to life by this stale copy.
                     self._write_binding_doc(
                         n,
                         _json.dumps(
                             {"v": 2, "name": n, "dir": d},
                             sort_keys=True,
                         ),
+                        if_absent=True,
                     )
-                except OSError:
-                    # Could not publish one binding: keep the legacy
-                    # file so no entry is lost; retry next load.
-                    break
-            else:
                 lfs, lpath = hadoop_fs(
                     self.spark, self._registry_path()
                 )
                 lfs.delete(lpath, False)
+            except Exception:  # noqa: BLE001
+                # Could not publish/retire (read-only warehouse,
+                # object-store fault): loading a legacy warehouse
+                # must keep WORKING without writes, exactly as it
+                # did pre-migration — keep the legacy file, retry
+                # the migration on a later load.
+                pass
         elif not legacy_seen and tombstoned:
+            import time as _time
+
+            cutoff_ms = int(_time.time() * 1000) - 5000
             for n in sorted(tombstoned):
-                _, tpath = hadoop_fs(
-                    self.spark,
-                    f"{self._bindings_dir()}/{self._binding_file(n)}",
+                fpath = (
+                    f"{self._bindings_dir()}/{self._binding_file(n)}"
                 )
+                _, tpath = hadoop_fs(self.spark, fpath)
                 try:
-                    doc = _read_json(
-                        self.spark,
-                        f"{self._bindings_dir()}/{self._binding_file(n)}",
-                    )
-                except Exception:  # noqa: BLE001 — already gone
-                    continue
-                # Only reclaim what is STILL a tombstone — the name
-                # may have been re-created (a real binding) since the
-                # listing snapshot above.
-                if doc.get("dropped"):
-                    fs.delete(tpath, False)
+                    doc = _read_json(self.spark, fpath)
+                    # Only reclaim what is STILL a tombstone and not
+                    # freshly written — the name may have been
+                    # re-created (CTAS-over-tombstone) since the
+                    # listing snapshot above, and the mtime guard
+                    # shrinks the remaining read-then-delete window
+                    # to a concurrent write landing in the same
+                    # instant as this stat+delete pair.
+                    if (
+                        doc.get("dropped")
+                        and fs.getFileStatus(tpath)
+                        .getModificationTime()
+                        < cutoff_ms
+                    ):
+                        fs.delete(tpath, False)
+                except Exception:  # noqa: BLE001
+                    continue  # already gone / read-only: best effort
         for name, table_dir in sorted(bound.items()):
             self.tables[name] = table_dir
             self._persisted.add(name)
@@ -422,7 +445,18 @@ class SnapshotCatalog:
             ),
         )
 
-    def _write_binding_doc(self, name: str, body: str) -> None:
+    def _write_binding_doc(
+        self, name: str, body: str, if_absent: bool = False
+    ) -> bool:
+        """Publish one binding/tombstone doc. Default: overwrite-
+        rename (last writer wins — the explicit CTAS/DROP/persist
+        semantics). ``if_absent=True`` is CREATE-ONLY: plain rename,
+        which refuses an existing destination on HDFS/local — the
+        legacy-migration mode, where an existing file is ALWAYS
+        fresher than the legacy entry being copied (a concurrent
+        DROP's tombstone or CTAS's binding must never be clobbered
+        by a stale directory-listing snapshot). Returns True if this
+        call published the file."""
         import uuid as _uuid
 
         from big_data_spark.io.compact import hadoop_fs
@@ -440,6 +474,11 @@ class SnapshotCatalog:
         finally:
             out.close()
         _, final = hadoop_fs(self.spark, f"{cdir}/{fname}")
+        if if_absent:
+            if not fs.rename(tmp_path, final):
+                fs.delete(tmp_path, False)
+                return False  # destination exists: theirs is fresher
+            return True
         if (fs.getUri().getScheme() or "file") == "file":
             _atomic_overwrite_local(
                 self.spark, fs, cdir, tmp_path, final, fname[:-5]
@@ -455,6 +494,7 @@ class SnapshotCatalog:
                     f"could not publish catalog binding for {name!r} "
                     f"under {cdir!r}"
                 )
+        return True
 
     def _remove_binding(self, name: str) -> None:
         """Unpersist ONE binding. If the name also lives in the
@@ -615,10 +655,17 @@ class SnapshotCatalog:
         passthrough agreement. Repeated conjuncts on one column
         intersect (``a = 1 AND a = 2`` -> empty match, SQL's empty
         aggregate row)."""
-        import datetime as _dt
+        import re as _re
 
         from big_data_spark.io.snapshot import _pcols
 
+        # STRICT ASCII shapes only: Python's int()/fromisoformat
+        # accept forms Spark's ANSI string casts reject (digit
+        # underscores, Unicode digits, compact ISO dates) — claiming
+        # those would answer scan-free where the passthrough raises
+        # CAST_INVALID_INPUT, breaking the exact-agreement contract.
+        int_lit = _re.compile(r"^-?[0-9]+$")
+        date_lit = _re.compile(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
         pcols = set(_pcols(man.get("partition_col")) or [])
         if not pcols:
             return None
@@ -634,23 +681,26 @@ class SnapshotCatalog:
             vals: set[str] = set()
             for raw, quoted in lits:
                 if head in int_heads:
-                    try:
-                        vals.add(str(int(raw)))
-                    except ValueError:
+                    if not int_lit.match(raw):
                         return None
+                    # Canonicalize to the dir rendering ('05' -> '5',
+                    # '-0' -> '0') — exactly what SQL coercion sees.
+                    vals.add(str(int(raw)))
                 elif head in ("string", "varchar", "char"):
                     if not quoted:
                         return None
                     vals.add(raw)
                 elif head == "date":
-                    if not quoted:
+                    if not quoted or not date_lit.match(raw):
                         return None
+                    import datetime as _dt
+
                     try:
                         vals.add(
                             _dt.date.fromisoformat(raw).isoformat()
                         )
                     except ValueError:
-                        return None
+                        return None  # e.g. month 13: Spark errors too
                 else:
                     return None
             out[col] = vals if col not in out else out[col] & vals

@@ -3956,17 +3956,30 @@ def _write_consolidated_shard(
     table_dir: str,
     gens_doc: dict[str, dict],
     full: bool,
+    ser: dict[str, str] | None = None,
 ) -> str:
     """Write one immutable consolidated shard and prime the cache;
     returns its table-relative path. Same crash contract as per-gen
     sidecars: unique name, referenced only by a later manifest commit,
-    so a mid-write death leaves an orphan for vacuum."""
+    so a mid-write death leaves an orphan for vacuum. ``ser`` carries
+    per-gen docs already serialized by the binpack's size pass — the
+    body is assembled from those strings instead of re-dumping every
+    doc (the docs dominate consolidation CPU at scale)."""
     kind = "f" if full else "t"
     rel = (
         f"{_STATS_SIDE_DIR}/consolidated-{kind}{len(gens_doc)}-"
         f"{uuid.uuid4().hex}.json"
     )
-    body = json.dumps({"gens": gens_doc}, sort_keys=True)
+    if ser is not None:
+        body = (
+            '{"gens": {'
+            + ", ".join(
+                f"{json.dumps(g)}: {ser[g]}" for g in sorted(gens_doc)
+            )
+            + "}}"
+        )
+    else:
+        body = json.dumps({"gens": gens_doc}, sort_keys=True)
     fs, dpath = hadoop_fs(spark, f"{table_dir}/{_STATS_SIDE_DIR}")
     fs.mkdirs(dpath)
     _, fpath = hadoop_fs(spark, f"{table_dir}/{rel}")
@@ -4038,10 +4051,16 @@ def _consolidated_stats_block(
     new_side = dict(side)
     # Greedy binpack over the sorted refold set: cut a FULL shard at
     # the gen cap or the byte cap; the remainder becomes the tail.
+    # Docs serialize ONCE — the size pass's strings are reused as the
+    # shard body fragments.
+    ser = {
+        g: json.dumps(doc, sort_keys=True)
+        for g, doc in gens_doc.items()
+    }
     chunk: list[str] = []
     chunk_bytes = 0
     for g in refold_gens:
-        sz = len(json.dumps(gens_doc[g], sort_keys=True))
+        sz = len(ser[g])
         if chunk and (
             len(chunk) >= shard_gens
             or chunk_bytes + sz > shard_bytes
@@ -4051,6 +4070,7 @@ def _consolidated_stats_block(
                 table_dir,
                 {c: gens_doc[c] for c in chunk},
                 full=True,
+                ser=ser,
             )
             for c in chunk:
                 new_side[c] = rel
@@ -4063,6 +4083,7 @@ def _consolidated_stats_block(
             table_dir,
             {c: gens_doc[c] for c in chunk},
             full=len(chunk) >= shard_gens,
+            ser=ser,
         )
         for c in chunk:
             new_side[c] = rel
