@@ -8,9 +8,10 @@ extensions (dedup, ANN, multimodal, text analysis, decontamination,
 MERGE INTO / CDC apply, the data-quality gate, streaming incl. a
 watermarked stream-stream interval join, range join, SQL time
 travel over the engine's own snapshot tables) with DuckDB oracles.
-The registry holds 108 oracle-paired queries in total (round 14
-added metadata_partition_agg — partition-predicate metadata
-aggregates, plan-asserted scan-free, the 58 past the
+The registry holds 109 oracle-paired queries in total (round 14
+added metadata_partition_agg and metadata_groupby_agg —
+partition-predicate and partition-wise-GROUP-BY metadata
+aggregates, plan-asserted scan-free, the 59 past the
 50-row driver cap pytest-oracle gated — slotted metadata_aggregates
 plus five returning round-13 releases and released six multi-round
 rows with every family keeping a driver sibling; round 13

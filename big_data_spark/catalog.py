@@ -706,11 +706,69 @@ class SnapshotCatalog:
             out[col] = vals if col not in out else out[col] & vals
         return {c: sorted(v) for c, v in out.items()}
 
+    @staticmethod
+    def _literal_row(items, agg):
+        """(values, [(out, type-ddl, nullable)]) for ONE aggregate
+        fold rendered as the literal row the real query would
+        return — or (None, None) to decline. ``"col"`` items (bare
+        group columns) read the group's pinned partition value
+        through the fold's MIN (one value per group, so min == max
+        == the key, already parsed to the committed Python type)."""
+        values: list = []
+        fields: list = []
+        for func, col, out in items:
+            if func == "count":
+                values.append(int(agg["rows"]))
+                typ = "bigint"
+            elif func == "col":
+                typ = agg["types"].get(col)
+                if not typ:
+                    return None, None
+                values.append(agg["min"][col])
+            elif func in ("min", "max"):
+                typ = agg["types"].get(col)
+                if not typ:
+                    return None, None
+                values.append(agg[func][col])
+            elif func == "sum":
+                # Covered integer columns only — metadata_aggregate
+                # OMITS (rather than raises) non-integer and
+                # sums-uncovered columns, so absence means "real
+                # query decides".
+                if col not in agg["sum"]:
+                    return None, None
+                values.append(agg["sum"][col])
+                typ = "bigint"  # Spark's SUM over any integer kind
+            else:  # avg
+                if col not in agg["avg"]:
+                    return None, None
+                # Beyond 2^53 the metadata AVG (one exact-int->double
+                # conversion, then divide) can differ from Spark's
+                # incremental double accumulation in the last ulp —
+                # the fast path promises EXACT passthrough agreement,
+                # so it declines there (metadata_aggregate itself
+                # documents the within-one-ulp tolerance).
+                s = agg["sum"].get(col)
+                if s is not None and abs(s) >= 2**53:
+                    return None, None
+                values.append(agg["avg"][col])
+                typ = "double"
+            # COUNT is the one non-nullable aggregate — mirror the
+            # real plan's schema exactly, nullability included.
+            fields.append((out, typ, func != "count"))
+        return values, fields
+
     def _metadata_select(
-        self, name: str, items, as_of: int | None = None, where=None
+        self,
+        name: str,
+        items,
+        as_of: int | None = None,
+        where=None,
+        group=None,
     ) -> DataFrame | None:
         """Answer a parse_metadata_select shape from metadata only —
-        one local literal row, zero scan jobs (the optimizer rewrite
+        a local literal relation (one row, or one row per partition
+        group under GROUP BY), zero scan jobs (the optimizer rewrite
         Delta/Iceberg do in OptimizeMetadataOnlyQuery, spelled
         driver-side) — or None to fall through to the real query.
         Answers ONLY when the result provably matches what the pinned
@@ -725,6 +783,7 @@ class SnapshotCatalog:
         from big_data_spark.io.snapshot import (
             latest_manifest,
             metadata_aggregate,
+            metadata_group_aggregate,
         )
 
         if as_of is None:
@@ -735,7 +794,7 @@ class SnapshotCatalog:
             c for f, c, _ in items if c and f in ("sum", "avg")
         }
         man = None
-        if sum_avg_cols or where is not None:
+        if sum_avg_cols or where is not None or group is not None:
             # The cheap prechecks below decide from the committed
             # schema (one manifest read) BEFORE paying the full
             # sidecar fold for a shape that can never answer
@@ -766,6 +825,22 @@ class SnapshotCatalog:
                 head = types.get(c, "").split("(")[0].strip().lower()
                 if head not in int_heads:
                     return None
+        if group is not None:
+            # Partition-wise rollup (round 14): claim ONLY when every
+            # GROUP BY column is a partition column and every bare
+            # select item names a group column — anything else is a
+            # real aggregation the stats cannot scope.
+            from big_data_spark.io.snapshot import _pcols
+
+            pcols = set(_pcols(man.get("partition_col")) or [])
+            if not set(group) <= pcols:
+                return None
+            if not {
+                c for f, c, _ in items if f == "col"
+            } <= set(group):
+                return None
+        elif any(f == "col" for f, _, _ in items):
+            return None  # defensive: parser already unclaims this
         parts = None
         if where is not None:
             # Partition-predicate aggregates (round-14 directive
@@ -777,73 +852,83 @@ class SnapshotCatalog:
             parts = self._partition_filter(man, where)
             if parts is None:
                 return None
-        cols = sorted({c for _, c, _ in items if c})
+        cols = sorted(
+            {c for _, c, _ in items if c} | set(group or [])
+        )
         try:
-            agg = metadata_aggregate(
-                self.spark,
-                self.tables[name],
-                columns=cols,
-                as_of=as_of,
-                partitions=parts,
-            )
+            if group is None:
+                agg = metadata_aggregate(
+                    self.spark,
+                    self.tables[name],
+                    columns=cols,
+                    as_of=as_of,
+                    partitions=parts,
+                )
+                snapshot_id = agg["snapshot_id"]
+                aggs = [agg]
+            else:
+                res = metadata_group_aggregate(
+                    self.spark,
+                    self.tables[name],
+                    list(group),
+                    columns=cols,
+                    partitions=parts,
+                    as_of=as_of,
+                )
+                snapshot_id = res["snapshot_id"]
+                aggs = [g["agg"] for g in res["groups"]]
         except ValueError:
             return None
-        if as_of is None and agg["snapshot_id"] != view_sid:
+        if as_of is None and snapshot_id != view_sid:
             # A pinned version (as_of) is immutable — no drift
             # bracket needed; the HEAD answer must match the pinned
             # head view exactly.
             return None
         from pyspark.sql.types import StructField, StructType
 
-        values: list = []
-        fields: list[StructField] = []
-        for func, col, out in items:
-            if func == "count":
-                values.append(int(agg["rows"]))
-                typ = "bigint"
-            elif func in ("min", "max"):
-                typ = agg["types"].get(col)
-                if not typ:
-                    return None
-                values.append(agg[func][col])
-            elif func == "sum":
-                # Covered integer columns only — metadata_aggregate
-                # OMITS (rather than raises) non-integer and
-                # sums-uncovered columns, so absence means "real
-                # query decides".
-                if col not in agg["sum"]:
-                    return None
-                values.append(agg["sum"][col])
-                typ = "bigint"  # Spark's SUM over any integer kind
-            else:  # avg
-                if col not in agg["avg"]:
-                    return None
-                # Beyond 2^53 the metadata AVG (one exact-int->double
-                # conversion, then divide) can differ from Spark's
-                # incremental double accumulation in the last ulp —
-                # the fast path promises EXACT passthrough agreement,
-                # so it declines there (metadata_aggregate itself
-                # documents the within-one-ulp tolerance).
-                s = agg["sum"].get(col)
-                if s is not None and abs(s) >= 2**53:
-                    return None
-                values.append(agg["avg"][col])
-                typ = "double"
-            # COUNT is the one non-nullable aggregate — mirror the
-            # real plan's schema exactly, nullability included.
-            fields.append(
+        rows: list[tuple] = []
+        fields = None
+        for agg in aggs:
+            values, fields = self._literal_row(items, agg)
+            if values is None:
+                return None
+            rows.append(tuple(values))
+        if fields is None:
+            # ZERO groups (empty table / empty match under GROUP
+            # BY): the schema still must mirror the real query's —
+            # derive output types from the committed schema.
+            mtypes = {
+                f["name"]: f["type"] for f in man.get("schema") or []
+            }
+            fields = []
+            for func, col, out in items:
+                if func == "count":
+                    typ = "bigint"
+                elif func == "sum":
+                    typ = "bigint"
+                elif func == "avg":
+                    typ = "double"
+                else:  # col / min / max: the committed type
+                    typ = mtypes.get(col)
+                    if not typ:
+                        return None
+                fields.append((out, typ, func != "count"))
+        struct = StructType(
+            [
                 StructField(
                     out,
-                    StructType.fromDDL(f"`c` {typ}").fields[0].dataType,
-                    nullable=func != "count",
+                    StructType.fromDDL(f"`c` {typ}")
+                    .fields[0]
+                    .dataType,
+                    nullable=nullable,
                 )
-            )
-        # A local one-row relation: createDataFrame round-trips every
+                for out, typ, nullable in fields
+            ]
+        )
+        # A local literal relation: createDataFrame round-trips every
         # committed kind faithfully (naive timestamps convert through
         # the session zone exactly as the real query's collect would).
-        return self.spark.createDataFrame(
-            [tuple(values)], StructType(fields)
-        )
+        return self.spark.createDataFrame(rows, struct)
 
     def _travel_sid(self, name: str, travel) -> int | None | bool:
         """Snapshot id for a parsed time-travel clause against a
@@ -894,7 +979,7 @@ class SnapshotCatalog:
             # table literally named `orders_v2` beside `orders`).
             import re as _re
 
-            tbl, items, travel, where = parsed
+            tbl, items, travel, where, grp = parsed
             base = as_of = None
             if tbl in self.tables:
                 as_of = self._travel_sid(tbl, travel)
@@ -906,7 +991,7 @@ class SnapshotCatalog:
                     base, as_of = m.group(1), int(m.group(2))
             if base is not None:
                 fast = self._metadata_select(
-                    base, items, as_of=as_of, where=where
+                    base, items, as_of=as_of, where=where, group=grp
                 )
                 if fast is not None:
                     return fast

@@ -4528,6 +4528,7 @@ def metadata_aggregate(
     require_sums: bool = False,
     as_of: int | None = None,
     partitions: dict | None = None,
+    _man: dict | None = None,
 ) -> dict:
     """COUNT(*), per-column MIN/MAX, and (round 12) SUM/AVG for
     integer columns, answered from the manifest plus its
@@ -4585,7 +4586,11 @@ def metadata_aggregate(
     unanswerable shape."""
     import datetime as _dt
 
-    if as_of is not None:
+    if _man is not None:
+        # Caller already holds the manifest (metadata_group_aggregate
+        # folds many groups off ONE read) — trust it verbatim.
+        man = _man
+    elif as_of is not None:
         # Time travel (round-13 optional #9): the fold's math works
         # on ANY manifest — a pinned version's stats sidecars stay
         # referenced (and vacuum-protected) as long as its manifest
@@ -4922,6 +4927,82 @@ def metadata_aggregate(
         # exact output dtype of the equivalent real aggregate.
         "types": {c: types.get(c) for c in cols},
     }
+
+
+def metadata_group_aggregate(
+    spark: SparkSession,
+    table_dir: str,
+    group_cols: list[str],
+    columns: list[str] | None = None,
+    partitions: dict | None = None,
+    as_of: int | None = None,
+) -> dict:
+    """Partition-wise GROUP BY rollup from metadata only (round 14):
+    one ``metadata_aggregate`` result PER DISTINCT live combination
+    of ``group_cols`` values — ``SELECT date, COUNT(*), MAX(v) FROM t
+    GROUP BY date`` without touching a data file (the Iceberg
+    partition-stats planning shape). ``group_cols`` must be partition
+    columns; ``partitions`` pre-filters the entries exactly like
+    ``metadata_aggregate(partitions=)`` (the WHERE clause). Returns
+    ``{"groups": [{"values": {col: raw str}, "agg": <dict>}...],
+    "snapshot_id": id}`` with groups sorted by their raw key values
+    for determinism; the typed group-key value is ``agg["min"][col]``
+    when ``col`` is requested in ``columns`` (one partition value per
+    group, so min == max == the key).
+
+    REFUSES (ValueError) whenever any group's fold refuses — the
+    all-or-nothing contract callers need to fall back to one real
+    query. Cost: ONE manifest read, each generation's sidecar read
+    once (process cache), then per-group dict folds; per-group work
+    is bounded by the files of the generations that own that
+    partition, so the total is O(live files x avg generations-per-
+    partition overlap) driver math — no scans."""
+    if as_of is not None:
+        try:
+            man = read_manifest(spark, table_dir, as_of)
+        except Exception as exc:  # noqa: BLE001 — normalize refusal
+            raise ValueError(
+                f"metadata_group_aggregate: no readable manifest for "
+                f"snapshot {as_of} under {table_dir!r}"
+            ) from exc
+    else:
+        man = latest_manifest(spark, table_dir)
+    if man is None:
+        raise ValueError(f"no committed snapshots under {table_dir!r}")
+    pcols = _pcols(man.get("partition_col")) or []
+    unknown = sorted(set(group_cols) - set(pcols))
+    if unknown:
+        raise ValueError(
+            f"metadata_group_aggregate: {unknown} not in the table's "
+            f"partition columns {pcols!r} — only partition-wise "
+            "rollups answer from metadata; use a real query"
+        )
+    entries = man["entries"]
+    if partitions is not None:
+        entries, _ = select_partition_entries(spark, man, partitions)
+    groups: dict[tuple, dict[str, str]] = {}
+    for key in entries:
+        vals = entry_partition_values(spark, pcols, key)
+        gkey = tuple(vals[c] for c in group_cols)
+        groups.setdefault(gkey, {c: vals[c] for c in group_cols})
+    out = []
+    for gkey in sorted(groups):
+        gvals = groups[gkey]
+        part_filter = dict(partitions or {})
+        for c in group_cols:
+            # Intersect the WHERE filter with this group's pinned
+            # value (the group came FROM the filtered entries, so
+            # the intersection is never empty).
+            part_filter[c] = [gvals[c]]
+        agg = metadata_aggregate(
+            spark,
+            table_dir,
+            columns=columns,
+            partitions=part_filter,
+            _man=man,
+        )
+        out.append({"values": gvals, "agg": agg})
+    return {"groups": out, "snapshot_id": man["snapshot_id"]}
 
 
 def show_partitions(spark: SparkSession, table_dir: str) -> DataFrame:

@@ -198,12 +198,14 @@ _PYTEST_ONLY = (
     "semdedup_incremental",  # incremental-dedup family (5 rounds): neardup_incremental + dedup_semantic stay
     "shard_summary",  # packing family (5 rounds): pack_sequences + weighted_sample stay
     "doc_chunks",  # text-segmentation family (4 rounds): dedup_segments + pii_scrub + text_quality (IN) stay
-    # NEW round-14 row past the cap (pytest-oracle gated, r15
-    # driver-slot candidate per the round-13 verdict): partition-
+    # NEW round-14 rows past the cap (pytest-oracle gated, r15
+    # driver-slot candidates per the round-13 verdict): partition-
     # predicate metadata aggregates — WHERE on partition columns
     # answered from matching live entries + stats, plan-asserted
-    # scan-free.
+    # scan-free — and the partition-wise GROUP BY rollup (one row
+    # per live partition, same zero-scan contract).
     "metadata_partition_agg",
+    "metadata_groupby_agg",
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}

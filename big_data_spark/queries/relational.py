@@ -2961,6 +2961,69 @@ SELECT * FROM agg ORDER BY probe
 """
 
 
+def q_metadata_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise GROUP BY rollup from metadata only (round 14):
+    publish orders PARTITIONED on o_orderstatus, then answer
+    ``SELECT o_orderstatus, COUNT(*), MIN/MAX/SUM(o_orderkey) ...
+    GROUP BY o_orderstatus`` — one row per live partition — entirely
+    from the manifest entries + stats sidecars, zero data-file reads
+    (plan asserted scan-free; the Iceberg partition-stats planning
+    shape, `SHOW PARTITIONS` with real aggregates). The oracle
+    re-derives the rollup relationally from raw ``orders``, so a
+    wrong group scoping (a file folded into the wrong partition's
+    row, a lost leaf) hash-mismatches immediately.
+
+    Scale: one manifest read + each generation's sidecar read once;
+    per-group work is dict math over that partition's files — the
+    whole rollup is driver metadata, independent of data volume."""
+    import shutil
+
+    from big_data_spark.catalog import SnapshotCatalog
+    from big_data_spark.io.snapshot import write_snapshot_partial
+
+    tdir = fixture_dir("bds_gmagg", sf_dir)
+    shutil.rmtree(tdir, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    statuses = sorted(
+        r["o_orderstatus"]
+        for r in orders.select("o_orderstatus").distinct().collect()
+    )
+    write_snapshot_partial(
+        orders,
+        tdir,
+        0,
+        "o_orderstatus",
+        touched_keys=statuses,
+        stats_columns=["o_orderkey"],
+    )
+    cat = SnapshotCatalog(spark, versions="lazy")
+    cat.register("gmeta_orders", tdir)
+    df = cat.sql(
+        "SELECT o_orderstatus AS status, COUNT(*) AS n_orders, "
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key, "
+        "SUM(o_orderkey) AS sum_key "
+        "FROM gmeta_orders GROUP BY o_orderstatus"
+    )
+    if df.inputFiles():
+        raise AssertionError(
+            "metadata_groupby_agg: the SQL door fell through to a "
+            "scan — the partition-wise rollup must answer this shape"
+        )
+    return df.orderBy("status")
+
+
+ORACLE_METADATA_GROUPBY_AGG = """
+SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+"""
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-match point lookup through the per-file Bloom index
     (io/fileindex.py): publish an orders snapshot clustered on
@@ -3622,6 +3685,7 @@ QUERIES = {
     "typed_prune": q_typed_prune,
     "metadata_aggregates": q_metadata_aggregates,
     "metadata_partition_agg": q_metadata_partition_agg,
+    "metadata_groupby_agg": q_metadata_groupby_agg,
     "point_lookup": q_point_lookup,
     "snapshot_delete": q_snapshot_delete,
     "snapshot_update_cdf": q_snapshot_update_cdf,
@@ -3713,6 +3777,7 @@ ORDER BY version, o_custkey
     "typed_prune": ORACLE_TYPED_PRUNE,
     "metadata_aggregates": ORACLE_METADATA_AGGREGATES,
     "metadata_partition_agg": ORACLE_METADATA_PARTITION_AGG,
+    "metadata_groupby_agg": ORACLE_METADATA_GROUPBY_AGG,
     "point_lookup": ORACLE_POINT_LOOKUP,
     "snapshot_delete": ORACLE_SNAPSHOT_DELETE,
     "snapshot_update_cdf": ORACLE_SNAPSHOT_UPDATE_CDF,

@@ -185,11 +185,13 @@ _SHOW_TABLES_RE = re.compile(
 _META_SELECT_RE = re.compile(
     r"^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)"
     r"(?:\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+))?"
-    r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    r"(?:\s+WHERE\s+(.+?))?"
+    r"(?:\s+GROUP\s+BY\s+([\w\s,`]+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _META_ITEM_RE = re.compile(
-    r"^(?:COUNT\s*\(\s*\*\s*\)|(MIN|MAX|SUM|AVG)\s*\(\s*(\w+)\s*\))"
+    r"^(?:COUNT\s*\(\s*\*\s*\)|(MIN|MAX|SUM|AVG)\s*\(\s*(\w+)\s*\)"
+    r"|`?(\w+)`?)"
     r"(?:\s+AS\s+(\w+))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -226,18 +228,21 @@ def parse_metadata_select(
         list[tuple[str, str | None, str]],
         tuple[str, str] | None,
         list[tuple[str, list[tuple[str, bool]]]] | None,
+        list[str] | None,
     ]
     | None
 ):
     """``(table, [(func, col|None, out_name), ...], travel|None,
-    where|None)`` when the whole statement is a bare aggregate list
-    the metadata layer COULD answer, else None. ``func`` is
-    lowercased (count/min/max/sum/avg); ``out_name`` is the alias or
+    where|None, group|None)`` when the whole statement is a bare
+    aggregate list the metadata layer COULD answer, else None.
+    ``func`` is lowercased (count/min/max/sum/avg) or ``"col"`` for
+    a bare column reference (legal ONLY under GROUP BY — the caller
+    checks it names a group column); ``out_name`` is the alias or
     Spark's default output name for the bare call (``count(1)`` /
-    ``min(col)`` ...), so a metadata answer and the passthrough query
-    are column-for-column indistinguishable. ``travel`` carries a
-    trailing time-travel clause (round-13 optional #9) as
-    ``("version", "3")``, ``("tag", "gold")`` or
+    ``min(col)`` / the column's own name), so a metadata answer and
+    the passthrough query are column-for-column indistinguishable.
+    ``travel`` carries a trailing time-travel clause (round-13
+    optional #9) as ``("version", "3")``, ``("tag", "gold")`` or
     ``("ts", "2026-08-15 13:00:00")`` — resolution (tag lookup,
     timestamp→id) is the caller's job against the live table, exactly
     like claiming. ``where`` (round-14 directive #2) is a conjunct
@@ -248,7 +253,8 @@ def parse_metadata_select(
     whole statement (fall through to the real query, never a guess).
     A quoted literal containing ``AND``/commas simply fails the
     strict anchored conjunct shapes after the naive split — a safe
-    unclaim, never a mis-parse."""
+    unclaim, never a mis-parse. ``group`` (round 14) is the GROUP BY
+    column list — the partition-wise rollup shape."""
     m = _META_SELECT_RE.match(statement)
     if not m:
         return None
@@ -257,11 +263,15 @@ def parse_metadata_select(
         im = _META_ITEM_RE.match(raw.strip())
         if not im:
             return None
-        func = (im.group(1) or "count").lower()
-        col = im.group(2)
-        out = im.group(3) or (
-            "count(1)" if func == "count" else f"{func}({col})"
-        )
+        if im.group(3) is not None:
+            func, col = "col", im.group(3)
+            out = im.group(4) or col
+        else:
+            func = (im.group(1) or "count").lower()
+            col = im.group(2)
+            out = im.group(4) or (
+                "count(1)" if func == "count" else f"{func}({col})"
+            )
         items.append((func, col, out))
     kind, val = m.group(3), m.group(4)
     if kind is None:
@@ -295,7 +305,20 @@ def parse_metadata_select(
                 where.append((nm.group(1), lits))
                 continue
             return None  # conjunct outside the claimable shape
-    return m.group(2), items, travel, where
+    group = None
+    if m.group(6) is not None:
+        group = [
+            c.strip().strip("`")
+            for c in m.group(6).split(",")
+            if c.strip()
+        ]
+        if not group or any(
+            not re.match(r"^\w+$", c) for c in group
+        ):
+            return None
+    if group is None and any(f == "col" for f, _, _ in items):
+        return None  # a bare column without GROUP BY is not ours
+    return m.group(2), items, travel, where, group
 _REPARTITION_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+REPARTITION\s+BY\s+"
     r"(?:\(\s*([\w\s,`]+?)\s*\)|NONE)\s*;?\s*$",

@@ -1663,3 +1663,128 @@ def test_partition_literal_shapes_match_spark_casts(spark, tmp_path):
         cat.sql(
             "SELECT COUNT(*) AS n FROM plits WHERE p = '1_000'"
         ).collect()
+
+
+def test_partition_groupby_metadata_rollup(spark, tmp_path):
+    """Round 14: GROUP BY over partition columns answers scan-free —
+    one literal row per live partition group — value- and schema-
+    identical to the passthrough, across single/multi column groups,
+    WHERE + GROUP BY composition, aliased and omitted group columns,
+    and the empty match (zero rows, right schema)."""
+    from big_data_spark.io.snapshot import write_snapshot_partial
+
+    t = str(tmp_path / "gbroll")
+    df = spark.sql(
+        "SELECT id AS k, CAST(id % 3 AS INT) AS p, "
+        "CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END AS s "
+        "FROM range(60)"
+    )
+    write_snapshot_partial(
+        df, t, 0, ["p", "s"],
+        touched_keys=[(a, b) for a in (0, 1, 2) for b in ("e", "o")],
+        stats_columns=["k"],
+    )
+    cat = SnapshotCatalog(spark, versions="lazy")
+    cat.register("gbroll", t)
+    for q in [
+        "SELECT p, COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi, "
+        "SUM(k) AS sk FROM gbroll GROUP BY p",
+        "SELECT p, s, COUNT(*) AS n FROM gbroll GROUP BY p, s",
+        "SELECT s, COUNT(*) AS n FROM gbroll WHERE p = 1 GROUP BY s",
+        "SELECT COUNT(*) AS n FROM gbroll GROUP BY p",
+        "SELECT p AS grp, AVG(k) AS a FROM gbroll GROUP BY p",
+        "SELECT s, COUNT(*) AS n FROM gbroll WHERE p = 9 GROUP BY s",
+    ]:
+        fast = cat.sql(q)
+        assert fast.inputFiles() == [], q
+        real = spark.sql(q)
+        assert fast.schema == real.schema, q
+        assert sorted(tuple(r) for r in fast.collect()) == sorted(
+            tuple(r) for r in real.collect()
+        ), q
+
+
+def test_partition_groupby_fallthrough_matrix(spark, tmp_path):
+    """GROUP BY declines — with the passthrough's exact answer — on:
+    a non-partition group column, a bare select column outside the
+    group, HAVING/expressions (never parsed), an unpartitioned
+    table, and MOR masks; a bare column with NO group never claims."""
+    from big_data_spark.io.snapshot import (
+        delete_where,
+        write_snapshot_partial,
+    )
+
+    t = str(tmp_path / "gbfall")
+    df = spark.sql(
+        "SELECT id AS k, CAST(id % 3 AS INT) AS p FROM range(30)"
+    )
+    write_snapshot_partial(
+        df, t, 0, "p", touched_keys=[0, 1, 2], stats_columns=["k"]
+    )
+    cat = SnapshotCatalog(spark, versions="lazy")
+    cat.register("gbfall", t)
+    for q, rows in [
+        # non-partition group column: a real aggregation
+        ("SELECT k, COUNT(*) AS n FROM gbfall GROUP BY k", 30),
+        # bare select col outside the group list: Spark would error;
+        # the fast path must not claim (passthrough raises) — use a
+        # legal-but-unclaimable twin instead: expression in group
+        ("SELECT COUNT(*) AS n FROM gbfall GROUP BY p % 2", 2),
+        # HAVING clause: outside the bare shape
+        (
+            "SELECT p, COUNT(*) AS n FROM gbfall GROUP BY p "
+            "HAVING COUNT(*) > 5",
+            3,
+        ),
+    ]:
+        d = cat.sql(q)
+        assert d.inputFiles() != [], q
+        assert d.count() == rows, q
+    # bare column without GROUP BY: parser unclaims outright
+    b = cat.sql("SELECT p FROM gbfall")
+    assert b.inputFiles() != [] and b.count() == 30
+    # unpartitioned table: always the real plan
+    t2 = str(tmp_path / "gbfall_unpart")
+    append_snapshot(spark.range(8).selectExpr("id AS k"), t2)
+    cat.register("gbfall_u", t2)
+    u = cat.sql("SELECT k, COUNT(*) AS n FROM gbfall_u GROUP BY k")
+    assert u.inputFiles() != [] and u.count() == 8
+    # MOR masks: per-group fold refuses, real query answers
+    delete_where(spark, t, "k % 2 = 0", mode="mor")
+    cat.refresh("gbfall")
+    m = cat.sql("SELECT p, COUNT(*) AS n FROM gbfall GROUP BY p")
+    assert m.inputFiles() != []
+    assert sorted(tuple(r) for r in m.collect()) == [
+        (0, 5), (1, 5), (2, 5),
+    ]
+
+
+def test_partition_groupby_time_travel(spark, tmp_path):
+    """GROUP BY rollups pin versions like the scalar fast path: the
+    pinned manifest's entries and stats answer, scan-free."""
+    from big_data_spark.io.snapshot import write_snapshot_partial
+
+    t = str(tmp_path / "gbtt")
+    df0 = spark.sql(
+        "SELECT id AS k, CAST(id % 2 AS INT) AS p FROM range(20)"
+    )
+    write_snapshot_partial(
+        df0, t, 0, "p", touched_keys=[0, 1], stats_columns=["k"]
+    )
+    # v1 replaces partition 1 with a bigger batch
+    df1 = spark.sql(
+        "SELECT id AS k, CAST(1 AS INT) AS p FROM range(100, 130)"
+    )
+    write_snapshot_partial(
+        df1, t, 1, "p", touched_keys=[1], stats_columns=["k"]
+    )
+    cat = SnapshotCatalog(spark)
+    cat.register("gbtt", t)
+    g0 = cat.sql(
+        "SELECT p, COUNT(*) AS n FROM gbtt VERSION AS OF 0 GROUP BY p"
+    )
+    assert g0.inputFiles() == []
+    assert sorted(tuple(r) for r in g0.collect()) == [(0, 10), (1, 10)]
+    g1 = cat.sql("SELECT p, COUNT(*) AS n FROM gbtt GROUP BY p")
+    assert g1.inputFiles() == []
+    assert sorted(tuple(r) for r in g1.collect()) == [(0, 10), (1, 30)]
