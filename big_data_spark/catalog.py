@@ -707,28 +707,47 @@ class SnapshotCatalog:
         return {c: sorted(v) for c, v in out.items()}
 
     @staticmethod
-    def _literal_row(items, agg):
+    def _literal_fields(items, types):
+        """[(out_name, type-ddl, nullable)] for the literal relation
+        mirroring the real aggregate's output schema — the ONE
+        func-to-dtype mapping, shared by the per-row renderer and
+        the zero-groups branch so the empty and populated schemas
+        can never drift (review r14). ``types`` maps column name to
+        committed type (``agg["types"]`` and the manifest schema
+        carry identical strings); None = decline (untyped column)."""
+        fields: list = []
+        for func, col, out in items:
+            if func in ("count", "sum"):
+                typ = "bigint"  # Spark's COUNT / integer-kind SUM
+            elif func == "avg":
+                typ = "double"
+            else:  # col / min / max: the committed type
+                typ = types.get(col)
+                if not typ:
+                    return None
+            # COUNT is the one non-nullable aggregate — mirror the
+            # real plan's schema exactly, nullability included.
+            fields.append((out, typ, func != "count"))
+        return fields
+
+    @classmethod
+    def _literal_row(cls, items, agg):
         """(values, [(out, type-ddl, nullable)]) for ONE aggregate
         fold rendered as the literal row the real query would
         return — or (None, None) to decline. ``"col"`` items (bare
         group columns) read the group's pinned partition value
         through the fold's MIN (one value per group, so min == max
         == the key, already parsed to the committed Python type)."""
+        fields = cls._literal_fields(items, agg["types"])
+        if fields is None:
+            return None, None
         values: list = []
-        fields: list = []
         for func, col, out in items:
             if func == "count":
                 values.append(int(agg["rows"]))
-                typ = "bigint"
             elif func == "col":
-                typ = agg["types"].get(col)
-                if not typ:
-                    return None, None
                 values.append(agg["min"][col])
             elif func in ("min", "max"):
-                typ = agg["types"].get(col)
-                if not typ:
-                    return None, None
                 values.append(agg[func][col])
             elif func == "sum":
                 # Covered integer columns only — metadata_aggregate
@@ -738,7 +757,6 @@ class SnapshotCatalog:
                 if col not in agg["sum"]:
                     return None, None
                 values.append(agg["sum"][col])
-                typ = "bigint"  # Spark's SUM over any integer kind
             else:  # avg
                 if col not in agg["avg"]:
                     return None, None
@@ -752,10 +770,6 @@ class SnapshotCatalog:
                 if s is not None and abs(s) >= 2**53:
                     return None, None
                 values.append(agg["avg"][col])
-                typ = "double"
-            # COUNT is the one non-nullable aggregate — mirror the
-            # real plan's schema exactly, nullability included.
-            fields.append((out, typ, func != "count"))
         return values, fields
 
     def _metadata_select(
@@ -873,7 +887,11 @@ class SnapshotCatalog:
                     list(group),
                     columns=cols,
                     partitions=parts,
-                    as_of=as_of,
+                    # Reuse the precheck's manifest — no second read,
+                    # and the pcols/_partition_filter prechecks and
+                    # the fold see ONE consistent snapshot (review
+                    # r14; `man` is always read when group is set).
+                    _man=man,
                 )
                 snapshot_id = res["snapshot_id"]
                 aggs = [g["agg"] for g in res["groups"]]
@@ -896,23 +914,17 @@ class SnapshotCatalog:
         if fields is None:
             # ZERO groups (empty table / empty match under GROUP
             # BY): the schema still must mirror the real query's —
-            # derive output types from the committed schema.
-            mtypes = {
-                f["name"]: f["type"] for f in man.get("schema") or []
-            }
-            fields = []
-            for func, col, out in items:
-                if func == "count":
-                    typ = "bigint"
-                elif func == "sum":
-                    typ = "bigint"
-                elif func == "avg":
-                    typ = "double"
-                else:  # col / min / max: the committed type
-                    typ = mtypes.get(col)
-                    if not typ:
-                        return None
-                fields.append((out, typ, func != "count"))
+            # the SAME mapping as the per-row renderer, fed the
+            # committed schema instead of a fold's types.
+            fields = self._literal_fields(
+                items,
+                {
+                    f["name"]: f["type"]
+                    for f in man.get("schema") or []
+                },
+            )
+            if fields is None:
+                return None
         struct = StructType(
             [
                 StructField(

@@ -4936,6 +4936,7 @@ def metadata_group_aggregate(
     columns: list[str] | None = None,
     partitions: dict | None = None,
     as_of: int | None = None,
+    _man: dict | None = None,
 ) -> dict:
     """Partition-wise GROUP BY rollup from metadata only (round 14):
     one ``metadata_aggregate`` result PER DISTINCT live combination
@@ -4952,12 +4953,15 @@ def metadata_group_aggregate(
 
     REFUSES (ValueError) whenever any group's fold refuses — the
     all-or-nothing contract callers need to fall back to one real
-    query. Cost: ONE manifest read, each generation's sidecar read
-    once (process cache), then per-group dict folds; per-group work
-    is bounded by the files of the generations that own that
-    partition, so the total is O(live files x avg generations-per-
-    partition overlap) driver math — no scans."""
-    if as_of is not None:
+    query. Cost: ONE manifest read (or zero with ``_man``), ONE pass
+    over the entry keys to bucket them per group, each generation's
+    sidecar read once (process cache), then per-group dict folds
+    over each group's OWN pre-filtered entries — per-group work is
+    bounded by the files of the generations that own that partition,
+    never a rescan of the full entry map per group. No data reads."""
+    if _man is not None:
+        man = _man
+    elif as_of is not None:
         try:
             man = read_manifest(spark, table_dir, as_of)
         except Exception as exc:  # noqa: BLE001 — normalize refusal
@@ -4981,27 +4985,25 @@ def metadata_group_aggregate(
     if partitions is not None:
         entries, _ = select_partition_entries(spark, man, partitions)
     groups: dict[tuple, dict[str, str]] = {}
-    for key in entries:
+    group_entries: dict[tuple, dict[str, str]] = {}
+    for key, rel in entries.items():
         vals = entry_partition_values(spark, pcols, key)
         gkey = tuple(vals[c] for c in group_cols)
         groups.setdefault(gkey, {c: vals[c] for c in group_cols})
+        group_entries.setdefault(gkey, {})[key] = rel
     out = []
     for gkey in sorted(groups):
-        gvals = groups[gkey]
-        part_filter = dict(partitions or {})
-        for c in group_cols:
-            # Intersect the WHERE filter with this group's pinned
-            # value (the group came FROM the filtered entries, so
-            # the intersection is never empty).
-            part_filter[c] = [gvals[c]]
+        # Each group's fold sees ONLY its own already-bucketed
+        # entries (threaded through the manifest-reuse door), so the
+        # per-group cost never includes re-filtering the full entry
+        # map (review r14).
         agg = metadata_aggregate(
             spark,
             table_dir,
             columns=columns,
-            partitions=part_filter,
-            _man=man,
+            _man={**man, "entries": group_entries[gkey]},
         )
-        out.append({"values": gvals, "agg": agg})
+        out.append({"values": groups[gkey], "agg": agg})
     return {"groups": out, "snapshot_id": man["snapshot_id"]}
 
 

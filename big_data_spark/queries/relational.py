@@ -2866,6 +2866,44 @@ _PMETA_AGG = (
 )
 
 
+def _orders_by_status_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    fixture: str,
+    name: str,
+    cols: list[str],
+    stats_columns: list[str],
+):
+    """Publish orders PARTITIONED on o_orderstatus (manifest entries
+    keyed per status leaf) and register it under ``name`` — the one
+    fixture builder behind both metadata-planning rows
+    (metadata_partition_agg / metadata_groupby_agg), parameterized on
+    the selected columns and stats set."""
+    import shutil
+
+    from big_data_spark.catalog import SnapshotCatalog
+    from big_data_spark.io.snapshot import write_snapshot_partial
+
+    tdir = fixture_dir(fixture, sf_dir)
+    shutil.rmtree(tdir, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(*cols)
+    statuses = sorted(
+        r["o_orderstatus"]
+        for r in orders.select("o_orderstatus").distinct().collect()
+    )
+    write_snapshot_partial(
+        orders,
+        tdir,
+        0,
+        "o_orderstatus",
+        touched_keys=statuses,
+        stats_columns=stats_columns,
+    )
+    cat = SnapshotCatalog(spark, versions="lazy")
+    cat.register(name, tdir)
+    return cat
+
+
 def q_metadata_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-predicate metadata aggregates (round-14 directive
     #2): publish orders PARTITIONED on o_orderstatus (manifest
@@ -2885,30 +2923,14 @@ def q_metadata_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: cost is O(#partitions) driver metadata to select entries
     plus O(matching generations) sidecar reads — independent of
     data volume, the Iceberg/Delta partition-stats planning path."""
-    import shutil
-
-    from big_data_spark.catalog import SnapshotCatalog
-    from big_data_spark.io.snapshot import write_snapshot_partial
-
-    tdir = fixture_dir("bds_pmagg", sf_dir)
-    shutil.rmtree(tdir, ignore_errors=True)
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderdate"
+    cat = _orders_by_status_fixture(
+        spark,
+        sf_dir,
+        "bds_pmagg",
+        "pmeta_orders",
+        ["o_orderkey", "o_orderstatus", "o_orderdate"],
+        ["o_orderkey", "o_orderdate"],
     )
-    statuses = sorted(
-        r["o_orderstatus"]
-        for r in orders.select("o_orderstatus").distinct().collect()
-    )
-    write_snapshot_partial(
-        orders,
-        tdir,
-        0,
-        "o_orderstatus",
-        touched_keys=statuses,
-        stats_columns=["o_orderkey", "o_orderdate"],
-    )
-    cat = SnapshotCatalog(spark, versions="lazy")
-    cat.register("pmeta_orders", tdir)
     probes = [
         ("eq", "WHERE o_orderstatus = 'O'"),
         ("in", "WHERE o_orderstatus IN ('F', 'P')"),
@@ -2976,30 +2998,14 @@ def q_metadata_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one manifest read + each generation's sidecar read once;
     per-group work is dict math over that partition's files — the
     whole rollup is driver metadata, independent of data volume."""
-    import shutil
-
-    from big_data_spark.catalog import SnapshotCatalog
-    from big_data_spark.io.snapshot import write_snapshot_partial
-
-    tdir = fixture_dir("bds_gmagg", sf_dir)
-    shutil.rmtree(tdir, ignore_errors=True)
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus"
+    cat = _orders_by_status_fixture(
+        spark,
+        sf_dir,
+        "bds_gmagg",
+        "gmeta_orders",
+        ["o_orderkey", "o_orderstatus"],
+        ["o_orderkey"],
     )
-    statuses = sorted(
-        r["o_orderstatus"]
-        for r in orders.select("o_orderstatus").distinct().collect()
-    )
-    write_snapshot_partial(
-        orders,
-        tdir,
-        0,
-        "o_orderstatus",
-        touched_keys=statuses,
-        stats_columns=["o_orderkey"],
-    )
-    cat = SnapshotCatalog(spark, versions="lazy")
-    cat.register("gmeta_orders", tdir)
     df = cat.sql(
         "SELECT o_orderstatus AS status, COUNT(*) AS n_orders, "
         "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key, "

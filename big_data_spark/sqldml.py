@@ -307,10 +307,11 @@ def parse_metadata_select(
             return None  # conjunct outside the claimable shape
     group = None
     if m.group(6) is not None:
+        # An EMPTY comma segment ("GROUP BY p," / "GROUP BY ,p") is
+        # a syntax error the passthrough would raise on — unclaim
+        # rather than silently answering invalid SQL (review r14).
         group = [
-            c.strip().strip("`")
-            for c in m.group(6).split(",")
-            if c.strip()
+            c.strip().strip("`") for c in m.group(6).split(",")
         ]
         if not group or any(
             not re.match(r"^\w+$", c) for c in group
