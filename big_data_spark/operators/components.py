@@ -125,7 +125,9 @@ def _star_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(m2.select("u", F.col("m").alias("v")))
         )
-        new_e = truncate_lineage(_sym(small), eager=True)
+        # Lazy: the fixpoint count below materializes the truncated
+        # RDD in the same job (one action per round, not two).
+        new_e = truncate_lineage(_sym(small))
         # Fixpoint: the canonical symmetric edge sets are equal.
         # Both are distinct sets, so equal counts + empty one-way
         # difference => equality; each check is one bounded action.
@@ -232,6 +234,11 @@ def connected_components(
         lab2 = one_hop.select(
             F.col("id").alias("_lid"), F.col("comp1").alias("_lcomp")
         )
+        # Lazy truncation fused with the convergence count: the count
+        # action below is the job that computes (and caches) the
+        # truncated RDD, so each iteration pays ONE action instead of
+        # two (eager-materialize + count) — measured one full job of
+        # pure overhead per iteration at bench scale (round 14).
         updated = truncate_lineage(
             one_hop.join(lab2, one_hop.comp1 == lab2._lid, "left")
             .select(
@@ -239,7 +246,6 @@ def connected_components(
                 "prev_component",
                 F.least("comp1", F.coalesce("_lcomp", "comp1")).alias("component"),
             ),
-            eager=True,
         )
         n_changed = updated.filter(
             F.col("component") < F.col("prev_component")

@@ -98,7 +98,9 @@ def pagerank(
         .unionByName(ed.select(F.col("dst").alias("v"), F.lit(0).alias("is_src")))
         .groupBy("v")
         .agg(F.max("is_src").alias("is_src")),
-        eager=True,
+        # Lazy on purpose: the counts aggregate right below is the
+        # materializing job (it reads every vertex anyway), so the
+        # build phase pays two actions, not three (round-14 fusion).
     )
     counts = verts.agg(
         F.count(F.lit(1)).alias("n"),

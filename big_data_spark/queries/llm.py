@@ -351,27 +351,42 @@ def ngram_jaccard_pairs(
     -> count intersections -> Jaccard from set sizes. No cross join
     anywhere; the posting cap bounds the quadratic blowup of a skewed
     shingle and AQE skew-join covers the remaining imbalance."""
-    docs_sh = docs.select("doc_id", _shingles().alias("shingles"))
-    # Join on the 8-byte xxhash64 of each shingle, not the string:
+    # Join on an 8-byte xxhash64 of each shingle, not the string:
     # same pairs and counts absent a 2^-64 collision, ~4x less shuffle
-    # payload on the posting-list self-join. The per-doc set size (an
-    # int) rides along on every posting row — +4 bytes/row buys the
-    # Jaccard denominator via any_value in the SAME aggregate that
-    # counts intersections, eliminating both doc-size joins after the
-    # pair groupBy.
+    # payload on the posting-list self-join. Round 14 moves the hash
+    # INSIDE the gram transform — xxhash64 over the 3-token slice
+    # directly — so the per-gram join string (array_join) is never
+    # materialized at all and the distinct/explode run over longs
+    # instead of ~20-char strings. Token tuples and their joined
+    # strings are 1:1 (tokens are split on the join separator), so
+    # distinctness, per-doc sizes, posting groups and the cap are all
+    # unchanged absent the same 2^-64 collision already accepted.
+    # The per-doc set size (an int) rides along on every posting row —
+    # +4 bytes/row buys the Jaccard denominator via any_value in the
+    # SAME aggregate that counts intersections, eliminating both
+    # doc-size joins after the pair groupBy.
     #
-    # Checkpoint the EXPLODED+HASHED posting table, not the shingle
+    # Checkpoint the EXPLODED+HASHED posting table, not the hash
     # arrays: three consumers read it (hot-shingle count, both join
     # sides), and checkpointing upstream of the explode made each of
-    # them redo the tokenize+shingle+md5 pass — the single most
+    # them redo the tokenize+shingle+hash pass — the single most
     # expensive narrow stage in the query.
-    sh = (
-        docs_sh.select(
-            "doc_id",
-            F.size("shingles").alias("n_sh"),
-            F.explode("shingles").alias("shingle_str"),
+    toks = _tokens()
+    n_tok = F.size(toks)
+    gram_hashes = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_tok - NGRAM_N, F.lit(0))),
+            lambda i: F.xxhash64(F.slice(toks, i + 1, NGRAM_N)),
         )
-        .select("doc_id", "n_sh", F.xxhash64("shingle_str").alias("shingle"))
+    )
+    # Two projections on purpose: size() and explode() both read the
+    # MATERIALIZED hash array (the Generate node blocks project
+    # collapse), so the gram fold runs once per row, not twice.
+    docs_g = docs.select("doc_id", gram_hashes.alias("grams"))
+    sh = docs_g.select(
+        "doc_id",
+        F.size("grams").alias("n_sh"),
+        F.explode("grams").alias("shingle"),
     )
     sh = truncate_lineage(sh)
     # Hot-shingle cap: the over-cap set is tiny (it's the stopword
@@ -461,35 +476,29 @@ def minhash_band_rows(docs_sh: DataFrame) -> DataFrame:
     frame. Deterministic: signature_i = min(md5(i|shingle)), band key
     = md5 of its signature pair — no RNG, so the same doc always lands
     in the same buckets across batches and engines."""
-    # NB: closure factory, not a default-arg lambda — PySpark counts a
-    # defaulted second parameter and would treat it as (element, index).
-    def _minhash(seed: int):
-        return F.array_min(
-            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
-        )
-
-    sig = docs_sh.select(
+    # Both projections are ONE selectExpr string each (the simhash
+    # construction lesson, applied in round 14): the 6 signature folds
+    # plus 3 band structs built Column-by-Column cost ~0.3 s of py4j
+    # per construction; a JVM-side parse is milliseconds. Each fold
+    # spells exactly what the Column form built — min(md5(seed|s)) —
+    # so signatures, buckets and the oracle parity are byte-identical.
+    sig = docs_sh.selectExpr(
         "doc_id",
-        *[_minhash(s_i).alias(f"h{s_i}") for s_i in MINHASH_SEEDS],
+        *[
+            f"array_min(transform(shingles, s -> md5(concat('{s_i}|', s)))) "
+            f"AS h{s_i}"
+            for s_i in MINHASH_SEEDS
+        ],
     )
     # One pass per row: all 6 mins once, exploded into 3 band rows —
     # a unionByName of per-band selects would recompute the signature
     # expressions in every branch.
-    return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(F.concat(F.col(f"h{r0}"), F.col(f"h{r1}"))).alias(
-                            "bucket"
-                        ),
-                    )
-                    for bi, (r0, r1) in enumerate(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
+    bands_struct = ", ".join(
+        f"named_struct('band', {bi}, 'bucket', md5(concat(h{r0}, h{r1})))"
+        for bi, (r0, r1) in enumerate(LSH_BANDS)
+    )
+    return sig.selectExpr(
+        "doc_id", f"explode(array({bands_struct})) AS bb"
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
@@ -1036,26 +1045,42 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     planes = _hyperplanes()
 
-    def plane_dot(plane: list[float]):
-        return _dot(F.col("embedding"), F.array(*[F.lit(x) for x in plane]))
+    # The whole banded projection is built as ONE selectExpr string
+    # (the simhash/ivf_dists_expr lesson, applied here in round 14):
+    # 8 hyperplanes x 64 literal components plus per-bit CASEs is
+    # ~600 expression nodes, and building it Column-by-Column cost
+    # ~0.7 s of py4j driver time PER query construction (profiled at
+    # sf0.1) versus one JVM-side SQL parse. Every fold below spells
+    # exactly the zip_with/aggregate shape _dot builds, so the
+    # computed doubles — and the oracle parity — are bit-identical.
+    def sql_dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
 
-    def band_bucket(lo: int, hi: int):
-        bucket = None
-        for b in range(lo, hi):
-            bit = F.when(plane_dot(planes[b]) > 0, F.lit(1 << (b - lo))).otherwise(
-                F.lit(0)
-            )
-            bucket = bit if bucket is None else bucket + bit
-        return bucket
+    def plane_lit(plane: list[float]) -> str:
+        return (
+            "array("
+            + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane)
+            + ")"
+        )
+
+    def band_bucket(lo: int, hi: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({sql_dot('embedding', plane_lit(planes[b]))}) > 0 "
+            f"THEN {1 << (b - lo)} ELSE 0 END)"
+            for b in range(lo, hi)
+        )
 
     ensure_executor_package(spark)
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    vec = emb.select(
+    vec = emb.selectExpr(
         "vec_id",
         "embedding",
-        norm.alias("norm"),
+        f"sqrt({sql_dot('embedding', 'embedding')}) AS norm",
         *[
-            band_bucket(lo, hi).alias(f"band{bi}")
+            f"({band_bucket(lo, hi)}) AS band{bi}"
             for bi, (lo, hi) in enumerate(HYPERPLANE_BANDS)
         ],
     )
