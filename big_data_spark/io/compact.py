@@ -517,6 +517,7 @@ def binpack_snapshot(
     from pyspark.sql import functions as F
 
     from big_data_spark.io.snapshot import (
+        _dir_cols,
         commit_manifest,
         latest_manifest,
         read_entries,
@@ -575,6 +576,7 @@ def binpack_snapshot(
             deletes=man.get("deletes") or None,
             schema_fields=man.get("schema"),
             rename_log=man.get("rename_log"),
+            partition_cols=_dir_cols(man),
         ),
         man.get("schema"),
     )

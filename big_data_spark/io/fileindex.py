@@ -158,6 +158,7 @@ def read_snapshot_point(
     read when no index exists. ``residual=False`` is the audit view
     (every row of every kept file)."""
     from big_data_spark.io.snapshot import (
+        _dir_cols,
         latest_manifest,
         read_entries,
         read_manifest,
@@ -282,6 +283,7 @@ def read_snapshot_point(
                 with_positions=bool(dv),
                 schema_fields=man.get("schema"),
                 rename_log=man.get("rename_log"),
+                partition_cols=_dir_cols(man),
             )
         )
     if not parts:

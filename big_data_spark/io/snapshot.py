@@ -740,6 +740,19 @@ def _pcols(val) -> list[str] | None:
     return [val] if isinstance(val, str) else list(val)
 
 
+def _dir_cols(man: dict) -> list[str]:
+    """The manifest's dir-valued columns — entry partition columns
+    plus the generation layout column — i.e. every committed column
+    whose values live in directory names rather than parquet data.
+    This is the ``partition_cols`` read_entries needs to build an
+    explicit per-generation read schema (footer-inference-free)."""
+    cols = list(_pcols(man.get("partition_col")) or [])
+    lb = man.get("layout_by")
+    if lb and lb not in cols:
+        cols.append(lb)
+    return cols
+
+
 def _hive_escape(spark: SparkSession):
     return (
         spark._jvm.org.apache.spark.sql.catalyst.catalog
@@ -1443,6 +1456,72 @@ def _gen_id_of(path: str) -> int | None:
 
     m = re.search(rf"(?:^|/){_DATA_DIR}/s=(\d+)(?:/|$)", path)
     return int(m.group(1)) if m else None
+
+
+def _gen_read_ddl(
+    schema_fields: list[dict] | None,
+    rename_log: list | None,
+    gen_id: int | None,
+    partition_cols: list[str] | None,
+) -> str | None:
+    """DDL string for an EXPLICIT per-generation read schema, or None
+    when only footer inference is sound. Passing a user schema to the
+    parquet reader skips the footer-inference job Spark otherwise runs
+    per ``spark.read.parquet`` call — one driver round-trip per live
+    generation on every snapshot read (8 of lake_merge's 13 jobs at
+    bench scale were these single-task footer reads).
+
+    The generation's PHYSICAL schema is derived from the committed
+    one: each committed field's physical name reverse-replays the
+    rename events committed after the generation was written, and its
+    physical type may only be a ``_WIDEN_OK`` widening of the
+    committed type — which the Spark 4 parquet readers promote
+    natively (probed: tinyint/smallint/int -> wider ints, float ->
+    double), so declaring the committed type is exact. Columns added
+    after the generation read back as typed NULLs (probed), matching
+    the allowMissingColumns union; later-dropped columns are simply
+    absent from the schema, matching the drop replay. Dir-valued
+    columns (entry partitions + generation layout; never renamed —
+    protected by evolve_schema) are declared STRING so raw values like
+    '00123' survive exactly as with inference disabled, cast to the
+    committed type downstream in _normalize_scan as before.
+
+    Falls back to inference (None) when: the caller has no committed
+    schema or didn't affirm the dir-column set; two committed fields
+    derive the SAME physical name (a later column re-using a renamed-
+    away name: the physical bytes belong to the OLD column and only
+    the forward replay resolves it); or a later drop event's physical
+    name collides with a derived one (drop-then-re-add: the file's
+    column is dead data)."""
+    if not schema_fields or partition_cols is None:
+        return None
+    evs = [
+        ev
+        for ev in (rename_log or [])
+        if gen_id is None or ev[0] > gen_id
+    ]
+    pset = set(partition_cols)
+    phys: dict[str, str] = {}
+    for f in schema_fields:
+        if f["name"] in pset:
+            continue
+        p = f["name"]
+        for ev in reversed(evs):
+            if ev[1] == "rename" and ev[3] == p:
+                p = ev[2]
+        phys[f["name"]] = p
+    vals = list(phys.values())
+    if len(set(vals)) != len(vals):
+        return None
+    if {ev[2] for ev in evs if ev[1] == "drop"} & set(vals):
+        return None
+    parts = []
+    for f in schema_fields:
+        if f["name"] in pset:
+            parts.append(f"`{f['name']}` string")
+        else:
+            parts.append(f"`{phys[f['name']]}` {f['type']}")
+    return ", ".join(parts)
 
 
 def _normalize_scan(
@@ -2424,6 +2503,7 @@ def read_snapshot(
         schema_fields=man.get("schema"),
         rename_log=man.get("rename_log"),
         stats=man.get("stats"),
+        partition_cols=_dir_cols(man),
     )
     if residual_parts:
         for cond in residual_parts:
@@ -2436,8 +2516,23 @@ def read_delete_positions(
 ) -> DataFrame:
     """(file_path, row_index) union of the live delete vectors, with
     file_path in scheme-insensitive form — the anti-join side of a
-    merge-on-read scan. Small by contract (positions, not rows)."""
-    df = spark.read.parquet(*[f"{table_dir}/{d}" for d in sorted(set(deletes))])
+    merge-on-read scan. Small by contract (positions, not rows).
+    The vector schema is fixed by the MOR writer, so the read passes
+    it explicitly — no footer-inference job."""
+    df = spark.read.schema("file_path string, row_index bigint").parquet(
+        *[f"{table_dir}/{d}" for d in sorted(set(deletes))]
+    )
+    if not df.inputFiles():
+        # Same loud-or-exact guard as the data scan: a live vector
+        # dir always holds a file (empty vectors are unclaimed at
+        # commit), so an empty listing is a racing vacuum/drop — the
+        # inference path raised here; silently returning zero
+        # positions would UNMASK deleted rows.
+        raise ValueError(
+            f"delete vectors {sorted(set(deletes))!r} under "
+            f"{table_dir!r} list no files — concurrently removed "
+            "during the read"
+        )
     return df.select(
         _bare_expr(F.col("file_path")).alias("file_path"), "row_index"
     )
@@ -2455,8 +2550,15 @@ def read_entries(
     schema_fields: list[dict] | None = None,
     rename_log: list | None = None,
     stats: dict | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
-    """``stats`` (the manifest's per-file column-stats block) routes
+    """``partition_cols`` (the manifest's dir-valued columns: entry
+    partition columns + generation layout column) lets each
+    generation read with an EXPLICIT schema (_gen_read_ddl) — zero
+    footer-inference jobs; ``None`` (callers without the manifest)
+    keeps the inference path.
+
+    ``stats`` (the manifest's per-file column-stats block) routes
     ``predicate`` pruning through COMMIT-TIME metadata for covered
     generations — zero footer opens — with the distributed footer
     sweep as the fallback for stat-less legacy generations.
@@ -2606,12 +2708,32 @@ def read_entries(
             # would corrupt numeric-looking string keys ('00123' ->
             # '123'). Tables without a committed schema (legacy) keep
             # string partition columns, matching their raw dir values.
+            # With a derivable physical schema the read skips footer
+            # inference entirely (one driver job per generation saved)
+            # and dir values are declared string directly.
+            ddl = _gen_read_ddl(
+                schema_fields, rename_log, _gen_id_of(gen), partition_cols
+            )
+            rdr = spark.read if ddl is None else spark.read.schema(ddl)
             if kept_by_dir is None and len(rels) == 1 and rels[0] == gen:
-                part = spark.read.parquet(*paths)
+                part = rdr.parquet(*paths)
             else:
-                part = spark.read.option(
+                part = rdr.option(
                     "basePath", f"{table_dir}/{gen}"
                 ).parquet(*paths)
+            if ddl is not None and not part.inputFiles():
+                # LOUD-OR-EXACT: a committed generation always holds
+                # >= 1 data file, so an empty listing means a racing
+                # destructive op emptied the dir between manifest read
+                # and scan. The inference path failed here naturally
+                # ("unable to infer schema"); the explicit-schema path
+                # would otherwise return a silently EMPTY scan — the
+                # torn result the snapshot contract forbids.
+                raise ValueError(
+                    f"snapshot generation {gen!r} under {table_dir!r} "
+                    "lists no data files — concurrently dropped or "
+                    "vacuumed during the read"
+                )
         if want_meta:
             # _metadata must be projected AT SCAN level (it is a
             # hidden per-file source column, not join-survivable).
@@ -2637,6 +2759,7 @@ def read_entries(
             column_order,
             schema_fields=schema_fields,
             rename_log=rename_log,
+            partition_cols=partition_cols,
         ).where(F.lit(False))
         return df
     df = dfs[0]
@@ -2852,7 +2975,9 @@ def read_changes(
         prev_entries = prev_man["entries"]
         prev_deletes = prev_man.get("deletes") or []
 
-    def _vector_rows(vecs, entries_map, schema, rlog, masked_by, stats):
+    def _vector_rows(
+        vecs, entries_map, schema, rlog, masked_by, stats, pcols
+    ):
         """Rows the position vectors in ``vecs`` name, read from the
         LIVE entries of ``entries_map`` (touched generations only —
         the vectors name their files, so this is O(masked
@@ -2889,6 +3014,7 @@ def read_changes(
             schema_fields=schema,
             rename_log=rlog,
             stats=stats,
+            partition_cols=pcols,
         )
         out = rows.join(
             F.broadcast(pos),
@@ -2969,7 +3095,7 @@ def read_changes(
             both = {
                 k: v for k, v in cur.items() if v in prev_vals
             }
-            for vecs, kind, schema, rlog, masked_by, side_stats in (
+            for vecs, kind, schema, rlog, masked_by, side_stats, pcs in (
                 (
                     new_dv,
                     "delete",
@@ -2977,6 +3103,7 @@ def read_changes(
                     prev_rlog,
                     prev_deletes,
                     (prev_man or {}).get("stats"),
+                    _dir_cols(prev_man or {}),
                 ),
                 (
                     dropped_dv,
@@ -2985,12 +3112,13 @@ def read_changes(
                     man.get("rename_log"),
                     cur_deletes,
                     man.get("stats"),
+                    _dir_cols(man),
                 ),
             ):
                 if not vecs or not both:
                     continue
                 dv_rows = _vector_rows(
-                    vecs, both, schema, rlog, masked_by, side_stats
+                    vecs, both, schema, rlog, masked_by, side_stats, pcs
                 )
                 if dv_rows is None:
                     continue
@@ -2999,7 +3127,7 @@ def read_changes(
                         "_change_type", F.lit(kind)
                     ).withColumn("_commit_id", F.lit(sid).cast("int"))
                 )
-            for entries, kind, dv, schema, rlog, side_stats in (
+            for entries, kind, dv, schema, rlog, side_stats, pcs in (
                 (
                     removed,
                     "delete",
@@ -3007,6 +3135,7 @@ def read_changes(
                     prev_schema,
                     prev_rlog,
                     (prev_man or {}).get("stats"),
+                    _dir_cols(prev_man or {}),
                 ),
                 (
                     added,
@@ -3015,6 +3144,7 @@ def read_changes(
                     man.get("schema"),
                     man.get("rename_log"),
                     man.get("stats"),
+                    _dir_cols(man),
                 ),
             ):
                 if not entries:
@@ -3031,6 +3161,7 @@ def read_changes(
                     schema_fields=schema,
                     rename_log=rlog,
                     stats=side_stats,
+                    partition_cols=pcs,
                 )
                 if schema:
                     # Present each side in ITS version's schema,
@@ -3188,6 +3319,7 @@ def _delete_mor(spark: SparkSession, table_dir: str, condition) -> dict:
         schema_fields=man.get("schema"),
         rename_log=man.get("rename_log"),
         stats=man.get("stats"),
+        partition_cols=_dir_cols(man),
     )
     if man.get("schema"):
         # Pad to the committed schema (the predicate may reference a
@@ -3527,6 +3659,7 @@ def _rewrite_where(
         schema_fields=man.get("schema"),
         rename_log=man.get("rename_log"),
         stats=man.get("stats"),
+        partition_cols=_dir_cols(man),
     )
     if man.get("schema"):
         pad_fields = list(man["schema"]) + (
@@ -3594,6 +3727,7 @@ def _rewrite_where(
             deletes=dv,
             schema_fields=man.get("schema"),
             rename_log=man.get("rename_log"),
+            partition_cols=_dir_cols(man),
         ),
         man.get("schema"),
     )
@@ -4225,6 +4359,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
             deletes=dv,
             schema_fields=man.get("schema"),
             rename_log=man.get("rename_log"),
+            partition_cols=_dir_cols(man),
         ),
         man.get("schema"),
     )

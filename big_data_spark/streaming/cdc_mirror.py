@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_spark.io.snapshot import (
+    _dir_cols,
     latest_manifest,
     read_entries,
     read_snapshot,
@@ -130,6 +131,7 @@ def run_cdc_mirror(
                 deletes=prev.get("deletes"),
                 schema_fields=prev.get("schema"),
                 rename_log=prev.get("rename_log"),
+                partition_cols=_dir_cols(prev),
             )
             # _kb is a hive partition column of every live generation:
             # the isin literal prunes the scan to the touched buckets
@@ -199,6 +201,7 @@ def purge_tombstones(
         deletes=man.get("deletes"),
         schema_fields=man.get("schema"),
         rename_log=man.get("rename_log"),
+        partition_cols=_dir_cols(man),
     )
     purgeable = F.col(_DELETED) & (F.col(seq_col) < F.lit(seq_watermark))
     touched = [
@@ -265,6 +268,7 @@ def run_scd2_mirror(
                 deletes=prev.get("deletes"),
                 schema_fields=prev.get("schema"),
                 rename_log=prev.get("rename_log"),
+                partition_cols=_dir_cols(prev),
             ).filter(F.col(_BUCKET).isin(touched))
         new = scd2_apply(
             history,
