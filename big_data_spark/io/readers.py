@@ -220,6 +220,29 @@ def parallelize_small_scan(
     return df.repartition(want)
 
 
+def table_footer_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a testdata parquet table from its FOOTER
+    metadata — a driver-side read of a few KB, no Spark job, no
+    data pages touched (the same ``num_rows`` Spark's own
+    metadata-only count rules use; every invocation re-reads the
+    footer, nothing is memoized across runs). ``None`` when the path
+    is not a plain local single-file table or pyarrow is unavailable
+    — callers fall back to a distributed ``count()``, which is also
+    the right answer at real scale where the table is thousands of
+    files and a driver-side footer sweep would serialize."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    if "://" in sf_dir or not os.path.isfile(path):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(path).metadata.num_rows)
+    except Exception:
+        return None
+
+
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or tuple(TESTDATA_SCHEMAS)
     return {n: read_table(spark, sf_dir, n) for n in use}

@@ -968,11 +968,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_executor_package(spark)
     emb = _emb(spark, sf_dir)
-    # total_rows: a parquet metadata count (near-free) that lets the
-    # chunk kernel skip its per-block count job when the whole input
-    # fits one chunk.
+    # total_rows lets the chunk kernel skip its per-block count job
+    # when the whole input fits one chunk. The count comes from the
+    # parquet FOOTER on the driver when the table is one local file
+    # (no Spark job — emb is an unfiltered scan, so footer num_rows
+    # IS its count); otherwise the distributed count runs as before.
+    from big_data_spark.io.readers import table_footer_rows
+
+    n_emb = table_footer_rows(sf_dir, "embeddings")
     candidates = chunked_pair_candidates(
-        emb, ["label"], total_rows=emb.count()
+        emb, ["label"], total_rows=emb.count() if n_emb is None else n_emb
     )
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     va = emb.select(

@@ -30,6 +30,91 @@ from big_data_spark.io.readers import assert_testdata_schema, normalize_event_ts
 DEC = "decimal(18,2)"
 
 
+def _driver_footer_schema(glob_path: str):
+    """The stream source's schema read from the parquet FOOTER on the
+    driver — no Spark job. ``spark.read.parquet(...).schema`` runs a
+    one-task footer-inference job plus a file listing per call, and
+    the bench re-pays it every timed run; pyarrow reads the same
+    footer bytes in-process. Maps ONLY the closed type set the
+    testdata can carry (int64/double/string, timestamp[us] with or
+    without tz, and the legacy INT64 TIMESTAMP(NANOS) that Spark
+    surfaces as raw longs under nanosAsLong); anything else — remote
+    paths, multi-file tables with differing footers, unexpected
+    types — returns None and the caller falls back to the batch
+    probe, whose result this mapping reproduces exactly (asserted in
+    tests/test_streaming.py against Spark's own inference)."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql.types import (
+        BooleanType,
+        FloatType,
+        IntegerType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if "://" in glob_path:
+        return None
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    paths: list[str] = []
+    for m in sorted(_glob.glob(glob_path)):
+        if os.path.isdir(m):
+            paths.extend(
+                p
+                for p in sorted(_glob.glob(f"{m}/*.parquet"))
+                if os.path.isfile(p)
+            )
+        elif os.path.isfile(m):
+            paths.append(m)
+    if not paths:
+        return None
+
+    def _spark_type(t):
+        if pa.types.is_int64(t):
+            return LongType()
+        if pa.types.is_int32(t):
+            return IntegerType()
+        if pa.types.is_float64(t):
+            return DoubleType()
+        if pa.types.is_float32(t):
+            return FloatType()
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return StringType()
+        if pa.types.is_boolean(t):
+            return BooleanType()
+        if pa.types.is_timestamp(t):
+            if t.unit == "ns":
+                # INT64 TIMESTAMP(NANOS): Spark 4 reads it only as
+                # raw nanosecond longs (nanosAsLong, set by callers).
+                return LongType()
+            if t.unit == "us":
+                return (
+                    TimestampType() if t.tz else TimestampNTZType()
+                )
+        return None
+
+    try:
+        arrow = pq.ParquetFile(paths[0]).schema_arrow
+        for p in paths[1:]:
+            if pq.ParquetFile(p).schema_arrow != arrow:
+                return None  # mixed footers: let Spark's merge decide
+    except Exception:
+        return None
+    fields = []
+    for f in arrow:
+        st = _spark_type(f.type)
+        if st is None:
+            return None
+        fields.append(StructField(f.name, st, nullable=True))
+    return StructType(fields)
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -50,8 +135,12 @@ def read_events_stream(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Probe the footer through the SAME glob the stream source uses,
     # so any layout the stream can read (single file, directory of
-    # part files) the probe can too.
-    footer_schema = spark.read.parquet(f"{sf_dir}/events.parque*").schema
+    # part files) the probe can too. Local single-footer layouts
+    # resolve on the driver (no job); anything the driver mapping
+    # can't prove pays the batch probe as before.
+    footer_schema = _driver_footer_schema(f"{sf_dir}/events.parque*")
+    if footer_schema is None:
+        footer_schema = spark.read.parquet(f"{sf_dir}/events.parque*").schema
     assert_testdata_schema("events", footer_schema)
     reader = spark.readStream.schema(footer_schema)
     if max_files_per_trigger is not None:

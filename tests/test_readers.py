@@ -210,3 +210,18 @@ def test_catalog_sql_door_matches_dataframe(spark):
     ts_type = dict(spark.sql("SELECT ts FROM events").dtypes)["ts"]
     assert ts_type == "bigint"
     register_views(spark, sf)  # replace, not fail
+
+
+def test_table_footer_rows_matches_count(spark):
+    """Driver-side footer num_rows must equal the distributed count
+    (it feeds chunked_pair_candidates' total_rows fast path), and
+    unprovable locations must decline to None."""
+    from big_data_spark.io.readers import read_table, table_footer_rows
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("embeddings", "documents"):
+        n = table_footer_rows(sf, name)
+        assert n is not None
+        assert n == read_table(spark, sf, name).count()
+    assert table_footer_rows("s3a://bucket", "embeddings") is None
+    assert table_footer_rows("/nonexistent-dir", "embeddings") is None

@@ -30,6 +30,25 @@ def test_stream_is_streaming_plan(spark):
     assert stream.isStreaming
 
 
+def test_driver_footer_schema_matches_spark_inference(spark):
+    """The driver-side pyarrow footer probe must reproduce EXACTLY
+    what spark.read.parquet would infer for the stream source — the
+    optimization (skipping the one-task inference job per
+    construction) is only sound if the declared schema is the
+    inferred one. Unprovable shapes must decline, not guess."""
+    from big_data_spark.streaming.events import _driver_footer_schema
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for sf in (SF_SMOKE,):
+        glob_path = f"{sf}/events.parque*"
+        got = _driver_footer_schema(glob_path)
+        assert got is not None
+        assert got == spark.read.parquet(glob_path).schema
+    # Remote-looking paths and missing globs decline to the batch probe.
+    assert _driver_footer_schema("s3a://bucket/events.parque*") is None
+    assert _driver_footer_schema("/nonexistent-dir/events.parque*") is None
+
+
 def test_stateful_user_totals(spark):
     events = read_events_stream(spark, SF_SMOKE)
     got = run_stream_to_table(
