@@ -2273,10 +2273,16 @@ def q_pagerank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=PAGERANK_ITERS,
         tol=0.0,
         check_every=PAGERANK_ITERS + 1,
-        # 8 frozen iterations need only 2 lineage cuts: each checkpoint
-        # job re-runs <=4 lazy iterations once, and halving the job
-        # count beats the recompute (A/B in PERF.md round 6).
-        truncate_every=4,
+        # 8 frozen iterations, lineage cut every 2: with the round-14
+        # LAZY checkpoints (no extra action per cut) the trade moved —
+        # each un-truncated iteration is re-executed by every later
+        # broadcast build in its window, so a 4-wide window re-runs
+        # ~20 iteration shuffles for the 8 real ones where a 2-wide
+        # window re-runs ~12. Interleaved A/B at sf0.1 (round 14):
+        # every-2 ~4.0-4.3 s vs every-4 ~4.2-4.5 s vs every-8 ~12.5 s
+        # (the quadratic window blowup made visible); every-1 buys no
+        # more and adds a job per round.
+        truncate_every=2,
     )
     return (
         pr.select("vertex", F.round("rank", 6).alias("rank"))
