@@ -140,15 +140,29 @@ def register_snapshot_views(
                 spark, table_dir, as_of=sid
             ).createOrReplaceTempView(vname)
             names.append(vname)
+    names.extend(register_aux_views(spark, table_dir, name))
+    return names
+
+
+def register_aux_views(
+    spark: SparkSession, table_dir: str, name: str
+) -> list[str]:
+    """(Re)register just the commit-log and change-feed views,
+    ``name_history`` and ``name_changes`` — split out so the
+    catalog's post-DML refresh can DEFER them: both plans are
+    O(total versions) to build (the full feed reads every manifest
+    and unions a DataFrame per commit), which made every MERGE or
+    UPDATE through the SQL door pay for the table's entire
+    history."""
+    from big_data_spark.io.snapshot import read_changes, table_history
+
     table_history(spark, table_dir).createOrReplaceTempView(
         f"{name}_history"
     )
-    names.append(f"{name}_history")
     read_changes(spark, table_dir, after_id=-1).createOrReplaceTempView(
         f"{name}_changes"
     )
-    names.append(f"{name}_changes")
-    return names
+    return [f"{name}_history", f"{name}_changes"]
 
 
 def as_of(
@@ -208,6 +222,12 @@ class SnapshotCatalog:
         # what a simultaneous SELECT * through the pinned view
         # returns (round-12 review finding).
         self._view_sid: dict[str, int | None] = {}
+        # Tables whose `_history`/`_changes` views lag the newest
+        # commit (lazy mode defers their rebuild — see
+        # _refresh_after_dml). They re-register on the next
+        # catalog.sql statement that references them, or on an
+        # explicit refresh().
+        self._stale_aux: set[str] = set()
         if base_dir is not None:
             self._load_registry()
 
@@ -602,6 +622,53 @@ class SnapshotCatalog:
 
     def refresh(self, name: str) -> None:
         self._register_views_tracked(name)
+        self._stale_aux.discard(name)
+
+    def _refresh_after_dml(self, name: str) -> None:
+        """Post-DML view refresh, O(1) in table age for lazy-mode
+        catalogs: re-register the HEAD view (bracket-checked like
+        _register_views_tracked) and mark `_history`/`_changes`
+        stale instead of rebuilding them — their plans cost
+        O(total versions) of driver time (profiled: the change-feed
+        rebuild was the single largest driver slice of a MERGE, and
+        it GROWS with every commit). They rebuild on the next
+        catalog.sql statement that references them, or on an
+        explicit refresh(). Eager-mode catalogs opted into
+        O(versions) registration and keep the full rebuild; users
+        reading the aux views through bare spark.sql in lazy mode
+        see the pre-DML feed until one of those refresh points."""
+        from big_data_spark.io.snapshot import read_snapshot
+
+        if self.versions != "lazy":
+            self.refresh(name)
+            return
+        sid0 = self._latest_sid(name)
+        read_snapshot(self.spark, self.tables[name]).createOrReplaceTempView(
+            name
+        )
+        sid1 = self._latest_sid(name)
+        self._view_sid[name] = (
+            sid1 if sid1 is not None and sid0 == sid1 else None
+        )
+        self._stale_aux.add(name)
+
+    def _ensure_aux_fresh(self, statement: str) -> None:
+        """Rebuild any stale `_history`/`_changes` view the statement
+        references, BEFORE it parses — the lazy half of
+        _refresh_after_dml's deferral."""
+        if not self._stale_aux:
+            return
+        import re as _re
+
+        from big_data_spark.catalog import register_aux_views
+
+        low = statement.lower()
+        for name in list(self._stale_aux):
+            if _re.search(
+                rf"\b{_re.escape(name.lower())}_(history|changes)\b", low
+            ):
+                register_aux_views(self.spark, self.tables[name], name)
+                self._stale_aux.discard(name)
 
     def as_of(self, name: str, version: int) -> DataFrame:
         return as_of(self.spark, self.tables[name], version, name=name)
@@ -979,6 +1046,7 @@ class SnapshotCatalog:
             route_statement,
         )
 
+        self._ensure_aux_fresh(statement)
         parsed = parse_metadata_select(statement)
         if parsed is not None:
             # Metadata-only fast path (round 12: bare COUNT(*);
@@ -1021,6 +1089,7 @@ class SnapshotCatalog:
             if st.get("statement_type") == "DROP TABLE":
                 self._drop_views(st["table"])
                 self._view_sid.pop(st["table"], None)
+                self._stale_aux.discard(st["table"])
                 if self.base_dir is not None and (
                     st["table"] in self._persisted
                 ):
@@ -1036,9 +1105,13 @@ class SnapshotCatalog:
                     self._persisted.add(st["table"])
                     self._save_binding(st["table"])
                 # CREATE TABLE registered the name into self.tables
-                # inside the dispatcher; refresh covers both the new
-                # table's first views and every post-DML refresh.
-                self.refresh(st["table"])
+                # inside the dispatcher and needs its FIRST full view
+                # set (the aux views must exist to be deferrable);
+                # post-DML refreshes take the O(1)-in-table-age path.
+                if st.get("statement_type") == "CREATE TABLE":
+                    self.refresh(st["table"])
+                else:
+                    self._refresh_after_dml(st["table"])
             return st
         # SELECT-side time travel: 't VERSION AS OF n|tag' and
         # 't TIMESTAMP AS OF ts' rewrite to just-registered version

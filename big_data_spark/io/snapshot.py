@@ -161,10 +161,66 @@ def _claim_check(spark: SparkSession, table_dir: str, snapshot_id: int):
         )
 
 
+# Whether a session's fs.defaultFS is the LOCAL filesystem, cached
+# per session id (one py4j round trip to find out, then free).
+_LOCAL_DEFAULT_FS: dict[int, bool] = {}
+
+
+def _os_path(spark: SparkSession, path: str) -> str | None:
+    """A plain-OS path for ``path`` when it PROVABLY lives on the
+    local filesystem — else None (caller stays on the Hadoop FS API).
+    ``file:`` URIs with no authority qualify outright; scheme-less
+    paths qualify only when the session's ``fs.defaultFS`` is the
+    local FS (a scheme-less path on an HDFS-defaulted cluster names a
+    REMOTE file — never fast-path it). Why: the metadata layer reads
+    many small JSON files (manifests, sidecars, tag pins) per
+    operation, and each Hadoop-API read costs 4-6 py4j round trips
+    (~60 ms measured on this host) where the OS read is ~0.1 ms —
+    O(versions) driver wall per catalog refresh at stake. METADATA
+    READS ONLY: writes stay on the Hadoop API, whose atomic-rename
+    CAS and crc handling are the commit protocol's arbiter."""
+    if path.startswith("file://"):
+        rest = path[len("file://") :]
+        # Empty authority (file:///x) is local; a host component is
+        # somebody else's filesystem.
+        return rest if rest.startswith("/") else None
+    if path.startswith("file:/"):
+        return path[len("file:") :]
+    if "://" in path or path.startswith("file:"):
+        return None
+    key = id(spark)
+    loc = _LOCAL_DEFAULT_FS.get(key)
+    if loc is None:
+        try:
+            loc = str(
+                spark.sparkContext._jsc.hadoopConfiguration().get(
+                    "fs.defaultFS", "file:///"
+                )
+            ).startswith("file:")
+        except Exception:  # noqa: BLE001 — any doubt: Hadoop path
+            loc = False
+        _LOCAL_DEFAULT_FS[key] = loc
+    return path if loc else None
+
+
 def snapshot_ids(spark: SparkSession, table_dir: str) -> list[int]:
     """Committed snapshot ids, ascending (directory listing of the
     manifest dir — bounded metadata, no data scan)."""
-    fs, hpath = hadoop_fs(spark, f"{table_dir}/{_MANIFEST_DIR}")
+    mdir = f"{table_dir}/{_MANIFEST_DIR}"
+    lp = _os_path(spark, mdir)
+    if lp is not None:
+        import os as _os
+
+        try:
+            names = _os.listdir(lp)
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+        return sorted(
+            int(n[len("manifest-") : -len(".json")])
+            for n in names
+            if n.startswith("manifest-") and n.endswith(".json")
+        )
+    fs, hpath = hadoop_fs(spark, mdir)
     if not fs.exists(hpath):
         return []
     out = []
@@ -176,8 +232,15 @@ def snapshot_ids(spark: SparkSession, table_dir: str) -> list[int]:
 
 
 def _read_json(spark: SparkSession, path: str) -> dict:
-    """One small JSON file off the Hadoop FS — the shared reader for
-    manifests, tag pins, and cursors-style metadata."""
+    """One small JSON file — the shared reader for manifests, tag
+    pins, and cursors-style metadata. Local files read in-process
+    (no py4j); everything else off the Hadoop FS. Both paths raise
+    on a missing file (FileNotFoundError / Py4JJavaError — callers
+    probe existence first or catch broadly)."""
+    lp = _os_path(spark, path)
+    if lp is not None:
+        with open(lp, encoding="utf-8") as f:
+            return json.load(f)
     fs, hpath = hadoop_fs(spark, path)
     stream = fs.open(hpath)
     try:

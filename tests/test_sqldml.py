@@ -1788,3 +1788,66 @@ def test_partition_groupby_time_travel(spark, tmp_path):
     g1 = cat.sql("SELECT p, COUNT(*) AS n FROM gbtt GROUP BY p")
     assert g1.inputFiles() == []
     assert sorted(tuple(r) for r in g1.collect()) == [(0, 10), (1, 30)]
+
+
+def test_lazy_post_dml_defers_aux_views_until_referenced(spark, tmp_path):
+    """Lazy-mode catalogs defer the O(total versions) `_history` /
+    `_changes` rebuild after a DML: the head view is fresh at once,
+    and the aux views refresh exactly when a catalog.sql statement
+    references them (round-14 driver-cost optimization). Values must
+    match a full refresh bit-for-bit."""
+    from big_data_spark.catalog import SnapshotCatalog
+    from big_data_spark.io.snapshot import write_snapshot
+
+    t = str(tmp_path / "lazyaux")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"
+        ),
+        t,
+        snapshot_id=0,
+    )
+    c = SnapshotCatalog(spark, versions="lazy")
+    c.register("lzx", t)
+    st = c.sql("DELETE FROM lzx WHERE k = 2")
+    assert st["deleted_rows"] == 1
+    # Head view reflects the commit immediately; aux views are
+    # marked stale, not rebuilt.
+    assert c.sql("SELECT count(*) AS n FROM lzx").first()["n"] == 1
+    assert "lzx" in c._stale_aux
+    # Referencing the change feed through the catalog door rebuilds
+    # it first: the view equals the directly-built feed (COW delete
+    # semantics and all), and the DELETE's commit is in it.
+    from big_data_spark.io.snapshot import read_changes
+
+    ch = c.sql(
+        "SELECT k, _change_type, _commit_id FROM lzx_changes ORDER BY 3, 2, 1"
+    ).collect()
+    want = sorted(
+        (
+            (r["k"], r["_change_type"], r["_commit_id"])
+            for r in read_changes(spark, t, after_id=-1)
+            .select("k", "_change_type", "_commit_id")
+            .collect()
+        ),
+        key=lambda x: (x[2], x[1], x[0]),
+    )
+    assert want and [tuple(r) for r in ch] == want
+    assert any(
+        r["_commit_id"] == 1 and r["_change_type"] == "delete" and r["k"] == 2
+        for r in ch
+    )
+    assert "lzx" not in c._stale_aux
+    hist = c.sql(
+        "SELECT snapshot_id FROM lzx_history ORDER BY 1"
+    ).collect()
+    assert [r["snapshot_id"] for r in hist] == [0, 1]
+    # An explicit refresh also clears the deferral.
+    c.sql("DELETE FROM lzx WHERE k = 1")
+    assert "lzx" in c._stale_aux
+    c.refresh("lzx")
+    assert "lzx" not in c._stale_aux
+    assert (
+        spark.sql("SELECT max(_commit_id) AS m FROM lzx_changes")
+        .first()["m"] == 2
+    )
