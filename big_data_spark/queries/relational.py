@@ -2273,16 +2273,22 @@ def q_pagerank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=PAGERANK_ITERS,
         tol=0.0,
         check_every=PAGERANK_ITERS + 1,
-        # 8 frozen iterations, lineage cut every 2: with the round-14
-        # LAZY checkpoints (no extra action per cut) the trade moved —
-        # each un-truncated iteration is re-executed by every later
-        # broadcast build in its window, so a 4-wide window re-runs
-        # ~20 iteration shuffles for the 8 real ones where a 2-wide
-        # window re-runs ~12. Interleaved A/B at sf0.1 (round 14):
-        # every-2 ~4.0-4.3 s vs every-4 ~4.2-4.5 s vs every-8 ~12.5 s
-        # (the quadratic window blowup made visible); every-1 buys no
-        # more and adds a job per round.
-        truncate_every=2,
+        # 8 frozen iterations, lineage cut every 1: with the round-14
+        # LAZY checkpoints each cut is free (the next broadcast build
+        # is the materializing job — no extra action), and every
+        # UN-truncated iteration is re-executed by every later
+        # broadcast build in its window — a 2-wide window re-runs ~12
+        # iteration shuffles for the 8 real ones, a 4-wide ~20, and
+        # width 1 exactly the 8 real ones, the minimum. Interleaved
+        # same-window A/B at sf0.1 (round 14, 8 paired reps): every-1
+        # beat every-2 in 6/8 pairs, paired mean -0.34 s (medians
+        # 5.37 vs 5.63 s under load; earlier quiet pass: every-2
+        # ~4.0-4.3 s, every-4 ~4.2-4.5 s, every-8 ~12.5 s — the
+        # quadratic window blowup made visible). A no-broadcast
+        # single-action chain (SMJ on the co-partitioned tables) was
+        # also measured and lost (~6.1 s median): the per-iteration
+        # sorts cost more than the broadcast builds save.
+        truncate_every=1,
     )
     return (
         pr.select("vertex", F.round("rank", 6).alias("rank"))

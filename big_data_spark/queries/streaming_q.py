@@ -21,10 +21,25 @@ from big_data_spark.streaming import (
 )
 
 
+def _present_sorted(out: DataFrame, *keys: str) -> DataFrame:
+    """Total-order a drained memory-sink table in ONE partition. The
+    memory sink materializes its rows on the DRIVER (that is its
+    contract, complete and append mode alike), so the result is
+    driver-bounded by construction — yet Spark parallelizes the
+    LocalTableScan to every core, and a plain ``orderBy`` then pays a
+    range-sampling job plus a full-width exchange to re-sort rows
+    that already fit in one task (guide §2.4: an orderBy used only to
+    make output deterministic is an accidental shuffle). One sorted
+    partition IS a total order: identical rows, identical order,
+    measured 0.33 s -> 0.04 s on stream_hourly's 3600-row tail at
+    sf0.1 (round 14)."""
+    return out.coalesce(1).sortWithinPartitions(*keys)
+
+
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = hourly_counts_stream(read_events_stream(spark, sf_dir))
     out = run_stream_to_table(stream, "stream_hourly_result")
-    return out.orderBy("hour_epoch", "event_type")
+    return _present_sorted(out, "hour_epoch", "event_type")
 
 
 # Same aggregate as the batch events_hourly oracle.
@@ -39,7 +54,7 @@ FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sessionize_stream(read_events_stream(spark, sf_dir))
     out = run_stream_to_table(stream, "stream_sessionize_result")
-    return out.orderBy("user_id", "session_start_epoch")
+    return _present_sorted(out, "user_id", "session_start_epoch")
 
 
 # Gap-based sessions in SQL: split only where the gap EXCEEDS 30 min.
@@ -77,7 +92,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_table(
         stream, "stream_stream_join_result", output_mode="append"
     )
-    return out.orderBy("purchase_id", "click_id")
+    return _present_sorted(out, "purchase_id", "click_id")
 
 
 # Batch twin of the watermarked purchase-click interval join; second
@@ -105,7 +120,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the drained result is micro-batch-slicing independent."""
     stream = sliding_counts_stream(read_events_stream(spark, sf_dir))
     out = run_stream_to_table(stream, "stream_sliding_result")
-    return out.orderBy("win_start_epoch", "event_type")
+    return _present_sorted(out, "win_start_epoch", "event_type")
 
 
 # Each event contributes to the two hourly-aligned 2-hour windows
