@@ -14,7 +14,11 @@ computation done Spark-right:
   sum). The union replaces the textbook second join
   (vertices LEFT JOIN contribs) that only existed to resurrect
   contribution-less vertices — the zero rows do that inside the
-  SAME aggregate. The ranks side of the contribution join is hinted
+  SAME aggregate — and is SKIPPED outright when the build-time
+  vertex aggregate proves no vertex lacks in-edges (any symmetrized
+  graph): then the union is a data no-op that would still cost a
+  vertex-table scan stage per iteration (round 14).
+  The ranks side of the contribution join is hinted
   broadcast ONLY when the driver-known vertex count is under
   ``broadcast_vertices`` — the count is already on the driver, so
   the gate costs nothing, and a forced broadcast of a billion-vertex
@@ -97,7 +101,14 @@ def pagerank(
         ed.select(F.col("src").alias("v"), F.lit(1).alias("is_src"))
         .unionByName(ed.select(F.col("dst").alias("v"), F.lit(0).alias("is_src")))
         .groupBy("v")
-        .agg(F.max("is_src").alias("is_src")),
+        # min(is_src)=1 <=> the vertex NEVER appears as a dst, i.e.
+        # it has no in-edges — the only vertices the per-iteration
+        # zero-row union exists to resurrect (see below). Same single
+        # aggregate, so the probe is free.
+        .agg(
+            F.max("is_src").alias("is_src"),
+            F.min("is_src").alias("only_src"),
+        ),
         # Lazy on purpose: the counts aggregate right below is the
         # materializing job (it reads every vertex anyway), so the
         # build phase pays two actions, not three (round-14 fusion).
@@ -105,27 +116,33 @@ def pagerank(
     counts = verts.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(1 - F.col("is_src")).alias("n_dangling"),
+        F.sum("only_src").alias("n_no_in"),
     ).first()
     n = counts["n"]
     if n == 0:
         return verts.select(F.col("v").alias("vertex"), F.lit(0.0).alias("rank"))
     has_dangling = (counts["n_dangling"] or 0) > 0
+    # A vertex with no in-edges receives no contribution row, so the
+    # groupBy would drop it from the rank table entirely — the zero
+    # union keeps it alive. When NO vertex lacks in-edges (e.g. any
+    # symmetrized graph), the union is provably a data no-op, yet it
+    # costs a scan stage of the vertex table EVERY iteration — skip
+    # it (round 14: interleaved A/B at sf0.1, medians 3.98 vs 4.16 s
+    # over 6 pairs, rows bit-identical).
+    has_no_in = (counts["n_no_in"] or 0) > 0
     vertices = verts.select("v")
     zero = vertices.select("v", F.lit(0.0).alias("c"))
     ranks = vertices.select("v", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for it in range(max_iter):
         r = F.broadcast(ranks) if n <= broadcast_vertices else ranks
-        contribs = (
-            ed.join(r, ed.src == r.v)
-            .select(
-                F.col("dst").alias("v"),
-                (F.col("rank") / F.col("deg")).alias("c"),
-            )
-            .unionByName(zero)
-            .groupBy("v")
-            .agg(F.sum("c").alias("contrib"))
+        contribs = ed.join(r, ed.src == r.v).select(
+            F.col("dst").alias("v"),
+            (F.col("rank") / F.col("deg")).alias("c"),
         )
+        if has_no_in:
+            contribs = contribs.unionByName(zero)
+        contribs = contribs.groupBy("v").agg(F.sum("c").alias("contrib"))
         if has_dangling:
             # Dangling vertices (no out-edges) spread their rank evenly.
             dangling = (

@@ -51,6 +51,24 @@ def test_matches_numpy_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_symmetrized_graph_matches_numpy(spark):
+    """Every vertex of a symmetrized graph has in-edges, so the
+    operator skips the per-iteration zero-row union (round-14
+    optimization) — this pins that the skip branch still returns
+    every vertex with the reference ranks."""
+    sym = EDGES + [(b, a) for a, b in EDGES]
+    df = spark.createDataFrame(sym, "src string, dst string")
+    got = {
+        r.vertex: r.rank
+        for r in pagerank(df, max_iter=60, tol=1e-12, check_every=60).collect()
+    }
+    want = _np_pagerank(sym)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_early_convergence_equals_full_run(spark):
     df = spark.createDataFrame(EDGES, "src string, dst string")
     early = {
