@@ -1047,7 +1047,11 @@ class SnapshotCatalog:
                     F.lit(v).cast(typ).alias(out)
                     for v, (out, typ, nullable) in zip(r, fields)
                 ]
-                parts.append(self.spark.range(1).select(*cols))
+                parts.append(
+                    # numPartitions=1: a bare range(1) still carries
+                    # defaultParallelism splits (31 empty tasks).
+                    self.spark.range(1, numPartitions=1).select(*cols)
+                )
             if any(nullable for _, _, nullable in fields):
                 null_cols = [
                     (F.lit(None) if nullable else F.lit(0))

@@ -97,7 +97,16 @@ def running_total(
         if r["_tot"] is not None:
             acc += r["_tot"]
     spark = df.sparkSession
-    off = spark.createDataFrame(offsets, f"_pid int, _off {sum_type}")
+    # ONE slice: the list form of createDataFrame parallelizes into
+    # defaultParallelism slices, so the broadcast build below would
+    # collect a 32-task job (thousands of tasks on a real cluster)
+    # for one row per partition — bounded driver metadata that fits
+    # one task by construction (round 14; same conversion machinery,
+    # it just runs in the single task instead of eagerly).
+    off = spark.createDataFrame(
+        spark.sparkContext.parallelize(offsets, 1),
+        f"_pid int, _off {sum_type}",
+    )
     return (
         within.join(F.broadcast(off), "_pid")
         .withColumn(out_col, (F.col("_off") + F.col("_within")))
