@@ -69,8 +69,12 @@ def shortest_paths(
     )
     spark = edges.sparkSession
     # Settled pairs so far; starts at dist 0 (each landmark to itself).
+    # One slice: the list form would parallelize the handful of seed
+    # rows into defaultParallelism near-empty partitions (round 14).
     settled = spark.createDataFrame(
-        [(int(x), int(x), 0) for x in landmarks],
+        spark.sparkContext.parallelize(
+            [(int(x), int(x), 0) for x in landmarks], 1
+        ),
         "v bigint, landmark bigint, dist int",
     )
     frontier = settled
