@@ -180,16 +180,15 @@ _PYTEST_ONLY = (
     # (Round 14 brought back dedup_ngram_jaccard, ann_hyperplane_lsh,
     # text_quality, join_self_theta and merge_upsert; the remaining
     # four round-13 releases stay out until round 15:)
-    "stream_stream_join",  # §2.11 streaming family (11 rounds): mv_refresh + stream-adjacent cdc mirrors stay
-    "temporal_join",  # timeseries family (6 rounds): range_join_bands stays (same interval machinery)
-    "pivot_status",  # pivot/reshape family (6 rounds): cube_sales + unpivot_metrics (both IN) stay
-    "triangle_count",  # graph family (7 rounds): pagerank_topn + community_lpa + dedup_clusters (CC) stay
+    # (Round 15 brought back stream_stream_join, temporal_join,
+    # pivot_status and triangle_count — the full round-13 release
+    # queue is now re-slotted.)
     # Round-14 rotation (round-13 verdict directive #3):
     # metadata_aggregates earns its driver slot, and five of the nine
     # rows released in round 13 come back IN — ann_hyperplane_lsh,
     # dedup_ngram_jaccard, join_self_theta, merge_upsert,
     # text_quality (pivot_status, stream_stream_join, temporal_join,
-    # triangle_count queue for round 15 as slots free). Released —
+    # triangle_count rotated in at round 15 as queued). Released —
     # six rows with >=2 prior driver rounds each, every family
     # keeping at least one driver row:
     "point_lookup",  # lakehouse reads (5 rounds): partitioned_prune + typed_prune + sql_snapshot_asof stay
@@ -204,8 +203,20 @@ _PYTEST_ONLY = (
     # answered from matching live entries + stats, plan-asserted
     # scan-free — and the partition-wise GROUP BY rollup (one row
     # per live partition, same zero-scan contract).
-    "metadata_partition_agg",
-    "metadata_groupby_agg",
+    # Round-15 rotation (round-14 verdict directive #5): the queued
+    # four come IN — pivot_status, stream_stream_join, temporal_join,
+    # triangle_count — plus the two round-14 pytest-only metadata rows
+    # below earn their driver slots (metadata_partition_agg,
+    # metadata_groupby_agg: partition-predicate / partition-wise
+    # GROUP BY aggregates answered scan-free from manifest stats).
+    # Released — six rows with >=2 prior driver rounds each, every
+    # family keeping at least one driver row:
+    "hybrid_search",  # search family (3 rounds): semantic_search + bm25-fused pytest rows stay
+    "cube_sales",  # rollup family (3 rounds): unpivot_metrics + percentiles + pivot_status (IN) stay
+    "events_funnel",  # events family (3 rounds): events_resample + cohort_retention stay
+    "community_lpa",  # graph family (6 rounds): pagerank_topn + dedup_clusters (CC) + triangle_count (IN) stay
+    "ann_recall",  # ANN family (6 rounds): ann_hyperplane_lsh + dedup_semantic + semantic_search stay
+    "mv_refresh",  # MV/streaming family (7 rounds): stream_stream_join (IN) + snapshot_update_cdf + sql_dml stay
 )
 
 QUERIES = {k: v for k, v in QUERIES_ALL.items() if k not in _PYTEST_ONLY}
