@@ -1034,7 +1034,11 @@ class SnapshotCatalog:
                 return True
             if isinstance(v, float):
                 return v == v and v not in (float("inf"), float("-inf"))
-            return isinstance(v, int)
+            # int64-bounded only: F.lit() raises on a wider Python int
+            # (an exact driver-side SUM over bigint can overflow long)
+            # — out-of-range declines to the createDataFrame path so
+            # the failure mode stays in one place (round-14 advice).
+            return isinstance(v, int) and -(2**63) <= v < 2**63
 
         if 0 < len(rows) <= 64 and all(
             _scalar_safe(v) for r in rows for v in r
@@ -1060,7 +1064,11 @@ class SnapshotCatalog:
                     for out, typ, nullable in fields
                 ]
                 parts.append(
-                    self.spark.range(1)
+                    # numPartitions=1 for the same defaultParallelism-
+                    # splits reason as the row parts (round-14 advice:
+                    # PruneFilters collapsing the WHERE false branch is
+                    # an optimizer courtesy, not an invariant).
+                    self.spark.range(1, numPartitions=1)
                     .select(*null_cols)
                     .where(F.lit(False))
                 )
