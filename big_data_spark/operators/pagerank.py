@@ -134,6 +134,21 @@ def pagerank(
     zero = vertices.select("v", F.lit(0.0).alias("c"))
     ranks = vertices.select("v", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
+    # Per-iteration reduce width tracks the DATA (guide §2.1), not the
+    # session's shuffle-partition count: the aggregate's output is
+    # exactly |V| rows (~16 bytes each), so a million-vertex graph
+    # needs ONE reduce partition, not spark.sql.shuffle.partitions of
+    # them — at bench scale that is 8 iterations x 32 near-empty
+    # reduce tasks of pure launch overhead. coalesce (NOT repartition:
+    # an explicit repartition before the groupBy would satisfy the
+    # aggregate's distribution and silence the map-side partial
+    # aggregation, shuffling |E| contribution rows instead of partial
+    # sums) merges the post-shuffle partitions, so the map-side
+    # combine and the shuffle itself are untouched. The vertex count
+    # is already on the driver for the broadcast gate, so the sizing
+    # is free and scale-adaptive — a billion-vertex graph still gets
+    # hundreds of reduce partitions.
+    agg_parts = max(1, -(-n // 2_000_000))
     for it in range(max_iter):
         r = F.broadcast(ranks) if n <= broadcast_vertices else ranks
         contribs = ed.join(r, ed.src == r.v).select(
@@ -142,7 +157,11 @@ def pagerank(
         )
         if has_no_in:
             contribs = contribs.unionByName(zero)
-        contribs = contribs.groupBy("v").agg(F.sum("c").alias("contrib"))
+        contribs = (
+            contribs.groupBy("v")
+            .agg(F.sum("c").alias("contrib"))
+            .coalesce(agg_parts)
+        )
         if has_dangling:
             # Dangling vertices (no out-edges) spread their rank evenly.
             dangling = (
