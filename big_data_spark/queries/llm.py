@@ -474,8 +474,20 @@ def minhash_shingles(docs: DataFrame) -> DataFrame:
 def minhash_band_rows(docs_sh: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) LSH band rows from a (doc_id, shingles)
     frame. Deterministic: signature_i = min(md5(i|shingle)), band key
-    = md5 of its signature pair — no RNG, so the same doc always lands
-    in the same buckets across batches and engines."""
+    = hash of its signature pair — no RNG, so the same doc always
+    lands in the same buckets across batches.
+
+    The band key is ``xxhash64(h_r0, h_r1)`` — an 8-byte long — not
+    the md5 hex string (32 chars ≈ 40+ B per row) it used to be
+    (guide §2.3, round 15): the bucket exists only to group equal
+    signature pairs, it is never an output, so the narrower key
+    shrinks the persisted band index, the checkpoint and every band
+    equi-join's build/exchange payload ~4x. Two docs collide iff
+    their signature pairs collide under xxhash64 (~2^-64 per pair,
+    vs md5's 2^-128) — and a colliding candidate still has to pass
+    the exact-Jaccard verify, the same argument as the round-14
+    xxhash64 n-gram shingle fold. The SQL oracles keep md5 buckets;
+    pair/cluster outputs are checked equal by the oracle gate."""
     # Both projections are ONE selectExpr string each (the simhash
     # construction lesson, applied in round 14): the 6 signature folds
     # plus 3 band structs built Column-by-Column cost ~0.3 s of py4j
@@ -494,7 +506,7 @@ def minhash_band_rows(docs_sh: DataFrame) -> DataFrame:
     # a unionByName of per-band selects would recompute the signature
     # expressions in every branch.
     bands_struct = ", ".join(
-        f"named_struct('band', {bi}, 'bucket', md5(concat(h{r0}, h{r1})))"
+        f"named_struct('band', {bi}, 'bucket', xxhash64(h{r0}, h{r1}))"
         for bi, (r0, r1) in enumerate(LSH_BANDS)
     )
     return sig.selectExpr(
