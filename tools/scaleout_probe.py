@@ -107,7 +107,13 @@ def run_bench(outdir: str, cpus: int, rows: str, repeats: int) -> dict:
     line = [
         ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")
     ][-1]
-    return json.loads(line)
+    parsed = json.loads(line)
+    if not parsed.get("queries"):
+        raise RuntimeError(
+            f"bench returned no query timings: {line[:600]} "
+            f"stderr tail: {out.stderr[-800:]}"
+        )
+    return parsed
 
 
 def main() -> None:
